@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loader for the driver-generated TPC-H-ish testdata.
+  *
+  * Mirrors the reference's parquet ingestion surface
+  * (reference: src/parquet_ops.rs:16-55) as a plain multi-path Spark
+  * parquet scan: column pruning and predicate pushdown are delegated to
+  * Catalyst/the parquet DataSource rather than hand-rolled row readers.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark scans
+    * reject; read it as raw nanos and truncate to microseconds exactly
+    * (integer division — a double roundtrip would lose precision at
+    * 1e18). DuckDB's TIMESTAMP_NS→µs truncation matches. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

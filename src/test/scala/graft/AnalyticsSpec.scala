@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class AnalyticsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query has an oracle or is rows-only by design") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001 and returns rows") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+
+  test("q1 group count and exact quantity sum") {
+    val rows = queries.Analytics.q1(spark, sf).collect()
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+    val total = rows.map(_.getAs[Double]("sum_qty")).sum
+    assert(total > 0 && total == math.rint(total), "quantities are integer-valued")
+  }
+
+  test("q9 topk is sorted descending") {
+    val prices = queries.Analytics.q9(spark, sf)
+      .collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("q19 full outer covers all 25 nations") {
+    assert(queries.Analytics.q19(spark, sf).count() == 25)
+  }
+}
