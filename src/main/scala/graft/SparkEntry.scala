@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -8,12 +9,42 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     graft.queries.Analytics.q1(spark, "/root/testdata/sf0.001")
 
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
+    "text_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
+    "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
+    "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
+    "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
+    "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)))
+
+  private val pipelineOracles: Map[String, String] = Map(
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_embedding" -> Dedup.embeddingPairsSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintsSql,
+    "text_langid" -> TextAnalysis.langIdSql,
+    "text_quality" -> TextAnalysis.qualitySql,
+    "text_tokens" -> TextAnalysis.tokensSql,
+    "text_ngrams" -> TextAnalysis.topNgramsSql,
+    "ann_bruteforce" -> Similarity.bruteForceSql,
+    "ann_topk_join" -> Similarity.topkJoinSql)
+    // dedup_minhash / dedup_simhash / ann_lsh / ann_ivf are rows-only:
+    // seeded hash permutations & hyperplanes aren't portable DuckDB SQL.
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries
+    graft.queries.Analytics.queries ++ pipelineQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracles
+    graft.queries.Analytics.oracles ++ pipelineOracles
 }

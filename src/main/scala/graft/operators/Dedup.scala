@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.TextFunctions._
+import graft.functions.HashFunctions._
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for the LLM-data-pipeline layer
+  * (SURVEY.md §2.3), all expressed as declarative shuffle-conscious
+  * plans over the `documents` / `embeddings` tables:
+  *
+  *  - exact: one hash-groupBy (map-side partial agg; shuffles only
+  *    16-byte keys + counters, never text).
+  *  - n-gram Jaccard: shingle-exploded self-join — shuffle carries
+  *    (shingle, doc_id) pairs only; skew-prone hot shingles are exactly
+  *    what MinHash banding avoids at 100 TB.
+  *  - MinHash/LSH: fixed-width signatures (32 longs/doc); candidates
+  *    from band-bucket equality joins, then exact-Jaccard confirm on
+  *    candidates only.
+  *  - SimHash: 8 bytes/doc + banded blocking for Hamming candidates.
+  *  - embedding cosine: deterministic double fold (VectorFunctions).
+  */
+object Dedup {
+
+  /** Exact dedup: survivor (min doc_id) per distinct content hash. */
+  def exact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val exactSql: String =
+    """SELECT SUBSTR(md5(text), 1, 16) AS fp, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY SUBSTR(md5(text), 1, 16)
+      |ORDER BY keep_id""".stripMargin
+
+  /** Distinct word-bigram shingles per doc: (doc_id, sh). */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(bigrams(col("ws")))).as("sh"))
+
+  /** Top-20 most-similar doc pairs by bigram-shingle Jaccard. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) AS jaccard
+      |FROM common
+      |JOIN sizes a ON a.doc_id = doc_a
+      |JOIN sizes b ON b.doc_id = doc_b
+      |ORDER BY jaccard DESC, doc_a, doc_b
+      |LIMIT 20""".stripMargin
+
+  /** MinHash + banded LSH candidate pairs, confirmed with exact
+    * Jaccard (rows-only: xxhash64 permutations aren't portable SQL).
+    *
+    * numHashes=32 as 16 bands × r=2: per-band collision prob = J², so
+    * with corpus-level J≈0.03 the candidate set stays ~1-2% of all
+    * pairs — the 100 TB path never materializes the full pair space.
+    */
+  def minhashLsh(s: SparkSession, d: String,
+      numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    val sh = shingles(s, d)
+    val sigCols = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sig = sigs.select(col("doc_id"),
+      array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val nBands = numHashes / bandRows
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * bandRows + lit(1), lit(bandRows))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // confirm candidates with exact shingle-set Jaccard
+    val sets = shingles(s, d).groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash fingerprints with 4×16-bit blocking bands (rows-only;
+    * relies on the native Fnv64/SimHash64 Catalyst expressions). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val fp = documents(s, d)
+      .select(col("doc_id"), simhash64(words(col("text"))).as("simhash"))
+    val cols = Seq(col("doc_id"), col("simhash")) ++
+      (0 until 4).map(b =>
+        col("simhash").bitwiseAND(lit(0xffffL << (16 * b))).as(s"band$b"))
+    fp.select(cols: _*).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup pairs: block on any equal 16-bit band, confirm
+    * with full Hamming distance <= maxHamming. */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 16): DataFrame = {
+    val fp = documents(s, d)
+      .select(col("doc_id"), simhash64(words(col("text"))).as("simhash"))
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16)
+          .bitwiseAND(lit(0xffffL)))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming64(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup: top-20 highest-cosine vector pairs.
+    * Deterministic double fold → oracle-checkable. */
+  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, d).select("vec_id", "embedding")
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  val embeddingPairsSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
+      |  / SQRT(
+      |    list_reduce(list_transform(list_zip(a.embedding, a.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
+      |    * list_reduce(list_transform(list_zip(b.embedding, b.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q))
+      |  AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |ORDER BY cos DESC, vec_a, vec_b
+      |LIMIT 20""".stripMargin
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.embeddings
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbour search over the `embeddings` table
+  * (SURVEY.md §2.4).
+  *
+  * Scale design: brute force is the exactness baseline (one narrow pass
+  * + top-k, no shuffle of vectors beyond the final k rows); the LSH and
+  * IVF variants cut the candidate set before any pairwise math — at
+  * 100 TB the bucket/cell id is computed in the scan projection and the
+  * join key carries only (bucket, id), so the shuffle never moves the
+  * raw vectors for non-candidates.
+  */
+object Similarity {
+
+  /** Exact top-10 cosine neighbours of vector `queryId` (brute force). */
+  def bruteForce(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val cosSql =
+    """list_reduce(list_transform(list_zip(%A%, %B%),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
+      |  / SQRT(
+      |    list_reduce(list_transform(list_zip(%A%, %A%),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
+      |    * list_reduce(list_transform(list_zip(%B%, %B%),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q))""".stripMargin
+
+  private def cosOf(a: String, b: String): String =
+    cosSql.replace("%A%", a).replace("%B%", b)
+
+  val bruteForceSql: String =
+    s"""SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
+       |FROM embeddings
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |WHERE vec_id <> 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
+  /** k-NN join: top-5 neighbours for each query in a fixed query set. */
+  def topkJoin(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val topkJoinSql: String =
+    s"""SELECT q_id, vec_id, cos, rnk FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |      ${cosOf("e.embedding", "q.embedding")} AS cos
+       |    FROM embeddings e
+       |    JOIN embeddings q ON q.vec_id < 5 AND e.vec_id <> q.vec_id))
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+
+  /** Deterministic pseudo-random hyperplanes (pure function of (p, j) —
+    * reproducible across sessions with no RNG state). */
+  private[operators] def plane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = (p.toLong * 1315423911L + j.toLong * 2654435761L + 97531L) % 1000003L
+      (h.toDouble / 1000003.0) * 2.0 - 1.0
+    }
+
+  private def planeLit(p: Int, dim: Int): Column =
+    array(plane(p, dim).map(lit(_)).toIndexedSeq: _*)
+
+  /** Random-hyperplane LSH: 6-bit sign bucket, probe the query's bucket
+    * only (rows-only: seeded planes aren't portable SQL). */
+  def lsh(s: SparkSession, d: String, nPlanes: Int = 6, dim: Int = 64,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val bucket = (0 until nPlanes).map { p =>
+      when(dotD(col("embedding"), planeLit(p, dim)) >= 0, 1 << p).otherwise(0)
+    }.reduce(_ + _)
+    val be = e.withColumn("bucket", bucket)
+    val q = be.filter(col("vec_id") === queryId)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+    be.join(broadcast(q), col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("bucket"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style ANN: coarse cells from a deterministic centroid sample
+    * (vec_id % 50 == 0), assign by max cosine, probe the query's
+    * nprobe=2 nearest cells (rows-only). */
+  def ivf(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      nprobe: Int = 2): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        cosine(col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val qCells = assigned.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_emb"), col("c_id"),
+        cosine(col("q_emb"), col("c_emb")).as("c_cos"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id").as("probe_cell"), col("q_emb"))
+    assigned.join(broadcast(qCells), col("cell") === col("probe_cell") &&
+        col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.TextFunctions._
+
+/** Text-analysis queries over `documents` (SURVEY.md §2.5).
+  * All single-pass narrow plans (no shuffle except final ordering /
+  * the n-gram frequency groupBy) — at 100 TB these scale linearly with
+  * input splits.
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + BPE-ish subword segments. */
+  def tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        size(words(col("text"))).as("n_ws"),
+        subtokenCount(col("text")).as("n_subtok"),
+        length(col("text")).as("len_chars"))
+      .orderBy(col("doc_id"))
+
+  val tokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+       |  CAST(len(regexp_extract_all(text, '$SubtokenPattern')) AS INT) AS n_subtok,
+       |  CAST(LENGTH(text) AS INT) AS len_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  private def markerCount(markers: Seq[String]): Column =
+    countIn(words(col("text")), markers)
+
+  private def markerCountSql(markers: Seq[String]): String =
+    s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${markers.map("'" + _ + "'").mkString(", ")}))) AS INT)"
+
+  /** Heuristic language ID from per-language marker-token counts. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        markerCount(MarkersEn).as("s_en"), markerCount(MarkersDe).as("s_de"),
+        markerCount(MarkersFr).as("s_fr"), markerCount(MarkersEs).as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+            col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+
+  val langIdSql: String =
+    s"""SELECT doc_id, lang AS declared_lang, s_en, s_de, s_fr, s_es,
+       |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${markerCountSql(MarkersEn)} AS s_en,
+       |    ${markerCountSql(MarkersDe)} AS s_de,
+       |    ${markerCountSql(MarkersFr)} AS s_fr,
+       |    ${markerCountSql(MarkersEs)} AS s_es
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: structural text-health ratios + composite. */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val nTok = size(words(col("text")))
+    val stopC = countIn(words(col("text")), MarkersEn)
+    documents(s, d)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        meanTokenLen(col("text"), nTok).as("mean_tok_len"),
+        alphaRatio(col("text")).as("alpha_ratio"),
+        (stopC.cast("double") / greatest(nTok, lit(1))).as("stop_ratio"))
+      .withColumn("quality",
+        lit(0.4) * col("stop_ratio") + lit(0.4) * col("alpha_ratio") +
+          lit(0.2) * least(col("n_tokens").cast("double") / 200.0, lit(1.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String =
+    s"""SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
+       |  0.4 * stop_ratio + 0.4 * alpha_ratio
+       |    + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+       |      / GREATEST(len(string_split(text, ' ')), 1) AS mean_tok_len,
+       |    CAST(LENGTH(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |      / GREATEST(LENGTH(text), 1) AS alpha_ratio,
+       |    CAST(${markerCountSql(MarkersEn)} AS DOUBLE)
+       |      / GREATEST(len(string_split(text, ' ')), 1) AS stop_ratio
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Top-20 word bigrams corpus-wide. */
+  def topNgrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(bigrams(col("ws"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  val topNgramsSql: String =
+    """SELECT bigram, COUNT(*) AS n
+      |FROM (
+      |  SELECT UNNEST(list_transform(
+      |    generate_series(1, len(string_split(text, ' ')) - 1),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2)
+      |GROUP BY bigram
+      |ORDER BY n DESC, bigram
+      |LIMIT 20""".stripMargin
+
+  /** Content fingerprints (md5-derived 64-bit hex). */
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintsSql: String =
+    """SELECT doc_id, SUBSTR(md5(text), 1, 16) AS fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HashFunctions._
+import graft.functions.HashUtil
+import graft.operators.{Dedup, Similarity}
+
+class PipelineOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("fnv64 matches the reference FNV-1a test vectors") {
+    // public FNV-1a 64 vectors: fnv1a64("") = offset basis; "a" = 0xaf63dc4c8601ec8c
+    assert(HashUtil.fnv1a64(Array.emptyByteArray) == 0xcbf29ce484222325L)
+    assert(HashUtil.fnv1a64("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    val row = spark.range(1).select(fnv64(lit("a"))).head()
+    assert(row.getLong(0) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("simhash64: identical token arrays hash identically; near arrays are near") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i")
+    val mutated = base.updated(5, "changed").updated(30, "other")
+    val df = Seq(("a", base), ("a2", base), ("b", mutated))
+      .toDF("id", "toks")
+      .select(col("id"), simhash64(col("toks")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("a2"))
+    val ham = java.lang.Long.bitCount(m("a") ^ m("b"))
+    assert(ham > 0 && ham <= 24, s"hamming=$ham should be small for near-dup")
+  }
+
+  test("simhashPairs finds planted near-duplicates via banding") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("simhash").toString
+    val words = (1 to 80).map(i => s"w$i")
+    val near = words.updated(3, "x")
+    val far = (1 to 80).map(i => s"z$i")
+    Seq((1L, words.mkString(" ")), (2L, near.mkString(" ")), (3L, far.mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.simhashPairs(spark, tmp, maxHamming = 16).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("minhash LSH recovers the highest-jaccard pairs that brute force finds") {
+    val brute = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val lsh = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hot = brute.filter(_._3 > 0.8).map(t => (t._1, t._2))
+    assert(hot.nonEmpty, "testdata should contain planted near-dups")
+    val recovered = hot.count(lsh.contains)
+    assert(recovered.toDouble / hot.length >= 0.9,
+      s"LSH should recover >=90% of jaccard>0.8 pairs, got $recovered/${hot.length}")
+  }
+
+  test("ann_lsh results are a subset of brute-force ranking universe") {
+    val lsh = Similarity.lsh(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // scores are valid cosines
+    assert(lsh.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("ann_ivf top result is competitive with exact brute force") {
+    val exact = Similarity.bruteForce(spark, sf).collect()
+      .map(_.getDouble(1)).max
+    val approx = Similarity.ivf(spark, sf).collect().map(_.getDouble(2)).max
+    assert(approx <= exact + 1e-12)
+    assert(approx >= 0.5 * exact,
+      s"IVF nprobe=2 top cosine $approx too far below exact $exact")
+  }
+
+  test("dedup_exact keeps one survivor per distinct text") {
+    val n = Tables.documents(spark, sf).count()
+    assert(Dedup.exact(spark, sf).count() == n) // testdata has no exact dups
+  }
+}
