@@ -1,0 +1,72 @@
+package graft.sinks
+
+import java.sql.DriverManager
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** JDBC table sink — the Spark-native equivalent of the reference's
+  * binary `COPY FROM STDIN` loader (reference: src/db.rs):
+  *
+  *  - connect-time validation of the parquet→db column mapping against
+  *    the live table schema: every dataframe column must land on an
+  *    existing db column, via the optional alias map (`parquet_to_db`)
+  *    or by bearing the same name; a missing column or unknown alias is
+  *    an error BEFORE any data moves (mirrors db.rs Db::connect).
+  *  - the write itself is Spark's batched-insert JDBC relation: one
+  *    connection per partition writing `batchsize` rows per round trip —
+  *    the distributed analogue of COPY (N executors stream in parallel
+  *    instead of one socket).
+  */
+object JdbcSink {
+
+  /** Columns of `table` as reported by JDBC metadata (lower-cased). */
+  def tableColumns(url: String, table: String): Seq[String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
+      val cols = mutable.ArrayBuffer.empty[String]
+      while (rs.next()) cols += rs.getString("COLUMN_NAME").toLowerCase
+      if (cols.isEmpty) {
+        // lowercase / exact-case table identifiers
+        val rs2 = conn.getMetaData.getColumns(null, null, table, null)
+        while (rs2.next()) cols += rs2.getString("COLUMN_NAME").toLowerCase
+      }
+      cols.toSeq
+    } finally conn.close()
+  }
+
+  /** Resolve the dataframe→db column names through the alias map and
+    * fail fast on anything that doesn't land on a real column. */
+  def resolveColumns(dfCols: Seq[String], dbCols: Seq[String],
+      aliases: Map[String, Option[String]]): Seq[(String, String)] = {
+    val dbSet = dbCols.toSet
+    dfCols.map { c =>
+      val target = aliases.get(c).flatten.getOrElse(c)
+      if (aliases.get(c).flatten.isDefined && !dbSet.contains(target.toLowerCase))
+        throw new IllegalArgumentException(
+          s"alias '$target' for parquet field '$c' is not a column of the target table")
+      if (!dbSet.contains(target.toLowerCase))
+        throw new IllegalArgumentException(
+          s"parquet field '$c' has no alias and no same-named column in the target table")
+      c -> target
+    }
+  }
+
+  def write(df: DataFrame, url: String, table: String,
+      aliases: Map[String, Option[String]] = Map.empty,
+      batchSize: Int = 10000): Long = {
+    if (tableColumns(url, table).isEmpty)
+      throw new IllegalArgumentException(s"table '$table' does not exist in connected db")
+    val mapping = resolveColumns(df.columns.toSeq, tableColumns(url, table), aliases)
+    val renamed = df.select(mapping.map { case (c, t) => col(c).as(t) }: _*)
+    renamed.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .mode("append")
+      .save()
+    renamed.count()
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl._
+import graft.sinks.JdbcSink
+import graft.sources.{ParquetSource, SchemaDisplay}
+
+class EtlSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeFile(dir: String, name: String, content: String): Unit =
+    Files.write(Paths.get(dir, name), content.getBytes("UTF-8"))
+
+  // ---- GraftConfig ------------------------------------------------------
+
+  private val goodYaml =
+    """db:
+      |  table_name: warehouse_t
+      |  conn_str: "jdbc:derby:memory:cfg;create=true"
+      |s3:
+      |  bucket: deliveries-parquet
+      |  download_batch_size: 2
+      |  downloads_dir: out
+      |parquet:
+      |  desired_fields:
+      |    - delivery_id
+      |    - body
+      |parquet_to_db:
+      |  delivery_id: id
+      |  body: null
+      |work_lists:
+      |  dir: work
+      |""".stripMargin
+
+  test("config parses the reference yaml schema") {
+    val cfg = GraftConfig.fromYamlString(goodYaml)
+    assert(cfg.db.tableName == "warehouse_t")
+    assert(cfg.s3.downloadBatchSize == 2)
+    assert(cfg.parquet.desiredFields == Seq("delivery_id", "body"))
+    assert(cfg.parquetToDb.get("delivery_id").contains("id"))
+    assert(cfg.parquetToDb.get("body").isEmpty)
+    assert(cfg.workLists.dir == "work")
+  }
+
+  test("config errors on missing required fields") {
+    val noDb = goodYaml.linesIterator.filterNot(_.startsWith("db"))
+      .filterNot(_.contains("table_name")).filterNot(_.contains("conn_str"))
+      .mkString("\n")
+    assertThrows[IllegalArgumentException](GraftConfig.fromYamlString(noDb))
+    assertThrows[IllegalArgumentException](GraftConfig.fromYamlString(
+      goodYaml.replace("  desired_fields:\n    - delivery_id\n    - body\n", "  desired_fields: []\n")))
+  }
+
+  // ---- WorkLists --------------------------------------------------------
+
+  test("worklists: first batch moves items todo -> wip, skips comments") {
+    val d = tmpDir("wl1")
+    writeFile(d, "todo", "# header\nitem_A\n\nitem_B\nitem_C\nitem_D\nitem_E\n")
+    val wl = new WorkLists(d, 3)
+    assert(wl.nextBatch() == Vector("item_A", "item_B", "item_C"))
+    assert(Files.readString(Paths.get(d, "todo")) == "item_D\nitem_E\n")
+    assert(Files.readString(Paths.get(d, "wip")) == "item_A\nitem_B\nitem_C\n")
+  }
+
+  test("worklists: existing wip resumes in full regardless of batch size") {
+    val d = tmpDir("wl2")
+    writeFile(d, "todo", "item_X\n")
+    writeFile(d, "wip", "ITEM_A\n# noise\nITEM_B\n")
+    val wl = new WorkLists(d, 1)
+    assert(wl.wipList == Vector("ITEM_A", "ITEM_B"))
+    assert(wl.nextBatch() == Vector("ITEM_A", "ITEM_B")) // wip drains first
+  }
+
+  test("worklists: markCompleted appends completed then rewrites wip") {
+    val d = tmpDir("wl3")
+    writeFile(d, "todo", "apple\nbanana\n")
+    val wl = new WorkLists(d, 2)
+    wl.nextBatch()
+    wl.markCompleted("apple")
+    assert(Files.readString(Paths.get(d, "completed")) == "apple\n")
+    assert(Files.readString(Paths.get(d, "wip")) == "banana\n")
+    wl.markCompleted("banana")
+    assert(Files.readString(Paths.get(d, "completed")) == "apple\nbanana\n")
+    assert(wl.nextBatch().isEmpty)
+  }
+
+  test("worklists: inconsistent wip file is a hard error") {
+    val d = tmpDir("wl4")
+    writeFile(d, "todo", "x\n")
+    writeFile(d, "wip", "ITEM_A\n")
+    val wl = new WorkLists(d, 1)
+    writeFile(d, "wip", "TAMPERED\n")
+    assertThrows[IllegalStateException](wl.nextBatch())
+    assert(Files.readString(Paths.get(d, "todo")) == "x\n") // todo untouched
+  }
+
+  test("worklists: missing todo file errors") {
+    val d = tmpDir("wl5")
+    assertThrows[IllegalArgumentException](new WorkLists(d, 1))
+  }
+
+  // ---- ParquetSource ----------------------------------------------------
+
+  test("selectFields: order preserved, duplicates suffixed, missing errors") {
+    val df = Tables.customer(spark, sf)
+    val sel = ParquetSource.selectFields(df, Seq("c_name", "c_custkey", "c_name"))
+    assert(sel.columns.toSeq == Seq("c_name", "c_custkey", "c_name_1"))
+    val ex = intercept[IllegalArgumentException](
+      ParquetSource.selectFields(df, Seq("c_name", "does.not.exist")))
+    assert(ex.getMessage.contains("does.not.exist"))
+  }
+
+  test("schema display renders indices and types") {
+    val out = SchemaDisplay.render(Tables.customer(spark, sf).schema)
+    assert(out.contains("0) c_custkey"))
+    assert(out.contains("4) c_mktsegment : STRING"))
+  }
+
+  // ---- TypeMapping ------------------------------------------------------
+
+  test("type mapping rejects unsupported conversions") {
+    val df = Tables.customer(spark, sf)
+    assertThrows[IllegalArgumentException](
+      TypeMapping.castTo(df, Map("c_name" -> "bigint")))
+    assertThrows[IllegalArgumentException](
+      TypeMapping.castTo(df, Map("no_such_col" -> "int")))
+  }
+
+  // ---- JdbcSink vs embedded Derby --------------------------------------
+
+  private def derby(db: String) = s"jdbc:derby:memory:$db;create=true"
+
+  private def exec(url: String, sql: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try { c.createStatement().execute(sql) } finally c.close()
+  }
+
+  private def queryLong(url: String, sql: String): Long = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery(sql)
+      rs.next(); rs.getLong(1)
+    } finally c.close()
+  }
+
+  test("jdbc sink writes rows and validates aliases (reference db.rs semantics)") {
+    val url = derby("sink1")
+    exec(url, "CREATE TABLE warehouse_t (customer_id BIGINT, customer_name VARCHAR(64), balance DOUBLE)")
+    val df = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_acctbal").limit(50)
+    val n = JdbcSink.write(df, url, "warehouse_t",
+      Map("c_custkey" -> Some("customer_id"), "c_name" -> Some("customer_name"),
+        "c_acctbal" -> Some("balance")))
+    assert(n == 50)
+    assert(queryLong(url, "SELECT COUNT(*) FROM warehouse_t") == 50)
+
+    // unknown alias target
+    assertThrows[IllegalArgumentException](JdbcSink.write(df, url, "warehouse_t",
+      Map("c_custkey" -> Some("not_a_col"))))
+    // no alias and no same-named column
+    assertThrows[IllegalArgumentException](
+      JdbcSink.write(df, url, "warehouse_t", Map.empty))
+    // nonexistent table
+    assertThrows[IllegalArgumentException](
+      JdbcSink.write(df, url, "no_such_table", Map.empty))
+  }
+
+  // ---- Pipeline end-to-end ---------------------------------------------
+
+  test("pipeline: batched worklist load from local 'bucket' into Derby") {
+    val bucket = tmpDir("bucket")
+    val work = tmpDir("work")
+    val url = derby("pipe1")
+    // three "s3 objects" of 2 keys worth of lineitem slices
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_returnflag")
+    li.filter(org.apache.spark.sql.functions.col("l_orderkey") <= 100)
+      .write.parquet(s"$bucket/part1.parquet")
+    li.filter(org.apache.spark.sql.functions.col("l_orderkey").between(101, 200))
+      .write.parquet(s"$bucket/part2.parquet")
+    li.filter(org.apache.spark.sql.functions.col("l_orderkey") > 200)
+      .write.parquet(s"$bucket/nested/part3.parquet")
+    writeFile(work, "todo", "part1.parquet\npart2.parquet\nnested/part3.parquet\n")
+    exec(url, "CREATE TABLE load_t (order_id BIGINT, qty DOUBLE, flag VARCHAR(1))")
+
+    val cfg = GraftConfig(
+      DbConfig("load_t", url),
+      S3Config(bucket, downloadBatchSize = 2, downloadsDir = "unused"),
+      ParquetConfig(Seq("l_orderkey", "l_quantity", "l_returnflag")),
+      Some(Map("l_orderkey" -> Some("order_id"), "l_quantity" -> Some("qty"),
+        "l_returnflag" -> Some("flag"))),
+      WorkListsConfig(work))
+
+    val total = Pipeline.run(spark, cfg)
+    assert(total == li.count())
+    assert(queryLong(url, "SELECT COUNT(*) FROM load_t") == li.count())
+    val completed = Files.readString(Paths.get(work, "completed"))
+    assert(completed == "part1.parquet\npart2.parquet\nnested/part3.parquet\n")
+    assert(Files.readString(Paths.get(work, "wip")).isEmpty)
+  }
+}
