@@ -23,7 +23,12 @@ object SparkEntry {
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
-    "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)))
+    "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
+    "mm_meta_agg" -> ((s, d) => graft.multimodal.Multimodal.metaAgg(s, d)),
+    "mm_schema" -> ((s, d) => graft.multimodal.Multimodal.featureTable(s, d)),
+    "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
+    "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
+    "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)))
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -35,7 +40,9 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokensSql,
     "text_ngrams" -> TextAnalysis.topNgramsSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
-    "ann_topk_join" -> Similarity.topkJoinSql)
+    "ann_topk_join" -> Similarity.topkJoinSql,
+    "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,
+    "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql)
     // dedup_minhash / dedup_simhash / ann_lsh / ann_ivf are rows-only:
     // seeded hash permutations & hyperplanes aren't portable DuckDB SQL.
 

@@ -1,0 +1,128 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.6): media payloads are
+  * opaque `binary` columns beside a typed metadata struct, processed in
+  * batch-shaped `mapPartitions` passes.
+  *
+  * The container has no real image/audio codecs, so the decode boundary
+  * is STUBBED with a deterministic fake (byte histogram / byte slicing)
+  * — clearly marked below. Everything Spark-side is real: schemas,
+  * encoders, partition-batch processing shape, and the explode pattern
+  * for frame sampling. Swapping `FakeCodec` for a JNI/ffmpeg decoder
+  * changes no plan shape.
+  *
+  * Scale: payloads never pass through a shuffle — feature extraction is
+  * a narrow mapPartitions before any aggregation, so at 100 TB only the
+  * (id, features/meta) rows move.
+  */
+object Multimodal {
+
+  case class MediaMeta(kind: String, width: Int, height: Int,
+      codec: String, durationMs: Long)
+  case class MediaRow(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, nBytes: Int,
+      features: Array[Double])
+  case class Frame(media_id: Long, frameIdx: Int, tsMs: Long,
+      framePayload: Array[Byte])
+
+  /** Deterministic fake decode/encode boundary — the stub. */
+  object FakeCodec {
+    /** "Decode + feature-extract": 16-bucket byte histogram, L1-normalized. */
+    def features(payload: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](16)
+      var i = 0
+      while (i < payload.length) { h((payload(i) & 0xff) % 16) += 1.0; i += 1 }
+      val n = math.max(payload.length, 1).toDouble
+      h.map(_ / n)
+    }
+    /** "Resize/re-encode": size-capped byte slice standing in for a
+      * real transcode. */
+    def reencode(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+      payload.take(maxBytes)
+    /** "Frame sample": one pseudo-frame per `stepMs` of duration. */
+    def frames(r: MediaRow, stepMs: Long): Iterator[Frame] = {
+      val n = math.max(1, (r.meta.durationMs / stepMs).toInt)
+      (0 until n).iterator.map { i =>
+        Frame(r.media_id, i, i * stepMs,
+          reencode(r.payload.drop(i * 16), 64))
+      }
+    }
+  }
+
+  /** Deterministic media table synthesized from `documents` (payload =
+    * UTF-8 text bytes as the opaque blob; metadata is a pure function
+    * of doc_id so the DuckDB oracle can recompute it). */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      struct(
+        element_at(lit(Array("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (lit(64) + (col("doc_id") % 16) * 16).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 9) * 16).cast("int").as("height"),
+        element_at(lit(Array("raw", "lz", "rle")),
+          (col("doc_id") % 2 + 1).cast("int")).as("codec"),
+        (col("n_chars") * 10).as("durationMs")).as("meta"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Batch-shaped feature extraction through the stubbed decoder. */
+  def extractFeatures(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import s.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        MediaFeatures(r.media_id, r.meta.kind, r.payload.length,
+          FakeCodec.features(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling: one row per pseudo-frame of each video. */
+  def frameSample(s: SparkSession, media: DataFrame, stepMs: Long = 500): Dataset[Frame] = {
+    import s.implicits._
+    media.as[MediaRow]
+      .filter(_.meta.kind == "video")
+      .flatMap(FakeCodec.frames(_, stepMs))
+  }
+
+  /** Oracle-checkable metadata aggregate (meta is a pure function of
+    * doc_id/n_chars, so DuckDB recomputes it from `documents`). */
+  def metaAgg(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy(col("meta.kind").as("kind"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("meta.width").cast("bigint")).as("total_width"),
+        sum(col("meta.durationMs")).as("total_ms"),
+        sum(length(col("payload")).cast("bigint")).as("total_bytes"))
+      .orderBy(col("kind"))
+
+  val metaAggSql: String =
+    """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(64 + (doc_id % 16) * 16) AS BIGINT) AS total_width,
+      |  CAST(SUM(n_chars * 10) AS BIGINT) AS total_ms,
+      |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY kind""".stripMargin
+
+  /** Rows-only surface: per-media features (stub decoder isn't SQL). */
+  def featureTable(s: SparkSession, d: String): DataFrame = {
+    val f = extractFeatures(s, mediaTable(s, d))
+    f.toDF().select(col("media_id"), col("kind"), col("nBytes"),
+      round(element_at(col("features"), 1), 6).as("f0"),
+      round(element_at(col("features"), 8), 6).as("f7"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Rows-only surface: sampled frames for video media. */
+  def frameTable(s: SparkSession, d: String): DataFrame =
+    frameSample(s, mediaTable(s, d)).toDF()
+      .select(col("media_id"), col("frameIdx"), col("tsMs"),
+        length(col("framePayload")).as("frame_bytes"))
+      .orderBy(col("media_id"), col("frameIdx"))
+}

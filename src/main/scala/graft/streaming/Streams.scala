@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming operators over the `events` table
+  * (SURVEY.md §2.7). For verification the parquet file drives the
+  * stream synchronously (`processAllAvailable` + memory sink), which
+  * makes the windowed aggregate bit-comparable to the batch oracle; in
+  * production the same plan runs against a live source with the
+  * watermark bounding state.
+  */
+object Streams {
+
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // glob form: FileStreamSource requires a directory/glob, not a file
+    s.readStream.schema(schema).parquet(s"$d/events.parqu*")
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+
+  /** Tumbling 1-day event-time windows with a watermark; complete mode
+    * so the bounded replay emits every window (batch-equivalent). */
+  def windowedAgg(s: SparkSession, d: String): DataFrame = {
+    val agg = eventStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total"))
+    val name = s"win_agg_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val windowedAggSql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----------------
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+  case class SessState(startMs: Long, lastMs: Long, numEvents: Long)
+
+  /** Custom state machine: per-user sessions closed after `gapSec` of
+    * inactivity. The streaming analogue of Analytics.q18 — tested for
+    * agreement with it in StreamingSpec. */
+  def sessionize(s: SparkSession, events: Dataset[Ev],
+      gapSec: Long = 1800): Dataset[Session] = {
+    import s.implicits._
+    def fn(user: Long, it: Iterator[Ev], state: GroupState[List[SessState]]): Iterator[Session] = {
+      // bounded replay: events for the group arrive together; sort by time
+      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var sessions = List.empty[SessState]
+      var cur: Option[SessState] = None
+      for (e <- evs) {
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(c) if t - c.lastMs <= gapSec * 1000 =>
+            Some(c.copy(lastMs = t, numEvents = c.numEvents + 1))
+          case Some(c) =>
+            sessions ::= c
+            Some(SessState(t, t, 1))
+          case None => Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach(c => sessions ::= c)
+      state.update(sessions)
+      sessions.reverseIterator.map(c =>
+        Session(user, new Timestamp(c.startMs), new Timestamp(c.lastMs), c.numEvents))
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Run sessionize over the events table as a bounded stream. */
+  def sessionizeTable(s: SparkSession, d: String, gapSec: Long = 1800): DataFrame = {
+    import s.implicits._
+    val evs = eventStream(s, d)
+      .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+    val name = s"sessions_${System.nanoTime()}"
+    val q = sessionize(s, evs, gapSec).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("user_id"), col("start"))
+  }
+}

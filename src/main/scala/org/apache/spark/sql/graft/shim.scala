@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shim {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on an ALREADY-RUNNING session (the
+    * extensions hook only fires at session build time). */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.streaming.Streams
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("streaming windowed agg equals the batch equivalent") {
+    val streamed = Streams.windowedAgg(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total"))
+      .orderBy(col("window_start"), col("event_type"))
+      .collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("stateful sessionize agrees with the batch window query (q18)") {
+    val sess = Streams.sessionizeTable(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val batch = queries.Analytics.q18(spark, sf)
+    val j = sess.as("s").join(batch.as("b"), Seq("user_id"))
+    val total = j.count()
+    assert(total > 0)
+    val mismatch = j.filter(col("s.n_sessions") =!= col("b.n_sessions") ||
+      col("s.n_events") =!= col("b.n_events")).count()
+    assert(mismatch == 0, s"$mismatch users disagree between streaming and batch sessionization")
+    assert(sess.count() == batch.count())
+  }
+
+  test("multimodal: feature extraction is deterministic and normalized") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val f = Multimodal.extractFeatures(spark, media).collect()
+    assert(f.length == media.count())
+    f.foreach { r =>
+      assert(math.abs(r.features.sum - 1.0) < 1e-9, "histogram must be L1-normalized")
+      assert(r.nBytes > 0)
+    }
+    // determinism across runs
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+    assert(f.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("multimodal: frame sampling yields duration/step frames per video") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val frames = Multimodal.frameSample(spark, media, stepMs = 500)
+    val perVideo = frames.groupBy("media_id").count()
+    val videos = media.filter(col("meta.kind") === "video")
+      .select(col("media_id"), (col("meta.durationMs") / 500).cast("long").as("expect"))
+    val bad = perVideo.join(videos, "media_id")
+      .filter(col("count") =!= greatest(col("expect"), lit(1L))).count()
+    assert(bad == 0)
+  }
+
+  test("fnv64/simhash64 are SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT fnv64('a') AS h, simhash64(array('x','y')) AS sh").head()
+    assert(r.getLong(0) == 0xaf63dc4c8601ec8cL)
+    assert(r.getLong(1) != 0L)
+  }
+}
