@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Tight-loop dot product over array columns. Semantically identical to
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)` —
+  * same left-to-right IEEE adds, so bit-equal to the DuckDB
+  * `list_reduce` oracle — but without per-row array allocation, and
+  * codegen'd. On the 2M-pair dedup_embedding plan this is the
+  * difference between 42 s and single digits at sf0.1.
+  */
+object VectorUtil {
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case t => throw new IllegalArgumentException(
+      s"dot_product expects array children, got ${t.simpleString}")
+  }
+
+  private lazy val method: String = (elem(left), elem(right)) match {
+    case (FloatType, FloatType)   => "dotFF"
+    case (FloatType, DoubleType)  => "dotFD"
+    case (DoubleType, DoubleType) => "dotDD"
+    case (l, r) => throw new IllegalArgumentException(
+      s"dot_product unsupported element types ($l, $r)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    method match {
+      case "dotFF" => VectorUtil.dotFF(x, y)
+      case "dotFD" => VectorUtil.dotFD(x, y)
+      case "dotDD" => VectorUtil.dotDD(x, y)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorUtil.$method($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  def dot(a: Column, b: Column): Column =
+    shim.toColumn(DotProduct(shim.toExpression(a), shim.toExpression(b)))
+}

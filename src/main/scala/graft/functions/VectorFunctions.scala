@@ -14,12 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Deterministic double dot product of two float vectors. */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Deterministic double dot product (native codegen'd expression;
+    * same left-to-right fold as the declarative
+    * aggregate(zip_with(...)) form — see VectorExpressions). */
+  def dotD(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   /** Squared L2 norm. */
   def norm2(a: Column): Column = dotD(a, a)

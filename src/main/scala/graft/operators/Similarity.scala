@@ -20,12 +20,14 @@ object Similarity {
 
   /** Exact top-10 cosine neighbours of vector `queryId` (brute force). */
   def bruteForce(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
-    val e = embeddings(s, d).select("vec_id", "embedding")
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
     val q = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"))
+      .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
     e.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), cosine(col("embedding"), col("q_emb")).as("cos"))
+      .select(col("vec_id"), (dotD(col("embedding"), col("q_emb")) /
+        sqrt(col("n2") * col("q_n2"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
@@ -52,14 +54,17 @@ object Similarity {
 
   /** k-NN join: top-5 neighbours for each query in a fixed query set. */
   def topkJoin(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val e = embeddings(s, d).select("vec_id", "embedding")
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
     val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).as("cos"))
+        (dotD(col("embedding"), col("q_emb")) /
+          sqrt(col("n2") * col("q_n2"))).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .orderBy(col("q_id"), col("rnk"))

@@ -84,12 +84,19 @@ object Analytics {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
     val o = orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = lineitem(s, d)
-      .select("l_orderkey", "l_extendedprice", "l_discount")
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
+    // Pre-aggregate the fact side BEFORE the join (map-side combine →
+    // the join carries one row per orderkey, not one per lineitem).
+    // Partials stay DECIMAL so re-aggregation is exact; only the final
+    // result is cast to double — same value as a single global sum.
+    val lpre = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(expr(
+        "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))")
+        .as("rev_part"))
+    lpre.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
-      .agg(expr(revenue()).as("revenue"))
+      .agg(expr("CAST(SUM(rev_part) AS DOUBLE)").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }

@@ -14,6 +14,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Run `body` with a bounded state-partition count: bounded-replay
+    * verification runs pay per-state-store setup cost, and 8 partitions
+    * beats 32 for a 100k-row replay (a live deployment would size this
+    * to key cardinality instead). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -31,9 +41,11 @@ object Streams {
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total"))
     val name = s"win_agg_${System.nanoTime()}"
-    val q = agg.writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
@@ -91,10 +103,12 @@ object Streams {
     val evs = eventStream(s, d)
       .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
     val name = s"sessions_${System.nanoTime()}"
-    val q = sessionize(s, evs, gapSec).toDF()
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(s, 8) {
+      val q = sessionize(s, evs, gapSec).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(name).orderBy(col("user_id"), col("start"))
   }
 }
