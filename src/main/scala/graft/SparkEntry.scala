@@ -48,12 +48,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries ++ pipelineQueries ++
-      graft.queries.EtlQueries.queries
+    graft.queries.Analytics.queries ++ graft.queries.Analytics2.queries ++
+      pipelineQueries ++ graft.queries.EtlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracles ++ pipelineOracles ++
-      graft.queries.EtlQueries.oracles
+    graft.queries.Analytics.oracles ++ graft.queries.Analytics2.oracles ++
+      pipelineOracles ++ graft.queries.EtlQueries.oracles
 }

@@ -54,4 +54,25 @@ class AnalyticsSpec extends AnyFunSuite {
   test("q19 full outer covers all 25 nations") {
     assert(queries.Analytics.q19(spark, sf).count() == 25)
   }
+
+  test("q22 approx distinct is within 5% of exact") {
+    val approx = queries.Analytics2.q22(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("q24 as-of join: clicked_at is never after the purchase") {
+    import org.apache.spark.sql.functions._
+    val bad = queries.Analytics2.q24(spark, sf)
+      .filter(col("clicked_at") > col("ts")).count()
+    assert(bad == 0)
+  }
 }
