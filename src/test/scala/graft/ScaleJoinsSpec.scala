@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ScaleJoins
+
+class ScaleJoinsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("salted join returns exactly the plain join result on skewed keys") {
+    import spark.implicits._
+    // heavy skew: 90% of rows share one key
+    val big = (1 to 20000).map(i => (if (i % 10 == 0) i.toLong else 7L, i))
+      .toDF("k", "v")
+    val small = (1L to 20000L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = ScaleJoins.saltedJoin(big, small, "k", saltFactor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.sorted.sameElements(plain.columns.sorted))
+    val diff = salted.select("k", "v", "name")
+      .exceptAll(plain.select("k", "v", "name")).count()
+    assert(diff == 0)
+  }
+
+  test("bucketed join plan has no shuffle exchange") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val (bo, bl) = ScaleJoins.bucketize(spark, o, l, "o_orderkey", 4,
+      "b_orders", "b_lineitem")
+    val joined = bo.join(bl, "o_orderkey")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$physical")
+    assert(joined.count() == Tables.lineitem(spark, sf).count())
+  }
+}
