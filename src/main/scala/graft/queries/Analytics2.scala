@@ -87,14 +87,55 @@ object Analytics2 {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  // ---- q25: range join (errors within 5 min before a purchase) ---------
+  // The naive plan is a per-user join with a range filter — fine here,
+  // quadratic on hot users at scale. Instead both sides are binned to
+  // the range width (300 s): a candidate error can only live in the
+  // purchase's bin or the one before, so the purchase side explodes to
+  // exactly 2 candidate bins and the join is a plain equi-join on
+  // (user_id, bin). Join input grows 2×; candidate pairs shrink from
+  // |user-pairs| to only near-in-time ones.
+  def q25(s: SparkSession, d: String): DataFrame = {
+    val widthUs = 300000000L // 5 min in µs
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("p_us"),
+        explode(array(expr(s"us DIV $widthUs") - 1,
+          expr(s"us DIV $widthUs"))).as("bin"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("us").as("e_us"),
+        expr(s"us DIV $widthUs").as("bin"))
+    p.join(e, Seq("user_id", "bin"))
+      .filter(col("p_us") - col("e_us") >= 0 &&
+        col("p_us") - col("e_us") <= widthUs)
+      .select(col("user_id"), col("purchase_id"), col("error_id"),
+        (col("p_us") - col("e_us")).as("gap_us"))
+      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
+  val q25Sql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  e.event_id AS error_id,
+      |  epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+      |FROM events p
+      |JOIN events e ON p.user_id = e.user_id
+      |  AND p.event_type = 'purchase' AND e.event_type = 'error'
+      |  AND epoch_us(p.ts) - epoch_us(e.ts) BETWEEN 0 AND 300000000
+      |ORDER BY user_id, purchase_id, error_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_count_distinct" -> (q21 _),
     "q22_approx_distinct" -> (q22 _),
     "q23_percentile" -> (q23 _),
-    "q24_asof_join" -> (q24 _))
+    "q24_asof_join" -> (q24 _),
+    "q25_range_join" -> (q25 _))
 
   val oracles: Map[String, String] = Map(
     "q21_count_distinct" -> q21Sql,
     "q23_percentile" -> q23Sql,
-    "q24_asof_join" -> q24Sql)
+    "q24_asof_join" -> q24Sql,
+    "q25_range_join" -> q25Sql)
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HashUtil
+import graft.etl.WorkLists
+import java.nio.file.{Files, Paths}
+
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a ScalaCheck prop and assert it passed (scalatestplus bridge
+    * isn't in the offline cache). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("fnv1a64 is deterministic and sensitive to any byte change") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
+      Gen.choose(0, 1000)) { (bytes: List[Byte], at: Int) =>
+      val arr = bytes.toArray
+      assert(HashUtil.fnv1a64(arr) == HashUtil.fnv1a64(arr.clone()))
+      if (arr.nonEmpty) {
+        val i = at % arr.length
+        val mutated = arr.clone()
+        mutated(i) = (mutated(i) ^ 0x1).toByte
+        assert(HashUtil.fnv1a64(mutated) != HashUtil.fnv1a64(arr))
+      }
+      true
+    })
+  }
+
+  test("simhash of identical token multisets is identical; hamming bounded by token edits") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sh(tokens: Seq[String]): Long =
+      HashUtil.simhash64(new GenericArrayData(
+        tokens.map(t => UTF8String.fromString(t)).toArray[Any]))
+    val token = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+    check(Prop.forAll(Gen.listOfN(40, token)) { tokens =>
+      assert(sh(tokens) == sh(tokens))
+      // single-token replacement: each bit flips only if the vote for
+      // that bit position crosses zero — typically few bits
+      val mutated = tokens.updated(0, tokens.head + "_x")
+      val ham = java.lang.Long.bitCount(sh(tokens) ^ sh(mutated))
+      ham <= 64
+    })
+  }
+
+  test("worklists: any completion order drains exactly the todo set") {
+    val items = Gen.listOfN(9, Gen.identifier.map(_.take(6))).map(_.distinct)
+    check(Prop.forAll(items, Gen.choose(1, 5)) { (its: List[String], batchSize: Int) =>
+      (its.nonEmpty) ==> {
+        val d = Files.createTempDirectory("wlprop").toString
+        Files.write(Paths.get(d, "todo"), its.mkString("\n").getBytes)
+        val wl = new WorkLists(d, batchSize)
+        var done = Vector.empty[String]
+        var batch = wl.nextBatch()
+        while (batch.nonEmpty) {
+          // complete in reverse order within the batch
+          batch.reverse.foreach { it => wl.markCompleted(it); done :+= it }
+          batch = wl.nextBatch()
+        }
+        assert(done.sorted == its.sorted.toVector)
+        val completedFile = Files.readString(Paths.get(d, "completed"))
+          .linesIterator.toVector
+        completedFile.sorted == its.sorted.toVector
+      }
+    })
+  }
+
+  test("TypeMapping date->varchar matches ISO format for arbitrary epoch days") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val days = Gen.choose(-10000, 20000)
+    check(Prop.forAll(Gen.listOfN(20, days)) { ds =>
+      (ds.nonEmpty) ==> {
+        val df = ds.toDF("d").select(date_add(lit("1970-01-01").cast("date"), col("d")).as("dt"))
+        val out = graft.etl.TypeMapping.castTo(df, Map("dt" -> "varchar")).collect()
+        val exp = df.collect()
+        out.zip(exp).forall { case (o, e) =>
+          o.getString(0) == e.getDate(0).toLocalDate.toString
+        }
+      }
+    })
+  }
+}
