@@ -11,6 +11,7 @@ object SparkEntry {
 
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
@@ -32,6 +33,7 @@ object SparkEntry {
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
+    "dedup_corpus" -> Dedup.dedupCorpusSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,

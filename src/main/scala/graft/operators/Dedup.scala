@@ -38,6 +38,26 @@ object Dedup {
       |GROUP BY SUBSTR(md5(text), 1, 16)
       |ORDER BY keep_id""".stripMargin
 
+  /** Materialized deduplicated corpus: keep each content-hash group's
+    * min-doc_id survivor, preserving all columns. The consumer-facing
+    * operation the other dedup strategies feed (swap the survivor set
+    * for minhash/simhash candidates to drop near-dups instead). */
+  def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val survivors = documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    documents(s, d).join(survivors, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupCorpusSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents
+      |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+      |ORDER BY doc_id""".stripMargin
+
   /** Distinct word-bigram shingles per doc, as 64-bit hashes:
     * (doc_id, sh). Joining/shuffling 8-byte keys instead of strings
     * cuts the self-join cost ~3×; counts are unchanged absent xxhash64
