@@ -71,25 +71,61 @@ object Dedup {
         explode(array_distinct(transform(bigrams(col("ws")),
           g => xxhash64(g)))).as("sh"))
 
-  /** Top-20 most-similar doc pairs by bigram-shingle Jaccard. */
+  /** Top-20 most-similar doc pairs by bigram-shingle Jaccard.
+    *
+    * Two exact physical strategies, chosen by shingle-universe size:
+    *  - small universe (≤16k distinct shingles): dictionary-index each
+    *    shingle, pack each doc's set into a dense bitset, and compute
+    *    all-pairs common counts as popcount(AND) over broadcast rows —
+    *    no shuffle of the 10^7-10^8 shared-shingle pair rows.
+    *  - otherwise: shingle-exploded self-join + pair groupBy (the
+    *    general shape; at true corpus scale use dedup_minhash and
+    *    confirm only candidates).
+    * Both produce identical counts, hence identical Jaccard output.
+    */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x")
-      .join(sh.as("y"), col("x.sh") === col("y.sh") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    val nUniverse = sh.select(col("sh")).distinct().count()
+    val pairs =
+      if (nUniverse <= 16384) ngramPairsBitset(sh, nUniverse.toInt)
+      else ngramPairsJoin(sh)
+    pairs
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
+  }
+
+  private def ngramPairsBitset(sh: DataFrame, universe: Int): DataFrame = {
+    import graft.functions.BitsetFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val nWords = (universe + 63) / 64
+    val vocab = sh.select(col("sh")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy(col("sh"))) - 1).cast("int"))
+    val docs = sh.join(broadcast(vocab), "sh")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("idx")).as("idxs"), count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), positionsToBitset(col("idxs"), nWords).as("bits"),
+        col("n_sh"))
+    docs.as("a")
+      .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bitsetIntersectCount(col("a.bits"), col("b.bits")).as("common"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .filter(col("common") > 0)
+  }
+
+  private def ngramPairsJoin(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("x")
+      .join(sh.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
   }
 
   val ngramJaccardSql: String =
