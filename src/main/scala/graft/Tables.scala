@@ -17,6 +17,14 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every testdata table as a temp view so the whole surface
+    * is reachable from `spark.sql(...)` as well as the DataFrame API. */
+  def registerViews(s: SparkSession, d: String): Unit =
+    All.foreach { n =>
+      val df = if (n == "events") events(s, d) else t(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")

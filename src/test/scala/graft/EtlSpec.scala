@@ -169,6 +169,44 @@ class EtlSpec extends AnyFunSuite {
       JdbcSink.write(df, url, "no_such_table", Map.empty))
   }
 
+  test("jdbc sink surfaces db constraint violations (reference runner semantics)") {
+    val url = derby("sinkviol")
+    exec(url, "CREATE TABLE strict_t (customer_id BIGINT NOT NULL, note VARCHAR(32))")
+    import org.apache.spark.sql.functions._
+    val df = Tables.customer(spark, sf).limit(5)
+      .select(lit(null).cast("bigint").as("customer_id"),
+        col("c_name").as("note"))
+    val ex = intercept[Exception](JdbcSink.write(df, url, "strict_t"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(ex).exists(m => m != null && m.toLowerCase.contains("null")),
+      s"expected not-null violation, got: $ex")
+    assert(queryLong(url, "SELECT COUNT(*) FROM strict_t") == 0)
+  }
+
+  test("parquet sink writes prunable directory partitions") {
+    val out = tmpDir("pqsink") + "/docs"
+    graft.sinks.ParquetSink.write(
+      Tables.documents(spark, sf), out, partitionBy = Seq("lang"))
+    val langs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("lang=")).map(_.getName).sorted
+    assert(langs.length >= 4, s"expected lang partitions, got ${langs.toSeq}")
+    val back = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(back.count() ==
+      Tables.documents(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("lang") === "en").count())
+  }
+
+  test("registerViews makes every table SQL-addressable") {
+    Tables.registerViews(spark, sf)
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head().getLong(0)
+    assert(n > 0)
+    assert(spark.sql("SELECT MAX(ts) FROM events").head().get(0) != null)
+  }
+
   // ---- Pipeline end-to-end ---------------------------------------------
 
   test("pipeline: batched worklist load from local 'bucket' into Derby") {
