@@ -126,7 +126,52 @@ object Analytics2 {
       |  AND epoch_us(p.ts) - epoch_us(e.ts) BETWEEN 0 AND 300000000
       |ORDER BY user_id, purchase_id, error_id""".stripMargin
 
+  // ---- q26: latest-per-key dedup (upsert-latest pattern) ---------------
+  def q26(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val q26Sql: String =
+    """SELECT user_id, event_id AS last_event_id, event_type AS last_type
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---- q27: deterministic hash-stratified sample -----------------------
+  // Content-hash sampling instead of RNG: reproducible across engines,
+  // runs, and partitionings (md5 first hex char in 0..3 = 25%).
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 1)
+    documents(s, d)
+      .filter(bucket.isin("0", "1", "2", "3"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+
+  val q27Sql: String =
+    """SELECT lang, COUNT(*) AS n_sampled,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |WHERE SUBSTR(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_latest_per_key" -> (q26 _),
+    "q27_hash_sample" -> (q27 _),
     "q21_count_distinct" -> (q21 _),
     "q22_approx_distinct" -> (q22 _),
     "q23_percentile" -> (q23 _),
@@ -134,6 +179,8 @@ object Analytics2 {
     "q25_range_join" -> (q25 _))
 
   val oracles: Map[String, String] = Map(
+    "q26_latest_per_key" -> q26Sql,
+    "q27_hash_sample" -> q27Sql,
     "q21_count_distinct" -> q21Sql,
     "q23_percentile" -> q23Sql,
     "q24_asof_join" -> q24Sql,
