@@ -21,6 +21,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
+    "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
@@ -41,6 +42,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokens" -> TextAnalysis.tokensSql,
     "text_ngrams" -> TextAnalysis.topNgramsSql,
+    "text_tfidf" -> TextAnalysis.tfidfSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,

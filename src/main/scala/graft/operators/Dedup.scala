@@ -85,9 +85,17 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    val nUniverse = sh.select(col("sh")).distinct().count()
+    // Bitset path needs BOTH a dictionary-sized universe (bitset width)
+    // and a broadcastable doc count (the pair stage broadcasts one
+    // side: nDocs × universe/8 bytes). 16k universe × 200k docs ≈ 400 MB
+    // worst case → cap docs well below that; beyond either cap, the
+    // shuffle join path (or minhash) is the scale-correct shape.
+    val stats = sh.agg(countDistinct(col("sh")).as("u"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    val (nUniverse, nDocs) = (stats.getLong(0), stats.getLong(1))
     val pairs =
-      if (nUniverse <= 16384) ngramPairsBitset(sh, nUniverse.toInt)
+      if (nUniverse <= 16384 && nDocs <= 100000)
+        ngramPairsBitset(sh, nUniverse.toInt)
       else ngramPairsJoin(sh)
     pairs
       .select(col("doc_a"), col("doc_b"),

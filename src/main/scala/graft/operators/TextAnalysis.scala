@@ -121,6 +121,49 @@ object TextAnalysis {
       |ORDER BY n DESC, bigram
       |LIMIT 20""".stripMargin
 
+  /** Top-5 distinctive terms per language by linear tf-idf
+    * (tf × N / df, kept in exact integer arithmetic until one final
+    * double division — log-free so both engines agree bit-exactly). */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val wordsEx = docs.select(col("lang"), col("doc_id"),
+      explode(words(col("text"))).as("w"))
+    val tf = wordsEx.groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfw = wordsEx.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val win = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("w"))
+    tf.join(dfw, "w")
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("w"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df")).as("score"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val tfidfSql: String =
+    """SELECT lang, w, score, rnk FROM (
+      |  SELECT lang, w, score,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, w) AS rnk
+      |  FROM (
+      |    SELECT tf.lang, tf.w,
+      |      CAST(tf.tf * n.n_docs AS DOUBLE) / dfw.df AS score
+      |    FROM (SELECT lang, w, COUNT(*) AS tf
+      |          FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+      |                FROM documents)
+      |          GROUP BY lang, w) tf
+      |    JOIN (SELECT w, COUNT(DISTINCT doc_id) AS df
+      |          FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+      |                FROM documents)
+      |          GROUP BY w) dfw ON tf.w = dfw.w
+      |    CROSS JOIN (SELECT COUNT(*) AS n_docs FROM documents) n))
+      |WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin
+
   /** Content fingerprints (md5-derived 64-bit hex). */
   def fingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)
