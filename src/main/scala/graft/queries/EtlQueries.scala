@@ -62,13 +62,45 @@ object EtlQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Full parquet→RDBMS→read-back roundtrip through the real JDBC sink
+    * (embedded Derby standing in for Postgres): a 10% keyed slice of
+    * lineitem is loaded via JdbcSink with aliasing, read back with
+    * spark.read.jdbc, and aggregated. The oracle computes the same
+    * aggregates from the parquet directly — equality proves the sink
+    * moved every row and every value bit-intact. */
+  def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val url = s"jdbc:derby:memory:rt${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE rt_t (order_id BIGINT, qty DOUBLE, price DOUBLE)")
+    finally conn.close()
+    val slice = Tables.lineitem(s, d)
+      .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    graft.sinks.JdbcSink.write(slice, url, "rt_t", Map(
+      "l_orderkey" -> Some("order_id"), "l_quantity" -> Some("qty"),
+      "l_extendedprice" -> Some("price")))
+    s.read.format("jdbc").option("url", url).option("dbtable", "rt_t").load()
+      .agg(count(lit(1)).as("n_rows"),
+        expr("SUM(qty)").as("sum_qty"),
+        expr(Frags.dsum2("price")).as("sum_price"))
+  }
+
+  val jdbcRoundtripSql: String =
+    s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+       |  ${Frags.dsum2("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_orderkey % 10 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
-    "etl_cast" -> (cast _))
+    "etl_cast" -> (cast _),
+    "etl_jdbc_roundtrip" -> (jdbcRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,
-    "etl_cast" -> castSql)
+    "etl_cast" -> castSql,
+    "etl_jdbc_roundtrip" -> jdbcRoundtripSql)
 }
