@@ -16,6 +16,7 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -30,13 +31,15 @@ object SparkEntry {
     "mm_schema" -> ((s, d) => graft.multimodal.Multimodal.featureTable(s, d)),
     "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
-    "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)))
+    "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)),
+    "stream_dedup" -> ((s, d) => graft.streaming.Streams.streamDedup(s, d)))
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
     "dedup_corpus" -> Dedup.dedupCorpusSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
+    "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
@@ -46,18 +49,21 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,
-    "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql)
+    "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
+    "stream_dedup" -> graft.streaming.Streams.streamDedupSql)
     // dedup_minhash / dedup_simhash / ann_lsh / ann_ivf are rows-only:
     // seeded hash permutations & hyperplanes aren't portable DuckDB SQL.
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++ graft.queries.Analytics2.queries ++
+      graft.queries.Analytics3.queries ++
       pipelineQueries ++ graft.queries.EtlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++ graft.queries.Analytics2.oracles ++
+      graft.queries.Analytics3.oracles ++
       pipelineOracles ++ graft.queries.EtlQueries.oracles
 }

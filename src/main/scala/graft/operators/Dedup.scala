@@ -83,7 +83,14 @@ object Dedup {
     *    confirm only candidates).
     * Both produce identical counts, hence identical Jaccard output.
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(s, d)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** All doc pairs sharing ≥1 bigram shingle, with exact Jaccard —
+    * the shared pair stage behind [[ngramJaccard]] and [[clusters]]. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     // Bitset path needs BOTH a dictionary-sized universe (bitset width)
     // and a broadcastable doc count (the pair stage broadcasts one
@@ -97,12 +104,9 @@ object Dedup {
       if (nUniverse <= 16384 && nDocs <= 100000)
         ngramPairsBitset(sh, nUniverse.toInt)
       else ngramPairsJoin(sh)
-    pairs
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
+    pairs.select(col("doc_a"), col("doc_b"),
+      (col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
 
   private def ngramPairsBitset(sh: DataFrame, universe: Int): DataFrame = {
@@ -156,6 +160,89 @@ object Dedup {
       |ORDER BY jaccard DESC, doc_a, doc_b
       |LIMIT 20""".stripMargin
 
+  /** Duplicate-cluster assignment: connected components over the
+    * near-dup graph (edges = bigram-Jaccard ≥ `threshold` pairs), so a
+    * chain a~b~c collapses into ONE cluster even when a and c are not
+    * directly similar — the grouping every corpus-dedup policy
+    * ("keep one doc per near-dup cluster") actually needs.
+    *
+    * Components via min-label propagation: each node starts labelled
+    * with its own id; each round every node takes the min of its own
+    * and its neighbours' labels; stop when a round changes nothing.
+    * Rounds = O(component diameter) — near-dup clusters are shallow
+    * (diameter ≲ a few hops), so this converges in 2-4 rounds at any
+    * corpus size; each round is one equi-join + one hash-agg over the
+    * (src,dst) edge list, never materializing anything larger than the
+    * edge set. (For adversarially long chains the large-star/small-star
+    * variant bounds rounds at O(log n) with the same per-round shape.)
+    * `localCheckpoint` truncates the growing lineage each round.
+    */
+  def clusters(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
+    val e = jaccardPairs(s, d).filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = e.union(e.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    // Propagate only over nodes that HAVE an edge: a singleton's label
+    // can never change, so the iterative stage runs on the near-dup
+    // subgraph (≪ corpus — at 100 TB the edge set is the tiny output of
+    // LSH, not the documents table) and singletons rejoin at the end.
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    // Labels only ever decrease, so sum(label) strictly decreases until
+    // the fixpoint: ONE scalar agg per round detects convergence — no
+    // prev-vs-next join.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(org.apache.spark.sql.functions.sum("label")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = no edges at all
+    }
+    var sum = labelSum(labels)
+    var prevSum = sum + 1
+    while (sum < prevSum) {
+      val msgs = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      prevSum = sum
+      sum = labelSum(labels)
+    }
+    edges.unpersist()
+    documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: transitive closure by recursive CTE, min reachable label. */
+  val clustersSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM common
+      |  JOIN sizes a ON a.doc_id = doc_a
+      |  JOIN sizes b ON b.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM jpairs
+      |          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+      |reach(node, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT node AS doc_id, MIN(lbl) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** MinHash + banded LSH candidate pairs, confirmed with exact
     * Jaccard (rows-only: xxhash64 permutations aren't portable SQL).
     *
@@ -184,12 +271,17 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // confirm candidates with exact shingle-set Jaccard
-    val sets = shingles(s, d).groupBy(col("doc_id"))
-      .agg(collect_set(col("sh")).as("shs"))
+    // Confirm candidates with exact shingle-set Jaccard. Sets are built
+    // ONLY for docs appearing in a candidate pair (semi-join first), so
+    // this stage costs O(LSH output), not O(corpus) — and the resulting
+    // set table is small enough to broadcast into both pair joins.
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = shingles(s, d).join(broadcast(candDocs), "doc_id")
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
     cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb")))).as("jaccard"))

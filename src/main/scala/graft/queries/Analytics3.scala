@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import Frags._
+
+/** Third wave of warehouse queries (SURVEY.md §2.2 continued): set
+  * operations, lead/lag windows, ntile bucketing, histograms, GROUPING
+  * SETS, and JSON extraction from the event `props` payload.
+  *
+  * Scale notes: the set ops and histogram are single-shuffle
+  * hash-aggregate shapes; lead/lag shuffles once on the (high-
+  * cardinality) user key; GROUPING SETS is one shuffle with Expand —
+  * all shapes that survive a 100× scale-up unchanged.
+  */
+object Analytics3 {
+
+  // ---- q28: INTERSECT (customers active in both years) -----------------
+  // Spark plans INTERSECT as a distinct left-semi join; both sides are
+  // pre-filtered at the scan (pushed predicates) and pre-distinct, so
+  // the shuffle carries only unique keys.
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val b = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    a.intersect(b).orderBy("o_custkey")
+  }
+
+  val q28Sql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---- q29: EXCEPT (customers who churned between the years) -----------
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    val b = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey")
+    a.except(b).orderBy("o_custkey")
+  }
+
+  val q29Sql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---- q30: lead/lag — inter-event gap statistics per user -------------
+  // Gaps are exact integer microseconds, so SUM/MAX are bit-exact in
+  // any aggregation order; the mean is one final double division.
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("total_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .withColumn("avg_gap_us",
+        col("total_gap_us").cast("double") / col("n_gaps"))
+      .orderBy(col("user_id"))
+  }
+
+  val q30Sql: String =
+    """SELECT user_id, COUNT(*) AS n_gaps,
+      |  SUM(gap_us) AS total_gap_us,
+      |  MAX(gap_us) AS max_gap_us,
+      |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - LAG(epoch_us(ts), 1)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |WHERE gap_us IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---- q31: NTILE quartiles of customers by account balance ------------
+  // A global NTILE needs a total order (single-partition window) — fine
+  // as a reporting query over the already-aggregated output; the scale
+  // path for quantile bucketing of raw facts is q23's percentile
+  // breakpoints + a broadcast range join.
+  def q31(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_cust"),
+        min(col("c_acctbal")).as("lo"),
+        max(col("c_acctbal")).as("hi"))
+      .orderBy(col("quartile"))
+  }
+
+  val q31Sql: String =
+    """SELECT quartile, COUNT(*) AS n_cust,
+      |  MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+      |FROM (
+      |  SELECT c_acctbal,
+      |    NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      |  FROM customer)
+      |GROUP BY quartile
+      |ORDER BY quartile""".stripMargin
+
+  // ---- q32: fixed-width histogram of order totals ----------------------
+  // bucket = floor(price/50000): both engines evaluate the same IEEE
+  // double division then floor, so bucket assignment is identical.
+  def q32(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        expr(dsum2("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  val q32Sql: String =
+    s"""SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+       |  COUNT(*) AS n, ${dsum2("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+
+  // ---- q33: GROUPING SETS (detail + per-status + grand total) ----------
+  // One shuffle over an Expand (3 grouping sets → 3× map-side rows,
+  // partially aggregated before the exchange).
+  def q33(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_q33_orders")
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${dsum2("o_totalprice")} AS sum_price
+         |FROM graft_q33_orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |                        (o_orderstatus), ())
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q33Sql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       |  ${dsum2("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |                        (o_orderstatus), ())
+       |ORDER BY o_orderstatus ASC NULLS FIRST,
+       |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---- q34: JSON extraction from the event props payload ---------------
+  // get_json_object is a codegen'd path expression over the string —
+  // no UDF; the reference's BYTE_ARRAY(JSON)→text mapping
+  // (reference: src/converters.rs:55-70) lands the same payloads as
+  // text, and this is the query its users run on them.
+  def q34(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .withColumn("k_decade", expr("k DIV 10"))
+      .groupBy(col("k_decade"))
+      .agg(count(lit(1)).as("n"),
+        expr(dsum6("value")).as("sum_value"))
+      .orderBy(col("k_decade"))
+
+  val q34Sql: String =
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS k_decade,
+       |  COUNT(*) AS n, ${dsum6("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY k_decade""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_intersect" -> (q28 _),
+    "q29_except" -> (q29 _),
+    "q30_lead_lag" -> (q30 _),
+    "q31_ntile" -> (q31 _),
+    "q32_histogram" -> (q32 _),
+    "q33_grouping_sets" -> (q33 _),
+    "q34_json_extract" -> (q34 _))
+
+  val oracles: Map[String, String] = Map(
+    "q28_intersect" -> q28Sql,
+    "q29_except" -> q29Sql,
+    "q30_lead_lag" -> q30Sql,
+    "q31_ntile" -> q31Sql,
+    "q32_histogram" -> q32Sql,
+    "q33_grouping_sets" -> q33Sql,
+    "q34_json_extract" -> q34Sql)
+}

@@ -60,6 +60,30 @@ object Streams {
       |GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** Streaming exact dedup: the bounded source replayed TWICE (every
+    * event duplicated), deduplicated in-flight by event_id with
+    * watermark-bounded state — the at-least-once→effectively-once
+    * repair stage of a production ingest. State holds only ids newer
+    * than the watermark (`dropDuplicatesWithinWatermark`), so it is
+    * bounded by arrival skew, not stream length. Output must equal the
+    * batch-distinct oracle exactly. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val doubled = eventStream(s, d).union(eventStream(s, d))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val name = s"stream_dedup_${System.nanoTime()}"
+    withStatePartitions(s, 8) {
+      val q = doubled.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name).orderBy(col("event_id"))
+  }
+
+  val streamDedupSql: String =
+    "SELECT event_id, user_id, event_type FROM events ORDER BY event_id"
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)

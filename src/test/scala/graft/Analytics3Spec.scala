@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the third analytics wave + cluster/stream dedup. */
+class Analytics3Spec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q28 intersect and q29 except partition the 1996 buyers") {
+    val both = queries.Analytics3.q28(spark, sf).collect().map(_.getLong(0)).toSet
+    val only96 = queries.Analytics3.q29(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(both.intersect(only96).isEmpty)
+    val all96 = Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) === 1996)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(both.union(only96) == all96)
+  }
+
+  test("q31 ntile buckets differ by at most one and are ordered") {
+    val rows = queries.Analytics3.q31(spark, sf).collect()
+    assert(rows.length == 4)
+    val ns = rows.map(_.getAs[Long]("n_cust"))
+    assert(ns.max - ns.min <= 1)
+    val bounds = rows.sortBy(_.getAs[Int]("quartile"))
+      .flatMap(r => Seq(r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(bounds.sameElements(bounds.sorted), "quartile ranges must be ordered")
+  }
+
+  test("q32 histogram buckets cover every order exactly once") {
+    val rows = queries.Analytics3.q32(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == Tables.orders(spark, sf).count())
+  }
+
+  test("q33 grouping sets: grand total equals sum of per-status rows") {
+    val rows = queries.Analytics3.q33(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1)).head
+    val perStatus = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(perStatus.map(_.getAs[Long]("n")).sum == grand.getAs[Long]("n"))
+  }
+
+  test("q34 json buckets cover every event") {
+    val rows = queries.Analytics3.q34(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+  }
+
+  test("dedup_clusters: labels are consistent with the near-dup edges") {
+    val labels = operators.Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == Tables.documents(spark, sf).count())
+    // every doc labelled by a component member ≤ itself
+    assert(labels.forall { case (doc, c) => c <= doc })
+    // endpoints of every threshold edge share a label (1-hop consistency;
+    // transitive chains are covered by the sf0.01 oracle compare)
+    val edges = operators.Dedup.ngramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+  }
+
+  test("stream_dedup output equals batch-distinct events") {
+    val got = graft.streaming.Streams.streamDedup(spark, sf)
+    val n = Tables.events(spark, sf).count()
+    assert(got.count() == n, "dedup must collapse the doubled stream")
+    assert(got.select("event_id").distinct().count() == n)
+  }
+}
