@@ -19,14 +19,23 @@ object Bench {
     // isn't charged for session setup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Dev knobs: SPARK_GRAFT_ONLY=q1_agg,q3_join_agg to time a subset,
+    // SPARK_GRAFT_REPEAT=3 to repeat each (min time reported).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (name, fn) =>
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -109,18 +109,26 @@ object Dedup {
         (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
   }
 
-  private def ngramPairsBitset(sh: DataFrame, universe: Int): DataFrame = {
+  /** (doc_id, bits, n_sh): each doc's shingle set as a dense bitset over
+    * a dictionary-indexed universe (shared by the bitset pair strategies;
+    * the vocab window sorts only the ≤16k distinct shingles). */
+  private def docBitsets(sh: DataFrame, universe: Int): DataFrame = {
     import graft.functions.BitsetFunctions._
     import org.apache.spark.sql.expressions.Window
     val nWords = (universe + 63) / 64
     val vocab = sh.select(col("sh")).distinct()
       .withColumn("idx",
         (row_number().over(Window.orderBy(col("sh"))) - 1).cast("int"))
-    val docs = sh.join(broadcast(vocab), "sh")
+    sh.join(broadcast(vocab), "sh")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("idx")).as("idxs"), count(lit(1)).as("n_sh"))
       .select(col("doc_id"), positionsToBitset(col("idxs"), nWords).as("bits"),
         col("n_sh"))
+  }
+
+  private def ngramPairsBitset(sh: DataFrame, universe: Int): DataFrame = {
+    import graft.functions.BitsetFunctions._
+    val docs = docBitsets(sh, universe)
     docs.as("a")
       .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -271,21 +279,44 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Confirm candidates with exact shingle-set Jaccard. Sets are built
-    // ONLY for docs appearing in a candidate pair (semi-join first), so
-    // this stage costs O(LSH output), not O(corpus) — and the resulting
-    // set table is small enough to broadcast into both pair joins.
+      // the candidate list feeds BOTH the set-builder filter and the
+      // final joins — materialize it once instead of re-running the
+      // band self-join per consumer (it is tiny: the LSH output)
+      .localCheckpoint()
+    // Confirm candidates with exact shingle-set Jaccard, built ONLY for
+    // docs appearing in a candidate pair (semi-join), so the stage costs
+    // O(LSH output), not O(corpus). When the candidate shingle universe
+    // is dictionary-sized the sets are dense bitsets and each pair
+    // confirm is a popcount(AND) over a few hundred bytes; otherwise
+    // fall back to set arrays. Both produce identical Jaccard values.
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val sets = shingles(s, d).join(broadcast(candDocs), "doc_id")
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("shs"))
-    cands
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb")))).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+    val candSh = shingles(s, d).join(broadcast(candDocs), "doc_id")
+    val universe = candSh.agg(countDistinct(col("sh"))).head().getLong(0)
+    val confirmed =
+      if (universe <= 16384) {
+        import graft.functions.BitsetFunctions._
+        val bits = docBitsets(candSh, universe.toInt)
+        cands
+          .join(broadcast(bits.select(col("doc_id").as("doc_a"),
+            col("bits").as("ba"), col("n_sh").as("n_a"))), "doc_a")
+          .join(broadcast(bits.select(col("doc_id").as("doc_b"),
+            col("bits").as("bb"), col("n_sh").as("n_b"))), "doc_b")
+          .withColumn("common", bitsetIntersectCount(col("ba"), col("bb")))
+          .select(col("doc_a"), col("doc_b"),
+            (col("common").cast("double") /
+              (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      } else {
+        val sets = candSh.groupBy(col("doc_id"))
+          .agg(collect_set(col("sh")).as("shs"))
+        cands
+          .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
+          .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb")))).as("jaccard"))
+      }
+    confirmed.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
   /** SimHash fingerprints with 4×16-bit blocking bands (rows-only;

@@ -174,6 +174,78 @@ object Analytics3 {
        |GROUP BY 1
        |ORDER BY k_decade""".stripMargin
 
+  // ---- q35: quantile bucketing WITHOUT a global window -----------------
+  // The scale-correct alternative to q31's NTILE: three interpolated
+  // breakpoints (one distributed percentile agg, exactly DuckDB's
+  // quantile_cont), broadcast to every row, bucket by comparison. No
+  // total sort, no single-partition window — survives any corpus size.
+  def q35(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val b = o.agg(
+      expr("percentile(o_totalprice, 0.25)").as("b1"),
+      expr("percentile(o_totalprice, 0.5)").as("b2"),
+      expr("percentile(o_totalprice, 0.75)").as("b3"))
+    o.crossJoin(broadcast(b))
+      .select(
+        when(col("o_totalprice") <= col("b1"), 1)
+          .when(col("o_totalprice") <= col("b2"), 2)
+          .when(col("o_totalprice") <= col("b3"), 3)
+          .otherwise(4).as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  val q35Sql: String =
+    """SELECT CASE WHEN o_totalprice <= b1 THEN 1
+      |            WHEN o_totalprice <= b2 THEN 2
+      |            WHEN o_totalprice <= b3 THEN 3 ELSE 4 END AS bucket,
+      |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |FROM orders
+      |CROSS JOIN (SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+      |                   quantile_cont(o_totalprice, 0.5) AS b2,
+      |                   quantile_cont(o_totalprice, 0.75) AS b3
+      |            FROM orders)
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  // ---- pipeline_corpus: end-to-end training-data curation --------------
+  // The flagship composition: exact-dedup survivors → minimum-length
+  // quality gate → per-(lang, source) corpus statistics. One dedup
+  // shuffle (16-byte keys) + one survivor join + one agg — the whole
+  // curation pass is three declarative stages over one scan each.
+  def pipelineCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val survivors = docs
+      .groupBy(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(survivors, "doc_id")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_tokens") >= 30)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val pipelineCorpusSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT lang, source, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |  WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text)))
+      |WHERE n_tokens >= 30
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_intersect" -> (q28 _),
     "q29_except" -> (q29 _),
@@ -181,7 +253,9 @@ object Analytics3 {
     "q31_ntile" -> (q31 _),
     "q32_histogram" -> (q32 _),
     "q33_grouping_sets" -> (q33 _),
-    "q34_json_extract" -> (q34 _))
+    "q34_json_extract" -> (q34 _),
+    "q35_quantile_bucket" -> (q35 _),
+    "pipeline_corpus" -> (pipelineCorpus _))
 
   val oracles: Map[String, String] = Map(
     "q28_intersect" -> q28Sql,
@@ -190,5 +264,7 @@ object Analytics3 {
     "q31_ntile" -> q31Sql,
     "q32_histogram" -> q32Sql,
     "q33_grouping_sets" -> q33Sql,
-    "q34_json_extract" -> q34Sql)
+    "q34_json_extract" -> q34Sql,
+    "q35_quantile_bucket" -> q35Sql,
+    "pipeline_corpus" -> pipelineCorpusSql)
 }

@@ -45,6 +45,23 @@ class Analytics3Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
   }
 
+  test("q35 quantile buckets cover all orders; bounds are ordered") {
+    val rows = queries.Analytics3.q35(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.orders(spark, sf).count())
+    val bounds = rows.sortBy(_.getAs[Int]("bucket"))
+      .flatMap(r => Seq(r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(bounds.sameElements(bounds.sorted))
+  }
+
+  test("pipeline_corpus: counts bounded by the deduped corpus") {
+    val stats = queries.Analytics3.pipelineCorpus(spark, sf).collect()
+    val nDocs = stats.map(_.getAs[Long]("n_docs")).sum
+    val survivors = operators.Dedup.exact(spark, sf).count()
+    assert(nDocs > 0 && nDocs <= survivors)
+    assert(stats.forall(r =>
+      r.getAs[Long]("total_tokens") >= 30 * r.getAs[Long]("n_docs")))
+  }
+
   test("dedup_clusters: labels are consistent with the near-dup edges") {
     val labels = operators.Dedup.clusters(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -239,4 +239,10 @@ class EtlSpec extends AnyFunSuite {
     assert(completed == "part1.parquet\npart2.parquet\nnested/part3.parquet\n")
     assert(Files.readString(Paths.get(work, "wip")).isEmpty)
   }
+
+  test("CLI arg contract: exactly one arg = the config yaml path") {
+    assert(Main.configPath(Array("cfg.yml")) == Right("cfg.yml"))
+    assert(Main.configPath(Array.empty).isLeft)
+    assert(Main.configPath(Array("cfg.yml", "extra")).isLeft)
+  }
 }
