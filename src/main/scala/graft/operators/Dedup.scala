@@ -217,7 +217,9 @@ object Dedup {
     }
     edges.unpersist()
     documents(s, d).select(col("doc_id"))
-      .join(labels, col("doc_id") === col("node"), "left")
+      // labels covers only edge-bearing nodes — the LSH/near-dup
+      // subgraph, ≪ corpus — so it broadcasts; the corpus side streams.
+      .join(broadcast(labels), col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy(col("doc_id"))

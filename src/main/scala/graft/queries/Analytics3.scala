@@ -212,6 +212,30 @@ object Analytics3 {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ---- q36: skew-salted fact⋈dim join ----------------------------------
+  // The explicit-salting primitive in the oracle-gated surface: the
+  // fact side gets a deterministic content-derived salt, the dim side
+  // is replicated saltFactor× and the join key becomes (key, salt) —
+  // one hot part key spreads over 8 reducers instead of stalling one.
+  // Result is provably identical to the plain join (the oracle IS the
+  // plain join).
+  def q36(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val p = part(s, d)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    graft.operators.ScaleJoins.saltedJoin(li, p, "l_partkey", saltFactor = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), expr(revenue()).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q36Sql: String =
+    s"""SELECT p_brand, COUNT(*) AS n_items, ${revenue()} AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
   // ---- pipeline_corpus: end-to-end training-data curation --------------
   // The flagship composition: exact-dedup survivors → minimum-length
   // quality gate → per-(lang, source) corpus statistics. One dedup
@@ -255,6 +279,7 @@ object Analytics3 {
     "q33_grouping_sets" -> (q33 _),
     "q34_json_extract" -> (q34 _),
     "q35_quantile_bucket" -> (q35 _),
+    "q36_skew_join" -> (q36 _),
     "pipeline_corpus" -> (pipelineCorpus _))
 
   val oracles: Map[String, String] = Map(
@@ -266,5 +291,6 @@ object Analytics3 {
     "q33_grouping_sets" -> q33Sql,
     "q34_json_extract" -> q34Sql,
     "q35_quantile_bucket" -> q35Sql,
+    "q36_skew_join" -> q36Sql,
     "pipeline_corpus" -> pipelineCorpusSql)
 }

@@ -60,13 +60,20 @@ object JdbcSink {
       throw new IllegalArgumentException(s"table '$table' does not exist in connected db")
     val mapping = resolveColumns(df.columns.toSeq, tableColumns(url, table), aliases)
     val renamed = df.select(mapping.map { case (c, t) => col(c).as(t) }: _*)
-    renamed.write
-      .format("jdbc")
-      .option("url", url)
-      .option("dbtable", table)
-      .option("batchsize", batchSize.toString)
-      .mode("append")
-      .save()
-    renamed.count()
+    // persist across write+count: without it the count re-executes the
+    // whole upstream (a second scan of every source file per batch).
+    // Batch size is bounded by the caller (work-list batch /
+    // maxFilesPerTrigger), and MEMORY_AND_DISK spills if it isn't.
+    renamed.persist()
+    try {
+      renamed.write
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", batchSize.toString)
+        .mode("append")
+        .save()
+      renamed.count()
+    } finally renamed.unpersist()
   }
 }
