@@ -186,14 +186,36 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage each round.
     */
   def clusters(s: SparkSession, d: String, threshold: Double = 0.5): DataFrame = {
-    val e = jaccardPairs(s, d).filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = e.union(e.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
-    // Propagate only over nodes that HAVE an edge: a singleton's label
-    // can never change, so the iterative stage runs on the near-dup
-    // subgraph (≪ corpus — at 100 TB the edge set is the tiny output of
-    // LSH, not the documents table) and singletons rejoin at the end.
+    val e = jaccardPairsAbove(s, d, threshold).select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(e)
+    documents(s, d).select(col("doc_id"))
+      // labels covers only edge-bearing nodes — the LSH/near-dup
+      // subgraph, ≪ corpus — so it broadcasts; the corpus side streams.
+      .join(broadcast(labels), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components of an undirected graph given as a (u, v) long
+    * pair DataFrame (either orientation, self-loops/duplicates fine):
+    * returns (node, label) with label = min node id of the component,
+    * for every node that appears in an edge.
+    *
+    * Min-label propagation: each node starts as its own label; each
+    * round every node takes the min of its own and its neighbours'
+    * labels; stop when a round changes nothing. Rounds = O(component
+    * diameter) — near-dup clusters are shallow, so 2-4 rounds at any
+    * corpus size; each round is one equi-join + one hash-agg over the
+    * edge list. (For adversarially long chains the large-star/
+    * small-star variant bounds rounds at O(log n) with the same
+    * per-round shape.) `localCheckpoint` truncates lineage per round.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Array(u, v) = pairs.columns
+    val edges = pairs.select(col(u).as("src"), col(v).as("dst"))
+      .union(pairs.select(col(v).as("src"), col(u).as("dst")))
+      .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -216,13 +238,7 @@ object Dedup {
       sum = labelSum(labels)
     }
     edges.unpersist()
-    documents(s, d).select(col("doc_id"))
-      // labels covers only edge-bearing nodes — the LSH/near-dup
-      // subgraph, ≪ corpus — so it broadcasts; the corpus side streams.
-      .join(broadcast(labels), col("doc_id") === col("node"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
+    labels
   }
 
   /** Oracle: transitive closure by recursive CTE, min reachable label. */
@@ -285,40 +301,95 @@ object Dedup {
       // final joins — materialize it once instead of re-running the
       // band self-join per consumer (it is tiny: the LSH output)
       .localCheckpoint()
-    // Confirm candidates with exact shingle-set Jaccard, built ONLY for
-    // docs appearing in a candidate pair (semi-join), so the stage costs
-    // O(LSH output), not O(corpus). When the candidate shingle universe
-    // is dictionary-sized the sets are dense bitsets and each pair
-    // confirm is a popcount(AND) over a few hundred bytes; otherwise
-    // fall back to set arrays. Both produce identical Jaccard values.
+    exactConfirm(cands, sh)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact Jaccard for each candidate (doc_a, doc_b) pair, computing
+    * shingle sets ONLY for docs appearing in a candidate (semi-join),
+    * so the stage costs O(candidates), not O(corpus). When the
+    * candidate shingle universe is dictionary-sized, sets are dense
+    * bitsets and each pair confirm is a popcount(AND) over a few
+    * hundred bytes; otherwise falls back to set arrays. Identical
+    * Jaccard values either way. `cands` must be cheap to re-evaluate
+    * (checkpointed/materialized by the caller). */
+  private def exactConfirm(cands: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val candSh = shingles(s, d).join(broadcast(candDocs), "doc_id")
+    val candSh = sh.join(broadcast(candDocs), "doc_id")
     val universe = candSh.agg(countDistinct(col("sh"))).head().getLong(0)
-    val confirmed =
-      if (universe <= 16384) {
-        import graft.functions.BitsetFunctions._
-        val bits = docBitsets(candSh, universe.toInt)
-        cands
-          .join(broadcast(bits.select(col("doc_id").as("doc_a"),
-            col("bits").as("ba"), col("n_sh").as("n_a"))), "doc_a")
-          .join(broadcast(bits.select(col("doc_id").as("doc_b"),
-            col("bits").as("bb"), col("n_sh").as("n_b"))), "doc_b")
-          .withColumn("common", bitsetIntersectCount(col("ba"), col("bb")))
-          .select(col("doc_a"), col("doc_b"),
-            (col("common").cast("double") /
-              (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
-      } else {
-        val sets = candSh.groupBy(col("doc_id"))
-          .agg(collect_set(col("sh")).as("shs"))
-        cands
-          .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
-          .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-              size(array_union(col("sa"), col("sb")))).as("jaccard"))
-      }
-    confirmed.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+    if (universe <= 16384) {
+      import graft.functions.BitsetFunctions._
+      val bits = docBitsets(candSh, universe.toInt)
+      cands
+        .join(broadcast(bits.select(col("doc_id").as("doc_a"),
+          col("bits").as("ba"), col("n_sh").as("n_a"))), "doc_a")
+        .join(broadcast(bits.select(col("doc_id").as("doc_b"),
+          col("bits").as("bb"), col("n_sh").as("n_b"))), "doc_b")
+        .withColumn("common", bitsetIntersectCount(col("ba"), col("bb")))
+        .select(col("doc_a"), col("doc_b"),
+          (col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+    } else {
+      val sets = candSh.groupBy(col("doc_id"))
+        .agg(collect_set(col("sh")).as("shs"))
+      cands
+        .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
+        .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+            size(array_union(col("sa"), col("sb")))).as("jaccard"))
+    }
+  }
+
+  /** All doc pairs with shingle Jaccard ≥ `t` — exact. Small corpora
+    * take the dense-bitset all-pairs strategy; past the bitset caps the
+    * PPJoin-style prefix join prunes candidates without ever
+    * enumerating the full pair space. Identical output either way. */
+  def jaccardPairsAbove(s: SparkSession, d: String, t: Double): DataFrame = {
+    val sh = shingles(s, d)
+    val stats = sh.agg(countDistinct(col("sh")).as("u"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    if (stats.getLong(0) <= 16384 && stats.getLong(1) <= 100000)
+      ngramPairsBitset(sh, stats.getLong(0).toInt)
+        .select(col("doc_a"), col("doc_b"),
+          (col("common").cast("double") /
+            (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+        .filter(col("jaccard") >= t)
+    else prefixPairsAbove(s, d, t)
+  }
+
+  /** PPJoin-style prefix-filtered exact similarity join — the scale
+    * path past the bitset caps: two sets with Jaccard ≥ t MUST share an
+    * element within their (|S| - ⌈t·|S|⌉ + 1)-element prefixes under
+    * ANY global shingle order, so ordering by ascending document
+    * frequency (rarest first) and equi-joining ONLY prefix shingles
+    * prunes the candidate space to near-misses; a length filter
+    * (t·|B| ≤ |A|) removes size-incompatible pairs before the exact
+    * confirm. Identical output to filtering the all-pairs join at t.
+    */
+  private[graft] def prefixPairsAbove(s: SparkSession, d: String, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(s, d)
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val szW = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(freq, "sh")
+      .withColumn("pos", row_number().over(w))
+      .withColumn("sz", count(lit(1)).over(szW))
+      .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val cands = prefix.as("x")
+      .join(prefix.as("y"),
+        col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // length filter: Jaccard ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
+          col("x.sz") >= ceil(lit(t) * col("y.sz")) &&
+          col("y.sz") >= ceil(lit(t) * col("x.sz")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    exactConfirm(cands, sh).filter(col("jaccard") >= t)
   }
 
   /** SimHash fingerprints with 4×16-bit blocking bands (rows-only;

@@ -78,6 +78,54 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered similarity join equals the all-pairs result") {
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val brute = operators.Dedup.ngramJaccard(spark, sf)
+        .filter(col("jaccard") >= t) // top-20 window of the all-pairs join
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prefix = operators.Dedup.prefixPairsAbove(spark, sf, t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // every bruteforce pair above t must be found by the prefix join
+      assert(brute.subsetOf(prefix), s"t=$t missing=${brute -- prefix}")
+      // and the prefix join must not invent pairs below t
+      val all = operators.Dedup.jaccardPairsAbove(spark, sf, t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(prefix == all, s"t=$t prefixOnly=${prefix -- all} bitsetOnly=${all -- prefix}")
+    }
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n.toLong.toInt)(_.toLong)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r.toInt) != r) r = parent(r.toInt)
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb).toInt) = math.min(ra, rb)
+      }
+      // min-label per component over edge-bearing nodes only (unions
+      // always keep the smaller id as root, so root = component min)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      touched.map(t => t -> find(t)).toMap
+    }
+    val rnd = new scala.util.Random(7)
+    val graphs = Seq(
+      (1 to 40).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)), // dense-ish
+      (1 to 8).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)),  // sparse
+      (0L until 12L).map(i => (i, i + 1)),                                  // one long chain
+      Seq((5L, 5L), (7L, 8L), (8L, 7L)))                                    // self-loop + dup
+    for (edges <- graphs) {
+      val got = operators.Dedup.connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(64, edges)
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("stream_dedup output equals batch-distinct events") {
     val got = graft.streaming.Streams.streamDedup(spark, sf)
     val n = Tables.events(spark, sf).count()
