@@ -16,6 +16,10 @@ import org.apache.spark.sql.types._
   *   INT64                   bigint
   *   FLOAT / DOUBLE          real / double
   *   BYTE_ARRAY (UTF8)       varchar/text
+  *   BYTE_ARRAY (NONE)       binary/bytea/blob  (reference leaves this
+  *                           `todo!()` — src/converters.rs:96-103; Spark
+  *                           carries binary natively so graft supports
+  *                           it, which multimodal payload columns need)
   *   TIMESTAMP millis/µs     timestamp
   *
   * An unsupported (source, target) combination is a hard error —
@@ -60,6 +64,7 @@ object TypeMapping {
     case (FloatType, "real")                          => c
     case (FloatType | DoubleType, "double")           => c.cast("double")
     case (StringType, "varchar" | "text")             => c
+    case (BinaryType, "binary" | "bytea" | "blob")    => c
     case (f, t)                                       => err(f, t)
   }
 }

@@ -236,6 +236,39 @@ object Analytics3 {
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
 
+  // ---- q37: time-series gap fill ---------------------------------------
+  // Dense daily series: per-day aggregate left-joined onto a generated
+  // calendar spine (sequence over the observed min..max), missing days
+  // coalesced to zero — the standard reporting shape. The spine is one
+  // tiny generated relation; the heavy side stays a single hash-agg.
+  def q37(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), expr(dsum6("value")).as("sum_value"))
+    val days = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("day"))
+  }
+
+  val q37Sql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       |    ${dsum6("value")} AS sum_value
+       |  FROM events GROUP BY 1),
+       |days AS (
+       |  SELECT CAST(UNNEST(generate_series(
+       |    (SELECT MIN(day) FROM daily), (SELECT MAX(day) FROM daily),
+       |    INTERVAL 1 DAY)) AS DATE) AS day)
+       |SELECT d.day AS day, COALESCE(n, 0) AS n,
+       |  COALESCE(sum_value, 0.0) AS sum_value
+       |FROM days d LEFT JOIN daily USING (day)
+       |ORDER BY day""".stripMargin
+
   // ---- pipeline_corpus: end-to-end training-data curation --------------
   // The flagship composition: exact-dedup survivors → minimum-length
   // quality gate → per-(lang, source) corpus statistics. One dedup
@@ -280,6 +313,7 @@ object Analytics3 {
     "q34_json_extract" -> (q34 _),
     "q35_quantile_bucket" -> (q35 _),
     "q36_skew_join" -> (q36 _),
+    "q37_gap_fill" -> (q37 _),
     "pipeline_corpus" -> (pipelineCorpus _))
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +326,6 @@ object Analytics3 {
     "q34_json_extract" -> q34Sql,
     "q35_quantile_bucket" -> q35Sql,
     "q36_skew_join" -> q36Sql,
+    "q37_gap_fill" -> q37Sql,
     "pipeline_corpus" -> pipelineCorpusSql)
 }

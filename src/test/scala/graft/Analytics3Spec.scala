@@ -78,6 +78,17 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("q37 gap fill produces a dense day spine with zero rows for gaps") {
+    val rows = queries.Analytics3.q37(spark, sf).collect()
+    val days = rows.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    // dense: every day between min and max present exactly once
+    assert(days.length ==
+      java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1)
+    assert(days.distinct.length == days.length)
+    // total events preserved (fill adds only zero rows)
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sf).count())
+  }
+
   test("prefix-filtered similarity join equals the all-pairs result") {
     for (t <- Seq(0.3, 0.5, 0.7)) {
       val brute = operators.Dedup.ngramJaccard(spark, sf)

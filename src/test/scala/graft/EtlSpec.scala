@@ -240,6 +240,22 @@ class EtlSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(work, "wip")).isEmpty)
   }
 
+  test("binary payloads load to a BLOB column (reference leaves this todo!)") {
+    val url = derby("binsink")
+    exec(url, "CREATE TABLE bin_t (id BIGINT, payload BLOB)")
+    import SparkTestSession.spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3)), (2L, Array[Byte](-1, 0, 5)))
+      .toDF("id", "payload")
+    val cast = TypeMapping.castTo(df, Map("payload" -> "blob"))
+    assert(JdbcSink.write(cast, url, "bin_t") == 2)
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "bin_t").load()
+    val got = back.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(got(1L) == Seq[Byte](1, 2, 3))
+    assert(got(2L) == Seq[Byte](-1, 0, 5))
+  }
+
   test("CLI arg contract: exactly one arg = the config yaml path") {
     assert(Main.configPath(Array("cfg.yml")) == Right("cfg.yml"))
     assert(Main.configPath(Array.empty).isLeft)
