@@ -28,6 +28,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     "mm_meta_agg" -> ((s, d) => graft.multimodal.Multimodal.metaAgg(s, d)),
+    "mm_dedup" -> ((s, d) => graft.multimodal.Multimodal.payloadDedup(s, d)),
     "mm_schema" -> ((s, d) => graft.multimodal.Multimodal.featureTable(s, d)),
     "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
@@ -49,6 +50,7 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,
+    "mm_dedup" -> graft.multimodal.Multimodal.payloadDedupSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql)
     // dedup_minhash / dedup_simhash / ann_lsh / ann_ivf are rows-only:

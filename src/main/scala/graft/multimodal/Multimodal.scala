@@ -110,6 +110,25 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY kind""".stripMargin
 
+  /** Binary-payload content dedup: survivor (min media_id) per distinct
+    * payload hash — exact dedup over the opaque blob column itself, no
+    * decode needed. The shuffle carries 16-byte hashes + counters,
+    * never payloads (same shape as Dedup.exact, proven on binary). */
+  def payloadDedup(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Payloads are the UTF-8 text bytes, so DuckDB's md5(text) hashes
+    * the identical byte string. */
+  val payloadDedupSql: String =
+    """SELECT md5(text) AS payload_md5, MIN(doc_id) AS keep_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY keep_id""".stripMargin
+
   /** Rows-only surface: per-media features (stub decoder isn't SQL). */
   def featureTable(s: SparkSession, d: String): DataFrame = {
     val f = extractFeatures(s, mediaTable(s, d))

@@ -26,6 +26,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("SURVEY.md §2 inventory and SparkEntry.queries agree exactly") {
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val declared = """\*\*`([a-z0-9_]+)`\*\*""".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val implemented = SparkEntry.queries.keySet
+    assert(declared -- implemented == Set.empty,
+      s"SURVEY declares but queries lacks: ${declared -- implemented}")
+    assert(implemented -- declared == Set.empty,
+      s"queries implements but SURVEY omits: ${implemented -- declared}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
