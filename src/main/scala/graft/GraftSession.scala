@@ -41,9 +41,17 @@ object GraftFunctions {
 object GraftSession {
   def builder(master: String = "local[*]",
       shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession.builder()
-      .master(master)
-      .appName("graft")
+    configure(SparkSession.builder().master(master), shufflePartitions)
+
+  /** Builder that does NOT set a master — for spark-submit deployments,
+    * where a hardcoded master would silently override `--master` and
+    * run the job single-node. */
+  def submitBuilder(shufflePartitions: Int = 32): SparkSession.Builder =
+    configure(SparkSession.builder(), shufflePartitions)
+
+  private def configure(b: SparkSession.Builder,
+      shufflePartitions: Int): SparkSession.Builder =
+    b.appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

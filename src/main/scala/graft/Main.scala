@@ -22,7 +22,8 @@ object Main {
       sys.exit(2)
     case Right(path) =>
       val cfg = GraftConfig.fromYamlFile(path)
-      val spark = GraftSession.builder().getOrCreate()
+      // no .master() here: spark-submit's --master must win
+      val spark = GraftSession.submitBuilder().getOrCreate()
       try {
         val rows = Pipeline.run(spark, cfg)
         println(s"loaded $rows rows into ${cfg.db.tableName}")

@@ -88,25 +88,36 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
+  /** Bitset-strategy caps: the universe must be dictionary-sized (it is
+    * the bitset width) and the doc count broadcastable (the pair stage
+    * broadcasts one side: nDocs × universe/8 bytes; 16k × 100k ≈ 200 MB
+    * worst case). Beyond either cap the shuffle-join / prefix-join
+    * paths are the scale-correct shapes. Shared by every strategy
+    * dispatch so a tuning change can't leave one path behind. */
+  private val BitsetUniverseCap = 16384L
+  private val BitsetDocCap = 100000L
+
+  private def shStats(sh: DataFrame): (Long, Long) = {
+    val r = sh.agg(countDistinct(col("sh")).as("u"),
+      countDistinct(col("doc_id")).as("nd")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** (doc_a, doc_b, common, n_a, n_b) → (doc_a, doc_b, jaccard). */
+  private def withJaccard(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"),
+      (col("common").cast("double") /
+        (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+
   /** All doc pairs sharing ≥1 bigram shingle, with exact Jaccard —
     * the shared pair stage behind [[ngramJaccard]] and [[clusters]]. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
-    // Bitset path needs BOTH a dictionary-sized universe (bitset width)
-    // and a broadcastable doc count (the pair stage broadcasts one
-    // side: nDocs × universe/8 bytes). 16k universe × 200k docs ≈ 400 MB
-    // worst case → cap docs well below that; beyond either cap, the
-    // shuffle join path (or minhash) is the scale-correct shape.
-    val stats = sh.agg(countDistinct(col("sh")).as("u"),
-      countDistinct(col("doc_id")).as("nd")).head()
-    val (nUniverse, nDocs) = (stats.getLong(0), stats.getLong(1))
-    val pairs =
-      if (nUniverse <= 16384 && nDocs <= 100000)
+    val (nUniverse, nDocs) = shStats(sh)
+    withJaccard(
+      if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
         ngramPairsBitset(sh, nUniverse.toInt)
-      else ngramPairsJoin(sh)
-    pairs.select(col("doc_a"), col("doc_b"),
-      (col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      else ngramPairsJoin(sh))
   }
 
   /** (doc_id, bits, n_sh): each doc's shingle set as a dense bitset over
@@ -221,10 +232,13 @@ object Dedup {
       .localCheckpoint()
     // Labels only ever decrease, so sum(label) strictly decreases until
     // the fixpoint: ONE scalar agg per round detects convergence — no
-    // prev-vs-next join.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(org.apache.spark.sql.functions.sum("label")).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // null = no edges at all
+    // prev-vs-next join. Summed as DECIMAL(38,0): a Long sum would wrap
+    // on full-range 64-bit ids (e.g. xxhash64-derived) and could
+    // terminate the loop early with wrong labels.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val r = df.agg(org.apache.spark.sql.functions.sum(
+        col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0)) // null = no edges
     }
     var sum = labelSum(labels)
     var prevSum = sum + 1
@@ -316,26 +330,30 @@ object Dedup {
   private def exactConfirm(cands: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val candSh = sh.join(broadcast(candDocs), "doc_id")
+    // Broadcast hints are gated on the candidate-doc count: an LSH
+    // stage emitting millions of candidate docs must NOT force a
+    // multi-GB driver broadcast — past the cap the planner picks a
+    // shuffle join on the 8-byte doc keys instead.
+    val nCand = candDocs.count()
+    val hint: DataFrame => DataFrame =
+      if (nCand <= BitsetDocCap) broadcast else identity
+    val candSh = sh.join(hint(candDocs), "doc_id")
     val universe = candSh.agg(countDistinct(col("sh"))).head().getLong(0)
-    if (universe <= 16384) {
+    if (universe <= BitsetUniverseCap && nCand <= BitsetDocCap) {
       import graft.functions.BitsetFunctions._
       val bits = docBitsets(candSh, universe.toInt)
-      cands
+      withJaccard(cands
         .join(broadcast(bits.select(col("doc_id").as("doc_a"),
           col("bits").as("ba"), col("n_sh").as("n_a"))), "doc_a")
         .join(broadcast(bits.select(col("doc_id").as("doc_b"),
           col("bits").as("bb"), col("n_sh").as("n_b"))), "doc_b")
-        .withColumn("common", bitsetIntersectCount(col("ba"), col("bb")))
-        .select(col("doc_a"), col("doc_b"),
-          (col("common").cast("double") /
-            (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+        .withColumn("common", bitsetIntersectCount(col("ba"), col("bb"))))
     } else {
       val sets = candSh.groupBy(col("doc_id"))
         .agg(collect_set(col("sh")).as("shs"))
       cands
-        .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
-        .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
+        .join(hint(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
+        .join(hint(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("sa"), col("sb"))).cast("double") /
             size(array_union(col("sa"), col("sb")))).as("jaccard"))
@@ -348,13 +366,9 @@ object Dedup {
     * enumerating the full pair space. Identical output either way. */
   def jaccardPairsAbove(s: SparkSession, d: String, t: Double): DataFrame = {
     val sh = shingles(s, d)
-    val stats = sh.agg(countDistinct(col("sh")).as("u"),
-      countDistinct(col("doc_id")).as("nd")).head()
-    if (stats.getLong(0) <= 16384 && stats.getLong(1) <= 100000)
-      ngramPairsBitset(sh, stats.getLong(0).toInt)
-        .select(col("doc_a"), col("doc_b"),
-          (col("common").cast("double") /
-            (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+    val (nUniverse, nDocs) = shStats(sh)
+    if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
+      withJaccard(ngramPairsBitset(sh, nUniverse.toInt))
         .filter(col("jaccard") >= t)
     else prefixPairsAbove(s, d, t)
   }
@@ -374,18 +388,26 @@ object Dedup {
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val szW = Window.partitionBy(col("doc_id"))
+    // ceil(t·sz) computed with an epsilon: double rounding can push
+    // t·sz a hair ABOVE the exact rational (e.g. t=0.07, sz=100 →
+    // 7.000000000000001, ceil 8 not 7), which would shorten the prefix
+    // / tighten the length filter and silently DROP boundary pairs.
+    // The epsilon can only lengthen a prefix (extra candidates), and
+    // the exact confirm + threshold filter restores precision.
+    def ceilT(sz: org.apache.spark.sql.Column) =
+      ceil(lit(t) * sz - lit(1e-9))
     val prefix = sh.join(freq, "sh")
       .withColumn("pos", row_number().over(w))
       .withColumn("sz", count(lit(1)).over(szW))
-      .filter(col("pos") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .filter(col("pos") <= col("sz") - ceilT(col("sz")) + 1)
       .select(col("doc_id"), col("sh"), col("sz"))
     val cands = prefix.as("x")
       .join(prefix.as("y"),
         col("x.sh") === col("y.sh") &&
           col("x.doc_id") < col("y.doc_id") &&
           // length filter: Jaccard ≥ t needs t·max(|A|,|B|) ≤ min(|A|,|B|)
-          col("x.sz") >= ceil(lit(t) * col("y.sz")) &&
-          col("y.sz") >= ceil(lit(t) * col("x.sz")))
+          col("x.sz") >= ceilT(col("y.sz")) &&
+          col("y.sz") >= ceilT(col("x.sz")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .localCheckpoint()

@@ -161,14 +161,16 @@ object Analytics3 {
     events(s, d)
       .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
         col("value"))
-      .withColumn("k_decade", expr("k DIV 10"))
+      // FLOOR(k / 10), not `k DIV 10`: DIV truncates toward zero while
+      // DuckDB's // floors, so negative keys would bucket differently.
+      .withColumn("k_decade", expr("CAST(FLOOR(k / 10) AS BIGINT)"))
       .groupBy(col("k_decade"))
       .agg(count(lit(1)).as("n"),
         expr(dsum6("value")).as("sum_value"))
       .orderBy(col("k_decade"))
 
   val q34Sql: String =
-    s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) // 10 AS k_decade,
+    s"""SELECT CAST(FLOOR(CAST(json_extract_string(props, '$$.k') AS BIGINT) / 10) AS BIGINT) AS k_decade,
        |  COUNT(*) AS n, ${dsum6("value")} AS sum_value
        |FROM events
        |GROUP BY 1

@@ -137,6 +137,18 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents handles full-range 64-bit ids (no sum overflow)") {
+    import spark.implicits._
+    val a = Long.MaxValue - 1
+    val b = Long.MaxValue - 5
+    val c = Long.MinValue + 3
+    val d0 = -42L
+    val got = operators.Dedup.connectedComponents(
+      Seq((a, b), (c, d0)).toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(a -> b, b -> b, c -> c, d0 -> c))
+  }
+
   test("stream_dedup output equals batch-distinct events") {
     val got = graft.streaming.Streams.streamDedup(spark, sf)
     val n = Tables.events(spark, sf).count()
