@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.DotProduct(exprs.head, exprs(1))))
   }
 }
 
@@ -31,6 +35,8 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     shim.registerFunction(spark, "fnv64", exprs => Fnv64(exprs.head))
     shim.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
+    shim.registerFunction(spark, "dot_product",
+      exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
   }
 }
 

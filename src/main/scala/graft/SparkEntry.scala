@@ -33,7 +33,8 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)),
-    "stream_dedup" -> ((s, d) => graft.streaming.Streams.streamDedup(s, d)))
+    "stream_dedup" -> ((s, d) => graft.streaming.Streams.streamDedup(s, d)),
+    "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoin(s, d)))
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -52,7 +53,8 @@ object SparkEntry {
     "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,
     "mm_dedup" -> graft.multimodal.Multimodal.payloadDedupSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
-    "stream_dedup" -> graft.streaming.Streams.streamDedupSql)
+    "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
+    "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql)
     // dedup_minhash / dedup_simhash / ann_lsh / ann_ivf are rows-only:
     // seeded hash permutations & hyperplanes aren't portable DuckDB SQL.
 

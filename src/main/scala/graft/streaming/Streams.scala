@@ -84,6 +84,48 @@ object Streams {
   val streamDedupSql: String =
     "SELECT event_id, user_id, event_type FROM events ORDER BY event_id"
 
+  /** Stream-stream interval join: errors within 5 minutes BEFORE each
+    * purchase, both sides watermarked so the join state is bounded —
+    * Spark buffers each side only until the other side's watermark
+    * passes the interval bound. Mirrors the batch range join (q25);
+    * the oracle is the same plain SQL. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = eventStream(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val joined = p.join(e,
+      col("p_user") === col("e_user") &&
+        col("e_ts") <= col("p_ts") &&
+        col("e_ts") >= col("p_ts") - expr("interval 5 minutes"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("error_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
+    val name = s"interval_join_${System.nanoTime()}"
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  e.event_id AS error_id,
+      |  epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+      |FROM events p
+      |JOIN events e ON p.user_id = e.user_id
+      |  AND p.event_type = 'purchase' AND e.event_type = 'error'
+      |  AND epoch_us(p.ts) - epoch_us(e.ts) BETWEEN 0 AND 300000000
+      |ORDER BY user_id, purchase_id, error_id""".stripMargin
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----------------
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)

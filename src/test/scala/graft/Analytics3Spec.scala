@@ -149,6 +149,16 @@ class Analytics3Spec extends AnyFunSuite {
     assert(got == Map(a -> b, b -> b, c -> c, d0 -> c))
   }
 
+  test("stream_interval_join equals the batch range join exactly") {
+    val stream = graft.streaming.Streams.intervalJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = queries.Analytics2.q25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream == batch,
+      s"streamOnly=${stream -- batch} batchOnly=${batch -- stream}")
+    assert(stream.nonEmpty)
+  }
+
   test("stream_dedup output equals batch-distinct events") {
     val got = graft.streaming.Streams.streamDedup(spark, sf)
     val n = Tables.events(spark, sf).count()

@@ -58,10 +58,14 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
-  test("fnv64/simhash64 are SQL-callable after registration") {
+  test("fnv64/simhash64/dot_product are SQL-callable after registration") {
     GraftFunctions.register(spark)
-    val r = spark.sql("SELECT fnv64('a') AS h, simhash64(array('x','y')) AS sh").head()
+    val r = spark.sql(
+      "SELECT fnv64('a') AS h, simhash64(array('x','y')) AS sh, " +
+        "dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp").head()
     assert(r.getLong(0) == 0xaf63dc4c8601ec8cL)
     assert(r.getLong(1) != 0L)
+    assert(r.getDouble(2) == 11.0)
   }
 }
