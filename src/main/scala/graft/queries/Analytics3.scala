@@ -271,6 +271,33 @@ object Analytics3 {
        |FROM days d LEFT JOIN daily USING (day)
        |ORDER BY day""".stripMargin
 
+  // ---- q38: bucketed co-located join -----------------------------------
+  // Both sides written bucketed+sorted on the join key, then joined
+  // shuffle-free (SortMergeJoin over co-located buckets — the plan
+  // property is asserted in ScaleJoinsSpec; here the RESULT parity is
+  // oracle-gated). At 100 TB this is the repeated-fact-join shape:
+  // pay the bucketing write once, skip the shuffle every join after.
+  def q38(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val (bo, bc) = graft.operators.ScaleJoins.bucketize(
+      s, o, c, "custkey", buckets = 16, "graft_q38_orders", "graft_q38_cust")
+    bo.join(bc, "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(dsum2("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q38Sql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${dsum2("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   // ---- pipeline_corpus: end-to-end training-data curation --------------
   // The flagship composition: exact-dedup survivors → minimum-length
   // quality gate → per-(lang, source) corpus statistics. One dedup
@@ -316,6 +343,7 @@ object Analytics3 {
     "q35_quantile_bucket" -> (q35 _),
     "q36_skew_join" -> (q36 _),
     "q37_gap_fill" -> (q37 _),
+    "q38_bucketed_join" -> (q38 _),
     "pipeline_corpus" -> (pipelineCorpus _))
 
   val oracles: Map[String, String] = Map(
@@ -329,5 +357,6 @@ object Analytics3 {
     "q35_quantile_bucket" -> q35Sql,
     "q36_skew_join" -> q36Sql,
     "q37_gap_fill" -> q37Sql,
+    "q38_bucketed_join" -> q38Sql,
     "pipeline_corpus" -> pipelineCorpusSql)
 }
