@@ -28,17 +28,21 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to repeat).map { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0 // a fast failure must not report as a fast run
           }
-          (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries report -1 in `queries` and are excluded from total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -14,30 +14,42 @@ import graft.functions.{Fnv64, SimHash64}
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((new FunctionIdentifier("fnv64"),
-      new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
-      (exprs: Seq[Expression]) => Fnv64(exprs.head)))
-    e.injectFunction((new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
-    e.injectFunction((new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.DotProduct(exprs.head, exprs(1))))
-  }
+  import GraftFunctions.{arity, builders}
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, (n, cls, make)) =>
+      e.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo(cls, name),
+        (exprs: Seq[Expression]) => arity(name, n, exprs, make)))
+    }
 }
 
 /** Runtime registration for sessions that already exist (the
   * extensions hook only fires when a session is built). */
 object GraftFunctions {
   import org.apache.spark.sql.graft.shim
-  def register(spark: SparkSession): Unit = {
-    shim.registerFunction(spark, "fnv64", exprs => Fnv64(exprs.head))
-    shim.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
-    shim.registerFunction(spark, "dot_product",
-      exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
+
+  /** Wrong argument counts must fail analysis with a clear message,
+    * not an IndexOutOfBounds from the builder. */
+  private[graft] def arity(name: String, n: Int, exprs: Seq[Expression],
+      make: Seq[Expression] => Expression): Expression = {
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+    make(exprs)
   }
+
+  private[graft] val builders: Map[String, (Int, String, Seq[Expression] => Expression)] = Map(
+    "fnv64" -> ((1, classOf[Fnv64].getName,
+      (es: Seq[Expression]) => Fnv64(es.head))),
+    "simhash64" -> ((1, classOf[SimHash64].getName,
+      (es: Seq[Expression]) => SimHash64(es.head))),
+    "dot_product" -> ((2, classOf[graft.functions.DotProduct].getName,
+      (es: Seq[Expression]) => graft.functions.DotProduct(es.head, es(1)))))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (n, _, make)) =>
+      shim.registerFunction(spark, name, exprs => arity(name, n, exprs, make))
+    }
 }
 
 /** Session factory with the engine's scale defaults: AQE on (runtime
@@ -62,5 +74,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // explicit session-wide stance on TIMESTAMP(NANOS) parquet
+      // columns (surfaced as raw nanos longs; Tables.events converts
+      // exactly) — set here so it is a documented default, not a
+      // hidden runtime flip on first events read
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -47,7 +47,11 @@ object Pipeline {
       val df = ParquetSource.readBatch(spark, paths)
       val sel = ParquetSource.selectFields(df, cfg.parquet.desiredFields)
       val cast = if (casts.isEmpty) sel else TypeMapping.castTo(sel, casts)
-      total += JdbcSink.write(cast, cfg.db.connStr, cfg.db.tableName, aliases)
+      // positional originals: duplicate desired_fields are projection-
+      // legal (reference parquet_ops.rs) and must resolve aliases by
+      // the user's field names, not the deduplicated column labels
+      total += JdbcSink.write(cast, cfg.db.connStr, cfg.db.tableName, aliases,
+        sourceFields = Some(cfg.parquet.desiredFields))
       batch.foreach(wl.markCompleted)
       batch = wl.nextBatch()
     }

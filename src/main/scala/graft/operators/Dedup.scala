@@ -349,11 +349,16 @@ object Dedup {
           col("bits").as("bb"), col("n_sh").as("n_b"))), "doc_b")
         .withColumn("common", bitsetIntersectCount(col("ba"), col("bb"))))
     } else {
+      // This branch runs precisely when the sets are LARGE (universe
+      // past the bitset cap), so the collect_set table is never
+      // broadcast-hinted regardless of doc count — its payload is
+      // unbounded arrays, not 8-byte keys; the planner shuffles on the
+      // doc key and AQE may still broadcast if actual stats allow.
       val sets = candSh.groupBy(col("doc_id"))
         .agg(collect_set(col("sh")).as("shs"))
       cands
-        .join(hint(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa"))), "doc_a")
-        .join(hint(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb"))), "doc_b")
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           (size(array_intersect(col("sa"), col("sb"))).cast("double") /
             size(array_union(col("sa"), col("sb")))).as("jaccard"))
@@ -370,7 +375,7 @@ object Dedup {
     if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
       withJaccard(ngramPairsBitset(sh, nUniverse.toInt))
         .filter(col("jaccard") >= t)
-    else prefixPairsAbove(s, d, t)
+    else prefixPairsAboveSh(sh, t)
   }
 
   /** PPJoin-style prefix-filtered exact similarity join — the scale
@@ -382,9 +387,11 @@ object Dedup {
     * (t·|B| ≤ |A|) removes size-incompatible pairs before the exact
     * confirm. Identical output to filtering the all-pairs join at t.
     */
-  private[graft] def prefixPairsAbove(s: SparkSession, d: String, t: Double): DataFrame = {
+  private[graft] def prefixPairsAbove(s: SparkSession, d: String, t: Double): DataFrame =
+    prefixPairsAboveSh(shingles(s, d), t)
+
+  private def prefixPairsAboveSh(sh: DataFrame, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(s, d)
     val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
     val szW = Window.partitionBy(col("doc_id"))

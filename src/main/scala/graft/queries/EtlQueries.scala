@@ -69,11 +69,17 @@ object EtlQueries {
     * aggregates from the parquet directly — equality proves the sink
     * moved every row and every value bit-intact. */
   def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val url = s"jdbc:derby:memory:rt${System.nanoTime()};create=true"
+    // ONE fixed in-memory db per JVM, table recreated per call:
+    // Derby in-memory databases live until dropped, so a unique name
+    // per invocation would leak a lineitem slice on every bench round.
+    val url = "jdbc:derby:memory:graft_rt;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
-    try conn.createStatement().execute(
-      "CREATE TABLE rt_t (order_id BIGINT, qty DOUBLE, price DOUBLE)")
-    finally conn.close()
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE rt_t")
+      catch { case _: java.sql.SQLException => () } // first run: no table
+      st.execute("CREATE TABLE rt_t (order_id BIGINT, qty DOUBLE, price DOUBLE)")
+    } finally conn.close()
     val slice = Tables.lineitem(s, d)
       .filter(pmod(col("l_orderkey"), lit(10)) === 0)
       .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))

@@ -53,13 +53,27 @@ object JdbcSink {
     }
   }
 
+  /** @param sourceFields the ORIGINAL parquet field names, positional
+    *   with df's columns — pass when upstream projection renamed
+    *   duplicates (desired_fields with repeats), so aliases resolve on
+    *   the user's names, not synthesized ones. Duplicate TARGETS are an
+    *   error either way (one insert cannot set a column twice). */
   def write(df: DataFrame, url: String, table: String,
       aliases: Map[String, Option[String]] = Map.empty,
-      batchSize: Int = 10000): Long = {
-    if (tableColumns(url, table).isEmpty)
+      batchSize: Int = 10000,
+      sourceFields: Option[Seq[String]] = None): Long = {
+    val dbCols = tableColumns(url, table)
+    if (dbCols.isEmpty)
       throw new IllegalArgumentException(s"table '$table' does not exist in connected db")
-    val mapping = resolveColumns(df.columns.toSeq, tableColumns(url, table), aliases)
-    val renamed = df.select(mapping.map { case (c, t) => col(c).as(t) }: _*)
+    val originals = sourceFields.getOrElse(df.columns.toSeq)
+    require(originals.length == df.columns.length,
+      s"sourceFields size ${originals.length} != dataframe width ${df.columns.length}")
+    val mapping = resolveColumns(originals, dbCols, aliases)
+    val targets = mapping.map(_._2)
+    require(targets.distinct.length == targets.length,
+      s"duplicate target column(s): ${targets.diff(targets.distinct).distinct.mkString(", ")}")
+    val renamed = df.select(df.columns.toSeq.zip(targets)
+      .map { case (c, t) => col(c).as(t) }: _*)
     // persist across write+count: without it the count re-executes the
     // whole upstream (a second scan of every source file per batch).
     // Batch size is bounded by the caller (work-list batch /

@@ -24,12 +24,32 @@ object Streams {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
+  /** Unique memory-sink table name; drops any previous table with the
+    * same prefix first so repeated invocations (bench rounds, long
+    * sessions) hold at most ONE materialized result per operator
+    * instead of accumulating a copy per call. */
+  private def freshMemoryTable(s: SparkSession, prefix: String): String = {
+    s.catalog.listTables().collect()
+      .filter(_.name.startsWith(prefix))
+      .foreach(t => s.catalog.dropTempView(t.name))
+    s"${prefix}_${System.nanoTime()}"
+  }
+
+  private def eventStream(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // glob form: FileStreamSource requires a directory/glob, not a file
-    s.readStream.schema(schema).parquet(s"$d/events.parqu*")
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    var reader = s.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader = reader.option("maxFilesPerTrigger", n.toString))
+    val raw = reader.parquet(s"$d/events.parqu*")
+    // driver testdata carries TIMESTAMP(NANOS) surfaced as a nanos
+    // long (convert exactly to µs); a re-landed copy already has a
+    // proper timestamp column
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    else raw
   }
 
   /** Tumbling 1-day event-time windows with a watermark; complete mode
@@ -40,7 +60,7 @@ object Streams {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total"))
-    val name = s"win_agg_${System.nanoTime()}"
+    val name = freshMemoryTable(s, "graft_win_agg")
     withStatePartitions(s, 8) {
       val q = agg.writeStream.outputMode("complete")
         .format("memory").queryName(name).start()
@@ -72,7 +92,7 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
-    val name = s"stream_dedup_${System.nanoTime()}"
+    val name = freshMemoryTable(s, "graft_stream_dedup")
     withStatePartitions(s, 8) {
       val q = doubled.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
@@ -106,7 +126,7 @@ object Streams {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("error_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
-    val name = s"interval_join_${System.nanoTime()}"
+    val name = freshMemoryTable(s, "graft_interval_join")
     withStatePartitions(s, 8) {
       val q = joined.writeStream.outputMode("append")
         .format("memory").queryName(name).start()
@@ -134,47 +154,67 @@ object Streams {
 
   /** Custom state machine: per-user sessions closed after `gapSec` of
     * inactivity. The streaming analogue of Analytics.q18 — tested for
-    * agreement with it in StreamingSpec. */
+    * agreement with it in StreamingSpec.
+    *
+    * Cross-batch semantics: the OPEN session is carried in state and
+    * RESUMED when the user's next micro-batch arrives, so a session
+    * split across batches stays one session. Emission is update-style:
+    * every invocation emits a snapshot of each session it touched,
+    * keyed by (user, start) — a later batch that extends a session
+    * re-emits the same (user, start) with a larger end/count, and the
+    * consumer keeps the latest snapshot per key (see sessionizeTable's
+    * final aggregate). This is exactly how an upsert sink (Delta/JDBC
+    * merge) would consume it at scale.
+    */
   def sessionize(s: SparkSession, events: Dataset[Ev],
       gapSec: Long = 1800): Dataset[Session] = {
     import s.implicits._
-    def fn(user: Long, it: Iterator[Ev], state: GroupState[List[SessState]]): Iterator[Session] = {
-      // bounded replay: events for the group arrive together; sort by time
+    def fn(user: Long, it: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
       val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-      var sessions = List.empty[SessState]
-      var cur: Option[SessState] = None
+      if (evs.isEmpty) return Iterator.empty
+      var touched = List.empty[SessState]
+      // resume the open session from the previous batch, if any
+      var cur: Option[SessState] = state.getOption
       for (e <- evs) {
         val t = e.ts.getTime
         cur = cur match {
           case Some(c) if t - c.lastMs <= gapSec * 1000 =>
             Some(c.copy(lastMs = t, numEvents = c.numEvents + 1))
           case Some(c) =>
-            sessions ::= c
+            touched ::= c // closed: this snapshot is final
             Some(SessState(t, t, 1))
           case None => Some(SessState(t, t, 1))
         }
       }
-      cur.foreach(c => sessions ::= c)
-      state.update(sessions)
-      sessions.reverseIterator.map(c =>
+      cur.foreach { c =>
+        touched ::= c // open: snapshot now, superseded if extended later
+        state.update(c)
+      }
+      touched.reverseIterator.map(c =>
         Session(user, new Timestamp(c.startMs), new Timestamp(c.lastMs), c.numEvents))
     }
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 
-  /** Run sessionize over the events table as a bounded stream. */
-  def sessionizeTable(s: SparkSession, d: String, gapSec: Long = 1800): DataFrame = {
+  /** Run sessionize over the events table as a bounded stream; the
+    * final aggregate keeps the LATEST snapshot per (user, start) —
+    * within one session end/count only grow, so max() selects it. */
+  def sessionizeTable(s: SparkSession, d: String, gapSec: Long = 1800,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
-    val evs = eventStream(s, d)
+    val evs = eventStream(s, d, maxFilesPerTrigger)
       .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
-    val name = s"sessions_${System.nanoTime()}"
+    val name = freshMemoryTable(s, "graft_sessions")
     withStatePartitions(s, 8) {
       val q = sessionize(s, evs, gapSec).toDF()
-        .writeStream.outputMode("append")
+        .writeStream.outputMode("update")
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     }
-    s.table(name).orderBy(col("user_id"), col("start"))
+    s.table(name)
+      .groupBy(col("user_id"), col("start"))
+      .agg(max(col("end")).as("end"), max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"), col("start"))
   }
 }

@@ -159,6 +159,29 @@ class Analytics3Spec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("sessionize merges sessions split across micro-batches") {
+    import org.apache.spark.sql.functions.unix_micros
+    val dir = java.nio.file.Files.createTempDirectory("sess_split").toString
+    val sub = s"$dir/events.parquet"
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.5)"))
+      .head().getDouble(0).toLong
+    // two files split ON TIME, landed a second apart so the file source
+    // processes them oldest-first as two separate micro-batches
+    ev.filter(unix_micros(col("ts")) <= mid)
+      .coalesce(1).write.parquet(sub)
+    Thread.sleep(1100)
+    ev.filter(unix_micros(col("ts")) > mid)
+      .coalesce(1).write.mode("append").parquet(sub)
+    val split = graft.streaming.Streams
+      .sessionizeTable(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val whole = graft.streaming.Streams.sessionizeTable(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(split == whole,
+      s"cross-batch sessions diverge: split=${split.size} whole=${whole.size}")
+  }
+
   test("stream_dedup output equals batch-distinct events") {
     val got = graft.streaming.Streams.streamDedup(spark, sf)
     val n = Tables.events(spark, sf).count()

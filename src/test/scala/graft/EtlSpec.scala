@@ -256,6 +256,19 @@ class EtlSpec extends AnyFunSuite {
     assert(got(2L) == Seq[Byte](-1, 0, 5))
   }
 
+  test("duplicate desired_fields fail fast with a duplicate-target error") {
+    val url = derby("dup1")
+    exec(url, "CREATE TABLE dup_t (a BIGINT)")
+    val df = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"))
+    val sel = ParquetSource.selectFields(df, Seq("l_orderkey", "l_orderkey"))
+    val ex = intercept[IllegalArgumentException] {
+      JdbcSink.write(sel, url, "dup_t", Map("l_orderkey" -> Some("a")),
+        sourceFields = Some(Seq("l_orderkey", "l_orderkey")))
+    }
+    assert(ex.getMessage.contains("duplicate target"))
+  }
+
   test("CLI arg contract: exactly one arg = the config yaml path") {
     assert(Main.configPath(Array("cfg.yml")) == Right("cfg.yml"))
     assert(Main.configPath(Array.empty).isLeft)

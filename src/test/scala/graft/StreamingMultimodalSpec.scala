@@ -68,4 +68,10 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(r.getLong(1) != 0L)
     assert(r.getDouble(2) == 11.0)
   }
+
+  test("SQL functions reject wrong argument counts with a clear error") {
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception](spark.sql("SELECT fnv64('a', 'b')").head())
+    assert(ex.getMessage.contains("expects 1 argument"))
+  }
 }
