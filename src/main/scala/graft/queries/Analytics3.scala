@@ -298,6 +298,45 @@ object Analytics3 {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q39: ordered conversion funnel ----------------------------------
+  // view → click-after-view → purchase-after-that-click, per user, then
+  // global stage counts. ONE shuffle: all three stages are windows over
+  // the same user partitioning (Spark reuses the exchange+sort), where
+  // the join formulation (the oracle's CTE shape) would shuffle thrice.
+  def q39(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+          col("ts"))).over(w))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+          col("ts"))).over(w))
+      .agg(
+        countDistinct(when(col("v_ts").isNotNull, col("user_id"))).as("n_view"),
+        countDistinct(when(col("c_ts").isNotNull, col("user_id"))).as("n_click_after_view"),
+        countDistinct(when(col("p_ts").isNotNull, col("user_id"))).as("n_purchase_after_click"))
+  }
+
+  val q39Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id AS user_id, MIN(e.ts) AS c_ts
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id AS user_id, MIN(e.ts) AS p_ts
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+      |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
+      |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin
+
   // ---- pipeline_corpus: end-to-end training-data curation --------------
   // The flagship composition: exact-dedup survivors → minimum-length
   // quality gate → per-(lang, source) corpus statistics. One dedup
@@ -344,6 +383,7 @@ object Analytics3 {
     "q36_skew_join" -> (q36 _),
     "q37_gap_fill" -> (q37 _),
     "q38_bucketed_join" -> (q38 _),
+    "q39_funnel" -> (q39 _),
     "pipeline_corpus" -> (pipelineCorpus _))
 
   val oracles: Map[String, String] = Map(
@@ -358,5 +398,6 @@ object Analytics3 {
     "q36_skew_join" -> q36Sql,
     "q37_gap_fill" -> q37Sql,
     "q38_bucketed_join" -> q38Sql,
+    "q39_funnel" -> q39Sql,
     "pipeline_corpus" -> pipelineCorpusSql)
 }
