@@ -27,6 +27,7 @@ object SparkEntry {
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
+    "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "mm_meta_agg" -> ((s, d) => graft.multimodal.Multimodal.metaAgg(s, d)),
     "mm_dedup" -> ((s, d) => graft.multimodal.Multimodal.payloadDedup(s, d)),
     "mm_schema" -> ((s, d) => graft.multimodal.Multimodal.featureTable(s, d)),
@@ -50,6 +51,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidfSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
+    "ann_dim_stats" -> Similarity.dimStatsSql,
     "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,
     "mm_dedup" -> graft.multimodal.Multimodal.payloadDedupSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,

@@ -255,6 +255,66 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contractions (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — same contract as [[connectedComponents]], but
+    * rounds are O(log n) in the worst case instead of O(diameter), so
+    * adversarially long chains converge in a handful of passes. Each
+    * round is two groupBy+join passes over the (shrinking) edge list.
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m = min(Γ(u) ∪ u)
+    *  - small-star(u): every neighbor v ≤ u re-attaches to m
+    *
+    * The fixpoint is a forest of stars: every node adjacent to its
+    * component's minimum; labels read off as min(neighbor ∪ self).
+    */
+  def connectedComponentsLogStar(pairs: DataFrame): DataFrame = {
+    val Array(cu, cv) = pairs.columns
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    val nodes = pairs.select(col(cu).as("node"))
+      .union(pairs.select(col(cv).as("node"))).distinct()
+      .localCheckpoint()
+    var edges = canon(pairs.select(col(cu).as("u"), col(cv).as("v")))
+      .localCheckpoint()
+    var done = edges.isEmpty
+    var rounds = 0
+    while (!done && rounds < 50) {
+      def star(e: DataFrame, large: Boolean): DataFrame = {
+        val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val joined = sym.join(mins, "u")
+        val moved =
+          if (large) joined.filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+          else
+            // small-star re-attaches u's ≤-neighbors AND u ITSELF to m
+            // (without the self pair, a node's only link to the min —
+            // e.g. the single edge (1,5) — would vanish as the (m,m)
+            // self-loop)
+            joined.filter(col("v") <= col("u"))
+              .select(col("v").as("u"), col("m").as("v"))
+              .union(mins.select(col("u"), col("m").as("v")))
+        canon(moved)
+      }
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint()
+      done = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      rounds += 1
+    }
+    // star fixpoint: label = min(adjacent ∪ self)
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    val lbl = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("node"), least(col("u"), col("mn")).as("label"))
+    nodes.join(lbl, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
   /** Oracle: transitive closure by recursive CTE, min reachable label. */
   val clustersSql: String =
     """WITH RECURSIVE sh AS (

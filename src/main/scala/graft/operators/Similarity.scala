@@ -82,6 +82,32 @@ object Similarity {
        |WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** Per-dimension corpus statistics (count / mean / mean-square) — the
+    * normalization-stats pass an embedding pipeline runs before
+    * whitening or scaling. posexplode → 64-group hash agg: the shuffle
+    * carries 64 partial rows per task, nothing else; decimal
+    * accumulation keeps the means bit-stable across partitionings. */
+  def dimStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("xd"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(xd AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)").as("mean"),
+        expr("CAST(SUM(CAST(xd * xd AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)").as("mean_sq"))
+      .orderBy(col("dim"))
+
+  val dimStatsSql: String =
+    """SELECT i - 1 AS dim, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
+      |    / COUNT(*) AS mean,
+      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mean_sq
+      |FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) s
+      |GROUP BY 1
+      |ORDER BY dim""".stripMargin
+
   /** Deterministic pseudo-random hyperplanes (pure function of (p, j) —
     * reproducible across sessions with no RNG state). */
   private[operators] def plane(p: Int, dim: Int): Array[Double] =

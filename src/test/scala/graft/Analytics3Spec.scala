@@ -137,6 +137,31 @@ class Analytics3Spec extends AnyFunSuite {
     }
   }
 
+  test("logStar components equal min-label components on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val graphs = Seq(
+      (1 to 30).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong)),
+      (1 to 6).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)),
+      Seq((1L, 5L)), // single edge: the small-star self-pair regression
+      Seq((3L, 3L))) // only a self-loop
+    for (edges <- graphs) {
+      val a = operators.Dedup.connectedComponents(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = operators.Dedup.connectedComponentsLogStar(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"edges=$edges minLabel=$a logStar=$b")
+    }
+  }
+
+  test("logStar converges on a 200-node chain well inside its round cap") {
+    import spark.implicits._
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = operators.Dedup.connectedComponentsLogStar(chain.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
   test("connectedComponents handles full-range 64-bit ids (no sum overflow)") {
     import spark.implicits._
     val a = Long.MaxValue - 1
