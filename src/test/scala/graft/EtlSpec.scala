@@ -269,6 +269,23 @@ class EtlSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("duplicate target"))
   }
 
+  test("compaction merges small files and preserves every row") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("compact") + "/t"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    li.repartition(24).write.parquet(dir) // 24 small files
+    val beforeRows = li.count()
+    val (nBefore, nAfter) =
+      graft.sinks.ParquetSink.compact(spark, dir, targetBytes = 512L * 1024)
+    assert(nBefore == 24)
+    assert(nAfter < nBefore)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == beforeRows)
+    // content identical, not just counts
+    assert(after.except(li).isEmpty && li.except(after).isEmpty)
+  }
+
   test("CLI arg contract: exactly one arg = the config yaml path") {
     assert(Main.configPath(Array("cfg.yml")) == Right("cfg.yml"))
     assert(Main.configPath(Array.empty).isLeft)
