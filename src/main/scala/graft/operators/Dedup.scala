@@ -307,6 +307,12 @@ object Dedup {
       edges = next
       rounds += 1
     }
+    // the label read-off below is only valid at a star-forest fixpoint
+    // — a capped-out non-converged edge set must fail loudly, not
+    // return silently split components
+    if (!done)
+      throw new IllegalStateException(
+        s"logStar did not converge within $rounds rounds")
     // star fixpoint: label = min(adjacent ∪ self)
     val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val lbl = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))

@@ -87,26 +87,32 @@ object Similarity {
     * whitening or scaling. posexplode → 64-group hash agg: the shuffle
     * carries 64 partial rows per task, nothing else; decimal
     * accumulation keeps the means bit-stable across partitionings. */
-  def dimStats(s: SparkSession, d: String): DataFrame =
+  def dimStats(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.Frags.davg9
     embeddings(s, d)
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"),
         col("x").cast("double").as("xd"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"),
-        expr("CAST(SUM(CAST(xd AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)").as("mean"),
-        expr("CAST(SUM(CAST(xd * xd AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)").as("mean_sq"))
+        expr(davg9("xd")).as("mean"),
+        expr(davg9("xd * xd")).as("mean_sq"))
       .orderBy(col("dim"))
+  }
 
-  val dimStatsSql: String =
-    """SELECT i - 1 AS dim, COUNT(*) AS n,
-      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)
-      |    / COUNT(*) AS mean,
-      |  CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
-      |    AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS mean_sq
-      |FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) s
-      |GROUP BY 1
-      |ORDER BY dim""".stripMargin
+  /** Oracle adapts to each row's actual array length (per-row range
+    * unnest), mirroring posexplode — no hardcoded dimensionality. */
+  val dimStatsSql: String = {
+    import graft.queries.Frags.davg9
+    val x = "CAST(embedding[i] AS DOUBLE)"
+    s"""SELECT i - 1 AS dim, COUNT(*) AS n,
+       |  ${davg9(x)} AS mean,
+       |  ${davg9(s"$x * $x")} AS mean_sq
+       |FROM (SELECT embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+       |      FROM embeddings)
+       |GROUP BY 1
+       |ORDER BY dim""".stripMargin
+  }
 
   /** Deterministic pseudo-random hyperplanes (pure function of (p, j) —
     * reproducible across sessions with no RNG state). */

@@ -315,10 +315,15 @@ object Analytics3 {
       .withColumn("p_ts",
         min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
           col("ts"))).over(w))
-      .agg(
-        countDistinct(when(col("v_ts").isNotNull, col("user_id"))).as("n_view"),
-        countDistinct(when(col("c_ts").isNotNull, col("user_id"))).as("n_click_after_view"),
-        countDistinct(when(col("p_ts").isNotNull, col("user_id"))).as("n_purchase_after_click"))
+      // collapse to one row per user FIRST (the stage timestamps are
+      // per-user constants), then plain non-null counts — avoids the
+      // 3× Expand that multiple countDistinct aggregates would plan
+      .groupBy(col("user_id"))
+      .agg(max(col("v_ts")).as("v_ts"), max(col("c_ts")).as("c_ts"),
+        max(col("p_ts")).as("p_ts"))
+      .agg(count(col("v_ts")).as("n_view"),
+        count(col("c_ts")).as("n_click_after_view"),
+        count(col("p_ts")).as("n_purchase_after_click"))
   }
 
   val q39Sql: String =

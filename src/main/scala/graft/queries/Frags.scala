@@ -32,4 +32,9 @@ object Frags {
   /** Deterministic mean: exact decimal sum, one double division. */
   def davg2(col: String): String =
     s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE) / COUNT($col)"
+
+  /** Deterministic mean at 9-decimal quantisation (unit-scale values,
+    * e.g. embedding components); operand may be any SQL expression. */
+  def davg9(operand: String): String =
+    s"CAST(SUM(CAST($operand AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)"
 }
