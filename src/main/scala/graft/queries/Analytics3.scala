@@ -342,6 +342,36 @@ object Analytics3 {
       |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
       |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin
 
+  // ---- q40: weekly cohort retention ------------------------------------
+  // Users bucketed by first-seen week; per (cohort, week-offset) count
+  // of still-active users — the classic retention triangle. Two hash
+  // aggs + one user-keyed join; every stage shuffles on the
+  // high-cardinality user key.
+  def q40(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    val firsts = ev.groupBy(col("user_id")).agg(min(col("w")).as("cohort"))
+    ev.distinct().join(firsts, "user_id")
+      .select(col("cohort").as("cohort_week"),
+        expr("CAST(datediff(w, cohort) / 7 AS BIGINT)").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q40Sql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      |SELECT CAST(f.cohort AS TIMESTAMP) AS cohort_week,
+      |  CAST(date_diff('day', f.cohort, a.w) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM activity a JOIN firsts f ON a.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   // ---- pipeline_corpus: end-to-end training-data curation --------------
   // The flagship composition: exact-dedup survivors → minimum-length
   // quality gate → per-(lang, source) corpus statistics. One dedup
@@ -389,6 +419,7 @@ object Analytics3 {
     "q37_gap_fill" -> (q37 _),
     "q38_bucketed_join" -> (q38 _),
     "q39_funnel" -> (q39 _),
+    "q40_retention" -> (q40 _),
     "pipeline_corpus" -> (pipelineCorpus _))
 
   val oracles: Map[String, String] = Map(
@@ -404,5 +435,6 @@ object Analytics3 {
     "q37_gap_fill" -> q37Sql,
     "q38_bucketed_join" -> q38Sql,
     "q39_funnel" -> q39Sql,
+    "q40_retention" -> q40Sql,
     "pipeline_corpus" -> pipelineCorpusSql)
 }
