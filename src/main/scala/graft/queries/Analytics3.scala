@@ -70,7 +70,7 @@ object Analytics3 {
 
   val q30Sql: String =
     """SELECT user_id, COUNT(*) AS n_gaps,
-      |  SUM(gap_us) AS total_gap_us,
+      |  CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
       |  MAX(gap_us) AS max_gap_us,
       |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
       |FROM (
