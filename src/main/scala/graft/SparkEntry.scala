@@ -54,7 +54,10 @@ object SparkEntry {
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,
     "mm_dedup" -> graft.multimodal.Multimodal.payloadDedupSql,
+    "mm_schema" -> graft.multimodal.Multimodal.featureTableSql,
+    "mm_frames" -> graft.multimodal.Multimodal.frameTableSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
+    "stream_sessionize" -> graft.streaming.Streams.sessionizeSql,
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql)
     // dedup_minhash / dedup_simhash / ann_lsh / ann_ivf are rows-only:

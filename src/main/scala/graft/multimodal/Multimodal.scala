@@ -129,19 +129,46 @@ object Multimodal {
       |GROUP BY 1
       |ORDER BY keep_id""".stripMargin
 
-  /** Rows-only surface: per-media features (stub decoder isn't SQL). */
+  /** Per-media features through the stubbed decoder. Feature values are
+    * emitted as floor(1e6·f) micro-units: the histogram ratio k/n is an
+    * exact IEEE division in both engines, and floor is unambiguous —
+    * unlike round(), whose half-way tie-break differs across engines. */
   def featureTable(s: SparkSession, d: String): DataFrame = {
     val f = extractFeatures(s, mediaTable(s, d))
     f.toDF().select(col("media_id"), col("kind"), col("nBytes"),
-      round(element_at(col("features"), 1), 6).as("f0"),
-      round(element_at(col("features"), 8), 6).as("f7"))
+      floor(element_at(col("features"), 1) * lit(1e6)).cast("bigint").as("f0_ppm"),
+      floor(element_at(col("features"), 8) * lit(1e6)).cast("bigint").as("f7_ppm"))
       .orderBy(col("media_id"))
   }
 
-  /** Rows-only surface: sampled frames for video media. */
+  /** The payload is the UTF-8 text bytes (pure ASCII corpus), so the
+    * byte histogram buckets are recomputable from character codes. */
+  val featureTableSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS INT) AS "nBytes",
+      |  CAST(FLOOR((len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 0))
+      |       / GREATEST(octet_length(encode(text)), 1)) * 1e6) AS BIGINT) AS f0_ppm,
+      |  CAST(FLOOR((len(list_filter(string_split(text, ''), c -> ord(c) % 16 = 7))
+      |       / GREATEST(octet_length(encode(text)), 1)) * 1e6) AS BIGINT) AS f7_ppm
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
+  /** Sampled frames for video media. */
   def frameTable(s: SparkSession, d: String): DataFrame =
     frameSample(s, mediaTable(s, d)).toDF()
       .select(col("media_id"), col("frameIdx"), col("tsMs"),
         length(col("framePayload")).as("frame_bytes"))
       .orderBy(col("media_id"), col("frameIdx"))
+
+  /** Frame count/size are pure functions of n_chars / byte length:
+    * n = max(1, durationMs/500), frame i carries bytes [16i, 16i+64). */
+  val frameTableSql: String =
+    """SELECT doc_id AS media_id, CAST(g.i AS INT) AS "frameIdx",
+      |  CAST(g.i * 500 AS BIGINT) AS "tsMs",
+      |  CAST(LEAST(64, GREATEST(0, octet_length(encode(text)) - g.i * 16)) AS INT) AS frame_bytes
+      |FROM documents,
+      |  LATERAL (SELECT unnest(generate_series(0, GREATEST(1, (n_chars * 10) // 500) - 1)) AS i) g
+      |WHERE doc_id % 3 = 2
+      |ORDER BY media_id, "frameIdx"""".stripMargin
 }

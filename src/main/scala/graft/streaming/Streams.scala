@@ -150,7 +150,17 @@ object Streams {
 
   case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
   case class Session(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
-  case class SessState(startMs: Long, lastMs: Long, numEvents: Long)
+  case class SessState(startUs: Long, lastUs: Long, numEvents: Long)
+
+  /** Exact epoch microseconds of a Timestamp (getTime alone truncates
+    * to ms — the events table has sub-ms components). */
+  private def tsUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def usTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Custom state machine: per-user sessions closed after `gapSec` of
     * inactivity. The streaming analogue of Analytics.q18 — tested for
@@ -170,16 +180,16 @@ object Streams {
       gapSec: Long = 1800): Dataset[Session] = {
     import s.implicits._
     def fn(user: Long, it: Iterator[Ev], state: GroupState[SessState]): Iterator[Session] = {
-      val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val evs = it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
       if (evs.isEmpty) return Iterator.empty
       var touched = List.empty[SessState]
       // resume the open session from the previous batch, if any
       var cur: Option[SessState] = state.getOption
       for (e <- evs) {
-        val t = e.ts.getTime
+        val t = tsUs(e.ts)
         cur = cur match {
-          case Some(c) if t - c.lastMs <= gapSec * 1000 =>
-            Some(c.copy(lastMs = t, numEvents = c.numEvents + 1))
+          case Some(c) if t - c.lastUs <= gapSec * 1000000L =>
+            Some(c.copy(lastUs = t, numEvents = c.numEvents + 1))
           case Some(c) =>
             touched ::= c // closed: this snapshot is final
             Some(SessState(t, t, 1))
@@ -191,7 +201,7 @@ object Streams {
         state.update(c)
       }
       touched.reverseIterator.map(c =>
-        Session(user, new Timestamp(c.startMs), new Timestamp(c.lastMs), c.numEvents))
+        Session(user, usTs(c.startUs), usTs(c.lastUs), c.numEvents))
     }
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
@@ -217,4 +227,23 @@ object Streams {
       .agg(max(col("end")).as("end"), max(col("n_events")).as("n_events"))
       .orderBy(col("user_id"), col("start"))
   }
+
+  /** Batch-equivalent sessionization (classic gap-and-island SQL): the
+    * streaming state machine must converge to exactly these sessions. */
+  val sessionizeSql: String =
+    """SELECT user_id, MIN(ts) AS start, MAX(ts) AS "end",
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN LAG(ts) OVER w IS NULL
+      |             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |           THEN 1 ELSE 0 END AS new_s
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, start""".stripMargin
 }
