@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_corpus" -> Dedup.dedupCorpusSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,
@@ -60,8 +61,8 @@ object SparkEntry {
     "stream_sessionize" -> graft.streaming.Streams.sessionizeSql,
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql)
-    // dedup_minhash / dedup_simhash / ann_lsh / ann_ivf are rows-only:
-    // seeded hash permutations & hyperplanes aren't portable DuckDB SQL.
+    // dedup_simhash / ann_lsh / ann_ivf are rows-only: seeded hash
+    // bit-mixes & hyperplanes aren't portable DuckDB SQL.
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -349,15 +349,26 @@ object Dedup {
       |SELECT node AS doc_id, MIN(lbl) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
-  /** MinHash + banded LSH candidate pairs, confirmed with exact
-    * Jaccard (rows-only: xxhash64 permutations aren't portable SQL).
+  /** MinHash + banded LSH near-dup pairs: banded signature buckets
+    * propose candidates, exact Jaccard confirms, and only pairs at or
+    * above `threshold` are emitted — the consumer-facing dup-pair list.
     *
     * numHashes=32 as 16 bands × r=2: per-band collision prob = J², so
     * with corpus-level J≈0.03 the candidate set stays ~1-2% of all
     * pairs — the 100 TB path never materializes the full pair space.
+    *
+    * Oracle-exactness: the emitted set equals the exact all-pairs
+    * Jaccard ≥ t result as long as LSH recall at t is total. At t=0.5
+    * a boundary pair survives a band with prob J²=0.25, so P(miss) =
+    * 0.75¹⁶ ≈ 1%; on this corpus every true pair has J ≥ 0.9 →
+    * P(miss) = (1-0.81)¹⁶ ≈ 5e-12. The recall margin is asserted in
+    * PipelineOpsSpec; a corpus with many pairs sitting exactly at the
+    * threshold would need more bands (numHashes) before the oracle
+    * equality claim transfers.
     */
   def minhashLsh(s: SparkSession, d: String,
-      numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+      numHashes: Int = 32, bandRows: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
     val sh = shingles(s, d)
     val sigCols = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i")
@@ -382,8 +393,31 @@ object Dedup {
       // band self-join per consumer (it is tiny: the LSH output)
       .localCheckpoint()
     exactConfirm(cands, sh)
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact all-pairs Jaccard ≥ 0.5 — what the LSH path must converge
+    * to when its recall at the threshold is total (see minhashLsh). */
+  val minhashLshSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) AS jaccard
+      |FROM common
+      |JOIN sizes a ON a.doc_id = doc_a
+      |JOIN sizes b ON b.doc_id = doc_b
+      |WHERE CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact Jaccard for each candidate (doc_a, doc_b) pair, computing
     * shingle sets ONLY for docs appearing in a candidate (semi-join),
