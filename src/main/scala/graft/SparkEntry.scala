@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -27,12 +27,18 @@ object SparkEntry {
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
+    "ann_pq" -> ((s, d) => Similarity.pq(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
+    "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
+    "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
+    "text_repetition" -> ((s, d) => Curation.repetition(s, d)),
+    "corpus_gate" -> ((s, d) => Curation.qualityGate(s, d)),
     "mm_meta_agg" -> ((s, d) => graft.multimodal.Multimodal.metaAgg(s, d)),
     "mm_dedup" -> ((s, d) => graft.multimodal.Multimodal.payloadDedup(s, d)),
     "mm_schema" -> ((s, d) => graft.multimodal.Multimodal.featureTable(s, d)),
     "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
+    "stream_enrich" -> ((s, d) => graft.streaming.Streams.streamEnrich(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.Streams.streamDedup(s, d)),
     "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoin(s, d)))
@@ -53,11 +59,16 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,
+    "sample_uniform_n" -> Curation.sampleUniformNSql,
+    "sample_stratified" -> Curation.sampleStratifiedSql,
+    "text_repetition" -> Curation.repetitionSql,
+    "corpus_gate" -> Curation.qualityGateSql,
     "mm_meta_agg" -> graft.multimodal.Multimodal.metaAggSql,
     "mm_dedup" -> graft.multimodal.Multimodal.payloadDedupSql,
     "mm_schema" -> graft.multimodal.Multimodal.featureTableSql,
     "mm_frames" -> graft.multimodal.Multimodal.frameTableSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
+    "stream_enrich" -> graft.streaming.Streams.streamEnrichSql,
     "stream_sessionize" -> graft.streaming.Streams.sessionizeSql,
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql)
@@ -67,13 +78,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++ graft.queries.Analytics2.queries ++
-      graft.queries.Analytics3.queries ++
+      graft.queries.Analytics3.queries ++ graft.queries.Analytics4.queries ++
       pipelineQueries ++ graft.queries.EtlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++ graft.queries.Analytics2.oracles ++
-      graft.queries.Analytics3.oracles ++
+      graft.queries.Analytics3.oracles ++ graft.queries.Analytics4.oracles ++
       pipelineOracles ++ graft.queries.EtlQueries.oracles
 }

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for the training-data pipeline
+  * (SURVEY.md §2.3/§2.5 extensions): deterministic sampling, intra-doc
+  * repetition scoring, and a composite quality gate with machine-
+  * readable reason codes.
+  *
+  * Scale design: sampling is rank-by-content-hash — reproducible across
+  * engines, partitionings, and cluster sizes (no RNG state, no
+  * `sample()` nondeterminism); the fixed-size variant is a single
+  * TakeOrderedAndProject (no global sort materialized), the stratified
+  * variant shuffles once on the stratum key. Repetition and the gate
+  * are narrow per-row passes over codegen'd built-ins — at 100 TB they
+  * pipeline inside the scan stage with zero shuffles.
+  */
+object Curation {
+
+  /** Stable per-doc sampling rank: md5 of the decimal doc_id string.
+    * Uniform over docs, independent of row order and partitioning. */
+  private def sampleRank = md5(col("doc_id").cast("string").cast("binary"))
+
+  /** Deterministic fixed-size uniform sample (the distributed
+    * stand-in for reservoir sampling: rank every row by a content
+    * hash, keep the global top-N — one TakeOrderedAndProject, no
+    * full sort, same N rows on any cluster layout). */
+  def sampleUniformN(s: SparkSession, d: String, n: Int = 100): DataFrame =
+    documents(s, d)
+      .orderBy(sampleRank, col("doc_id"))
+      .limit(n)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val sampleUniformNSql: String =
+    """SELECT doc_id, lang, source, n_chars
+      |FROM (SELECT * FROM documents
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact per-stratum quotas: the k hash-smallest docs of every
+    * language — the class-balancing primitive. One shuffle on the
+    * stratum key; the rank window never sees more than one stratum. */
+  def sampleStratified(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(sampleRank, col("doc_id"))
+    documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleStratifiedSql: String =
+    """SELECT lang, CAST(rk AS INT) AS rk, doc_id, source
+      |FROM (SELECT lang, doc_id, source,
+      |        ROW_NUMBER() OVER (PARTITION BY lang
+      |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  /** Intra-document repetition score (Gopher-style boilerplate
+    * signal): fraction of word-bigram occurrences that are repeats of
+    * an earlier bigram in the same doc. Counts are exact integers; the
+    * ratio is one IEEE division — bit-stable across engines. */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2) // bigrams needs >= 2 tokens
+      .select(col("doc_id"), bigrams(col("ws")).as("bgs"))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("bigint").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("bigint").as("n_distinct"))
+      .withColumn("rep_ratio",
+        (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    """SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(n_bigrams - n_distinct AS DOUBLE) / n_bigrams AS rep_ratio
+      |FROM (
+      |  SELECT doc_id, len(bgs) AS n_bigrams, len(list_distinct(bgs)) AS n_distinct
+      |  FROM (SELECT doc_id, list_transform(
+      |          generate_series(1, len(string_split(text, ' ')) - 1),
+      |          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bgs
+      |        FROM documents)
+      |  WHERE len(bgs) >= 1)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Composite quality gate: every doc with a bitmask of failed rules
+    * (0 = clean). All rules compare exact integers, so the verdict is
+    * engine- and order-independent:
+    *   1 — too short (n_chars < 100)
+    *   2 — too few tokens (< 20)
+    *   4 — repetitious (duplicate bigrams > half of all bigrams)
+    *   8 — degenerate mean word length (outside [3, 8] chars)
+    * The reason-code pattern (rather than a bare filter) is what a
+    * production curation pipeline audits: every drop is attributable. */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val nw = size(words(col("text")))
+    val letters = col("n_chars") - (nw - lit(1)) // chars minus separators
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        nw.cast("bigint").as("n_words"),
+        // bigrams needs >= 2 tokens (sequence(1,0) would descend)
+        when(nw >= 2, bigrams(words(col("text"))))
+          .otherwise(array().cast("array<string>")).as("bgs"))
+      .select(col("doc_id"), col("n_words"),
+        (size(col("bgs"))).cast("bigint").as("nb"),
+        (size(array_distinct(col("bgs")))).cast("bigint").as("nd"),
+        col("n_chars"))
+      .withColumn("reasons",
+        when(col("n_chars") < 100, 1).otherwise(0) +
+          when(col("n_words") < 20, 2).otherwise(0) +
+          when(col("nb") > 0 && (col("nb") - col("nd")) * 2 > col("nb"), 4)
+            .otherwise(0) +
+          when(
+            (col("n_chars") - col("n_words") + 1) < col("n_words") * 3 ||
+              (col("n_chars") - col("n_words") + 1) > col("n_words") * 8, 8)
+            .otherwise(0))
+      .select(col("doc_id"), col("reasons"),
+        (col("reasons") === 0).as("pass"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityGateSql: String =
+    """SELECT doc_id, CAST(reasons AS INT) AS reasons, reasons = 0 AS "pass"
+      |FROM (
+      |  SELECT doc_id,
+      |    (CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN n_words < 20 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN nb > 0 AND (nb - nd) * 2 > nb THEN 4 ELSE 0 END)
+      |    + (CASE WHEN (n_chars - n_words + 1) < n_words * 3
+      |             OR (n_chars - n_words + 1) > n_words * 8 THEN 8 ELSE 0 END)
+      |    AS reasons
+      |  FROM (
+      |    SELECT doc_id, n_chars,
+      |      len(string_split(text, ' ')) AS n_words,
+      |      len(bgs) AS nb, len(list_distinct(bgs)) AS nd
+      |    FROM (SELECT doc_id, n_chars, text, list_transform(
+      |            generate_series(1, len(string_split(text, ' ')) - 1),
+      |            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bgs
+      |          FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+}

@@ -175,4 +175,53 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Product-quantization ANN (rows-only): each vector is encoded as
+    * `m` sub-codes (nearest of `ksub` per-subspace centroids from a
+    * deterministic training sample), and the query ranks by the ADC
+    * approximation — the sum over subspaces of ‖q_sub − c_code‖².
+    *
+    * The scale story PQ exists for: after encoding, ranking touches
+    * only (vec_id, sub, code) rows joined to a broadcast m×ksub
+    * distance table — the raw vectors are read once at encode time and
+    * never shuffled. At 100 TB the codes are m·log₂(ksub) bits/vector
+    * (here 4×4 = 2 bytes) against 256 bytes of floats. */
+  def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      m: Int = 4, ksub: Int = 16): DataFrame = {
+    val e = embeddings(s, d).select("vec_id", "embedding")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    def subvecs(df: DataFrame, vecCol: String): DataFrame = df
+      .select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .withColumn("sv", slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
+    def d2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, (x, y) => x - y)
+      dotD(diff, diff)
+    }
+    // codebook: the ksub hash-first training vectors, split per subspace
+    val cents = subvecs(e.filter(col("vec_id") < ksub), "embedding")
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sv").as("c_sv"))
+    // encode: nearest sub-centroid per (vector, subspace)
+    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd2"), col("code"))
+    val codes = subvecs(e, "embedding")
+      .join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        d2(col("sv"), col("c_sv")).as("cd2"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // ADC table: query-subvector distance to every sub-centroid
+    val dt = subvecs(e.filter(col("vec_id") === queryId), "embedding")
+      .join(broadcast(cents), "sub")
+      .select(col("sub"), col("code"), d2(col("sv"), col("c_sv")).as("qd2"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= queryId)
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qd2")).as("adc_dist2"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(k)
+  }
 }

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Fourth wave of warehouse queries (SURVEY.md §2.2 continued): sliding
+  * window frames, per-group mode, and event-time RANGE frames.
+  *
+  * Scale notes: q41's global window runs over the *daily* series (the
+  * aggregation shrinks cardinality to O(days) before the single-
+  * partition window — never over raw facts); q42 is two hash
+  * aggregations; q43's RANGE frame runs inside user partitions (high-
+  * cardinality key, one shuffle) and its output is collapsed to a
+  * histogram before leaving the executors.
+  */
+object Analytics4 {
+
+  // ---- q41: 7-day moving revenue (sliding ROWS frame) ------------------
+  // Both the daily totals and the window sums accumulate in DECIMAL, so
+  // the series is bit-identical regardless of partitioning or engine.
+  def q41(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))")
+        .as("day_rev_d"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .select(col("day"), col("day_rev_d").cast("double").as("day_rev"),
+        sum(col("day_rev_d")).over(w).cast("double").as("mov7_rev"))
+      .orderBy(col("day"))
+  }
+
+  val q41Sql: String =
+    """SELECT day, CAST(day_rev_d AS DOUBLE) AS day_rev,
+      |  CAST(SUM(day_rev_d) OVER (ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7_rev
+      |FROM (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS day_rev_d
+      |      FROM orders GROUP BY 1)
+      |ORDER BY day""".stripMargin
+
+  // ---- q42: per-group mode (most frequent value, deterministic) --------
+  def q42(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_suppkey"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_suppkey").as("mode_suppkey"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q42Sql: String =
+    """SELECT l_returnflag, l_suppkey AS mode_suppkey, CAST(n AS BIGINT) AS n
+      |FROM (SELECT l_returnflag, l_suppkey, COUNT(*) AS n,
+      |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |          ORDER BY COUNT(*) DESC, l_suppkey) AS rk
+      |      FROM lineitem GROUP BY l_returnflag, l_suppkey)
+      |WHERE rk = 1
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q43: events in the preceding hour (event-time RANGE frame) ------
+  // Per event: how many same-user events fell in [t-1h, t]. The frame is
+  // a RANGE over epoch-µs inside the user partition; the per-event rows
+  // are collapsed to a burstiness histogram before any data leaves the
+  // aggregation, so the output is O(distinct counts), not O(events).
+  def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_hr", count(lit(1)).over(w) - 1)
+      .groupBy(col("n_hr"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_hr"))
+  }
+
+  val q43Sql: String =
+    """SELECT n_hr, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) - 1 AS n_hr
+      |  FROM events)
+      |GROUP BY n_hr
+      |ORDER BY n_hr""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_moving_avg" -> (q41 _),
+    "q42_mode" -> (q42 _),
+    "q43_range_count" -> (q43 _))
+
+  val oracles: Map[String, String] = Map(
+    "q41_moving_avg" -> q41Sql,
+    "q42_mode" -> q42Sql,
+    "q43_range_count" -> q43Sql)
+}

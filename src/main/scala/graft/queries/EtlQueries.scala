@@ -98,15 +98,52 @@ object EtlQueries {
        |FROM lineitem
        |WHERE l_orderkey % 10 = 0""".stripMargin
 
+  /** Hive-style partitioned layout + partition pruning: lineitem is
+    * rewritten partitioned by l_returnflag, and the read-back filter
+    * touches ONLY the matching partition directory — the scan prunes at
+    * the file listing, before any row is read (PartitionFilters in the
+    * plan; asserted in EtlSpec). At 100 TB this layout turns a
+    * full-table scan into a directory lookup for flag-sliced queries.
+    * Equality with the oracle (computed from the unpartitioned source)
+    * proves the rewrite moved every row and value intact. */
+  def partitionPrune(s: SparkSession, d: String): DataFrame = {
+    partitionedScan(s, d)
+      .agg(count(lit(1)).as("n_rows"),
+        expr("SUM(l_quantity)").as("sum_qty"),
+        expr(Frags.dsum2("l_extendedprice")).as("sum_price"))
+  }
+
+  /** The pruned scan itself (shared with the plan-shape spec). One
+    * partitioned copy per (JVM, sf dir), reused across calls. */
+  def partitionedScan(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    if (!dir.exists()) {
+      Tables.lineitem(s, d)
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .parquet(dir.toString)
+    }
+    s.read.parquet(dir.toString).filter(col("l_returnflag") === "R")
+  }
+
+  val partitionPruneSql: String =
+    s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
+       |  ${Frags.dsum2("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_returnflag = 'R'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
     "etl_cast" -> (cast _),
-    "etl_jdbc_roundtrip" -> (jdbcRoundtrip _))
+    "etl_jdbc_roundtrip" -> (jdbcRoundtrip _),
+    "etl_partition_prune" -> (partitionPrune _))
 
   val oracles: Map[String, String] = Map(
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,
     "etl_cast" -> castSql,
-    "etl_jdbc_roundtrip" -> jdbcRoundtripSql)
+    "etl_jdbc_roundtrip" -> jdbcRoundtripSql,
+    "etl_partition_prune" -> partitionPruneSql)
 }

@@ -228,6 +228,38 @@ object Streams {
       .orderBy(col("user_id"), col("start"))
   }
 
+  /** Stream-static enrichment: the event stream joined to the customer
+    * dimension (a static DataFrame, broadcast to every micro-batch —
+    * no state, no shuffle of the stream side) and aggregated per
+    * (segment, event_type). The canonical "enrich the firehose with a
+    * dimension" shape: at 100 TB the stream side never shuffles for
+    * the join; only the aggregation exchanges partial rows. */
+  def streamEnrich(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = eventStream(s, d)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total_value"))
+    val name = freshMemoryTable(s, "graft_enrich")
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .select(col("c_mktsegment"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  val streamEnrichSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   /** Batch-equivalent sessionization (classic gap-and-island SQL): the
     * streaming state machine must converge to exactly these sessions. */
   val sessionizeSql: String =

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Similarity}
+
+class CurationSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("sample_uniform_n is deterministic and exactly n rows") {
+    val a = Curation.sampleUniformN(spark, sf, 50).collect()
+    val b = Curation.sampleUniformN(spark, sf, 50).collect()
+    assert(a.length == 50)
+    assert(a.toSeq == b.toSeq, "hash-ranked sample must be reproducible")
+  }
+
+  test("sample growth is prefix-stable: top-50 is a subset of top-100") {
+    val small = Curation.sampleUniformN(spark, sf, 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Curation.sampleUniformN(spark, sf, 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big),
+      "growing n must only add rows, never swap them (stable ranking)")
+  }
+
+  test("sample_stratified fills exact per-language quotas") {
+    val rows = Curation.sampleStratified(spark, sf, 10).collect()
+    val perLang = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val langs = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- langs)
+      assert(perLang.getOrElse(lang, 0) == math.min(10L, n).toInt,
+        s"stratum $lang quota wrong")
+    // ranks are 1..k contiguous within each stratum
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("repetition ratio is in [0,1) and counts are consistent") {
+    val rows = Curation.repetition(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nd, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd >= 1 && nd <= nb)
+      assert(ratio >= 0.0 && ratio < 1.0)
+      assert(math.abs(ratio - (nb - nd).toDouble / nb) == 0.0)
+    }
+  }
+
+  test("quality gate: pass iff reasons == 0, and the mask only uses defined bits") {
+    val rows = Curation.qualityGate(spark, sf).collect()
+    assert(rows.length ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (reasons, pass) = (r.getInt(1), r.getBoolean(2))
+      assert(pass == (reasons == 0))
+      assert((reasons & ~15) == 0, s"undefined reason bit in $reasons")
+    }
+  }
+
+  test("ann_pq: structural invariants + better-than-random ranking") {
+    val pq = Similarity.pq(spark, sf).collect()
+    assert(pq.length == 10)
+    val dists = pq.map(_.getDouble(1))
+    assert(dists.forall(_ >= 0.0))
+    assert(dists.toSeq == dists.sorted.toSeq, "ADC ranking must ascend")
+    // the PQ shortlist must beat the corpus mean true cosine to q0:
+    // approximate but it's still a nearest-neighbour ranking
+    val ids = pq.map(_.getLong(0)).toSet
+    val cos = Similarity.bruteForce(spark, sf, queryId = 0L)
+    // brute force returns the TRUE top-10; PQ should recover some of it
+    val hot = cos.collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(hot).nonEmpty,
+      s"PQ shortlist shares nothing with the exact top-10: $ids vs $hot")
+  }
+
+  test("etl_partition_prune: the scan prunes partitions at plan time") {
+    val scan = queries.EtlQueries.partitionedScan(spark, sf)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("l_returnflag"),
+      s"expected partition pruning on l_returnflag in:\n$plan")
+    // only the R partition's files are read
+    val scans = scan.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      "filter must select exactly one of the three flag partitions")
+  }
+
+  test("stream_enrich equals the batch join-aggregate") {
+    val streamed = graft.streaming.Streams.streamEnrich(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total_value"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+      .collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+}
