@@ -102,13 +102,14 @@ object Curation {
     * The reason-code pattern (rather than a bare filter) is what a
     * production curation pipeline audits: every drop is attributable. */
   def qualityGate(s: SparkSession, d: String): DataFrame = {
-    val nw = size(words(col("text")))
-    val letters = col("n_chars") - (nw - lit(1)) // chars minus separators
     documents(s, d)
-      .select(col("doc_id"), col("n_chars"), col("text"),
-        nw.cast("bigint").as("n_words"),
+      // materialize the token array ONCE per row: inlining words(text)
+      // into the bigram lambda would re-split the text per element
+      .select(col("doc_id"), col("n_chars"), words(col("text")).as("ws"))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("ws")).cast("bigint").as("n_words"),
         // bigrams needs >= 2 tokens (sequence(1,0) would descend)
-        when(nw >= 2, bigrams(words(col("text"))))
+        when(size(col("ws")) >= 2, bigrams(col("ws")))
           .otherwise(array().cast("array<string>")).as("bgs"))
       .select(col("doc_id"), col("n_words"),
         (size(col("bgs"))).cast("bigint").as("nb"),
