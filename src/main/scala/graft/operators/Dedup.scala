@@ -94,8 +94,12 @@ object Dedup {
     * worst case). Beyond either cap the shuffle-join / prefix-join
     * paths are the scale-correct shapes. Shared by every strategy
     * dispatch so a tuning change can't leave one path behind. */
-  private val BitsetUniverseCap = 16384L
-  private val BitsetDocCap = 100000L
+  // Overridable for strategy A/B benchmarking (set to 0 to force the
+  // prefix-join / shuffle paths); defaults are the production caps.
+  private val BitsetUniverseCap =
+    sys.env.get("GRAFT_BITSET_UNIVERSE_CAP").map(_.toLong).getOrElse(16384L)
+  private val BitsetDocCap =
+    sys.env.get("GRAFT_BITSET_DOC_CAP").map(_.toLong).getOrElse(100000L)
 
   private def shStats(sh: DataFrame): (Long, Long) = {
     val r = sh.agg(countDistinct(col("sh")).as("u"),

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits for the performance-critical shapes claimed in
+  * SURVEY.md §6: pushdown reaching the scan, column pruning, broadcast
+  * vs shuffle joins, map-side partial aggregation, top-k without a
+  * global sort, and shuffle counts. These are the properties that
+  * decide whether a plan survives a 100× scale-up — asserted here so a
+  * refactor can't silently regress them.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Executed plan after an action (so AQE has finalized stages). */
+  private def plan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  /** Every node in the adaptive tree, descending into AQE stages. */
+  private def all(p: SparkPlan): Seq[SparkPlan] =
+    p +: ((p.children ++ p.subqueries).flatMap(all) ++ (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        all(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        all(q.plan)
+      case _ => Seq.empty
+    }))
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    all(plan(df)).collect { case f: FileSourceScanExec => f }
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeExec] =
+    all(plan(df)).collect { case e: ShuffleExchangeExec => e }
+
+  test("q2_filter_project: predicate AND projection reach the parquet scan") {
+    val df = queries.Analytics.q2(spark, sf)
+    val s = scans(df)
+    assert(s.nonEmpty, "expected a FileSourceScanExec")
+    val scan = s.head
+    assert(scan.dataFilters.nonEmpty,
+      s"no pushed data filters in: ${scan.metadata}")
+    val read = scan.schema.fieldNames.toSet
+    assert(read.size <= 6,
+      s"scan reads more columns than the projection needs: $read")
+  }
+
+  test("q3_join_agg: dimension sides are broadcast, not shuffled") {
+    val p = plan(queries.Analytics.q3(spark, sf)).toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast joins for the dimension tables:\n$p")
+  }
+
+  test("q1_agg: aggregation is partial (map-side combine) + codegen'd") {
+    val df = queries.Analytics.q1(spark, sf)
+    val p = plan(df).toString
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate pair:\n$p")
+    assert(all(df.queryExecution.executedPlan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      "aggregation should run inside whole-stage codegen")
+  }
+
+  test("q9_topk: ORDER BY + LIMIT plans as TakeOrdered, not a global sort") {
+    val p = plan(queries.Analytics.q9(spark, sf)).toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q25_range_join: bin strategy keeps the join equi- (no nested-loop explosion)") {
+    val p = plan(queries.Analytics2.q25(spark, sf)).toString
+    assert(!p.contains("CartesianProduct"),
+      s"range join must not plan a cartesian product:\n$p")
+  }
+
+  test("q24_asof_join: single-pass window — one hash shuffle of events") {
+    // the final ORDER BY adds a rangepartitioning exchange over the
+    // (small) result; the DATA path must hash-shuffle events only once
+    val hashShuffles = shuffles(queries.Analytics2.q24(spark, sf))
+      .filter(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashShuffles.length <= 1,
+      s"as-of join should hash-shuffle events once, saw ${hashShuffles.length}")
+  }
+
+  test("mm_dedup: the shuffle carries hashes, never binary payloads") {
+    val es = shuffles(multimodal.Multimodal.payloadDedup(spark, sf))
+    assert(es.nonEmpty)
+    es.foreach { e =>
+      val types = e.child.schema.fields.map(_.dataType.typeName).toSet
+      assert(!types.contains("binary"),
+        s"payload bytes crossed a shuffle: ${e.child.schema}")
+    }
+  }
+}
