@@ -17,6 +17,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -28,6 +29,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pq(s, d)),
+    "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -48,6 +50,7 @@ object SparkEntry {
     "dedup_corpus" -> Dedup.dedupCorpusSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
+    "dedup_containment" -> Dedup.containmentSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,
@@ -59,6 +62,7 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,
+    "ann_range" -> Similarity.rangeSearchSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "text_repetition" -> Curation.repetitionSql,

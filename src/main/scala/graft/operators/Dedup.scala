@@ -124,6 +124,45 @@ object Dedup {
       else ngramPairsJoin(sh))
   }
 
+  /** Near-containment pairs: common / min(|A|,|B|) ≥ `t` — catches a
+    * document embedded inside a larger one, which symmetric Jaccard
+    * misses (a 100-shingle doc inside a 1000-shingle doc has J ≈ 0.1
+    * but containment 1.0). Same exact pair stage as [[ngramJaccard]];
+    * only the score changes. */
+  def containment(s: SparkSession, d: String, t: Double = 0.9): DataFrame = {
+    val sh = shingles(s, d)
+    val (nUniverse, nDocs) = shStats(sh)
+    val pairs =
+      if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
+        ngramPairsBitset(sh, nUniverse.toInt)
+      else ngramPairsJoin(sh)
+    pairs.select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= t)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val containmentSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
+      |           generate_series(1, len(string_split(text, ' ')) - 1),
+      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY x.doc_id, y.doc_id)
+      |SELECT doc_a, doc_b,
+      |  CAST(common AS DOUBLE) / LEAST(a.n_sh, b.n_sh) AS containment
+      |FROM common
+      |JOIN sizes a ON a.doc_id = doc_a
+      |JOIN sizes b ON b.doc_id = doc_b
+      |WHERE CAST(common AS DOUBLE) / LEAST(a.n_sh, b.n_sh) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** (doc_id, bits, n_sh): each doc's shingle set as a dense bitset over
     * a dictionary-indexed universe (shared by the bitset pair strategies;
     * the vocab window sorts only the ≤16k distinct shingles). */

@@ -176,6 +176,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Range search: every vector within cosine ≥ `t` of the query — the
+    * radius-query counterpart of top-k (dedup and near-dup harvesting
+    * use this shape: "give me EVERYTHING closer than t", unbounded k).
+    * One narrow pass; the filter is applied before any ordering, so
+    * only in-radius rows reach the (small) final sort. */
+  def rangeSearch(s: SparkSession, d: String, queryId: Long = 0L,
+      t: Double = 0.25): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    e.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (dotD(col("embedding"), col("q_emb")) /
+        sqrt(col("n2") * col("q_n2"))).as("cos"))
+      .filter(col("cos") >= t)
+      .orderBy(col("vec_id"))
+  }
+
+  val rangeSearchSql: String =
+    s"""SELECT vec_id, cos FROM (
+       |  SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |  WHERE vec_id <> 0)
+       |WHERE cos >= 0.25
+       |ORDER BY vec_id""".stripMargin
+
   /** Product-quantization ANN (rows-only): each vector is encoded as
     * `m` sub-codes (nearest of `ksub` per-subspace centroids from a
     * deterministic training sample), and the query ranks by the ADC

@@ -88,13 +88,81 @@ object Analytics4 {
       |GROUP BY n_hr
       |ORDER BY n_hr""".stripMargin
 
+  // ---- q44: 7-day rolling active users (EXACT sliding distinct) --------
+  // Exact distinct-over-sliding-window without a giant state: each
+  // (user, active-day) pair is exploded into the ≤7 window-end days it
+  // covers, then a plain distinct count per day. The blow-up factor is
+  // the window length — bounded, documented, and embarrassingly
+  // parallel — vs an unbounded per-day distinct-user state. Days with
+  // no events anchor no window (join back to observed days).
+  def q44(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val cover = ud.select(col("user_id"), col("d"),
+        explode(sequence(lit(0), lit(6))).as("i"))
+      .select(col("user_id"), expr("timestampadd(DAY, i, d)").as("day"))
+    cover.join(days, "day")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+      .orderBy(col("day"))
+  }
+
+  val q44Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      |  FROM events),
+      |days AS (SELECT DISTINCT d AS day FROM ud),
+      |cover AS (
+      |  SELECT user_id, d + i * INTERVAL 1 DAY AS day
+      |  FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i) g)
+      |SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_7d
+      |FROM cover JOIN days USING (day)
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  // ---- q45: bloom-filter join pre-pruning ------------------------------
+  // The 100 TB trick for a selective dim⋈fact join: build a Bloom
+  // filter over the (filtered) dim keys, drop non-matching fact rows
+  // BEFORE the shuffle, then let the real join remove the false
+  // positives — result is exactly the plain join. At scale the bloom
+  // bits ship with the broadcast instead of a second scan of the dim.
+  def q45(s: SparkSession, d: String): DataFrame = {
+    val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bf = dim.stat.bloomFilter("c_custkey", 10000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    orders(s, d)
+      .filter(mightContain(col("o_custkey"))) // pre-shuffle prune (~99%)
+      .join(dim, col("o_custkey") === col("c_custkey")) // exact: kills FPs
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frags.dsum2("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q45Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Frags.dsum2("o_totalprice")} AS total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_moving_avg" -> (q41 _),
     "q42_mode" -> (q42 _),
-    "q43_range_count" -> (q43 _))
+    "q43_range_count" -> (q43 _),
+    "q44_rolling_active" -> (q44 _),
+    "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
     "q41_moving_avg" -> q41Sql,
     "q42_mode" -> q42Sql,
-    "q43_range_count" -> q43Sql)
+    "q43_range_count" -> q43Sql,
+    "q44_rolling_active" -> q44Sql,
+    "q45_bloom_prefilter" -> q45Sql)
 }
+

@@ -127,6 +127,39 @@ object EtlQueries {
     s.read.parquet(dir.toString).filter(col("l_returnflag") === "R")
   }
 
+  /** Schema evolution across ingest batches: an early batch lacking a
+    * column and a later batch carrying it are read back together with
+    * `mergeSchema` — the union schema applies, missing values surface
+    * as NULLs (never errors, never silent column drops). The oracle
+    * recomputes the same aggregates from the unsplit source, proving
+    * the evolved read loses nothing. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    if (!dir.exists()) {
+      val o = Tables.orders(s, d)
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$dir/batch=2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/batch=1", s"$dir/batch=2")
+      .agg(count(lit(1)).as("n_rows"),
+        expr(Frags.dsum2("o_totalprice")).as("sum_price"),
+        count(col("o_orderpriority")).as("n_with_priority"))
+  }
+
+  val schemaEvolutionSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  ${Frags.dsum2("o_totalprice")} AS sum_price,
+       |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_with_priority
+       |FROM orders""".stripMargin
+
   val partitionPruneSql: String =
     s"""SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS sum_qty,
        |  ${Frags.dsum2("l_extendedprice")} AS sum_price
@@ -138,12 +171,14 @@ object EtlQueries {
     "etl_rename" -> (rename _),
     "etl_cast" -> (cast _),
     "etl_jdbc_roundtrip" -> (jdbcRoundtrip _),
-    "etl_partition_prune" -> (partitionPrune _))
+    "etl_partition_prune" -> (partitionPrune _),
+    "etl_schema_evolution" -> (schemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,
     "etl_cast" -> castSql,
     "etl_jdbc_roundtrip" -> jdbcRoundtripSql,
-    "etl_partition_prune" -> partitionPruneSql)
+    "etl_partition_prune" -> partitionPruneSql,
+    "etl_schema_evolution" -> schemaEvolutionSql)
 }
