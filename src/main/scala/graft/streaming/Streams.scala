@@ -228,6 +228,35 @@ object Streams {
       .orderBy(col("user_id"), col("start"))
   }
 
+  /** Continuous top-k leaderboard: complete-mode aggregation ranked per
+    * trigger — the "most active users right now" surface. State is one
+    * row per user (bounded by key cardinality); the rank/limit runs on
+    * the aggregated state, never the raw stream. k ties broken by
+    * user_id for a deterministic, oracle-comparable result. */
+  def streamTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val agg = eventStream(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total_value"))
+    val name = freshMemoryTable(s, "graft_topk")
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+  }
+
+  val streamTopKSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY n_events DESC, user_id
+      |LIMIT 10""".stripMargin
+
   /** Stream-static enrichment: the event stream joined to the customer
     * dimension (a static DataFrame, broadcast to every micro-batch —
     * no state, no shuffle of the stream side) and aggregated per
