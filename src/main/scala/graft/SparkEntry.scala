@@ -24,6 +24,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
     "text_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
+    "text_gini" -> ((s, d) => TextAnalysis.gini(s, d)),
+    "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
@@ -60,6 +62,8 @@ object SparkEntry {
     "text_tokens" -> TextAnalysis.tokensSql,
     "text_ngrams" -> TextAnalysis.topNgramsSql,
     "text_tfidf" -> TextAnalysis.tfidfSql,
+    "text_gini" -> TextAnalysis.giniSql,
+    "dedup_phrases" -> TextAnalysis.phrasesSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,

@@ -165,6 +165,69 @@ object TextAnalysis {
       |ORDER BY lang, rnk""".stripMargin
 
   /** Content fingerprints (md5-derived 64-bit hex). */
+  /** Character-distribution Gini diversity per doc: 1 − Σ pᵢ² over the
+    * word-character frequencies — the log-free cousin of entropy
+    * (degenerate/repetitive docs score low). All arithmetic is exact
+    * integers (Σ cᵢ² as BIGINT) until ONE double division, so the
+    * score is bit-identical across engines and partitionings — unlike
+    * a log-based entropy, whose libm rounding differs per platform. */
+  def gini(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= " ")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_letters"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("doc_id"), col("n_letters"), col("distinct_chars"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_letters") * col("n_letters"))).as("gini"))
+      .orderBy(col("doc_id"))
+
+  val giniSql: String =
+    """SELECT doc_id, CAST(n_letters AS BIGINT) AS n_letters,
+      |  CAST(distinct_chars AS BIGINT) AS distinct_chars,
+      |  1.0 - CAST(sum_sq AS DOUBLE) / (n_letters * n_letters) AS gini
+      |FROM (
+      |  SELECT doc_id, SUM(c) AS n_letters, COUNT(*) AS distinct_chars,
+      |    SUM(c * c) AS sum_sq
+      |  FROM (
+      |    SELECT doc_id, ch, COUNT(*) AS c
+      |    FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+      |          FROM documents)
+      |    WHERE ch <> ' '
+      |    GROUP BY doc_id, ch)
+      |  GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Corpus-level boilerplate mining: the 20 most frequent word
+    * 5-gram phrases — shared templates/boilerplate surface here long
+    * before pairwise dedup sees them. Explode + count + TakeOrdered;
+    * the phrase strings shuffle once as (phrase, partial-count). */
+  def phrases(s: SparkSession, d: String, n: Int = 5, k: Int = 20): DataFrame =
+    documents(s, d)
+      .select(words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j)): _*)))
+        .as("phrase"))
+      .groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("phrase"))
+      .limit(k)
+
+  val phrasesSql: String =
+    """SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |FROM (
+      |  SELECT UNNEST(list_transform(
+      |    generate_series(1, len(ws) - 4),
+      |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS phrase
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 5)
+      |GROUP BY phrase
+      |ORDER BY n_occurrences DESC, phrase
+      |LIMIT 20""".stripMargin
+
   def fingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))

@@ -151,7 +151,73 @@ object Analytics4 {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q46: year-over-year growth per market segment -------------------
+  // Yearly revenue is an exact DECIMAL sum; growth is ONE double
+  // division per row — engine-portable. First year's growth is NULL.
+  def q46(s: SparkSession, d: String): DataFrame = {
+    val seg = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val yearly = orders(s, d)
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))")
+        .as("rev_d"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("yr"))
+    yearly
+      .withColumn("prev_d", lag(col("rev_d"), 1).over(w))
+      .select(col("c_mktsegment"), col("yr"),
+        col("rev_d").cast("double").as("revenue"),
+        ((col("rev_d") - col("prev_d")).cast("double") /
+          col("prev_d").cast("double")).as("yoy_growth"))
+      .orderBy(col("c_mktsegment"), col("yr"))
+  }
+
+  val q46Sql: String =
+    """SELECT c_mktsegment, CAST(yr AS INT) AS yr, CAST(rev_d AS DOUBLE) AS revenue,
+      |  CAST(rev_d - prev_d AS DOUBLE) / CAST(prev_d AS DOUBLE) AS yoy_growth
+      |FROM (
+      |  SELECT c_mktsegment, yr, rev_d,
+      |    LAG(rev_d) OVER (PARTITION BY c_mktsegment ORDER BY yr) AS prev_d
+      |  FROM (
+      |    SELECT c_mktsegment, year(o_orderdate) AS yr,
+      |      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev_d
+      |    FROM orders JOIN customer ON o_custkey = c_custkey
+      |    GROUP BY 1, 2))
+      |ORDER BY c_mktsegment, yr""".stripMargin
+
+  // ---- q47: share of total (two-level aggregation) ---------------------
+  // Per-nation revenue share: group decimal sums + ONE unpartitioned
+  // window over the 25-row aggregate (never over raw facts), then one
+  // double division.
+  def q47(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val byNation = orders(s, d)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))")
+        .as("rev_d"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byNation
+      .withColumn("total_d", sum(col("rev_d")).over(wAll))
+      .select(col("nationkey"), col("rev_d").cast("double").as("revenue"),
+        (col("rev_d").cast("double") / col("total_d").cast("double"))
+          .as("share"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q47Sql: String =
+    """SELECT nationkey, CAST(rev_d AS DOUBLE) AS revenue,
+      |  CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE) AS share
+      |FROM (
+      |  SELECT c_nationkey AS nationkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS rev_d
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1)
+      |ORDER BY nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_yoy_growth" -> (q46 _),
+    "q47_share_of_total" -> (q47 _),
     "q41_moving_avg" -> (q41 _),
     "q42_mode" -> (q42 _),
     "q43_range_count" -> (q43 _),
@@ -159,6 +225,8 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q46_yoy_growth" -> q46Sql,
+    "q47_share_of_total" -> q47Sql,
     "q41_moving_avg" -> q41Sql,
     "q42_mode" -> q42Sql,
     "q43_range_count" -> q43Sql,
