@@ -96,10 +96,16 @@ object Dedup {
     * dispatch so a tuning change can't leave one path behind. */
   // Overridable for strategy A/B benchmarking (set to 0 to force the
   // prefix-join / shuffle paths); defaults are the production caps.
-  private val BitsetUniverseCap =
-    sys.env.get("GRAFT_BITSET_UNIVERSE_CAP").map(_.toLong).getOrElse(16384L)
-  private val BitsetDocCap =
-    sys.env.get("GRAFT_BITSET_DOC_CAP").map(_.toLong).getOrElse(100000L)
+  // Malformed values fail with a message naming the env var — a bare
+  // .toLong would surface as an opaque ExceptionInInitializerError.
+  private def capEnv(name: String, dflt: Long): Long =
+    sys.env.get(name).map(_.trim).filter(_.nonEmpty) match {
+      case None => dflt
+      case Some(v) => v.toLongOption.getOrElse(
+        throw new IllegalArgumentException(s"$name must be a long, got '$v'"))
+    }
+  private val BitsetUniverseCap = capEnv("GRAFT_BITSET_UNIVERSE_CAP", 16384L)
+  private val BitsetDocCap = capEnv("GRAFT_BITSET_DOC_CAP", 100000L)
 
   private def shStats(sh: DataFrame): (Long, Long) = {
     val r = sh.agg(countDistinct(col("sh")).as("u"),
@@ -113,16 +119,23 @@ object Dedup {
       (col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
 
-  /** All doc pairs sharing ≥1 bigram shingle, with exact Jaccard —
-    * the shared pair stage behind [[ngramJaccard]] and [[clusters]]. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+  /** The ONE strategy dispatch for the exact shared-shingle pair stage
+    * (doc_a, doc_b, common, n_a, n_b): dense bitsets under the caps,
+    * shingle-exploded self-join past them. Every exact pair consumer
+    * ([[ngramJaccard]], [[clusters]], [[containment]]) goes through
+    * here so a strategy/tuning change can't leave one path behind. */
+  private def pairStage(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val (nUniverse, nDocs) = shStats(sh)
-    withJaccard(
-      if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
-        ngramPairsBitset(sh, nUniverse.toInt)
-      else ngramPairsJoin(sh))
+    if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
+      ngramPairsBitset(sh, nUniverse.toInt)
+    else ngramPairsJoin(sh)
   }
+
+  /** All doc pairs sharing ≥1 bigram shingle, with exact Jaccard —
+    * the shared pair stage behind [[ngramJaccard]] and [[clusters]]. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    withJaccard(pairStage(s, d))
 
   /** Near-containment pairs: common / min(|A|,|B|) ≥ `t` — catches a
     * document embedded inside a larger one, which symmetric Jaccard
@@ -130,13 +143,7 @@ object Dedup {
     * but containment 1.0). Same exact pair stage as [[ngramJaccard]];
     * only the score changes. */
   def containment(s: SparkSession, d: String, t: Double = 0.9): DataFrame = {
-    val sh = shingles(s, d)
-    val (nUniverse, nDocs) = shStats(sh)
-    val pairs =
-      if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
-        ngramPairsBitset(sh, nUniverse.toInt)
-      else ngramPairsJoin(sh)
-    pairs.select(col("doc_a"), col("doc_b"),
+    pairStage(s, d).select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           least(col("n_a"), col("n_b"))).as("containment"))
       .filter(col("containment") >= t)

@@ -18,8 +18,11 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  /** Exact top-10 cosine neighbours of vector `queryId` (brute force). */
-  def bruteForce(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
+  /** (vec_id, cos) of every OTHER vector vs the query vector — the
+    * shared narrow scoring pass behind [[bruteForce]] (top-k) and
+    * [[rangeSearch]] (radius): one broadcast of the single query row,
+    * no shuffle of the corpus vectors. */
+  private def cosineToQuery(s: SparkSession, d: String, queryId: Long): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
     val q = e.filter(col("vec_id") === queryId)
@@ -28,9 +31,13 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"), (dotD(col("embedding"), col("q_emb")) /
         sqrt(col("n2") * col("q_n2"))).as("cos"))
+  }
+
+  /** Exact top-10 cosine neighbours of vector `queryId` (brute force). */
+  def bruteForce(s: SparkSession, d: String, queryId: Long = 0L): DataFrame =
+    cosineToQuery(s, d, queryId)
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
-  }
 
   private val cosSql =
     """list_reduce(list_transform(list_zip(%A%, %B%),
@@ -182,18 +189,10 @@ object Similarity {
     * One narrow pass; the filter is applied before any ordering, so
     * only in-radius rows reach the (small) final sort. */
   def rangeSearch(s: SparkSession, d: String, queryId: Long = 0L,
-      t: Double = 0.25): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"))
-    val q = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    e.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), (dotD(col("embedding"), col("q_emb")) /
-        sqrt(col("n2") * col("q_n2"))).as("cos"))
+      t: Double = 0.25): DataFrame =
+    cosineToQuery(s, d, queryId)
       .filter(col("cos") >= t)
       .orderBy(col("vec_id"))
-  }
 
   val rangeSearchSql: String =
     s"""SELECT vec_id, cos FROM (
@@ -227,10 +226,32 @@ object Similarity {
       val diff = zip_with(a, b, (x, y) => x - y)
       dotD(diff, diff)
     }
-    // codebook: the ksub hash-first training vectors, split per subspace
-    val cents = subvecs(e.filter(col("vec_id") < ksub), "embedding")
+    // codebook: seed with the ksub first vectors' subvectors, then ONE
+    // Lloyd refinement over a deterministic 256-vector training sample
+    // (assign → per-(sub,code) element-wise mean). The refined
+    // centroids approximate the sample distribution instead of echoing
+    // 16 arbitrary vectors — measurably better ADC recall. Means are
+    // rounded to FLOAT so run-to-run double-summation jitter cannot
+    // leak into the (deterministic) output.
+    val seed = subvecs(e.filter(col("vec_id") < ksub), "embedding")
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("c_sv"))
+    val train = subvecs(e.filter(col("vec_id") < 256), "embedding")
+    val wTrain = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd2"), col("code"))
+    val trainAssign = train.join(broadcast(seed), "sub")
+      .select(col("vec_id"), col("sub"), col("code"), col("sv"),
+        d2(col("sv"), col("c_sv")).as("cd2"))
+      .withColumn("rn", row_number().over(wTrain))
+      .filter(col("rn") === 1)
+    val cents = trainAssign
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("sub"), col("code"), col("dim"))
+      .agg(avg(col("x")).cast("float").as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("sub"), col("code"),
+        transform(col("dm"), p => p.getField("m")).as("c_sv"))
     // encode: nearest sub-centroid per (vector, subspace)
     val wCode = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))

@@ -131,7 +131,10 @@ object Analytics4 {
   def q45(s: SparkSession, d: String): DataFrame = {
     val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val bf = dim.stat.bloomFilter("c_custkey", 10000L, 0.01)
+    // size the bloom from the ACTUAL key count: a hard-coded capacity
+    // saturates at larger SFs (fpp → 1) and the prune becomes a no-op
+    val nKeys = math.max(dim.count(), 1000L)
+    val bf = dim.stat.bloomFilter("c_custkey", nKeys, 0.01)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
     orders(s, d)

@@ -119,7 +119,9 @@ object EtlQueries {
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    if (!dir.exists()) {
+    // _SUCCESS marker, not bare existence: an interrupted earlier run
+    // must be rewritten, never served as a silent partial copy
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
       Tables.lineitem(s, d)
         .write.mode("overwrite").partitionBy("l_returnflag")
         .parquet(dir.toString)
@@ -137,7 +139,11 @@ object EtlQueries {
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
       s"graft_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    if (!dir.exists()) {
+    // completeness markers, not bare existence: an interrupted earlier
+    // run must be rewritten, never served as a silent partial copy
+    val complete = new java.io.File(dir, "batch=1/_SUCCESS").exists() &&
+      new java.io.File(dir, "batch=2/_SUCCESS").exists()
+    if (!complete) {
       val o = Tables.orders(s, d)
       o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
         .select("o_orderkey", "o_totalprice")

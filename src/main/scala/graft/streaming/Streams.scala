@@ -35,6 +35,21 @@ object Streams {
     s"${prefix}_${System.nanoTime()}"
   }
 
+  /** Drive a bounded stream to completion into a fresh memory sink and
+    * return the materialized table — the one replay harness every
+    * operator here shares (8 state partitions during replay; see
+    * [[withStatePartitions]]). */
+  private def runToMemory(s: SparkSession, df: DataFrame, prefix: String,
+      mode: String): DataFrame = {
+    val name = freshMemoryTable(s, prefix)
+    withStatePartitions(s, 8) {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.table(name)
+  }
+
   private def eventStream(s: SparkSession, d: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -60,13 +75,7 @@ object Streams {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total"))
-    val name = freshMemoryTable(s, "graft_win_agg")
-    withStatePartitions(s, 8) {
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+    runToMemory(s, agg, "graft_win_agg", "complete")
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
       .orderBy(col("window_start"), col("event_type"))
@@ -92,13 +101,8 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
-    val name = freshMemoryTable(s, "graft_stream_dedup")
-    withStatePartitions(s, 8) {
-      val q = doubled.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name).orderBy(col("event_id"))
+    runToMemory(s, doubled, "graft_stream_dedup", "append")
+      .orderBy(col("event_id"))
   }
 
   val streamDedupSql: String =
@@ -126,13 +130,7 @@ object Streams {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("error_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
-    val name = freshMemoryTable(s, "graft_interval_join")
-    withStatePartitions(s, 8) {
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+    runToMemory(s, joined, "graft_interval_join", "append")
       .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
   }
 
@@ -215,14 +213,8 @@ object Streams {
     import s.implicits._
     val evs = eventStream(s, d, maxFilesPerTrigger)
       .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
-    val name = freshMemoryTable(s, "graft_sessions")
-    withStatePartitions(s, 8) {
-      val q = sessionize(s, evs, gapSec).toDF()
-        .writeStream.outputMode("update")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+    runToMemory(s, sessionize(s, evs, gapSec).toDF(),
+        "graft_sessions", "update")
       .groupBy(col("user_id"), col("start"))
       .agg(max(col("end")).as("end"), max(col("n_events")).as("n_events"))
       .orderBy(col("user_id"), col("start"))
@@ -238,13 +230,7 @@ object Streams {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total_value"))
-    val name = freshMemoryTable(s, "graft_topk")
-    withStatePartitions(s, 8) {
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+    runToMemory(s, agg, "graft_topk", "complete")
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(k)
   }
@@ -271,13 +257,7 @@ object Streams {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("total_value"))
-    val name = freshMemoryTable(s, "graft_enrich")
-    withStatePartitions(s, 8) {
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    s.table(name)
+    runToMemory(s, agg, "graft_enrich", "complete")
       .select(col("c_mktsegment"), col("event_type"), col("n"), col("total_value"))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }

@@ -66,14 +66,14 @@ class CurationSpec extends AnyFunSuite {
     val dists = pq.map(_.getDouble(1))
     assert(dists.forall(_ >= 0.0))
     assert(dists.toSeq == dists.sorted.toSeq, "ADC ranking must ascend")
-    // the PQ shortlist must beat the corpus mean true cosine to q0:
-    // approximate but it's still a nearest-neighbour ranking
+    // recall floor vs the exact top-10: the refined codebook recovers
+    // 3/10 on this deterministic testdata (measured at sf0.001 AND
+    // sf0.01); a scrambled ADC join/ranking drops to 0-1
     val ids = pq.map(_.getLong(0)).toSet
-    val cos = Similarity.bruteForce(spark, sf, queryId = 0L)
-    // brute force returns the TRUE top-10; PQ should recover some of it
-    val hot = cos.collect().map(_.getLong(0)).toSet
-    assert(ids.intersect(hot).nonEmpty,
-      s"PQ shortlist shares nothing with the exact top-10: $ids vs $hot")
+    val hot = Similarity.bruteForce(spark, sf, queryId = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(hot).size >= 2,
+      s"PQ recall@10 collapsed: $ids vs exact $hot")
   }
 
   test("etl_partition_prune: the scan prunes partitions at plan time") {
