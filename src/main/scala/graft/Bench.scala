@@ -21,7 +21,7 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     // Dev knobs: SPARK_GRAFT_ONLY=q1_agg,q3_join_agg to time a subset,
     // SPARK_GRAFT_REPEAT=3 to repeat each (min time reported).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = SparkEntry.parseOnly()
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))

@@ -93,6 +93,21 @@ object SparkEntry {
       graft.queries.Analytics3.queries ++ graft.queries.Analytics4.queries ++
       pipelineQueries ++ graft.queries.EtlQueries.queries
 
+  /** Parse the SPARK_GRAFT_ONLY dev knob (comma-separated query names)
+    * shared by the Verify and Bench mains; unknown names fail loudly —
+    * a typo must not silently select nothing. */
+  def parseOnly(): Option[Set[String]] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- queries.keySet
+      if (unknown.nonEmpty)
+        sys.error(s"SPARK_GRAFT_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    only
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -17,17 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev knob: SPARK_GRAFT_ONLY=q30_lead_lag,q31_ntile restricts the dump
     // (the driver leaves it unset and always dumps everything).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      if (unknown.nonEmpty)
-        // fail loudly: a typo would otherwise dump nothing and surface
-        // later as a confusing missing-directory compare error
-        sys.error(s"SPARK_GRAFT_ONLY names unknown queries: " +
-          unknown.toSeq.sorted.mkString(", "))
-    }
-    val selected = only match {
+    val selected = SparkEntry.parseOnly() match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }

@@ -119,11 +119,14 @@ object Dedup {
       (col("common").cast("double") /
         (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
 
-  /** The ONE strategy dispatch for the exact shared-shingle pair stage
-    * (doc_a, doc_b, common, n_a, n_b): dense bitsets under the caps,
-    * shingle-exploded self-join past them. Every exact pair consumer
-    * ([[ngramJaccard]], [[clusters]], [[containment]]) goes through
-    * here so a strategy/tuning change can't leave one path behind. */
+  /** The strategy dispatch for the UNTHRESHOLDED exact shared-shingle
+    * pair stage (doc_a, doc_b, common, n_a, n_b): dense bitsets under
+    * the caps, shingle-exploded self-join past them. Consumers:
+    * [[ngramJaccard]] (via jaccardPairs) and [[containment]].
+    * Threshold-aware consumers ([[clusters]]) go through
+    * [[jaccardPairsAbove]] instead, whose dispatch swaps the
+    * past-the-caps branch for the PPJoin prefix join (prefix pruning
+    * needs the threshold, which this stage doesn't have). */
   private def pairStage(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     val (nUniverse, nDocs) = shStats(sh)
@@ -150,8 +153,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val containmentSql: String =
-    """WITH sh AS (
+  /** The shingle/sizes/common CTE block shared VERBATIM by every
+    * exact-pair oracle (ngramJaccard, minhash, containment, clusters):
+    * one definition, so a change to the shingle semantics cannot
+    * silently desynchronize one oracle from the Spark side it checks.
+    * (s-interpolated, hence the doubled $ is not needed — no escapes
+    * appear in the block.) */
+  private val ShPairsCte: String =
+    """sh AS (
       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
       |           generate_series(1, len(string_split(text, ' ')) - 1),
       |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
@@ -161,7 +170,10 @@ object Dedup {
       |common AS (
       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-      |  GROUP BY x.doc_id, y.doc_id)
+      |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
+  val containmentSql: String =
+    s"""WITH $ShPairsCte
       |SELECT doc_a, doc_b,
       |  CAST(common AS DOUBLE) / LEAST(a.n_sh, b.n_sh) AS containment
       |FROM common
@@ -210,17 +222,7 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-      |           generate_series(1, len(string_split(text, ' ')) - 1),
-      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
-      |  FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 2),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-      |common AS (
-      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
-      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-      |  GROUP BY x.doc_id, y.doc_id)
+    s"""WITH $ShPairsCte
       |SELECT doc_a, doc_b,
       |  CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) AS jaccard
       |FROM common
@@ -373,17 +375,7 @@ object Dedup {
 
   /** Oracle: transitive closure by recursive CTE, min reachable label. */
   val clustersSql: String =
-    """WITH RECURSIVE sh AS (
-      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-      |           generate_series(1, len(string_split(text, ' ')) - 1),
-      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
-      |  FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 2),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-      |common AS (
-      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
-      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-      |  GROUP BY x.doc_id, y.doc_id),
+    s"""WITH RECURSIVE $ShPairsCte,
       |jpairs AS (
       |  SELECT doc_a, doc_b
       |  FROM common
@@ -450,17 +442,7 @@ object Dedup {
   /** Exact all-pairs Jaccard ≥ 0.5 — what the LSH path must converge
     * to when its recall at the threshold is total (see minhashLsh). */
   val minhashLshSql: String =
-    """WITH sh AS (
-      |  SELECT doc_id, UNNEST(list_distinct(list_transform(
-      |           generate_series(1, len(string_split(text, ' ')) - 1),
-      |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
-      |  FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 2),
-      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-      |common AS (
-      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
-      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
-      |  GROUP BY x.doc_id, y.doc_id)
+    s"""WITH $ShPairsCte
       |SELECT doc_a, doc_b,
       |  CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) AS jaccard
       |FROM common

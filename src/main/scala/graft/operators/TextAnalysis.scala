@@ -164,7 +164,6 @@ object TextAnalysis {
       |WHERE rnk <= 5
       |ORDER BY lang, rnk""".stripMargin
 
-  /** Content fingerprints (md5-derived 64-bit hex). */
   /** Character-distribution Gini diversity per doc: 1 − Σ pᵢ² over the
     * word-character frequencies — the log-free cousin of entropy
     * (degenerate/repetitive docs score low). All arithmetic is exact
@@ -228,6 +227,7 @@ object TextAnalysis {
       |ORDER BY n_occurrences DESC, phrase
       |LIMIT 20""".stripMargin
 
+  /** Content fingerprints (md5-derived 64-bit hex). */
   def fingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))

@@ -129,8 +129,10 @@ object Analytics4 {
   // positives — result is exactly the plain join. At scale the bloom
   // bits ship with the broadcast instead of a second scan of the dim.
   def q45(s: SparkSession, d: String): DataFrame = {
+    // persisted: count, bloom build, and the join build side are THREE
+    // separate actions — uncached they would each rescan customer
     val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"))
+      .select(col("c_custkey")).persist()
     // size the bloom from the ACTUAL key count: a hard-coded capacity
     // saturates at larger SFs (fpp → 1) and the prune becomes a no-op
     val nKeys = math.max(dim.count(), 1000L)

@@ -17,13 +17,15 @@ object JdbcUpsert {
   /** Apply `batch` (one row per key — pre-reduce upstream) to `target`
     * via `staging`. Both tables must exist with identical schemas; the
     * first column sequence given in `cols` must start with `key`.
-    * When `orderCol` is set, a matched row is updated only if the
-    * incoming `orderCol` is >= the stored one — a late-replayed batch
-    * of OLDER changes then cannot clobber newer state (order-tolerant,
-    * idempotent apply). */
+    * When `orderCols` is set, a matched row is updated only if the
+    * incoming row is lexicographically >= the stored one on those
+    * columns — a late-replayed batch of OLDER changes then cannot
+    * clobber newer state, and an order tie-break column (e.g. a change
+    * sequence id alongside the timestamp) keeps the final state
+    * independent of how the replay was batched. */
   def upsertBatch(batch: DataFrame, url: String, target: String,
       staging: String, key: String, cols: Seq[String],
-      orderCol: Option[String] = None): Unit = {
+      orderCols: Seq[String] = Seq.empty): Unit = {
     require(cols.headOption.contains(key),
       s"cols must lead with the merge key '$key', got $cols")
     val conn = DriverManager.getConnection(url)
@@ -33,7 +35,16 @@ object JdbcUpsert {
     JdbcSink.write(batch, url, staging, Map.empty[String, Option[String]])
     val sets = cols.filterNot(_ == key)
       .map(c => s"t.$c = s.$c").mkString(", ")
-    val guard = orderCol.map(c => s" AND s.$c >= t.$c").getOrElse("")
+    // lexicographic (c1, c2, ...) >= comparison expanded to SQL
+    val guard =
+      if (orderCols.isEmpty) ""
+      else " AND (" + orderCols.indices.map { i =>
+        val eqs = orderCols.take(i).map(c => s"s.$c = t.$c")
+        val last =
+          if (i == orderCols.length - 1) s"s.${orderCols(i)} >= t.${orderCols(i)}"
+          else s"s.${orderCols(i)} > t.${orderCols(i)}"
+        (eqs :+ last).mkString("(", " AND ", ")")
+      }.mkString(" OR ") + ")"
     val insertCols = cols.mkString(", ")
     val insertVals = cols.map(c => s"s.$c").mkString(", ")
     val conn2 = DriverManager.getConnection(url)

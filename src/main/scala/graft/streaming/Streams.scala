@@ -239,11 +239,14 @@ object Streams {
       for (t <- Seq("ups_t", "ups_stage")) {
         try st.execute(s"DROP TABLE $t")
         catch { case _: java.sql.SQLException => () } // first run: no table
+        // last_event_id is stored so the cross-batch order guard can
+        // apply the SAME (ts, event_id) tie-break as the within-batch
+        // reduce — final state is then independent of replay batching
         st.execute(s"CREATE TABLE $t (user_id BIGINT PRIMARY KEY, " +
-          "last_ts TIMESTAMP, last_value DOUBLE)")
+          "last_ts TIMESTAMP, last_event_id BIGINT, last_value DOUBLE)")
       }
     } finally conn.close()
-    val cols = Seq("user_id", "last_ts", "last_value")
+    val cols = Seq("user_id", "last_ts", "last_event_id", "last_value")
     val q = eventStream(s, d, maxFilesPerTrigger)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .writeStream.outputMode("append")
@@ -254,17 +257,21 @@ object Streams {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("user_id"), col("ts").as("last_ts"),
+            col("event_id").as("last_event_id"),
             col("value").as("last_value"))
         graft.sinks.JdbcUpsert.upsertBatch(
           latest, url, "ups_t", "ups_stage", "user_id", cols,
-          orderCol = Some("last_ts"))
+          orderCols = Seq("last_ts", "last_event_id"))
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
     // Derby reports identifiers uppercase; restore the contract names
+    // (the event_id tie-break column is internal — not part of the
+    // consumer-facing latest-state surface)
     s.read.format("jdbc").option("url", url).option("dbtable", "ups_t").load()
-      .toDF("user_id", "last_ts", "last_value")
+      .toDF("user_id", "last_ts", "last_event_id", "last_value")
+      .select("user_id", "last_ts", "last_value")
       .orderBy(col("user_id"))
   }
 

@@ -40,8 +40,11 @@ class UpsertSpec extends AnyFunSuite {
     // batch 2: update user 2 (newer), insert user 3
     writeOne(Seq(ev(3, ts(11), 2L, 22.0), ev(4, ts(9), 3L, 3.0))
       .toDF(cols: _*), dir, "events.parquet2", base + 2000)
-    // batch 3: LATE replay of an OLDER change for user 1 — must be ignored
-    writeOne(Seq(ev(0, ts(8), 1L, -99.0))
+    // batch 3: LATE replay of an OLDER change for user 1, plus an
+    // EQUAL-timestamp change for user 2 with a LOWER event_id — both
+    // must be ignored (the cross-batch guard applies the same
+    // (ts, event_id) tie-break as the within-batch reduce)
+    writeOne(Seq(ev(0, ts(8), 1L, -99.0), ev(2, ts(11), 2L, -50.0))
       .toDF(cols: _*), dir, "events.parquet3", base + 4000)
 
     val out = Streams.streamUpsert(spark, dir.toString,
