@@ -45,6 +45,7 @@ object SparkEntry {
     "stream_enrich" -> ((s, d) => graft.streaming.Streams.streamEnrich(s, d)),
     "stream_topk" -> ((s, d) => graft.streaming.Streams.streamTopK(s, d)),
     "stream_upsert" -> ((s, d) => graft.streaming.Streams.streamUpsert(s, d)),
+    "stream_corpus" -> ((s, d) => graft.streaming.Streams.streamCorpus(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.Streams.streamDedup(s, d)),
     "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoin(s, d)))
@@ -81,6 +82,7 @@ object SparkEntry {
     "stream_enrich" -> graft.streaming.Streams.streamEnrichSql,
     "stream_topk" -> graft.streaming.Streams.streamTopKSql,
     "stream_upsert" -> graft.streaming.Streams.streamUpsertSql,
+    "stream_corpus" -> graft.streaming.Streams.streamCorpusSql,
     "stream_sessionize" -> graft.streaming.Streams.sessionizeSql,
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql)

@@ -101,20 +101,20 @@ object Curation {
     *   8 — degenerate mean word length (outside [3, 8] chars)
     * The reason-code pattern (rather than a bare filter) is what a
     * production curation pipeline audits: every drop is attributable. */
-  def qualityGate(s: SparkSession, d: String): DataFrame = {
-    documents(s, d)
+  /** Append the gate's `reasons` bitmask to any frame carrying
+    * (text, n_chars) — original columns preserved. Shared by the
+    * batch gate and the streaming corpus pipeline. */
+  def withReasons(docs: DataFrame): DataFrame =
+    docs
       // materialize the token array ONCE per row: inlining words(text)
       // into the bigram lambda would re-split the text per element
-      .select(col("doc_id"), col("n_chars"), words(col("text")).as("ws"))
-      .select(col("doc_id"), col("n_chars"),
-        size(col("ws")).cast("bigint").as("n_words"),
-        // bigrams needs >= 2 tokens (sequence(1,0) would descend)
-        when(size(col("ws")) >= 2, bigrams(col("ws")))
-          .otherwise(array().cast("array<string>")).as("bgs"))
-      .select(col("doc_id"), col("n_words"),
-        (size(col("bgs"))).cast("bigint").as("nb"),
-        (size(array_distinct(col("bgs")))).cast("bigint").as("nd"),
-        col("n_chars"))
+      .withColumn("ws", words(col("text")))
+      .withColumn("n_words", size(col("ws")).cast("bigint"))
+      // bigrams needs >= 2 tokens (sequence(1,0) would descend)
+      .withColumn("bgs", when(size(col("ws")) >= 2, bigrams(col("ws")))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("nb", size(col("bgs")).cast("bigint"))
+      .withColumn("nd", size(array_distinct(col("bgs"))).cast("bigint"))
       .withColumn("reasons",
         when(col("n_chars") < 100, 1).otherwise(0) +
           when(col("n_words") < 20, 2).otherwise(0) +
@@ -124,15 +124,20 @@ object Curation {
             (col("n_chars") - col("n_words") + 1) < col("n_words") * 3 ||
               (col("n_chars") - col("n_words") + 1) > col("n_words") * 8, 8)
             .otherwise(0))
+      .drop("ws", "n_words", "bgs", "nb", "nd")
+
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    withReasons(documents(s, d))
       .select(col("doc_id"), col("reasons"),
         (col("reasons") === 0).as("pass"))
       .orderBy(col("doc_id"))
-  }
 
-  val qualityGateSql: String =
-    """SELECT doc_id, CAST(reasons AS INT) AS reasons, reasons = 0 AS "pass"
-      |FROM (
-      |  SELECT doc_id,
+  /** The gate's reason-bitmask computation as a SQL fragment — a
+    * relation (doc_id, reasons) over `documents` — shared by the
+    * qualityGate oracle and every downstream oracle that filters on
+    * the gate (one definition, no drift). */
+  val GateReasonsSql: String =
+    """SELECT doc_id,
       |    (CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
       |    + (CASE WHEN n_words < 20 THEN 2 ELSE 0 END)
       |    + (CASE WHEN nb > 0 AND (nb - nd) * 2 > nb THEN 4 ELSE 0 END)
@@ -146,6 +151,10 @@ object Curation {
       |    FROM (SELECT doc_id, n_chars, text, list_transform(
       |            generate_series(1, len(string_split(text, ' ')) - 1),
       |            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bgs
-      |          FROM documents)))
-      |ORDER BY doc_id""".stripMargin
+      |          FROM documents))""".stripMargin
+
+  val qualityGateSql: String =
+    s"""SELECT doc_id, CAST(reasons AS INT) AS reasons, reasons = 0 AS "pass"
+       |FROM ($GateReasonsSql)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -220,6 +220,44 @@ object Streams {
       .orderBy(col("user_id"), col("start"))
   }
 
+  /** Streaming corpus curation, end to end: the documents table
+    * replayed as a landing stream → quality gate (Curation.withReasons,
+    * reasons == 0) → cross-batch exact dedup on (lang, content
+    * fingerprint) via streaming dropDuplicates state → per-language
+    * corpus statistics in complete mode. The dedup key includes lang so
+    * which arrival survives is irrelevant to the output — every
+    * surviving row of a (lang, fp) group carries identical (fp,
+    * n_chars), making the result batch-order-independent and
+    * oracle-comparable. The full curation pipeline a training-data
+    * ingest runs, as ONE continuous query. */
+  def streamCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val docs = s.readStream.schema(schema).parquet(s"$d/documents.parqu*")
+    val curated = graft.operators.Curation.withReasons(docs)
+      .filter(col("reasons") === 0)
+      .withColumn("fp", fingerprint(col("text")))
+      .dropDuplicates("lang", "fp")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+    runToMemory(s, curated, "graft_stream_corpus", "complete")
+      .orderBy(col("lang"))
+  }
+
+  val streamCorpusSql: String = {
+    import graft.operators.Curation.GateReasonsSql
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM (
+       |  SELECT DISTINCT lang, md5(text) AS fp, n_chars
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM ($GateReasonsSql)
+       |                   WHERE reasons = 0))
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   /** CDC upsert into an RDBMS: the event stream is applied as a change
     * feed — per micro-batch, reduce to the latest change per key, stage
     * via the parallel JDBC sink, and apply ONE set-based MERGE
