@@ -41,6 +41,7 @@ object SparkEntry {
     "mm_dedup" -> ((s, d) => graft.multimodal.Multimodal.payloadDedup(s, d)),
     "mm_schema" -> ((s, d) => graft.multimodal.Multimodal.featureTable(s, d)),
     "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
+    "mm_transcode" -> ((s, d) => graft.multimodal.Multimodal.transcodeTable(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.Streams.streamEnrich(s, d)),
     "stream_topk" -> ((s, d) => graft.streaming.Streams.streamTopK(s, d)),
@@ -78,6 +79,7 @@ object SparkEntry {
     "mm_dedup" -> graft.multimodal.Multimodal.payloadDedupSql,
     "mm_schema" -> graft.multimodal.Multimodal.featureTableSql,
     "mm_frames" -> graft.multimodal.Multimodal.frameTableSql,
+    "mm_transcode" -> graft.multimodal.Multimodal.transcodeTableSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
     "stream_enrich" -> graft.streaming.Streams.streamEnrichSql,
     "stream_topk" -> graft.streaming.Streams.streamTopKSql,

@@ -154,6 +154,33 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Transcode surface: re-encode every payload through the stubbed
+    * codec at a 64-byte budget and emit size + content hash of the
+    * result — the "resize/compress the blob column" pipeline step.
+    * Narrow mapPartitions; at 100 TB the payloads stream through the
+    * scan stage and only (id, size, hash) rows leave the executors. */
+  def transcodeTable(s: SparkSession, d: String, maxBytes: Int = 64): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val out = FakeCodec.reencode(r.payload, maxBytes)
+        (r.media_id, out.length, out)
+      }
+    }.toDF("media_id", "out_bytes", "out_payload")
+      .select(col("media_id"), col("out_bytes"),
+        md5(col("out_payload")).as("out_md5"))
+      .orderBy(col("media_id"))
+  }
+
+  /** The stub truncates bytes, and the payload is the ASCII text — so
+    * the transcoded blob is exactly substr(text, 1, 64). */
+  val transcodeTableSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(LEAST(octet_length(encode(text)), 64) AS INT) AS out_bytes,
+      |  md5(substr(text, 1, 64)) AS out_md5
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   /** Sampled frames for video media. */
   def frameTable(s: SparkSession, d: String): DataFrame =
     frameSample(s, mediaTable(s, d)).toDF()
