@@ -101,10 +101,16 @@ object Curation {
     *   8 — degenerate mean word length (outside [3, 8] chars)
     * The reason-code pattern (rather than a bare filter) is what a
     * production curation pipeline audits: every drop is attributable. */
-  /** Append the gate's `reasons` bitmask to any frame carrying
-    * (text, n_chars) — original columns preserved. Shared by the
-    * batch gate and the streaming corpus pipeline. */
-  def withReasons(docs: DataFrame): DataFrame =
+  /** Append the gate's `reasons` bitmask to a frame carrying
+    * (text, n_chars). Original columns are preserved EXCEPT the
+    * working names below, which would be clobbered — rejected loudly
+    * rather than silently overwritten. Shared by the batch gate and
+    * the streaming corpus pipeline. */
+  def withReasons(docs: DataFrame): DataFrame = {
+    val working = Seq("ws", "n_words", "bgs", "nb", "nd", "reasons")
+    val clash = docs.columns.toSet.intersect(working.toSet)
+    require(clash.isEmpty,
+      s"withReasons would clobber caller columns: ${clash.toSeq.sorted.mkString(", ")}")
     docs
       // materialize the token array ONCE per row: inlining words(text)
       // into the bigram lambda would re-split the text per element
@@ -125,6 +131,7 @@ object Curation {
               (col("n_chars") - col("n_words") + 1) > col("n_words") * 8, 8)
             .otherwise(0))
       .drop("ws", "n_words", "bgs", "nb", "nd")
+  }
 
   def qualityGate(s: SparkSession, d: String): DataFrame =
     withReasons(documents(s, d))

@@ -157,8 +157,8 @@ object Dedup {
     * exact-pair oracle (ngramJaccard, minhash, containment, clusters):
     * one definition, so a change to the shingle semantics cannot
     * silently desynchronize one oracle from the Spark side it checks.
-    * (s-interpolated, hence the doubled $ is not needed — no escapes
-    * appear in the block.) */
+    * (This val is a plain literal — only the CONSUMER strings are
+    * s-interpolated, so a literal $ added there must be doubled.) */
   private val ShPairsCte: String =
     """sh AS (
       |  SELECT doc_id, UNNEST(list_distinct(list_transform(

@@ -129,19 +129,22 @@ object Analytics4 {
   // positives — result is exactly the plain join. At scale the bloom
   // bits ship with the broadcast instead of a second scan of the dim.
   def q45(s: SparkSession, d: String): DataFrame = {
-    // persisted: count, bloom build, and the join build side are THREE
-    // separate actions — uncached they would each rescan customer
-    val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey")).persist()
-    // size the bloom from the ACTUAL key count: a hard-coded capacity
-    // saturates at larger SFs (fpp → 1) and the prune becomes a no-op
-    val nKeys = math.max(dim.count(), 1000L)
-    val bf = dim.stat.bloomFilter("c_custkey", nKeys, 0.01)
+    import s.implicits._
+    // The filtered dim is by definition the broadcastable build side,
+    // and the bloom is a driver-side object anyway — so pull the keys
+    // ONCE (one scan, no session-lifetime cache entry) and derive the
+    // bloom, its exact capacity, and the join build side from them.
+    val keys = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).as[Long].collect()
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(keys.length.toLong, 1000L), 0.01)
+    keys.foreach(bf.putLong)
     val bfB = s.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    val dim = keys.toSeq.toDF("c_custkey")
     orders(s, d)
       .filter(mightContain(col("o_custkey"))) // pre-shuffle prune (~99%)
-      .join(dim, col("o_custkey") === col("c_custkey")) // exact: kills FPs
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey")) // exact: kills FPs
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         expr(Frags.dsum2("o_totalprice")).as("total"))

@@ -231,12 +231,14 @@ object Streams {
     * oracle-comparable. The full curation pipeline a training-data
     * ingest runs, as ONE continuous query. */
   def streamCorpus(s: SparkSession, d: String): DataFrame = {
-    import graft.functions.TextFunctions.fingerprint
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val docs = s.readStream.schema(schema).parquet(s"$d/documents.parqu*")
     val curated = graft.operators.Curation.withReasons(docs)
       .filter(col("reasons") === 0)
-      .withColumn("fp", fingerprint(col("text")))
+      // full md5, matching the oracle's DISTINCT md5(text) key exactly
+      // (a truncated fingerprint would make the equivalence merely
+      // probabilistic under prefix collisions)
+      .withColumn("fp", md5(col("text")))
       .dropDuplicates("lang", "fp")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
