@@ -214,7 +214,7 @@ object Similarity {
     * never shuffled. At 100 TB the codes are m·log₂(ksub) bits/vector
     * (here 4×4 = 2 bytes) against 256 bytes of floats. */
   def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      m: Int = 4, ksub: Int = 16): DataFrame = {
+      m: Int = 4, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -226,32 +226,39 @@ object Similarity {
       val diff = zip_with(a, b, (x, y) => x - y)
       dotD(diff, diff)
     }
-    // codebook: seed with the ksub first vectors' subvectors, then ONE
-    // Lloyd refinement over a deterministic 256-vector training sample
-    // (assign → per-(sub,code) element-wise mean). The refined
-    // centroids approximate the sample distribution instead of echoing
-    // 16 arbitrary vectors — measurably better ADC recall. Means are
-    // rounded to FLOAT so run-to-run double-summation jitter cannot
-    // leak into the (deterministic) output.
+    // codebook: seed with the ksub first vectors' subvectors, then
+    // `lloydIters` Lloyd refinements over a deterministic 256-vector
+    // training sample (assign → per-(sub,code) element-wise mean).
+    // The refined centroids approximate the sample distribution
+    // instead of echoing 16 arbitrary vectors — measurably better ADC
+    // recall. Means accumulate in DECIMAL (fixed per-element
+    // quantization) and round to FLOAT, so the codebook — and hence
+    // the output — is bit-deterministic across runs/partitionings.
     val seed = subvecs(e.filter(col("vec_id") < ksub), "embedding")
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("c_sv"))
     val train = subvecs(e.filter(col("vec_id") < 256), "embedding")
+      .localCheckpoint()
     val wTrain = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))
-    val trainAssign = train.join(broadcast(seed), "sub")
-      .select(col("vec_id"), col("sub"), col("code"), col("sv"),
-        d2(col("sv"), col("c_sv")).as("cd2"))
-      .withColumn("rn", row_number().over(wTrain))
-      .filter(col("rn") === 1)
-    val cents = trainAssign
-      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
-      .groupBy(col("sub"), col("code"), col("dim"))
-      .agg(avg(col("x")).cast("float").as("m"))
-      .groupBy(col("sub"), col("code"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("sub"), col("code"),
-        transform(col("dm"), p => p.getField("m")).as("c_sv"))
+    var cents = seed
+    for (_ <- 1 to lloydIters) {
+      val assign = train.join(broadcast(cents), "sub")
+        .select(col("vec_id"), col("sub"), col("code"), col("sv"),
+          d2(col("sv"), col("c_sv")).as("cd2"))
+        .withColumn("rn", row_number().over(wTrain))
+        .filter(col("rn") === 1)
+      cents = assign
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg((sum(col("x").cast("decimal(20,7)")) / count(lit(1)))
+          .cast("float").as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("sub"), col("code"),
+          transform(col("dm"), p => p.getField("m")).as("c_sv"))
+        .localCheckpoint()
+    }
     // encode: nearest sub-centroid per (vector, subspace)
     val wCode = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))
