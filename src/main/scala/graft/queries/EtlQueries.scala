@@ -98,6 +98,52 @@ object EtlQueries {
        |FROM lineitem
        |WHERE l_orderkey % 10 = 0""".stripMargin
 
+  /** High-watermark incremental loading — the keyed alternative to the
+    * reference's file work lists: each round reads the TARGET's
+    * max(key) and loads only strictly-newer source rows, so a crashed
+    * or repeated round re-derives its position from the warehouse
+    * itself (no side-state) and a no-new-data round is a no-op.
+    * Exercised here as three rounds (half / rest / empty catch-up);
+    * equality with the full-source oracle proves no row was lost or
+    * duplicated across the increments. */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val url = "jdbc:derby:memory:graft_inc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE inc_t")
+      catch { case _: java.sql.SQLException => () } // first run: no table
+      st.execute("CREATE TABLE inc_t (order_id BIGINT, price DOUBLE)")
+    } finally conn.close()
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_totalprice").as("price"))
+    def highWatermark(): Long = {
+      val r = s.read.format("jdbc").option("url", url)
+        .option("dbtable", "inc_t").load()
+        .agg(max(col("ORDER_ID"))).head()
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+    }
+    val mid = src.agg(max(col("order_id"))).head().getLong(0) / 2
+    // round 1: initial half-load; rounds 2-3: catch-up from the
+    // target's own watermark (round 3 finds nothing — a no-op)
+    graft.sinks.JdbcSink.write(src.filter(col("order_id") <= mid),
+      url, "inc_t", Map.empty[String, Option[String]])
+    for (_ <- 1 to 2) {
+      val hw = highWatermark()
+      graft.sinks.JdbcSink.write(src.filter(col("order_id") > hw),
+        url, "inc_t", Map.empty[String, Option[String]])
+    }
+    s.read.format("jdbc").option("url", url).option("dbtable", "inc_t").load()
+      .agg(count(lit(1)).as("n_rows"),
+        expr(Frags.dsum2("PRICE")).as("sum_price"))
+  }
+
+  val incrementalSql: String =
+    s"""SELECT COUNT(*) AS n_rows,
+       |  ${Frags.dsum2("o_totalprice")} AS sum_price
+       |FROM orders""".stripMargin
+
   /** Hive-style partitioned layout + partition pruning: lineitem is
     * rewritten partitioned by l_returnflag, and the read-back filter
     * touches ONLY the matching partition directory — the scan prunes at
@@ -178,7 +224,8 @@ object EtlQueries {
     "etl_cast" -> (cast _),
     "etl_jdbc_roundtrip" -> (jdbcRoundtrip _),
     "etl_partition_prune" -> (partitionPrune _),
-    "etl_schema_evolution" -> (schemaEvolution _))
+    "etl_schema_evolution" -> (schemaEvolution _),
+    "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
     "etl_projection" -> projectionSql,
@@ -186,5 +233,6 @@ object EtlQueries {
     "etl_cast" -> castSql,
     "etl_jdbc_roundtrip" -> jdbcRoundtripSql,
     "etl_partition_prune" -> partitionPruneSql,
-    "etl_schema_evolution" -> schemaEvolutionSql)
+    "etl_schema_evolution" -> schemaEvolutionSql,
+    "etl_incremental" -> incrementalSql)
 }

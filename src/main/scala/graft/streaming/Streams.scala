@@ -270,22 +270,28 @@ object Streams {
     * two-file replay. */
   def streamUpsert(s: SparkSession, d: String,
       maxFilesPerTrigger: Option[Int] = None,
-      dbName: String = "graft_ups"): DataFrame = {
+      dbName: String = "graft_ups",
+      reset: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val url = s"jdbc:derby:memory:$dbName;create=true"
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      for (t <- Seq("ups_t", "ups_stage")) {
-        try st.execute(s"DROP TABLE $t")
-        catch { case _: java.sql.SQLException => () } // first run: no table
-        // last_event_id is stored so the cross-batch order guard can
-        // apply the SAME (ts, event_id) tie-break as the within-batch
-        // reduce — final state is then independent of replay batching
-        st.execute(s"CREATE TABLE $t (user_id BIGINT PRIMARY KEY, " +
-          "last_ts TIMESTAMP, last_event_id BIGINT, last_value DOUBLE)")
-      }
-    } finally conn.close()
+    // reset=false replays ON TOP of the existing table — the
+    // crash-recovery path, which the order-guarded MERGE must make a
+    // no-op (asserted in UpsertSpec)
+    if (reset) {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        for (t <- Seq("ups_t", "ups_stage")) {
+          try st.execute(s"DROP TABLE $t")
+          catch { case _: java.sql.SQLException => () } // first run: no table
+          // last_event_id is stored so the cross-batch order guard can
+          // apply the SAME (ts, event_id) tie-break as the within-batch
+          // reduce — final state is then independent of replay batching
+          st.execute(s"CREATE TABLE $t (user_id BIGINT PRIMARY KEY, " +
+            "last_ts TIMESTAMP, last_event_id BIGINT, last_value DOUBLE)")
+        }
+      } finally conn.close()
+    }
     val cols = Seq("user_id", "last_ts", "last_event_id", "last_value")
     val q = eventStream(s, d, maxFilesPerTrigger)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))

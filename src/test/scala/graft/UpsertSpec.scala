@@ -55,5 +55,15 @@ class UpsertSpec extends AnyFunSuite {
     assert(out(1L) == (ts(10), 1.0), s"older replay must not clobber: $out")
     assert(out(2L) == (ts(11), 22.0), s"newer change must overwrite: $out")
     assert(out(3L) == (ts(9), 3.0), s"new key must insert: $out")
+
+    // idempotence: replaying the ENTIRE feed again ON TOP of the
+    // existing table (reset=false) must leave it unchanged — the
+    // crash-recovery property the order-guarded MERGE buys
+    val out2 = Streams.streamUpsert(spark, dir.toString,
+        maxFilesPerTrigger = Some(1), dbName = "graft_ups_spec",
+        reset = false)
+      .collect().map(r => r.getLong(0) -> (r.getTimestamp(1), r.getDouble(2)))
+      .toMap
+    assert(out2 == out, s"full replay must be a no-op: $out2 vs $out")
   }
 }
