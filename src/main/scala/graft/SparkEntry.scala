@@ -49,7 +49,8 @@ object SparkEntry {
     "stream_corpus" -> ((s, d) => graft.streaming.Streams.streamCorpus(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.Streams.streamDedup(s, d)),
-    "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoin(s, d)))
+    "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoin(s, d)),
+    "stream_interval_left" -> ((s, d) => graft.streaming.Streams.intervalJoinLeft(s, d)))
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -87,7 +88,8 @@ object SparkEntry {
     "stream_corpus" -> graft.streaming.Streams.streamCorpusSql,
     "stream_sessionize" -> graft.streaming.Streams.sessionizeSql,
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
-    "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql)
+    "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql,
+    "stream_interval_left" -> graft.streaming.Streams.intervalJoinLeftSql)
     // dedup_simhash / ann_lsh / ann_ivf are rows-only: seeded hash
     // bit-mixes & hyperplanes aren't portable DuckDB SQL.
 

@@ -223,7 +223,41 @@ object Analytics4 {
       |  GROUP BY 1)
       |ORDER BY nationkey""".stripMargin
 
+  // ---- q48: correlated multi-condition order profile -------------------
+  // Orders spanning ≥2 suppliers with ≥1 returned item (the TPC-H
+  // Q21-ish shape): ONE aggregation over lineitem computes both
+  // conditions, then a broadcast-joined rollup by priority — no
+  // correlated subquery re-scans.
+  def q48(s: SparkSession, d: String): DataFrame = {
+    val profile = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_ret"))
+      .filter(col("n_supp") >= 2 && col("has_ret") === 1)
+      .select(col("l_orderkey"))
+    orders(s, d)
+      .join(profile, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr(Frags.dsum2("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q48Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+       |  ${Frags.dsum2("o_totalprice")} AS total
+       |FROM orders
+       |JOIN (SELECT l_orderkey
+       |      FROM lineitem
+       |      GROUP BY l_orderkey
+       |      HAVING COUNT(DISTINCT l_suppkey) >= 2
+       |         AND MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1) p
+       |  ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_order_profile" -> (q48 _),
     "q46_yoy_growth" -> (q46 _),
     "q47_share_of_total" -> (q47 _),
     "q41_moving_avg" -> (q41 _),
@@ -233,6 +267,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q48_order_profile" -> q48Sql,
     "q46_yoy_growth" -> q46Sql,
     "q47_share_of_total" -> q47Sql,
     "q41_moving_avg" -> q41Sql,

@@ -134,6 +134,91 @@ object Streams {
       .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every purchase, with its
+    * in-window errors OR a NULL row if none arrived. Outer results can
+    * only be emitted once the OTHER side's watermark proves no match
+    * can still arrive — on a bounded replay the natural watermark
+    * stalls at max(event time) − delay, stranding the tail in state.
+    * The production fix demonstrated here: a WATERMARK HEARTBEAT — a
+    * synthetic far-future event unioned into each side (filtered from
+    * results) advances the watermark past every real row, and one more
+    * (empty-data) trigger flushes the evicted unmatched rows. Oracle =
+    * the batch LEFT JOIN. */
+  def intervalJoinLeft(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    // far-future heartbeat rows, landed as a second streamed file set
+    val maxTs = graft.Tables.events(s, d)
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val hbDir = Files.createTempDirectory("graft_hb").toString
+    def landHeartbeat(idx: Int, plusDays: Int): Unit = {
+      import s.implicits._
+      val hbTs = new Timestamp(maxTs.getTime + plusDays * 86400000L)
+      Seq((-1L - idx, hbTs, -1L, "heartbeat", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(hbDir)
+    }
+    landHeartbeat(0, 1)
+    // the heartbeat files carry a proper µs TIMESTAMP — read them with
+    // their OWN schema (the testdata events file surfaces nanos-longs
+    // and is normalized inside eventStream)
+    val hbSchema = s.read.parquet(hbDir).schema
+    def side(types: String*): DataFrame =
+      eventStream(s, d)
+        .unionByName(s.readStream.schema(hbSchema).parquet(hbDir))
+        .filter(col("event_type").isin(types: _*))
+    val p = side("purchase", "heartbeat")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val e = side("error", "heartbeat")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    // NOTE: the heartbeat rows must NOT be filtered inside this plan —
+    // Catalyst pushes a post-join `p_user >= 0` down into the purchase
+    // side, below its watermark node, silently starving the watermark
+    // (observed: the outer tail never flushes). They are dropped on
+    // the materialized result instead.
+    val joined = p.join(e,
+        col("p_user") === col("e_user") &&
+          col("e_ts") <= col("p_ts") &&
+          col("e_ts") >= col("p_ts") - expr("interval 5 minutes"),
+        "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("error_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
+    val name = freshMemoryTable(s, "graft_interval_left")
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        // later heartbeats + triggers flush the outer rows evicted by
+        // the earlier watermark advances (watermark used by batch N is
+        // computed after batch N-1, so eviction trails by one trigger)
+        // watermark used by batch N is computed after batch N-1, so
+        // eviction of the outer tail trails by one trigger: one later
+        // heartbeat forces that final batch
+        landHeartbeat(1, 2)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    s.table(name)
+      .filter(col("user_id") >= 0) // drop the heartbeats themselves
+      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+  }
+
+  val intervalJoinLeftSql: String =
+    """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+      |  e.event_id AS error_id,
+      |  epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+      |FROM events p
+      |LEFT JOIN events e ON p.user_id = e.user_id
+      |  AND e.event_type = 'error'
+      |  AND epoch_us(p.ts) - epoch_us(e.ts) BETWEEN 0 AND 300000000
+      |WHERE p.event_type = 'purchase'
+      |ORDER BY user_id, purchase_id, error_id""".stripMargin
+
   val intervalJoinSql: String =
     """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
       |  e.event_id AS error_id,
