@@ -248,7 +248,7 @@ object Similarity {
           d2(col("sv"), col("c_sv")).as("cd2"))
         .withColumn("rn", row_number().over(wTrain))
         .filter(col("rn") === 1)
-      cents = assign
+      val refined = assign
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("code"), col("dim"))
         .agg((sum(col("x").cast("decimal(20,7)")) / count(lit(1)))
@@ -256,7 +256,13 @@ object Similarity {
         .groupBy(col("sub"), col("code"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("sub"), col("code"),
-          transform(col("dm"), p => p.getField("m")).as("c_sv"))
+          transform(col("dm"), p => p.getField("m")).as("c_new"))
+      // a code that attracted no training subvector keeps its previous
+      // centroid — the m×ksub codebook must never silently shrink
+      cents = cents
+        .join(refined, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("c_new"), col("c_sv")).as("c_sv"))
         .localCheckpoint()
     }
     // encode: nearest sub-centroid per (vector, subspace)

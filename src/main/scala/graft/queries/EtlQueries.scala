@@ -119,9 +119,11 @@ object EtlQueries {
       .select(col("o_orderkey").as("order_id"),
         col("o_totalprice").as("price"))
     def highWatermark(): Long = {
+      // pushed-down aggregate: the watermark probe transfers ONE row,
+      // never the table (a Spark-side max would pull every row out)
       val r = s.read.format("jdbc").option("url", url)
-        .option("dbtable", "inc_t").load()
-        .agg(max(col("ORDER_ID"))).head()
+        .option("dbtable", "(SELECT MAX(order_id) AS hw FROM inc_t) t")
+        .load().head()
       if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
     }
     val mid = src.agg(max(col("order_id"))).head().getLong(0) / 2

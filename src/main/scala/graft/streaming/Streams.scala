@@ -40,12 +40,18 @@ object Streams {
     * operator here shares (8 state partitions during replay; see
     * [[withStatePartitions]]). */
   private def runToMemory(s: SparkSession, df: DataFrame, prefix: String,
-      mode: String): DataFrame = {
+      mode: String, afterFirstDrain: () => Unit = () => ()): DataFrame = {
     val name = freshMemoryTable(s, prefix)
     withStatePartitions(s, 8) {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        // hook for callers that must land more input (e.g. a watermark
+        // heartbeat) and drain again before the query stops
+        afterFirstDrain()
+        q.processAllAvailable()
+      } finally q.stop()
     }
     s.table(name)
   }
@@ -187,25 +193,22 @@ object Streams {
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("error_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
-    val name = freshMemoryTable(s, "graft_interval_left")
-    withStatePartitions(s, 8) {
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName(name).start()
-      try {
-        q.processAllAvailable()
-        // later heartbeats + triggers flush the outer rows evicted by
-        // the earlier watermark advances (watermark used by batch N is
-        // computed after batch N-1, so eviction trails by one trigger)
-        // watermark used by batch N is computed after batch N-1, so
-        // eviction of the outer tail trails by one trigger: one later
-        // heartbeat forces that final batch
-        landHeartbeat(1, 2)
-        q.processAllAvailable()
-      } finally q.stop()
-    }
-    s.table(name)
+    // the watermark used by batch N is computed after batch N-1, so
+    // eviction of the outer tail trails by one trigger: one later
+    // heartbeat forces that final batch
+    val out = runToMemory(s, joined, "graft_interval_left", "append",
+        afterFirstDrain = () => landHeartbeat(1, 2))
       .filter(col("user_id") >= 0) // drop the heartbeats themselves
       .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+      // materialize BEFORE deleting the heartbeat files the plan reads
+      .localCheckpoint()
+    // the query is stopped and the result pinned — reclaim the temp dir
+    // (repeated bench/verify rounds must not accumulate /tmp litter)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(hbDir))
+    out
   }
 
   val intervalJoinLeftSql: String =
@@ -376,6 +379,12 @@ object Streams {
             "last_ts TIMESTAMP, last_event_id BIGINT, last_value DOUBLE)")
         }
       } finally conn.close()
+    } else {
+      // fail the precondition loudly: create=true silently makes an
+      // EMPTY database, and the first micro-batch would then die with
+      // an opaque missing-table SQLException inside foreachBatch
+      require(graft.sinks.JdbcSink.tableColumns(url, "ups_t").nonEmpty,
+        s"streamUpsert(reset=false) requires an existing ups_t table in $dbName")
     }
     val cols = Seq("user_id", "last_ts", "last_event_id", "last_value")
     val q = eventStream(s, d, maxFilesPerTrigger)
