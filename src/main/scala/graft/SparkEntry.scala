@@ -32,6 +32,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pq(s, d)),
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -72,6 +73,7 @@ object SparkEntry {
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "ann_range" -> Similarity.rangeSearchSql,
+    "ann_whiten" -> Similarity.whitenSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "text_repetition" -> Curation.repetitionSql,

@@ -121,6 +121,62 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Whitening pass — the consumer of [[dimStats]]: every component is
+    * standardised by its per-dimension corpus mean/std ((x−μ)/σ, σ=0
+    * dims → 0), and per-vector summaries are emitted. Per-vector sums
+    * accumulate in DECIMAL so they are order-independent; min/max are
+    * order-free. The stats join is a 64-row broadcast; the whitening
+    * itself is a narrow per-row pass — at 100 TB this pipelines inside
+    * the scan stage. */
+  def whiten(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.Frags.davg9
+    val stats = embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("xd"))
+      .groupBy(col("dim"))
+      .agg(expr(davg9("xd")).as("mean"), expr(davg9("xd * xd")).as("mean_sq"))
+      .select(col("dim"), col("mean"),
+        sqrt(col("mean_sq") - col("mean") * col("mean")).as("std"))
+    embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"),
+        when(col("std") > 0,
+          (col("x").cast("double") - col("mean")) / col("std"))
+          .otherwise(lit(0.0)).as("w"))
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)").as("w_sum"),
+        min(col("w")).as("w_min"), max(col("w")).as("w_max"))
+      .orderBy(col("vec_id"))
+  }
+
+  val whitenSql: String = {
+    import graft.queries.Frags.davg9
+    val x = "CAST(embedding[i] AS DOUBLE)"
+    s"""WITH ex AS (
+       |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |stats AS (
+       |  SELECT i - 1 AS dim, ${davg9(x)} AS mean, ${davg9(s"$x * $x")} AS mean_sq
+       |  FROM (SELECT embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)
+       |  GROUP BY 1),
+       |wh AS (
+       |  SELECT vec_id,
+       |    CASE WHEN SQRT(mean_sq - mean * mean) > 0
+       |         THEN (x - mean) / SQRT(mean_sq - mean * mean)
+       |         ELSE 0.0 END AS w
+       |  FROM ex JOIN stats USING (dim))
+       |SELECT vec_id,
+       |  CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS w_sum,
+       |  MIN(w) AS w_min, MAX(w) AS w_max
+       |FROM wh
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Deterministic pseudo-random hyperplanes (pure function of (p, j) —
     * reproducible across sessions with no RNG state). */
   private[operators] def plane(p: Int, dim: Int): Array[Double] =

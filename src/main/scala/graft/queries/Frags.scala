@@ -34,7 +34,12 @@ object Frags {
     s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE) / COUNT($col)"
 
   /** Deterministic mean at 9-decimal quantisation (unit-scale values,
-    * e.g. embedding components); operand may be any SQL expression. */
+    * e.g. embedding components); operand may be any SQL expression.
+    * Quantises with FLOOR(x·1e9) rather than a DECIMAL cast: a cast
+    * ROUNDS, and a double sitting exactly on the half-way boundary is
+    * tie-broken differently across engines (observed once in 128k
+    * values at sf0.1) — floor has no ties, so the quantised sum is
+    * bit-identical everywhere. */
   def davg9(operand: String): String =
-    s"CAST(SUM(CAST($operand AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*)"
+    s"CAST(SUM(CAST(FLOOR(($operand) * 1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9 / COUNT(*)"
 }
