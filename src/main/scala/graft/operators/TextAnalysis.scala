@@ -35,12 +35,21 @@ object TextAnalysis {
   private def markerCountSql(markers: Seq[String]): String =
     s"CAST(len(list_filter(string_split(text, ' '), w -> w IN (${markers.map("'" + _ + "'").mkString(", ")}))) AS INT)"
 
-  /** Heuristic language ID from per-language marker-token counts. */
+  /** Heuristic language ID from per-language marker-token counts.
+    * `words(text)` is materialized ONCE in a first projection — four
+    * inline markerCount(words(text)) calls re-ran the regex split per
+    * marker column (codegen subexpression elimination did not fuse
+    * them: the r2 bench showed 4.75× on this query — same trap as
+    * corpus_gate's transform-lambda recompute). */
   def langId(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), col("lang").as("declared_lang"),
-        markerCount(MarkersEn).as("s_en"), markerCount(MarkersDe).as("s_de"),
-        markerCount(MarkersFr).as("s_fr"), markerCount(MarkersEs).as("s_es"))
+        words(col("text")).as("ws"))
+      .select(col("doc_id"), col("declared_lang"),
+        countIn(col("ws"), MarkersEn).as("s_en"),
+        countIn(col("ws"), MarkersDe).as("s_de"),
+        countIn(col("ws"), MarkersFr).as("s_fr"),
+        countIn(col("ws"), MarkersEs).as("s_es"))
       .withColumn("pred_lang",
         when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, "und")
           .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
@@ -66,16 +75,19 @@ object TextAnalysis {
        |  FROM documents)
        |ORDER BY doc_id""".stripMargin
 
-  /** Quality scoring: structural text-health ratios + composite. */
+  /** Quality scoring: structural text-health ratios + composite.
+    * The token array is split once (see langId — the split is the
+    * dominant cost); downstream ratios read size(ws), not words(text). */
   def quality(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(words(col("text")))
-    val stopC = countIn(words(col("text")), MarkersEn)
+    val nTok = size(col("ws"))
     documents(s, d)
+      .select(col("doc_id"), col("text"), words(col("text")).as("ws"))
       .select(col("doc_id"),
         nTok.as("n_tokens"),
         meanTokenLen(col("text"), nTok).as("mean_tok_len"),
         alphaRatio(col("text")).as("alpha_ratio"),
-        (stopC.cast("double") / greatest(nTok, lit(1))).as("stop_ratio"))
+        (countIn(col("ws"), MarkersEn).cast("double")
+          / greatest(nTok, lit(1))).as("stop_ratio"))
       .withColumn("quality",
         lit(0.4) * col("stop_ratio") + lit(0.4) * col("alpha_ratio") +
           lit(0.2) * least(col("n_tokens").cast("double") / 200.0, lit(1.0)))

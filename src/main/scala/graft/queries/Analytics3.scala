@@ -83,15 +83,37 @@ object Analytics3 {
       |ORDER BY user_id""".stripMargin
 
   // ---- q31: NTILE quartiles of customers by account balance ------------
-  // A global NTILE needs a total order (single-partition window) — fine
-  // as a reporting query over the already-aggregated output; the scale
-  // path for quantile bucketing of raw facts is q23's percentile
-  // breakpoints + a broadcast range join.
+  // Exact NTILE without a global single-partition window over raw rows:
+  // global rank = per-VALUE offset + intra-value row_number.
+  //  * offsets come from a histogram groupBy(c_acctbal) — c_acctbal has
+  //    a fixed 2-decimal domain ([-999.99, 9999.99] → ≤ 1.1M distinct
+  //    values at ANY corpus size), so the one ordered window here runs
+  //    over a BOUNDED aggregate, never over raw customers;
+  //  * the intra-value row_number window partitions BY VALUE — fully
+  //    distributed;
+  //  * quartile boundaries are NTILE's exact sizes (first n%4 buckets
+  //    get ⌈n/4⌉), derived from the row count in-plan.
+  // Reproduces NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) exactly,
+  // ties included — the oracle below is still the plain NTILE SQL.
   def q31(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    customer(s, d)
-      .select(col("c_custkey"), col("c_acctbal"))
-      .withColumn("quartile", ntile(4).over(w))
+    val c = customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+    val offs = c.groupBy(col("c_acctbal")).agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("c_acctbal"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("c_acctbal"), col("off"))
+    val tot = c.agg(count(lit(1)).as("n"))
+    val wIn = Window.partitionBy(col("c_acctbal")).orderBy(col("c_custkey"))
+    val base = floor(col("n") / 4).cast("long")
+    val rem = pmod(col("n"), lit(4L))
+    c.join(offs, "c_acctbal")
+      .withColumn("rnk", col("off") + row_number().over(wIn))
+      .crossJoin(broadcast(tot))
+      .withColumn("quartile",
+        when(col("rnk") <= base + least(rem, lit(1L)), 1)
+          .when(col("rnk") <= base * 2 + least(rem, lit(2L)), 2)
+          .when(col("rnk") <= base * 3 + least(rem, lit(3L)), 3)
+          .otherwise(4))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_cust"),
         min(col("c_acctbal")).as("lo"),

@@ -129,21 +129,28 @@ object Analytics4 {
   // positives — result is exactly the plain join. At scale the bloom
   // bits ship with the broadcast instead of a second scan of the dim.
   def q45(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // The filtered dim is by definition the broadcastable build side,
-    // and the bloom is a driver-side object anyway — so pull the keys
-    // ONCE (one scan, no session-lifetime cache entry) and derive the
-    // bloom, its exact capacity, and the join build side from them.
-    val keys = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey")).as[Long].collect()
-    val bf = org.apache.spark.util.sketch.BloomFilter
-      .create(math.max(keys.length.toLong, 1000L), 0.01)
-    keys.foreach(bf.putLong)
-    val bfB = s.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
-    val dim = keys.toSeq.toDF("c_custkey")
+    val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // Distributed build: stat.bloomFilter is a treeAggregate over the
+    // executors — the driver receives only the bloom bits, never a key
+    // array. Exact capacity from a pushed-down dim count (the dim is
+    // scanned for bits and again as the broadcast build side — both
+    // scans are the cheap, filtered side).
+    val bf = dim.stat.bloomFilter("c_custkey",
+      math.max(dim.count(), 1000L), 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    // Native predicate (codegen'd, stays inside the scan's
+    // WholeStageCodegen — a Scala UDF here would break the stage):
+    // BloomFilterMightContain deserializes the same
+    // spark.util.sketch.BloomFilter format stat.bloomFilter emits.
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graft.shim
+    val mightContain = shim.toColumn(BloomFilterMightContain(
+      shim.toExpression(lit(bos.toByteArray)),
+      shim.toExpression(col("o_custkey"))))
     orders(s, d)
-      .filter(mightContain(col("o_custkey"))) // pre-shuffle prune (~99%)
+      .filter(mightContain) // pre-shuffle prune (~99%)
       .join(broadcast(dim), col("o_custkey") === col("c_custkey")) // exact: kills FPs
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),

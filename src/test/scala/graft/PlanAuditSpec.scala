@@ -87,6 +87,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"as-of join should hash-shuffle events once, saw ${hashShuffles.length}")
   }
 
+  test("q45_bloom_prefilter: native might_contain on the fact scan, no Scala UDF") {
+    val p = plan(queries.Analytics4.q45(spark, sf)).toString
+    assert(p.contains("might_contain"),
+      s"expected the native bloom predicate in the fact filter:\n$p")
+    assert(!p.contains("UDF"),
+      s"bloom pre-filter must not be a Scala UDF (breaks codegen):\n$p")
+  }
+
+  test("dedup_embedding: candidate join is equi (band, sig) — no BNLJ/cartesian") {
+    val p = plan(operators.Dedup.embeddingPairs(spark, sf)).toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pair candidates must come from an equi-join:\n$p")
+  }
+
   test("mm_dedup: the shuffle carries hashes, never binary payloads") {
     val es = shuffles(multimodal.Multimodal.payloadDedup(spark, sf))
     assert(es.nonEmpty)

@@ -22,6 +22,22 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("dedup_embedding: LSH candidates capture the exact top-20 (deterministic planes)") {
+    val lsh = operators.Dedup.embeddingPairs(spark, sf).collect()
+    val exact = operators.Dedup.embeddingPairsExact(spark, sf).collect()
+    assert(lsh.length == 20)
+    assert(lsh.toSeq == exact.toSeq,
+      "banded-hyperplane candidates must contain every exact top-20 pair on this corpus")
+  }
+
+  test("dedup_embedding: no nested-loop over the full pair space") {
+    val df = operators.Dedup.embeddingPairs(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"candidate generation must be an equi-join, not a nested loop:\n$p")
+  }
+
   test("bucketed join plan has no shuffle exchange") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf)
