@@ -135,8 +135,13 @@ object Similarity {
       .select(col("dim"), col("x").cast("double").as("xd"))
       .groupBy(col("dim"))
       .agg(expr(davg9("xd")).as("mean"), expr(davg9("xd * xd")).as("mean_sq"))
+      // clamp: the floor-quantized davg9 means can leave mean_sq −
+      // mean² at ~−2|c|e-9 for a near-constant dimension; DuckDB's
+      // SQRT errors on negatives (Spark would yield NaN) — clamp on
+      // BOTH sides so the engines stay divergence-free
       .select(col("dim"), col("mean"),
-        sqrt(col("mean_sq") - col("mean") * col("mean")).as("std"))
+        sqrt(greatest(col("mean_sq") - col("mean") * col("mean"),
+          lit(0.0))).as("std"))
     embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .join(broadcast(stats), "dim")
@@ -165,8 +170,8 @@ object Similarity {
        |  GROUP BY 1),
        |wh AS (
        |  SELECT vec_id,
-       |    CASE WHEN SQRT(mean_sq - mean * mean) > 0
-       |         THEN (x - mean) / SQRT(mean_sq - mean * mean)
+       |    CASE WHEN SQRT(GREATEST(mean_sq - mean * mean, 0)) > 0
+       |         THEN (x - mean) / SQRT(GREATEST(mean_sq - mean * mean, 0))
        |         ELSE 0.0 END AS w
        |  FROM ex JOIN stats USING (dim))
        |SELECT vec_id,

@@ -161,12 +161,25 @@ object EtlQueries {
         expr(Frags.dsum2("l_extendedprice")).as("sum_price"))
   }
 
+  /** Cache-key component: the source's max mtime — a regenerated
+    * source at the SAME path then lands in a fresh cache dir instead
+    * of being served a stale rewrite (_SUCCESS only guards against
+    * interruption, not regeneration). */
+  private def mtimeKey(d: String, table: String): Long = {
+    val f = new java.io.File(d, s"$table.parquet")
+    if (f.isDirectory)
+      Option(f.listFiles).filter(_.nonEmpty)
+        .map(_.map(_.lastModified).max).getOrElse(f.lastModified)
+    else f.lastModified
+  }
+
   /** The pruned scan itself (shared with the plan-shape spec). One
-    * partitioned copy per (JVM, sf dir), reused across calls. */
+    * partitioned copy per (JVM, sf dir, source mtime), reused across
+    * calls. */
   def partitionedScan(s: SparkSession, d: String): DataFrame = {
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, "lineitem")}")
     // _SUCCESS marker, not bare existence: an interrupted earlier run
     // must be rewritten, never served as a silent partial copy
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
@@ -186,7 +199,7 @@ object EtlQueries {
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
     val dir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      s"graft_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, "orders")}")
     // completeness markers, not bare existence: an interrupted earlier
     // run must be rewritten, never served as a silent partial copy
     val complete = new java.io.File(dir, "batch=1/_SUCCESS").exists() &&

@@ -28,6 +28,17 @@ object JdbcUpsert {
       orderCols: Seq[String] = Seq.empty): Unit = {
     require(cols.headOption.contains(key),
       s"cols must lead with the merge key '$key', got $cols")
+    // a NULL in any order column makes the MATCHED guard UNKNOWN and
+    // the incoming change would be silently DROPPED, not applied —
+    // reject such batches up front rather than lose rows
+    if (orderCols.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val nullCnt = batch
+        .filter(orderCols.map(c => col(c).isNull).reduce(_ || _)).count()
+      require(nullCnt == 0,
+        s"$nullCnt staged row(s) carry NULL in order columns $orderCols — " +
+          "the MERGE order guard cannot compare NULLs")
+    }
     val conn = DriverManager.getConnection(url)
     try {
       conn.createStatement().execute(s"DELETE FROM $staging")

@@ -174,7 +174,7 @@ object Streams {
         .filter(col("event_type").isin(types: _*))
     val p = side("purchase", "heartbeat")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
+        col("ts").as("p_ts"), col("event_type").as("p_type"))
       .withWatermark("p_ts", "1 hour")
     val e = side("error", "heartbeat")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
@@ -192,23 +192,30 @@ object Streams {
         "left_outer")
       .select(col("p_user").as("user_id"), col("purchase_id"),
         col("error_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"))
+        (unix_micros(col("p_ts")) - unix_micros(col("e_ts"))).as("gap_us"),
+        col("p_type"))
     // the watermark used by batch N is computed after batch N-1, so
     // eviction of the outer tail trails by one trigger: one later
     // heartbeat forces that final batch
-    val out = runToMemory(s, joined, "graft_interval_left", "append",
-        afterFirstDrain = () => landHeartbeat(1, 2))
-      .filter(col("user_id") >= 0) // drop the heartbeats themselves
-      .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
-      // materialize BEFORE deleting the heartbeat files the plan reads
-      .localCheckpoint()
-    // the query is stopped and the result pinned — reclaim the temp dir
-    // (repeated bench/verify rounds must not accumulate /tmp litter)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    try {
+      runToMemory(s, joined, "graft_interval_left", "append",
+          afterFirstDrain = () => landHeartbeat(1, 2))
+        // drop heartbeats by their sentinel type (NOT the user_id sign —
+        // a corpus with negative user ids must keep its genuine rows);
+        // safe post-materialization, no watermark-starving pushdown
+        .filter(col("p_type") =!= "heartbeat")
+        .drop("p_type")
+        .orderBy(col("user_id"), col("purchase_id"), col("error_id"))
+        // materialize BEFORE deleting the heartbeat files the plan reads
+        .localCheckpoint()
+    } finally {
+      // reclaim the temp dir on EVERY path (a failed run must not
+      // accumulate /tmp litter across bench/verify rounds)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(hbDir))
     }
-    rm(new java.io.File(hbDir))
-    out
   }
 
   val intervalJoinLeftSql: String =

@@ -56,6 +56,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"LSH should recover >=90% of jaccard>0.8 pairs, got $recovered/${hot.length}")
   }
 
+  test("dedup_minhash oracle-exactness margin: no true pair sits near the 0.5 threshold") {
+    // the driver oracle for dedup_minhash is the EXACT all-pairs J>=0.5
+    // result; LSH equality is recall-conditional and only overwhelming
+    // (P(miss) ~ 5e-12 at 8 bands x 4 rows) because every true pair has
+    // J >= 0.85. If this margin ever shrinks — new corpus, new planted
+    // pairs — raise numHashes/bands BEFORE trusting the oracle row.
+    val j = Dedup.ngramJaccard(spark, sf).collect().map(_.getDouble(2))
+      .filter(_ >= 0.5)
+    assert(j.nonEmpty)
+    assert(j.min >= 0.85,
+      f"true pair at J=${j.min}%.3f is inside the LSH risk band [0.5, 0.85): " +
+        "raise minhash numHashes or mark dedup_minhash rows-only")
+  }
+
   test("ann_lsh results are a subset of brute-force ranking universe") {
     val lsh = Similarity.lsh(spark, sf).collect()
     assert(lsh.nonEmpty)
