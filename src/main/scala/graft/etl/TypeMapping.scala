@@ -20,6 +20,12 @@ import org.apache.spark.sql.types._
   *                           `todo!()` — src/converters.rs:96-103; Spark
   *                           carries binary natively so graft supports
   *                           it, which multimodal payload columns need)
+  *   DECIMAL(p,s)            numeric (exact passthrough) | double |
+  *                           varchar/text | bigint (scale-0 only) —
+  *                           the reference's DECIMAL arm is
+  *                           half-finished (converters.rs:84,101-114);
+  *                           warehouse parquet (prices, amounts) is
+  *                           full of DECIMAL, so graft completes it
   *   TIMESTAMP millis/µs     timestamp
   *
   * An unsupported (source, target) combination is a hard error —
@@ -65,6 +71,10 @@ object TypeMapping {
     case (FloatType | DoubleType, "double")           => c.cast("double")
     case (StringType, "varchar" | "text")             => c
     case (BinaryType, "binary" | "bytea" | "blob")    => c
+    case (_: DecimalType, "numeric" | "decimal")      => c
+    case (_: DecimalType, "double")                   => c.cast("double")
+    case (d: DecimalType, "bigint") if d.scale == 0   => c.cast("bigint")
+    case (_: DecimalType, "varchar" | "text")         => c.cast("string")
     case (f, t)                                       => err(f, t)
   }
 }

@@ -42,23 +42,36 @@ object EtlQueries {
       |ORDER BY customer_id""".stripMargin
 
   /** The converters.rs cast matrix through TypeMapping: int widening,
-    * bool→smallint(1/0), date→"YYYY-mm-dd" text. */
+    * bool→smallint(1/0), date→"YYYY-mm-dd" text, and the DECIMAL arms
+    * (numeric passthrough / double / text). The DECIMAL source column
+    * is built as floor-cents (integral, scale 0) because CAST(double AS
+    * DECIMAL) half-tie rounding diverges across engines — FLOOR(x*100)
+    * is the repo-standard engine-portable quantization; scale-2
+    * passthrough fidelity is spec-covered in EtlSpec. */
   def cast(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100).cast("decimal(14,0)")
     val base = Tables.orders(s, d).select(
       col("o_orderkey"),
       (col("o_orderstatus") === "O").as("is_open"),
-      col("o_orderdate").cast("date").as("odate"))
+      col("o_orderdate").cast("date").as("odate"),
+      cents.as("cents"), cents.as("cents_dbl"), cents.as("cents_txt"))
     TypeMapping.castTo(base, Map(
       "o_orderkey" -> "bigint",
       "is_open" -> "smallint",
-      "odate" -> "varchar"))
+      "odate" -> "varchar",
+      "cents" -> "numeric",
+      "cents_dbl" -> "double",
+      "cents_txt" -> "text"))
       .orderBy(col("o_orderkey"))
   }
 
   val castSql: String =
     """SELECT o_orderkey,
       |  CAST(o_orderstatus = 'O' AS SMALLINT) AS is_open,
-      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+      |  CAST(FLOOR(o_totalprice * 100) AS DECIMAL(14,0)) AS cents,
+      |  CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(14,0)) AS DOUBLE) AS cents_dbl,
+      |  CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(14,0)) AS VARCHAR) AS cents_txt
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 

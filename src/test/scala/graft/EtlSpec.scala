@@ -130,6 +130,31 @@ class EtlSpec extends AnyFunSuite {
       TypeMapping.castTo(df, Map("no_such_col" -> "int")))
   }
 
+  test("type mapping DECIMAL arms: scale-2 passthrough, double, text, scale-0 bigint") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = spark.range(1).select(
+      expr("CAST(1234.56 AS DECIMAL(12,2))").as("amt"),
+      expr("CAST(1234.56 AS DECIMAL(12,2))").as("amt_d"),
+      expr("CAST(1234.56 AS DECIMAL(12,2))").as("amt_t"),
+      expr("CAST(789 AS DECIMAL(10,0))").as("whole"))
+    val out = TypeMapping.castTo(df, Map(
+      "amt" -> "numeric", "amt_d" -> "double",
+      "amt_t" -> "text", "whole" -> "bigint"))
+    assert(out.schema("amt").dataType == DecimalType(12, 2))
+    assert(out.schema("amt_d").dataType == DoubleType)
+    assert(out.schema("amt_t").dataType == StringType)
+    assert(out.schema("whole").dataType == LongType)
+    val r = out.head()
+    assert(r.getDecimal(0).toPlainString == "1234.56")
+    assert(r.getDouble(1) == 1234.56)
+    assert(r.getString(2) == "1234.56")
+    assert(r.getLong(3) == 789L)
+    // a scale-carrying DECIMAL must NOT silently truncate to bigint
+    assertThrows[IllegalArgumentException](
+      TypeMapping.castTo(df, Map("amt" -> "bigint")))
+  }
+
   // ---- JdbcSink vs embedded Derby --------------------------------------
 
   private def derby(db: String) = s"jdbc:derby:memory:$db;create=true"
