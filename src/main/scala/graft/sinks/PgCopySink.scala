@@ -1,0 +1,232 @@
+package graft.sinks
+
+import java.io.{ByteArrayOutputStream, DataOutputStream, InputStream}
+import java.sql.{Connection, DriverManager}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** PGCOPY binary encoder — the wire format `COPY ... FROM STDIN WITH
+  * (FORMAT binary)` consumes (PostgreSQL docs, "Binary Format"; the
+  * reference loads through exactly this path via BinaryCopyInWriter,
+  * src/db.rs:8,167-177). Pure functions over Spark rows, so fidelity
+  * is provable in specs without a live server:
+  *
+  *   header   "PGCOPY\n\377\r\n\0" + int32 flags(0) + int32 extlen(0)
+  *   tuple    int16 nfields, then per field int32 length (-1 = NULL)
+  *            + big-endian payload
+  *   trailer  int16 -1
+  *
+  * Payloads: int2/int4/int8, float4/float8 (IEEE bits), bool (1 byte),
+  * text (UTF-8), bytea (raw), date (int4 days since 2000-01-01),
+  * timestamp (int8 µs since 2000-01-01), numeric (base-10000 digit
+  * groups — completing the DECIMAL arm the reference leaves
+  * half-finished, converters.rs:84,101-114).
+  */
+object PgBinaryCopy {
+
+  /** Epoch shifts: PG binary day/µs counts are relative to 2000-01-01. */
+  private val PgEpochDays = 10957L
+  private val PgEpochUs = 946684800000000L
+
+  val header: Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(Array[Byte]('P', 'G', 'C', 'O', 'P', 'Y', '\n', 0xff.toByte, '\r', '\n', 0))
+    out.writeInt(0) // flags: no OIDs
+    out.writeInt(0) // header extension length
+    bos.toByteArray
+  }
+
+  val trailer: Array[Byte] = Array[Byte](0xff.toByte, 0xff.toByte)
+
+  /** PG `numeric` binary body: int16 ndigits, weight, sign, dscale,
+    * then base-10000 digits most-significant first (normalized: no
+    * leading/trailing zero groups; zero itself is ndigits=0). */
+  private[graft] def encodeNumeric(d: java.math.BigDecimal): Array[Byte] = {
+    val dscale = math.max(d.scale, 0)
+    // integral representation at a scale that is a multiple of 4,
+    // so base-10000 groups align with the decimal point
+    val padScale = ((dscale + 3) / 4) * 4
+    val scaled = d.setScale(padScale).unscaledValue.abs
+    val sign = if (d.signum < 0) 0x4000 else 0x0000
+    var groups = List.empty[Int]
+    var v = scaled
+    val tenK = java.math.BigInteger.valueOf(10000)
+    while (v.signum != 0) {
+      val qr = v.divideAndRemainder(tenK)
+      groups = qr(1).intValue :: groups
+      v = qr(0)
+    }
+    // weight of the most significant group, in 10000^k units
+    var weight = groups.length - 1 - padScale / 4
+    // normalize: strip trailing zero groups (weight unaffected), then
+    // leading zero groups (weight already excludes them by counting)
+    groups = groups.reverse.dropWhile(_ == 0).reverse
+    while (groups.headOption.contains(0)) { groups = groups.tail; weight -= 1 }
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeShort(groups.length)
+    out.writeShort(if (groups.isEmpty) 0 else weight)
+    out.writeShort(sign)
+    out.writeShort(dscale)
+    groups.foreach(out.writeShort)
+    bos.toByteArray
+  }
+
+  /** Per-field payload encoder for a Spark type, or None if the type
+    * has no PG binary mapping (caller falls back to the INSERT path). */
+  private[graft] def fieldEncoder(dt: DataType): Option[Any => Array[Byte]] = {
+    def be(n: Int)(f: DataOutputStream => Unit): Array[Byte] = {
+      val bos = new ByteArrayOutputStream(n)
+      val out = new DataOutputStream(bos)
+      f(out); bos.toByteArray
+    }
+    dt match {
+      case BooleanType => Some(v => Array[Byte](if (v.asInstanceOf[Boolean]) 1 else 0))
+      case ByteType    => Some(v => be(2)(_.writeShort(v.asInstanceOf[Byte].toInt)))
+      case ShortType   => Some(v => be(2)(_.writeShort(v.asInstanceOf[Short].toInt)))
+      case IntegerType => Some(v => be(4)(_.writeInt(v.asInstanceOf[Int])))
+      case LongType    => Some(v => be(8)(_.writeLong(v.asInstanceOf[Long])))
+      case FloatType   => Some(v => be(4)(_.writeFloat(v.asInstanceOf[Float])))
+      case DoubleType  => Some(v => be(8)(_.writeDouble(v.asInstanceOf[Double])))
+      case StringType  => Some(v => v.asInstanceOf[String].getBytes("UTF-8"))
+      case BinaryType  => Some(v => v.asInstanceOf[Array[Byte]])
+      case DateType => Some(v => be(4)(_.writeInt(
+        (v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay - PgEpochDays).toInt)))
+      case TimestampType => Some { v =>
+        val t = v.asInstanceOf[java.sql.Timestamp]
+        val us = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        be(8)(_.writeLong(us - PgEpochUs))
+      }
+      case _: DecimalType => Some(v =>
+        encodeNumeric(v.asInstanceOf[java.math.BigDecimal]))
+      case _ => None
+    }
+  }
+
+  /** Encode one tuple (nfields + length-prefixed payloads). */
+  private[graft] def encodeRow(row: Row, encs: Array[Any => Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(64)
+    val out = new DataOutputStream(bos)
+    out.writeShort(encs.length)
+    var i = 0
+    while (i < encs.length) {
+      if (row.isNullAt(i)) out.writeInt(-1)
+      else {
+        val payload = encs(i)(row.get(i))
+        out.writeInt(payload.length)
+        out.write(payload)
+      }
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Lazy header→rows→trailer stream: COPY consumes while the iterator
+    * produces — no partition-sized buffer. */
+  private[graft] final class RowStream(rows: Iterator[Row],
+      encs: Array[Any => Array[Byte]]) extends InputStream {
+    private var cur: Array[Byte] = header
+    private var pos = 0
+    private var trailed = false
+    private def advance(): Boolean = {
+      while (cur != null && pos >= cur.length) {
+        pos = 0
+        cur = if (rows.hasNext) encodeRow(rows.next(), encs)
+        else if (!trailed) { trailed = true; trailer }
+        else null
+      }
+      cur != null
+    }
+    override def read(): Int =
+      if (!advance()) -1 else { val b = cur(pos) & 0xff; pos += 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (!advance()) -1
+      else {
+        val n = math.min(len, cur.length - pos)
+        System.arraycopy(cur, pos, b, off, n)
+        pos += n
+        n
+      }
+  }
+}
+
+/** Postgres fast-path sink: per-partition binary `COPY FROM STDIN`
+  * through pgjdbc's CopyManager — the reference's entire loading
+  * strategy (db.rs:167-177 BinaryCopyInWriter), distributed across N
+  * executor partitions instead of one socket. Typically 2-5× a batched
+  * INSERT per connection on a real Postgres target.
+  *
+  * The driver is resolved REFLECTIVELY so graft carries no pgjdbc
+  * dependency: on a cluster with postgresql.jar present and a
+  * jdbc:postgresql URL the COPY path activates; everywhere else (or
+  * for a schema with no binary mapping) `write` transparently falls
+  * back to [[JdbcSink]]'s batched INSERTs — same validation, same
+  * row-count contract (fallback exercised against Derby in PgCopySpec;
+  * the encoder itself is golden-byte and roundtrip spec-proven).
+  */
+object PgCopySink {
+
+  private[graft] def isPostgres(url: String): Boolean =
+    url.startsWith("jdbc:postgresql:")
+
+  private def copyManagerAvailable: Boolean =
+    try { Class.forName("org.postgresql.PGConnection"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** Same contract as JdbcSink.write (validation, aliasing, returned
+    * row count); routes to binary COPY when the target is Postgres and
+    * the driver + schema support it. */
+  def write(df: DataFrame, url: String, table: String,
+      aliases: Map[String, Option[String]] = Map.empty,
+      batchSize: Int = 10000,
+      sourceFields: Option[Seq[String]] = None): Long = {
+    val encoders = df.schema.fields.map(f => PgBinaryCopy.fieldEncoder(f.dataType))
+    if (!isPostgres(url) || !copyManagerAvailable || encoders.exists(_.isEmpty))
+      return JdbcSink.write(df, url, table, aliases, batchSize, sourceFields)
+
+    // connect-time validation + aliasing — identical to the INSERT path
+    // (mirrors db.rs Db::connect: fail before any data moves)
+    val dbCols = JdbcSink.tableColumns(url, table)
+    if (dbCols.isEmpty)
+      throw new IllegalArgumentException(s"table '$table' does not exist in connected db")
+    val originals = sourceFields.getOrElse(df.columns.toSeq)
+    require(originals.length == df.columns.length,
+      s"sourceFields size ${originals.length} != dataframe width ${df.columns.length}")
+    val mapping = JdbcSink.resolveColumns(originals, dbCols, aliases)
+    val targets = mapping.map(_._2)
+    require(targets.distinct.length == targets.length,
+      s"duplicate target column(s): ${targets.diff(targets.distinct).distinct.mkString(", ")}")
+    val renamed = df.select(df.columns.toSeq.zip(targets)
+      .map { case (c, t) => col(c).as(t) }: _*)
+
+    val encs = encoders.map(_.get)
+    val colList = targets.map(t => s""""$t"""").mkString(", ")
+    val copySql = s"""COPY $table ($colList) FROM STDIN WITH (FORMAT binary)"""
+    val counter = df.sparkSession.sparkContext.longAccumulator("pg_copy_rows")
+    renamed.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.nonEmpty) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          val n = copyPartition(conn, copySql, rows, encs)
+          counter.add(n)
+        } finally conn.close()
+      }
+    }
+    counter.value
+  }
+
+  /** One partition's COPY round trip (reflective CopyManager —
+    * `PGConnection.getCopyAPI().copyIn(sql, stream)`). */
+  private def copyPartition(conn: Connection, copySql: String,
+      rows: Iterator[Row], encs: Array[Any => Array[Byte]]): Long = {
+    val pgIface = Class.forName("org.postgresql.PGConnection")
+    val pg = conn.unwrap(pgIface.asInstanceOf[Class[AnyRef]])
+    val cm = pgIface.getMethod("getCopyAPI").invoke(pg)
+    val copyIn = cm.getClass.getMethod("copyIn",
+      classOf[String], classOf[InputStream])
+    copyIn.invoke(cm, copySql, new PgBinaryCopy.RowStream(rows, encs))
+      .asInstanceOf[java.lang.Long].longValue
+  }
+}
