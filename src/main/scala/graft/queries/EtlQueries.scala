@@ -42,26 +42,38 @@ object EtlQueries {
       |ORDER BY customer_id""".stripMargin
 
   /** The converters.rs cast matrix through TypeMapping: int widening,
-    * bool→smallint(1/0), date→"YYYY-mm-dd" text, and the DECIMAL arms
-    * (numeric passthrough / double / text). The DECIMAL source column
-    * is built as floor-cents (integral, scale 0) because CAST(double AS
-    * DECIMAL) half-tie rounding diverges across engines — FLOOR(x*100)
-    * is the repo-standard engine-portable quantization; scale-2
-    * passthrough fidelity is spec-covered in EtlSpec. */
+    * bool→smallint(1/0), date→"YYYY-mm-dd" text, and all four DECIMAL
+    * arms (scale-0→bigint / numeric passthrough / double / text). The
+    * DECIMAL source column is built as floor-cents (integral, scale 0)
+    * because CAST(double AS DECIMAL) half-tie rounding diverges across
+    * engines — FLOOR(x*100) is the repo-standard engine-portable
+    * quantization.
+    *
+    * Output shapes are chosen to be driver-hashable: a raw DECIMAL
+    * output column is value-equal to the oracle but representation-
+    * divergent under the driver's pyarrow-vs-duckdb compare
+    * (object(Decimal) vs float64 — the round-3 etl_cast regression), so
+    * the scale-0 column exits through the decimal→bigint arm (int64)
+    * and the numeric-passthrough arm runs inside the plan but is
+    * re-emitted as double for the compare. Raw DECIMAL passthrough
+    * fidelity (values AND scale) stays spec-covered in EtlSpec. */
   def cast(s: SparkSession, d: String): DataFrame = {
     val cents = floor(col("o_totalprice") * 100).cast("decimal(14,0)")
     val base = Tables.orders(s, d).select(
       col("o_orderkey"),
       (col("o_orderstatus") === "O").as("is_open"),
       col("o_orderdate").cast("date").as("odate"),
-      cents.as("cents"), cents.as("cents_dbl"), cents.as("cents_txt"))
+      cents.as("cents"), cents.as("cents_num"),
+      cents.as("cents_dbl"), cents.as("cents_txt"))
     TypeMapping.castTo(base, Map(
       "o_orderkey" -> "bigint",
       "is_open" -> "smallint",
       "odate" -> "varchar",
-      "cents" -> "numeric",
+      "cents" -> "bigint",      // scale-0 DECIMAL → int64
+      "cents_num" -> "numeric", // exact passthrough — re-shaped below
       "cents_dbl" -> "double",
       "cents_txt" -> "text"))
+      .withColumn("cents_num", col("cents_num").cast("double"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -69,7 +81,8 @@ object EtlQueries {
     """SELECT o_orderkey,
       |  CAST(o_orderstatus = 'O' AS SMALLINT) AS is_open,
       |  strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
-      |  CAST(FLOOR(o_totalprice * 100) AS DECIMAL(14,0)) AS cents,
+      |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+      |  CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(14,0)) AS DOUBLE) AS cents_num,
       |  CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(14,0)) AS DOUBLE) AS cents_dbl,
       |  CAST(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(14,0)) AS VARCHAR) AS cents_txt
       |FROM orders
@@ -174,16 +187,25 @@ object EtlQueries {
         expr(Frags.dsum2("l_extendedprice")).as("sum_price"))
   }
 
-  /** Cache-key component: the source's max mtime — a regenerated
-    * source at the SAME path then lands in a fresh cache dir instead
-    * of being served a stale rewrite (_SUCCESS only guards against
-    * interruption, not regeneration). */
+  /** Cache-key component: a digest of the source's recursive file
+    * listing (leaf path, length, mtime) — a regenerated source at the
+    * SAME path then lands in a fresh cache dir instead of being served
+    * a stale rewrite (_SUCCESS only guards against interruption, not
+    * regeneration). Folding length+count in keeps the key honest when
+    * mtime granularity (often 1 s) hides a same-tick regeneration or
+    * the newest change sits in a nested file. */
   private def mtimeKey(d: String, table: String): Long = {
-    val f = new java.io.File(d, s"$table.parquet")
-    if (f.isDirectory)
-      Option(f.listFiles).filter(_.nonEmpty)
-        .map(_.map(_.lastModified).max).getOrElse(f.lastModified)
-    else f.lastModified
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.iterator.flatMap(walk)).getOrElse(Iterator.empty)
+      else Iterator.single(f)
+    val root = new java.io.File(d, s"$table.parquet")
+    walk(root).foldLeft(17L) { (h, f) =>
+      var x = h
+      x = x * 1000003L + f.getName.hashCode
+      x = x * 1000003L + f.length
+      x * 1000003L + f.lastModified
+    } & Long.MaxValue // cache dirs are named with this key — keep it non-negative
   }
 
   /** The pruned scan itself (shared with the plan-shape spec). One

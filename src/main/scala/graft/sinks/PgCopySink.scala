@@ -92,12 +92,31 @@ object PgBinaryCopy {
       case DoubleType  => Some(v => be(8)(_.writeDouble(v.asInstanceOf[Double])))
       case StringType  => Some(v => v.asInstanceOf[String].getBytes("UTF-8"))
       case BinaryType  => Some(v => v.asInstanceOf[Array[Byte]])
-      case DateType => Some(v => be(4)(_.writeInt(
-        (v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay - PgEpochDays).toInt)))
-      case TimestampType => Some { v =>
-        val t = v.asInstanceOf[java.sql.Timestamp]
-        val us = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
-        be(8)(_.writeLong(us - PgEpochUs))
+      // both java.sql and java.time externals: with
+      // spark.sql.datetime.java8API.enabled=true Row.get returns
+      // LocalDate/Instant instead of java.sql.Date/Timestamp
+      case DateType => Some {
+        case d: java.sql.Date => be(4)(_.writeInt(
+          (d.toLocalDate.toEpochDay - PgEpochDays).toInt))
+        case ld: java.time.LocalDate => be(4)(_.writeInt(
+          (ld.toEpochDay - PgEpochDays).toInt))
+        case other => throw new IllegalArgumentException(
+          s"unexpected date external: ${other.getClass.getName}")
+      }
+      case TimestampType => Some {
+        // Timestamp.getTime is FLOOR-ms of the instant (negative pre-
+        // 1970) and getNanos is the non-negative in-second component,
+        // so getTime*1000 + µs-within-ms is exact on both sides of the
+        // epoch (pre-1970 golden bytes in PgCopySpec)
+        case t: java.sql.Timestamp =>
+          val us = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+          be(8)(_.writeLong(us - PgEpochUs))
+        case i: java.time.Instant =>
+          val us = Math.addExact(
+            Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+          be(8)(_.writeLong(us - PgEpochUs))
+        case other => throw new IllegalArgumentException(
+          s"unexpected timestamp external: ${other.getClass.getName}")
       }
       case _: DecimalType => Some(v =>
         encodeNumeric(v.asInstanceOf[java.math.BigDecimal]))
@@ -177,7 +196,21 @@ object PgCopySink {
 
   /** Same contract as JdbcSink.write (validation, aliasing, returned
     * row count); routes to binary COPY when the target is Postgres and
-    * the driver + schema support it. */
+    * the driver + schema support it.
+    *
+    * Semantics notes (vs the single-socket reference loader):
+    *  - at-least-once per partition: each partition COPYs in its own
+    *    autocommitted round trip, so a Spark task retry or speculative
+    *    duplicate re-sends that partition. The returned count is the
+    *    EXACT input row count (renamed.count(), same contract as
+    *    JdbcSink); if the COPY'd total disagrees with it — i.e. a retry
+    *    actually double-loaded — write throws instead of under/over-
+    *    reporting. Exactly-once needs a staging table + rename, which
+    *    a caller can layer on top.
+    *  - timestamps are encoded as the UTC instant (PG binary µs), which
+    *    is correct for `timestamptz` targets or UTC server/session
+    *    timezones; a PG wall-clock `timestamp` column written from a
+    *    non-UTC session observes the session shift. */
   def write(df: DataFrame, url: String, table: String,
       aliases: Map[String, Option[String]] = Map.empty,
       batchSize: Int = 10000,
@@ -205,23 +238,44 @@ object PgCopySink {
     val colList = targets.map(t => s""""$t"""").mkString(", ")
     val copySql = s"""COPY $table ($colList) FROM STDIN WITH (FORMAT binary)"""
     val counter = df.sparkSession.sparkContext.longAccumulator("pg_copy_rows")
-    renamed.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
-        val conn = DriverManager.getConnection(url)
-        try {
-          val n = copyPartition(conn, copySql, rows, encs)
-          counter.add(n)
-        } finally conn.close()
+    // persist across copy+count (same rationale as JdbcSink: the exact
+    // count must not re-execute the upstream, and both passes must see
+    // the same rows)
+    renamed.persist()
+    try {
+      renamed.foreachPartition { (rows: Iterator[Row]) =>
+        if (rows.nonEmpty) {
+          val conn = DriverManager.getConnection(url)
+          try {
+            val n = copyPartition(conn, copySql, rows, encs)
+            counter.add(n)
+          } finally conn.close()
+        }
       }
-    }
-    counter.value
+      val exact = renamed.count()
+      if (counter.value != exact)
+        throw new IllegalStateException(
+          s"COPY landed ${counter.value} rows for $exact inputs — a task " +
+            "retry or speculative duplicate re-sent a partition (per-" +
+            "partition COPY is at-least-once); de-duplicate the target " +
+            "or reload through a staging table")
+      exact
+    } finally renamed.unpersist()
   }
 
+  private[graft] val PgConnectionIface = "org.postgresql.PGConnection"
+
   /** One partition's COPY round trip (reflective CopyManager —
-    * `PGConnection.getCopyAPI().copyIn(sql, stream)`). */
-  private def copyPartition(conn: Connection, copySql: String,
-      rows: Iterator[Row], encs: Array[Any => Array[Byte]]): Long = {
-    val pgIface = Class.forName("org.postgresql.PGConnection")
+    * `PGConnection.getCopyAPI().copyIn(sql, stream)`, the shape pgjdbc
+    * has published since 8.x; reference db.rs:167-177 drives the same
+    * server protocol through BinaryCopyInWriter). `ifaceName` is
+    * injectable so the reflection lookup + stream plumbing has executed
+    * test coverage via a stub interface (no pgjdbc jar in the sandbox —
+    * PgCopySpec). */
+  private[graft] def copyPartition(conn: Connection, copySql: String,
+      rows: Iterator[Row], encs: Array[Any => Array[Byte]],
+      ifaceName: String = PgConnectionIface): Long = {
+    val pgIface = Class.forName(ifaceName)
     val pg = conn.unwrap(pgIface.asInstanceOf[Class[AnyRef]])
     val cm = pgIface.getMethod("getCopyAPI").invoke(pg)
     val copyIn = cm.getClass.getMethod("copyIn",

@@ -265,6 +265,66 @@ class EtlSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(work, "wip")).isEmpty)
   }
 
+  /** Object-store contract: a bucket-shaped layout mimicking the
+    * reference's localstack fixture (bucket_data/customer-orders-parquet
+    * with order_NN.parquet objects), a crash that strands a batch in
+    * `wip`, and a resume that must drain the stranded batch FIRST —
+    * in full, regardless of the new batch size — before touching todo
+    * (reference work_lists.rs:48-200 resume semantics). The crash lands
+    * between take-batch and the sink write, so resume must deliver
+    * every object's rows exactly once. */
+  test("pipeline: crash strands wip; resume drains it first with per-item parity") {
+    val bucket = tmpDir("customer-orders-parquet")
+    val work = tmpDir("work_resume")
+    val url = derby("pipe_resume")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val objects = (0 until 6).map(i => f"order_$i%02d.parquet")
+    objects.zipWithIndex.foreach { case (name, i) =>
+      o.filter(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.lit(6)) === i)
+        .write.parquet(s"$bucket/$name")
+    }
+    writeFile(work, "todo", objects.mkString("", "\n", "\n"))
+    exec(url, "CREATE TABLE resume_t (order_id BIGINT, price DOUBLE)")
+
+    // crash simulation: a run takes its first batch (todo -> wip) and
+    // dies before writing anything — order_00/order_01 are stranded
+    val crashed = new WorkLists(work, 2)
+    assert(crashed.nextBatch() == objects.take(2).toVector)
+    assert(Files.readString(Paths.get(work, "wip")).trim.nonEmpty)
+    // (process abandoned here — no sink write, no markCompleted)
+
+    // resume with a DIFFERENT batch size: the stranded wip must come
+    // back as the first batch in full, then todo in 3s
+    val cfg = GraftConfig(
+      DbConfig("resume_t", url),
+      S3Config(bucket, downloadBatchSize = 3, downloadsDir = "unused"),
+      ParquetConfig(Seq("o_orderkey", "o_totalprice")),
+      Some(Map("o_orderkey" -> Some("order_id"), "o_totalprice" -> Some("price"))),
+      WorkListsConfig(work))
+    val total = Pipeline.run(spark, cfg)
+
+    // exactly-once per item: every object's slice landed once
+    assert(total == o.count())
+    assert(queryLong(url, "SELECT COUNT(*) FROM resume_t") == o.count())
+    assert(queryLong(url, "SELECT COUNT(DISTINCT order_id) FROM resume_t") == o.count())
+    (0 until 6).foreach { i =>
+      val expected = o.filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("o_orderkey"),
+        org.apache.spark.sql.functions.lit(6)) === i).count()
+      assert(queryLong(url,
+        s"SELECT COUNT(*) FROM resume_t WHERE MOD(order_id, 6) = $i") == expected,
+        s"item ${objects(i)} parity")
+    }
+    // completion log: stranded batch first, every item exactly once
+    val completed = Files.readString(Paths.get(work, "completed"))
+      .linesIterator.toVector
+    assert(completed == objects.toVector)
+    assert(Files.readString(Paths.get(work, "wip")).isEmpty)
+    assert(Files.readString(Paths.get(work, "todo")).isEmpty)
+  }
+
   test("binary payloads load to a BLOB column (reference leaves this todo!)") {
     val url = derby("binsink")
     exec(url, "CREATE TABLE bin_t (id BIGINT, payload BLOB)")

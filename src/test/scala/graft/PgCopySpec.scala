@@ -109,6 +109,74 @@ class PgCopySpec extends AnyFunSuite {
     assert(nulls.head.isDefined && nulls.tail.forall(_.isEmpty))
   }
 
+  test("pre-1970 timestamps and pre-2000 dates encode exact negative offsets") {
+    val tEnc = PgBinaryCopy.fieldEncoder(org.apache.spark.sql.types.TimestampType).get
+    def us(b: Array[Byte]) =
+      new DataInputStream(new java.io.ByteArrayInputStream(b)).readLong()
+    // 1969-12-31 23:59:59.999999 UTC = -1 µs from epoch (floor-ms getTime
+    // -1 interacts with non-negative getNanos 999999000)
+    val preEpoch = java.sql.Timestamp.from(
+      java.time.Instant.parse("1969-12-31T23:59:59.999999Z"))
+    assert(preEpoch.getTime == -1 && preEpoch.getNanos == 999999000)
+    assert(us(tEnc(preEpoch)) == -1L - 946684800000000L)
+    // a whole second before the epoch, with sub-ms µs
+    val t2 = java.sql.Timestamp.from(
+      java.time.Instant.parse("1969-12-31T23:59:58.000123Z"))
+    assert(us(tEnc(t2)) == -2000000L + 123L - 946684800000000L)
+    // java.time externals (spark.sql.datetime.java8API.enabled=true
+    // hands Instant/LocalDate to the encoder) agree bit-for-bit
+    assert(us(tEnc(java.time.Instant.parse("1969-12-31T23:59:59.999999Z")))
+      == us(tEnc(preEpoch)))
+    val dEnc = PgBinaryCopy.fieldEncoder(org.apache.spark.sql.types.DateType).get
+    def days(b: Array[Byte]) =
+      new DataInputStream(new java.io.ByteArrayInputStream(b)).readInt()
+    assert(days(dEnc(java.sql.Date.valueOf("1969-12-31"))) == -10958)
+    assert(days(dEnc(java.time.LocalDate.of(1969, 12, 31))) == -10958)
+    assert(days(dEnc(java.time.LocalDate.of(2000, 1, 1))) == 0)
+  }
+
+  /** Stub of pgjdbc's PGConnection shape: `copyPartition` resolves this
+    * interface by name, unwraps the Connection to it, and calls
+    * getCopyAPI().copyIn(sql, stream) reflectively — the exact call
+    * sequence it would make against org.postgresql.PGConnection (no
+    * pgjdbc jar in the sandbox). */
+  test("reflective COPY path executes end-to-end against a stub PGConnection") {
+    val df = spark.range(50).select(col("id").as("k"), (col("id") * 2.5).as("v"))
+    val encs = df.schema.fields.map(f => PgBinaryCopy.fieldEncoder(f.dataType).get)
+    val rows = df.collect()
+    FakeCopyManager.reset()
+    val conn = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
+      (_, method, args) => method.getName match {
+        case "unwrap" =>
+          val iface = args(0).asInstanceOf[Class[_]]
+          assert(iface == classOf[FakePgConnection],
+            s"unwrap asked for ${iface.getName}")
+          new FakePgConnection {
+            override def getCopyAPI: AnyRef = FakeCopyManager
+          }
+        case "close" => null
+        case m => fail(s"unexpected Connection call: $m")
+      }).asInstanceOf[java.sql.Connection]
+    val sql = """COPY t ("k", "v") FROM STDIN WITH (FORMAT binary)"""
+    val n = PgCopySink.copyPartition(conn, sql, rows.iterator, encs,
+      ifaceName = classOf[FakePgConnection].getName)
+    assert(n == 50)
+    assert(FakeCopyManager.lastSql == sql)
+    // the streamed bytes are a complete PGCOPY payload: header, 50
+    // tuples matching the input rows, trailer, EOF
+    val decoded = decode(new java.io.ByteArrayInputStream(FakeCopyManager.lastBytes))
+    assert(decoded.length == 50)
+    decoded.zip(rows).foreach { case (fields, row) =>
+      assert(fields.length == 2)
+      assert(new DataInputStream(new java.io.ByteArrayInputStream(
+        fields(0).get)).readLong() == row.getLong(0))
+      assert(java.lang.Double.longBitsToDouble(new DataInputStream(
+        new java.io.ByteArrayInputStream(fields(1).get)).readLong())
+        == row.getDouble(1))
+    }
+  }
+
   test("unsupported column types and non-postgres URLs fall back to the INSERT sink") {
     assert(!PgCopySink.isPostgres("jdbc:derby:memory:x"))
     assert(PgCopySink.isPostgres("jdbc:postgresql://h/db"))
@@ -133,5 +201,45 @@ class PgCopySpec extends AnyFunSuite {
       .option("dbtable", "pgc_t").load()
     assert(back.count() == 100)
     assert(back.agg(sum("V")).head().getDouble(0) == (0 until 100).map(_ * 1.5).sum)
+  }
+}
+
+/** pgjdbc PGConnection method shape (getCopyAPI), resolvable by name
+  * through the same Class.forName path production uses. */
+trait FakePgConnection {
+  def getCopyAPI: AnyRef
+}
+
+/** pgjdbc CopyManager method shape (copyIn(String, InputStream): long):
+  * drains the stream like the server would, counts the tuples, and
+  * captures sql + bytes for assertion. */
+object FakeCopyManager {
+  @volatile var lastSql: String = _
+  @volatile var lastBytes: Array[Byte] = _
+  def reset(): Unit = { lastSql = null; lastBytes = null }
+
+  def copyIn(sql: String, in: java.io.InputStream): Long = {
+    lastSql = sql
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    lastBytes = bos.toByteArray
+    // count tuples the way the server does: int16 field-count markers
+    // until the -1 trailer
+    val din = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(lastBytes))
+    din.skipBytes(19)
+    var rows = 0L
+    var fields = din.readShort()
+    while (fields != -1) {
+      (0 until fields).foreach { _ =>
+        val len = din.readInt()
+        if (len != -1) din.skipBytes(len)
+      }
+      rows += 1
+      fields = din.readShort()
+    }
+    rows
   }
 }

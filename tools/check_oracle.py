@@ -3,36 +3,88 @@
 driver's gate: sort columns by name, sort rows, compare values).
 Dev-only tool — the shipped Scala library does not depend on this.
 
+The Spark side is read through pyarrow/pandas — the same path the
+driver uses — NOT through DuckDB: reading both sides through DuckDB
+normalizes away representation-level divergence (e.g. a Spark
+decimal128(14,0) column surfaces as object(Decimal) in pandas while
+the DuckDB oracle materializes float64 — value-equal, hash-different),
+which is exactly the failure class that shipped blind in round 3.
+Cells are compared (type, repr)-sensitively, with the 1e-9 float
+near-miss tolerance kept as a WARN (the driver's hash does NOT
+tolerate near-misses — grep for WARN).
+
 Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def read_spark(out_dir, name):
+    """Read Verify's parquet output the way the driver does: pyarrow →
+    pandas. Returns (cols, rows as list of tuples of python objects)."""
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {out_dir}/{name}")
+    import pyarrow as pa
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    # date_as_object=False: date32 lands as datetime64 (Timestamp cells),
+    # matching how the driver-green date queries compare against the
+    # DuckDB oracle's datetime64 — decimals stay raw (object(Decimal)),
+    # which is the divergence this tool must catch
+    df = tbl.to_pandas(date_as_object=False)
+    return list(df.columns), [tuple(r) for r in df.itertuples(index=False, name=None)]
+
+
+def read_oracle(con, sql):
+    df = con.execute(sql).df()
+    return list(df.columns), [tuple(r) for r in df.itertuples(index=False, name=None)]
+
+
+def canon(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in order))
+    out = [tuple(r[i] for i in order) for r in rows]
     return sorted(cols), sorted(out, key=lambda t: tuple(repr(x) for x in t))
 
 
+def is_null(x):
+    if x is None:
+        return True
+    try:
+        r = pd.isna(x)
+        return r if isinstance(r, bool) else bool(r) if getattr(r, "ndim", 1) == 0 else False
+    except (TypeError, ValueError):
+        return False
+
+
 def eq(a, b):
-    if a is None and b is None:
+    """Returns (exact, close). `exact` mimics a representation-sensitive
+    hash: type class AND repr must agree. `close` additionally admits
+    the 1e-9 relative float tolerance (reported as WARN)."""
+    if is_null(a) and is_null(b):
+        # None/NaN/NaT all read back as the same null through the
+        # driver's pandas paths
         return True, True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True, True
-        exact = a == b
-        close = exact or (abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)))
+        exact = repr(a) == repr(b)
+        close = exact or a == b or (
+            abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b)))
         return exact, close
-    return (a == b,) * 2
+    if type(a).__name__ != type(b).__name__:
+        # e.g. Decimal vs float, date vs Timestamp: values may be equal
+        # but the driver's hash sees the raw pandas objects and diverges
+        return False, False
+    return (a == b and repr(a) == repr(b),) * 2
 
 
 def main():
@@ -41,22 +93,22 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            # partial verify run (SPARK_GRAFT_ONLY): not produced, not a failure
+            n_skip += 1
+            continue
         try:
-            got_rel = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
-            got_rows = got_rel.fetchall()
-            exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp_rows = exp_rel.fetchall()
+            got_cols, got_rows = read_spark(out_dir, name)
+            exp_cols, exp_rows = read_oracle(con, sql)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        gc, gr = canon(got_rows, got_cols)
-        ec, er = canon(exp_rows, exp_cols)
+        gc, gr = canon(got_cols, got_rows)
+        ec, er = canon(exp_cols, exp_rows)
         if gc != ec:
             print(f"FAIL {name}: columns differ: spark={gc} oracle={ec}")
             n_fail += 1
@@ -75,9 +127,9 @@ def main():
                     else:
                         bad += 1
                         if bad <= 3:
-                            print(f"  {name}: mismatch {x!r} != {y!r}")
+                            print(f"  {name}: mismatch {type(x).__name__}:{x!r} != {type(y).__name__}:{y!r}")
         if bad:
-            print(f"FAIL {name}: {bad} value mismatches ({len(gr)} rows)")
+            print(f"FAIL {name}: {bad} value/representation mismatches ({len(gr)} rows)")
             n_fail += 1
         elif nearmiss:
             print(f"WARN {name}: exact-pass except {nearmiss} float near-misses (<1e-9 rel)")
@@ -85,7 +137,8 @@ def main():
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skip} skipped (not in verify output)" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skipped}")
     sys.exit(1 if n_fail else 0)
 
 
