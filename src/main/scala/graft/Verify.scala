@@ -28,6 +28,25 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // dedup_minhash's oracle equality is recall-conditional (LSH): the
+    // margin between the threshold (0.5) and the weakest true pair is
+    // what makes P(miss) negligible, and a new corpus could shrink it
+    // with no code change. Measure and emit it EVERY run so the erosion
+    // is visible in the verify output before it flips the oracle.
+    if (selected.contains("dedup_minhash")) {
+      try {
+        val j = graft.operators.Dedup.jaccardPairsAbove(spark, sfDir, 0.5)
+          .select("jaccard").collect().map(_.getDouble(0))
+        val margin = if (j.isEmpty) 1.0 else j.min
+        // worst pair evades all 16 bands (r=2) with prob (1 - J²)¹⁶
+        val pMiss = math.pow(1.0 - margin * margin, 16)
+        val body = f"""{"min_true_pair_jaccard": $margin%.6f, "threshold": 0.5, "bands": 16, "band_rows": 2, "p_miss_worst_pair": $pMiss%.3e, "n_true_pairs": ${j.length}}"""
+        Files.writeString(Paths.get(s"$outDir/minhash_margin.json"), body)
+        System.err.println(s"[verify] dedup_minhash recall margin: $body")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] minhash margin probe failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
