@@ -23,27 +23,39 @@ object Bench {
     // SPARK_GRAFT_REPEAT=3 to repeat each (min time reported).
     val only = SparkEntry.parseOnly()
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // Warm re-runs for the expensive tail: every query whose cold run
+    // took >= this many seconds gets a second, warm-plan run, so
+    // cold-codegen variance can't mask (or fake) a regression there.
+    // 0 disables; the cold number remains the headline `value`.
+    val warmFloor = sys.env.getOrElse("SPARK_GRAFT_WARM_FLOOR", "1.0").toDouble
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0 // a fast failure must not report as a fast run
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
-        val times = (1 to repeat).map { _ =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              -1.0 // a fast failure must not report as a fast run
-          }
-        }
+        val times = (1 to repeat).map(_ => run(name, fn))
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val warm = results
+      .filter { case (_, cold) => warmFloor > 0 && cold >= warmFloor }
+      .map { case (name, _) => name -> run(name, SparkEntry.queries(name)) }
+      .filter(_._2 >= 0)
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries report -1 in `queries` and are excluded from total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val warmTotal = warm.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
+      s""""warm_queries":${toJson(warm)},"warm_total":$warmTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Curation, Dedup, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,6 +34,11 @@ object SparkEntry {
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
+    "chunk_documents" -> ((s, d) => Corpus.chunks(s, d)),
+    "pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
+    "dedup_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),
+    "dedup_incremental" -> ((s, d) => Corpus.incremental(s, d)),
+    "corpus_mix" -> ((s, d) => Corpus.corpusMix(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "text_repetition" -> ((s, d) => Curation.repetition(s, d)),
@@ -74,6 +79,11 @@ object SparkEntry {
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "ann_range" -> Similarity.rangeSearchSql,
     "ann_whiten" -> Similarity.whitenSql,
+    "chunk_documents" -> Corpus.chunksSql,
+    "pack_sequences" -> Corpus.packSequencesSql,
+    "dedup_decontaminate" -> Corpus.decontaminateSql,
+    "dedup_incremental" -> Corpus.incrementalSql,
+    "corpus_mix" -> Corpus.corpusMixSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "text_repetition" -> Curation.repetitionSql,

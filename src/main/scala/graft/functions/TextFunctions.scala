@@ -20,6 +20,12 @@ object TextFunctions {
     transform(sequence(lit(1), size(ws) - 1),
       i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
 
+  /** Word n-grams "w1 w2 … wn", 1-indexed to mirror the DuckDB oracles.
+    * Caller must guarantee >= n tokens (a descending sequence throws). */
+  def ngrams(ws: Column, n: Int): Column =
+    transform(sequence(lit(1), size(ws) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))
+
   /** Count of tokens that appear in a fixed marker list. */
   def countIn(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isInCollection(markers.map(lit(_)))))

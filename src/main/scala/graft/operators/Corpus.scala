@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.documents
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators for the training-data pipeline
+  * (SURVEY.md §2.5/§2.3 extensions): sliding-window chunking, token-
+  * budget sequence packing, benchmark decontamination, incremental
+  * (novelty) ingest dedup, and proportional source mixing.
+  *
+  * Scale design notes per operator are inline; the common theme is
+  * that nothing here materializes a global order on a single machine:
+  * chunking is a bounded per-row explode, packing uses a two-phase
+  * distributed prefix sum (per-partition cumsum + a driver-side offset
+  * table bounded by the partition count), decontamination broadcasts
+  * the small eval-set n-gram inventory, novelty dedup is a fingerprint
+  * anti-join (shuffles 32-hex strings, never text), and mixing windows
+  * only within a source stratum.
+  */
+object Corpus {
+
+  // ---------------------------------------------------------------- chunking
+
+  /** `chunk_documents` — sliding-window chunking with overlap: the
+    * standard pre-tokenization step that turns long documents into
+    * model-sized pieces. Chunks start every `stride` chars and span
+    * `len` chars (so consecutive chunks overlap by `len - stride`).
+    * Emits (doc_id, chunk_id, chunk_start, chunk_chars, chunk_md5) —
+    * the hash stands in for the chunk text so only fixed-width rows
+    * leave the executors.
+    *
+    * 100 TB: a narrow per-row explode with blow-up factor
+    * ceil(doc_len/stride) — no shuffle at all until the final
+    * presentation sort; pipeline it into a writer and the sort
+    * disappears too.
+    */
+  def chunks(s: SparkSession, d: String,
+             len: Int = 200, stride: Int = 150): DataFrame =
+    documents(s, d)
+      .filter(col("n_chars") >= 1) // 0-len docs: engines disagree on (n-1) DIV s
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0, CAST((n_chars - 1) DIV $stride AS INT))")))
+      .withColumn("chunk", expr(s"substr(text, chunk_id * $stride + 1, $len)"))
+      .select(col("doc_id"),
+        col("chunk_id"),
+        (col("chunk_id") * stride + 1).cast("int").as("chunk_start"),
+        length(col("chunk")).cast("bigint").as("chunk_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val chunksSql: String =
+    """SELECT doc_id, CAST(i AS INT) AS chunk_id,
+      |  CAST(i*150+1 AS INT) AS chunk_start,
+      |  CAST(length(substr(text, CAST(i*150+1 AS INT), 200)) AS BIGINT) AS chunk_chars,
+      |  md5(substr(text, CAST(i*150+1 AS INT), 200)) AS chunk_md5
+      |FROM documents, unnest(generate_series(0, (n_chars-1)//150)) AS t(i)
+      |WHERE n_chars >= 1
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ----------------------------------------------------------------- packing
+
+  /** `pack_sequences` — greedy contiguous sequence packing: documents
+    * in doc_id order are packed into fixed token-budget training
+    * sequences; a doc belongs to the pack where its running token
+    * count starts (`(cumsum - tokens) DIV budget`). Emits per-pack
+    * stats (n_docs, pack_tokens, first/last doc).
+    *
+    * The global running sum is NOT a single-partition window (the
+    * classic scale-killer): it is a two-phase distributed prefix sum —
+    * range-partition by doc_id, per-partition cumsum under a
+    * pid-partitioned window, then add per-partition offsets computed
+    * from a driver-side table bounded by the partition count. The
+    * input is localCheckpoint-pinned so the offset table and the
+    * cumsum pass see identical range boundaries.
+    */
+  def packSequences(s: SparkSession, d: String, budget: Long = 1000L): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val toks = documents(s, d)
+      .select(col("doc_id"), size(words(col("text"))).cast("bigint").as("tokens"))
+      .repartitionByRange(nPart, col("doc_id"))
+      .localCheckpoint()
+    val withPid = toks.withColumn("pid", spark_partition_id())
+    // per-partition token totals: <= nPart rows, safe to collect
+    val totals = withPid.groupBy("pid").agg(sum("tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    val offRows = totals.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += totals(p); (p, o)
+    }
+    import s.implicits._
+    val offDf = offRows.toDF("pid", "off")
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withPid
+      .withColumn("lcum", sum("tokens").over(w))
+      .join(broadcast(offDf), "pid")
+      .withColumn("pack_id", expr(s"CAST((lcum + off - tokens) DIV $budget AS BIGINT)"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum("tokens").as("pack_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  val packSequencesSql: String =
+    """SELECT CAST(pack_id AS BIGINT) AS pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM (SELECT doc_id, tokens,
+      |        (SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |          - tokens) // 1000 AS pack_id
+      |      FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |            FROM documents))
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------- decontamination
+
+  /** `dedup_decontaminate` — benchmark decontamination: flag training
+    * documents sharing any word 5-gram with a held-out eval set (the
+    * 50 hash-smallest docs, a deterministic stand-in for a benchmark
+    * suite). Emits (doc_id, n_overlap) for contaminated docs only —
+    * n_overlap = how many distinct eval 5-grams the doc contains.
+    *
+    * 100 TB: the eval-side n-gram inventory is tiny by construction
+    * (benchmarks are fixed-size), so it broadcasts; the corpus side is
+    * a narrow explode → distinct → broadcast-hash-join, no shuffle of
+    * document text and no pairwise doc×doc stage at all.
+    */
+  def decontaminate(s: SparkSession, d: String,
+                    n: Int = 5, evalK: Int = 50): DataFrame = {
+    val docs = documents(s, d)
+    val evalIds = docs
+      .select(col("doc_id"), Curation.sampleRank.as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(evalK)
+      .select("doc_id")
+    def gramRows(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(ngrams(col("ws"), n)).as("g"))
+    val evalGrams = gramRows(docs.join(broadcast(evalIds), "doc_id"))
+      .select("g").distinct()
+    gramRows(docs.join(broadcast(evalIds), Seq("doc_id"), "left_anti"))
+      .distinct() // count each shared gram once per doc
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("bigint").as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH ev AS (SELECT doc_id FROM documents
+      |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 50),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |egrams AS (
+      |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(ws)-4),
+      |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+      |  FROM tok WHERE doc_id IN (SELECT doc_id FROM ev) AND len(ws) >= 5),
+      |fgrams AS (
+      |  SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, len(ws)-4),
+      |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])) AS g
+      |  FROM tok WHERE doc_id NOT IN (SELECT doc_id FROM ev) AND len(ws) >= 5)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      |FROM fgrams JOIN egrams USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- incremental dedup
+
+  /** `dedup_incremental` — novelty filter for incremental ingest: an
+    * incoming batch is deduplicated against the already-ingested base
+    * corpus by content fingerprint, keeping only never-seen documents.
+    * Base = even doc_ids; incoming batch = odd doc_ids plus a
+    * re-delivered slice of the base (doc_id % 10 == 0 — a simulated
+    * re-crawl overlap), so the anti-join provably drops exactly the
+    * re-delivered rows.
+    *
+    * 100 TB: the anti-join shuffles 32-char fingerprints, never text;
+    * with the base side persisted as a bucketed fingerprint table the
+    * batch-side shuffle is all that remains per increment.
+    */
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("fp"))
+    val base = docs.filter(col("doc_id") % 2 === 0).select("fp")
+    docs.filter(col("doc_id") % 2 === 1 || col("doc_id") % 10 === 0)
+      .join(base, Seq("fp"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val incrementalSql: String =
+    """SELECT doc_id, lang, source FROM documents b
+      |WHERE (doc_id % 2 = 1 OR doc_id % 10 = 0)
+      |  AND NOT EXISTS (SELECT 1 FROM documents a
+      |                  WHERE a.doc_id % 2 = 0 AND md5(a.text) = md5(b.text))
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- source mix
+
+  /** `corpus_mix` — proportional source mixing: resample the gate-
+    * passing corpus to a target size with per-source quotas
+    * proportional to each source's passing count (the mixture-weights
+    * step of corpus assembly; integer floor quotas with a 1-doc floor
+    * so no source disappears, arithmetic exact on both engines). Docs
+    * within a source are taken hash-smallest-first (deterministic on
+    * any cluster layout).
+    *
+    * 100 TB: quotas come from a per-source aggregate (tiny) broadcast
+    * back; the rank window partitions by source, so no global sort —
+    * the one shuffle is on the source key.
+    */
+  def corpusMix(s: SparkSession, d: String, target: Int = 200): DataFrame = {
+    val gated = Curation.withReasons(documents(s, d))
+      .filter(col("reasons") === 0)
+      .select(col("doc_id"), col("source"))
+    val counts = gated.groupBy("source").agg(count(lit(1)).as("n_pass"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum("n_pass").as("tot")))) // 1-row broadcast
+      .select(col("source"),
+        greatest(lit(1L), expr(s"CAST(($target * n_pass) DIV tot AS BIGINT)")).as("quota"))
+    val w = Window.partitionBy("source").orderBy(Curation.sampleRank, col("doc_id"))
+    gated
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(quotas), "source")
+      .filter(col("rk") <= col("quota"))
+      .select(col("source"), col("rk").cast("int").as("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val corpusMixSql: String =
+    s"""WITH gr AS (${Curation.GateReasonsSql}),
+       |passed AS (SELECT d.doc_id, d.source FROM documents d
+       |           JOIN gr USING (doc_id) WHERE gr.reasons = 0),
+       |counts AS (SELECT source, count(*) AS n_pass FROM passed GROUP BY source),
+       |quotas AS (SELECT source,
+       |             greatest(1, (200 * n_pass) // (SELECT sum(n_pass) FROM counts)) AS quota
+       |           FROM counts),
+       |ranked AS (SELECT source, doc_id,
+       |             ROW_NUMBER() OVER (PARTITION BY source
+       |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |           FROM passed)
+       |SELECT r.source, CAST(r.rk AS INT) AS rk, r.doc_id
+       |FROM ranked r JOIN quotas q ON r.source = q.source AND r.rk <= q.quota
+       |ORDER BY r.source, r.rk""".stripMargin
+}

@@ -23,7 +23,7 @@ object Curation {
 
   /** Stable per-doc sampling rank: md5 of the decimal doc_id string.
     * Uniform over docs, independent of row order and partitioning. */
-  private def sampleRank = md5(col("doc_id").cast("string").cast("binary"))
+  private[operators] def sampleRank = md5(col("doc_id").cast("string").cast("binary"))
 
   /** Deterministic fixed-size uniform sample (the distributed
     * stand-in for reservoir sampling: rank every row by a content

@@ -1,0 +1,129 @@
+package graft
+
+import java.security.MessageDigest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Corpus
+
+/** Specs for the corpus-preparation operators (Corpus.scala): each is
+  * checked against an independent in-memory recomputation at sf0.001,
+  * plus the plan properties that make it scale (no global window for
+  * packing, broadcast joins for decontamination).
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+  test("chunk_documents covers every doc with the substr sliding window") {
+    val got = Corpus.chunks(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getInt(2), r.getLong(3), r.getString(4))))
+      .toMap
+    val expected = for {
+      (id, text) <- docs
+      nChunks = (text.length - 1) / 150 + 1
+      i <- 0 until nChunks
+    } yield {
+      val start = i * 150
+      val chunk = text.substring(start, math.min(start + 200, text.length))
+      ((id, i), (start + 1, chunk.length.toLong, md5hex(chunk)))
+    }
+    assert(got.size == expected.size, "chunk count mismatch")
+    expected.foreach { case (k, v) =>
+      assert(got(k) == v, s"chunk $k differs")
+    }
+  }
+
+  test("pack_sequences equals a sequential greedy pack of the same order") {
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1).length.toLong) }
+    var cum = 0L
+    val packOf = toks.map { case (id, n) =>
+      val p = cum / 1000; cum += n; (id, n, p)
+    }
+    val expected = packOf.groupBy(_._3).toSeq.sortBy(_._1).map {
+      case (p, rows) =>
+        (p, rows.length.toLong, rows.map(_._2).sum, rows.map(_._1).min, rows.map(_._1).max)
+    }
+    val got = Corpus.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // every pack except possibly the last starts within budget of its
+    // predecessor: pack ids are contiguous from 0
+    assert(got.map(_._1) == got.indices.map(_.toLong))
+  }
+
+  test("pack_sequences does not run a global single-partition window") {
+    val df = Corpus.packSequences(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the cumsum window must be pid-partitioned; a global window would
+    // force an Exchange SinglePartition somewhere in this plan (the
+    // only other exchanges here are hash/range/broadcast)
+    assert(!p.contains("SinglePartition"), s"global window detected:\n$p")
+    assert(p.contains("Window"), "expected the per-partition cumsum window")
+  }
+
+  test("dedup_decontaminate matches a brute-force 5-gram overlap") {
+    val evalIds = docs.map { case (id, _) => (md5hex(id.toString), id) }
+      .sorted.take(50).map(_._2).toSet
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 5) Set.empty
+      else ws.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(d => evalIds(d._1)).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filterNot(d => evalIds(d._1))
+      .map { case (id, t) => (id, grams(t).count(evalGrams).toLong) }
+      .filter(_._2 > 0)
+    val got = Corpus.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("dedup_decontaminate broadcasts the eval side (no pairwise doc join)") {
+    val df = Corpus.decontaminate(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise join detected:\n$p")
+  }
+
+  test("dedup_incremental drops exactly the re-delivered base slice") {
+    val fps = docs.map { case (id, t) => (id, md5hex(t)) }
+    val baseFps = fps.filter(_._1 % 2 == 0).map(_._2).toSet
+    val expected = fps
+      .filter { case (id, _) => id % 2 == 1 || id % 10 == 0 }
+      .collect { case (id, fp) if !baseFps(fp) => id }
+    val got = Corpus.incremental(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    // the simulated re-crawl rows (even, %10==0) must all be dropped
+    assert(got.forall(_ % 2 == 1), "a re-delivered base doc leaked through")
+  }
+
+  test("corpus_mix quotas are proportional with a 1-doc floor and filled exactly") {
+    val rows = Corpus.corpusMix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val gated = graft.operators.Curation.withReasons(Tables.documents(spark, sf))
+      .filter(col("reasons") === 0).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = gated.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val perSrc = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    for ((src, nPass) <- counts) {
+      val quota = math.max(1L, 200L * nPass / total)
+      assert(perSrc.getOrElse(src, 0L) == math.min(quota, nPass),
+        s"source $src: expected min(quota=$quota, nPass=$nPass)")
+    }
+    // ranks contiguous from 1 within each source
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
+    }
+  }
+}
