@@ -215,14 +215,28 @@ object Corpus {
     * the one shuffle is on the source key.
     */
   def corpusMix(s: SparkSession, d: String, target: Int = 200): DataFrame = {
+    // Checkpoint the narrow reasons projection BEFORE filtering on it:
+    // a filter directly over withReasons gets pushed into the
+    // projection, re-inlining the token split per array element
+    // (O(words²) — measured 4.5 s vs 0.4 s at sf0.1). The checkpoint
+    // also means the gate runs ONCE for its three consumers (counts,
+    // total, rank window), and downstream re-reads (doc_id, source)
+    // blocks, never the text.
     val gated = Curation.withReasons(documents(s, d))
+      .select(col("doc_id"), col("source"), col("reasons"))
+      .localCheckpoint()
       .filter(col("reasons") === 0)
       .select(col("doc_id"), col("source"))
+    // per-source passing counts: bounded by the source domain (mixing
+    // weights are per-source by definition), safe to collect — same
+    // driver-side-table pattern as packSequences' partition offsets
     val counts = gated.groupBy("source").agg(count(lit(1)).as("n_pass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val total = counts.map(_._2).sum
+    import s.implicits._
     val quotas = counts
-      .crossJoin(broadcast(counts.agg(sum("n_pass").as("tot")))) // 1-row broadcast
-      .select(col("source"),
-        greatest(lit(1L), expr(s"CAST(($target * n_pass) DIV tot AS BIGINT)")).as("quota"))
+      .map { case (src, n) => (src, math.max(1L, target.toLong * n / total)) }
+      .toDF("source", "quota")
     val w = Window.partitionBy("source").orderBy(Curation.sampleRank, col("doc_id"))
     gated
       .withColumn("rk", row_number().over(w))

@@ -328,13 +328,20 @@ object Streams {
   def streamCorpus(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val docs = s.readStream.schema(schema).parquet(s"$d/documents.parqu*")
+    // The gate filter comes AFTER dropDuplicates: a filter directly
+    // over withReasons is pushed into the projection, re-inlining the
+    // token split per array element (O(words²) per doc — the same
+    // trap fixed in Corpus.corpusMix). The dedup aggregate is a
+    // pushdown barrier, and the reorder is result-identical: fp keys
+    // the FULL text, so every (lang, fp) group has uniform reasons.
     val curated = graft.operators.Curation.withReasons(docs)
-      .filter(col("reasons") === 0)
       // full md5, matching the oracle's DISTINCT md5(text) key exactly
       // (a truncated fingerprint would make the equivalence merely
       // probabilistic under prefix collisions)
       .withColumn("fp", md5(col("text")))
+      .select(col("lang"), col("fp"), col("n_chars"), col("reasons"))
       .dropDuplicates("lang", "fp")
+      .filter(col("reasons") === 0)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"))
