@@ -47,6 +47,28 @@ object Verify {
         System.err.println(s"[verify] minhash margin probe failed: ${e.getMessage}")
       }
     }
+    // The rows-only ANN trio (LSH / IVF / PQ) has no DuckDB oracle, but
+    // each answers the SAME top-10 query as the exact brute force — so
+    // recall@10 IS measurable. Emit it every run: a corpus or parameter
+    // change degrading the approximations shows up here, not in silence.
+    val annApprox = Seq("ann_lsh", "ann_ivf", "ann_pq")
+    if (annApprox.exists(selected.contains)) {
+      try {
+        val exact = graft.operators.Similarity.bruteForce(spark, sfDir)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val recalls = annApprox.filter(selected.contains).map { name =>
+          val got = selected(name)(spark, sfDir)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          name -> (got.intersect(exact).size.toDouble / exact.size)
+        }
+        val body = recalls.map { case (n, r) => f""""$n": $r%.2f""" }
+          .mkString("{", ", ", s""", "k": ${exact.size}}""")
+        Files.writeString(Paths.get(s"$outDir/ann_recall.json"), body)
+        System.err.println(s"[verify] ann recall@10 vs exact: $body")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] ann recall probe failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

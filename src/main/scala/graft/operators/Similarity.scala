@@ -193,8 +193,15 @@ object Similarity {
   private def planeLit(p: Int, dim: Int): Column =
     array(plane(p, dim).map(lit(_)).toIndexedSeq: _*)
 
-  /** Random-hyperplane LSH: 6-bit sign bucket, probe the query's bucket
-    * only (rows-only: seeded planes aren't portable SQL). */
+  /** Random-hyperplane LSH with hamming≤2 MULTI-PROBE: 6-bit sign
+    * bucket; probe the query's bucket plus every bucket within two
+    * bit-flips (the buckets a near neighbour most likely fell into
+    * when one or two hyperplanes disagreed). The probe stays an
+    * equi-join — the probe set explodes to 1+C(n,1)+C(n,2) broadcast
+    * rows — and candidates stay a fixed fraction of the bucket space
+    * (22/64 here; at production plane counts the same probe order is
+    * a far smaller fraction, e.g. 79/4096 for 12 planes). Rows-only:
+    * seeded planes aren't portable SQL. */
   def lsh(s: SparkSession, d: String, nPlanes: Int = 6, dim: Int = 64,
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
@@ -202,8 +209,13 @@ object Similarity {
       when(dotD(col("embedding"), planeLit(p, dim)) >= 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
     val be = e.withColumn("bucket", bucket)
+    val masks = Seq(0) ++
+      (0 until nPlanes).map(1 << _) ++
+      (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes)
+        yield (1 << p) | (1 << r))
+    val probeSet = array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val q = be.filter(col("vec_id") === queryId)
-      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+      .select(explode(probeSet).as("q_bucket"), col("embedding").as("q_emb"))
     be.join(broadcast(q), col("bucket") === col("q_bucket") &&
         col("vec_id") =!= queryId)
       .select(col("vec_id"), col("bucket"),
@@ -275,8 +287,26 @@ object Similarity {
     * never shuffled. At 100 TB the codes are m·log₂(ksub) bits/vector
     * (here 4×4 = 2 bytes) against 256 bytes of floats. */
   def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      m: Int = 4, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
-    val e = embeddings(s, d).select("vec_id", "embedding")
+      m: Int = 16, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
+    // PQ quantizes for SQUARED L2, but the exact baseline ranks by
+    // cosine — on unnormalized vectors the two metrics disagree and no
+    // codebook can fix that. Normalize first (guaranteed, not assumed):
+    // on unit vectors ‖a−b‖² = 2−2·cos(a,b), so the ADC ranking
+    // approximates the cosine ranking directly.
+    // Defaults from a measured sweep on this corpus (recall@10 vs
+    // exact, emitted per verify run in ann_recall.json): m=16/ksub=16
+    // gives 3-5/10 across SFs — the ceiling for ADC over structureless
+    // random embeddings, where quantization error is irreducible noise
+    // (clustered production embeddings are what PQ exploits). ONE
+    // Lloyd iteration: on random data further mean-updates shrink
+    // centroids toward the global mean and flatten the ADC table
+    // (m=8/iters=2 measured 0/10).
+    val e = embeddings(s, d)
+      .withColumn("n2", sqrt(greatest(
+        dotD(col("embedding"), col("embedding")), lit(1e-30))))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => (x / col("n2")).cast("float"))
+          .as("embedding"))
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
