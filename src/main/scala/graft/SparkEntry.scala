@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
+    "dedup_simhash" -> Dedup.simhashSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,
     "text_langid" -> TextAnalysis.langIdSql,
@@ -79,6 +80,9 @@ object SparkEntry {
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "ann_range" -> Similarity.rangeSearchSql,
     "ann_whiten" -> Similarity.whitenSql,
+    "ann_lsh" -> Similarity.lshSql,
+    "ann_ivf" -> Similarity.ivfSql,
+    "ann_pq" -> Similarity.pqSql,
     "chunk_documents" -> Corpus.chunksSql,
     "pack_sequences" -> Corpus.packSequencesSql,
     "dedup_decontaminate" -> Corpus.decontaminateSql,
@@ -102,8 +106,11 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql,
     "stream_interval_left" -> graft.streaming.Streams.intervalJoinLeftSql)
-    // dedup_simhash / ann_lsh / ann_ivf are rows-only: seeded hash
-    // bit-mixes & hyperplanes aren't portable DuckDB SQL.
+    // Every pipeline query is oracle-gated except q22_approx_distinct
+    // (HLL sketch values are genuinely engine-specific): the formerly
+    // rows-only four are replayed exactly — deterministic hyperplane /
+    // centroid / codebook literals for ann_lsh/ann_ivf/ann_pq, and
+    // HUGEINT mod-2^64 FNV-1a for dedup_simhash.
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

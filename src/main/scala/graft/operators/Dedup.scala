@@ -553,8 +553,11 @@ object Dedup {
     exactConfirm(cands, sh).filter(col("jaccard") >= t)
   }
 
-  /** SimHash fingerprints with 4×16-bit blocking bands (rows-only;
-    * relies on the native Fnv64/SimHash64 Catalyst expressions). */
+  /** SimHash fingerprints with 4×16-bit blocking bands (relies on the
+    * native Fnv64/SimHash64 Catalyst expressions). Oracle-exact:
+    * [[simhashSql]] replays FNV-1a and the bit votes in HUGEINT
+    * arithmetic mod 2⁶⁴ — integer-exact, engine-independent (the
+    * corpus is ASCII, so `ascii(char)` equals the UTF-8 byte). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val fp = documents(s, d)
       .select(col("doc_id"), simhash64(words(col("text"))).as("simhash"))
@@ -566,6 +569,44 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on any equal 16-bit band, confirm
     * with full Hamming distance <= maxHamming. */
+  /** DuckDB replay of the 64-bit SimHash: FNV-1a per token via a
+    * HUGEINT list_reduce (xor on the low byte, multiply-mod-2⁶⁴ — the
+    * 104-bit intermediate product fits HUGEINT), then the ±1 bit votes
+    * and the band extraction, with the final unsigned→signed int64
+    * conversion matching JVM Long semantics. */
+  val simhashSql: String = {
+    val fnv =
+      """list_reduce(
+        |  list_concat([CAST('14695981039346656037' AS HUGEINT)],
+        |              list_transform(string_split(w, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |  (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |             * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    val pow2 = (0 until 64)
+      .map(b => s"($b, CAST('${BigInt(1) << b}' AS HUGEINT))").mkString(", ")
+    val signFix =
+      """(CASE WHEN ufp >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |th AS (SELECT doc_id, $fnv AS h FROM toks),
+       |votes AS (
+       |  SELECT doc_id, b, SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, (VALUES $pow2) AS pw(b, p)
+       |  GROUP BY doc_id, b),
+       |fp AS (
+       |  SELECT doc_id, SUM(CASE WHEN v > 0 THEN p ELSE CAST(0 AS HUGEINT) END) AS ufp
+       |  FROM votes JOIN (VALUES $pow2) AS pw(b, p) USING (b)
+       |  GROUP BY doc_id)
+       |SELECT doc_id,
+       |  CAST(ufp - $signFix AS BIGINT) AS simhash,
+       |  CAST(ufp % 65536 AS BIGINT) AS band0,
+       |  CAST(((ufp // 65536) % 65536) * 65536 AS BIGINT) AS band1,
+       |  CAST(((ufp // 4294967296) % 65536) * 4294967296 AS BIGINT) AS band2,
+       |  CAST((((ufp // 281474976710656) % 65536) * 281474976710656)
+       |    - $signFix AS BIGINT) AS band3
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 16): DataFrame = {
     val fp = documents(s, d)
       .select(col("doc_id"), simhash64(words(col("text"))).as("simhash"))

@@ -200,8 +200,9 @@ object Similarity {
     * equi-join — the probe set explodes to 1+C(n,1)+C(n,2) broadcast
     * rows — and candidates stay a fixed fraction of the bucket space
     * (22/64 here; at production plane counts the same probe order is
-    * a far smaller fraction, e.g. 79/4096 for 12 planes). Rows-only:
-    * seeded planes aren't portable SQL. */
+    * a far smaller fraction, e.g. 79/4096 for 12 planes).
+    * Oracle-exact: the planes are a pure function of (p, j), so
+    * [[lshSql]] embeds their exact double literals. */
   def lsh(s: SparkSession, d: String, nPlanes: Int = 6, dim: Int = 64,
       queryId: Long = 0L, k: Int = 10): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
@@ -209,11 +210,8 @@ object Similarity {
       when(dotD(col("embedding"), planeLit(p, dim)) >= 0, 1 << p).otherwise(0)
     }.reduce(_ + _)
     val be = e.withColumn("bucket", bucket)
-    val masks = Seq(0) ++
-      (0 until nPlanes).map(1 << _) ++
-      (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes)
-        yield (1 << p) | (1 << r))
-    val probeSet = array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)
+    val probeSet = array(probeMasks(nPlanes)
+      .map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val q = be.filter(col("vec_id") === queryId)
       .select(explode(probeSet).as("q_bucket"), col("embedding").as("q_emb"))
     be.join(broadcast(q), col("bucket") === col("q_bucket") &&
@@ -224,9 +222,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** All probe-bucket XOR masks within hamming distance 2 of 0 —
+    * shared by the LSH query and its SQL oracle so they can't drift. */
+  private[operators] def probeMasks(nPlanes: Int): Seq[Int] =
+    Seq(0) ++ (0 until nPlanes).map(1 << _) ++
+      (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes)
+        yield (1 << p) | (1 << r))
+
+  private def dotOf(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+
+  /** The LSH plan as DuckDB SQL: the deterministic hyperplanes are
+    * embedded as exact double literals (Double.toString round-trips),
+    * so bucket signs — and hence the candidate set, the cosines and
+    * the top-k — are bit-identical cross-engine. */
+  val lshSql: String = {
+    val (nPlanes, dim) = (6, 64)
+    def planeList(p: Int): String =
+      plane(p, dim).map(_.toString).mkString("[", ", ", "]")
+    val bucketExpr = (0 until nPlanes).map { p =>
+      s"(CASE WHEN ${dotOf("embedding", planeList(p))} >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("\n  + ")
+    val masks = probeMasks(nPlanes).mkString("[", ", ", "]")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |q AS (SELECT bucket AS qb, embedding AS q_emb FROM b WHERE vec_id = 0),
+       |probes AS (SELECT xor(qb, m) AS pb, q_emb FROM q, unnest($masks) AS t(m))
+       |SELECT vec_id, CAST(bucket AS INT) AS bucket, cos FROM (
+       |  SELECT b.vec_id, b.bucket, ${cosOf("b.embedding", "p.q_emb")} AS cos
+       |  FROM b JOIN probes p ON b.bucket = p.pb
+       |  WHERE b.vec_id <> 0)
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** IVF-style ANN: coarse cells from a deterministic centroid sample
     * (vec_id % 50 == 0), assign by max cosine, probe the query's
-    * nprobe=2 nearest cells (rows-only). */
+    * nprobe=2 nearest cells. Oracle-exact: the centroid sample and
+    * both argmax tie-breaks are deterministic, so [[ivfSql]] replays
+    * the whole plan. */
   def ivf(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
       nprobe: Int = 2): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
@@ -256,6 +289,26 @@ object Similarity {
       .limit(k)
   }
 
+  val ivfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cents AS (SELECT vec_id AS c_id, embedding AS c_emb FROM e WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosOf("e.embedding", "c.c_emb")} DESC, c.c_id) AS rn
+       |    FROM e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT c_id AS probe_cell, q_emb FROM (
+       |    SELECT c.c_id, q.q_emb, ${cosOf("q.q_emb", "c.c_emb")} AS c_cos
+       |    FROM (SELECT embedding AS q_emb FROM assigned WHERE vec_id = 0) q
+       |    CROSS JOIN cents c)
+       |  ORDER BY c_cos DESC, c_id LIMIT 2)
+       |SELECT a.vec_id, a.cell, ${cosOf("a.embedding", "q.q_emb")} AS cos
+       |FROM assigned a JOIN qcells q ON a.cell = q.probe_cell AND a.vec_id <> 0
+       |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
+
   /** Range search: every vector within cosine ≥ `t` of the query — the
     * radius-query counterpart of top-k (dedup and near-dup harvesting
     * use this shape: "give me EVERYTHING closer than t", unbounded k).
@@ -276,16 +329,20 @@ object Similarity {
        |WHERE cos >= 0.25
        |ORDER BY vec_id""".stripMargin
 
-  /** Product-quantization ANN (rows-only): each vector is encoded as
-    * `m` sub-codes (nearest of `ksub` per-subspace centroids from a
-    * deterministic training sample), and the query ranks by the ADC
-    * approximation — the sum over subspaces of ‖q_sub − c_code‖².
+  /** Product-quantization ANN: each vector is encoded as `m` sub-codes
+    * (nearest of `ksub` per-subspace centroids from a deterministic
+    * training sample), and the query ranks by the ADC approximation —
+    * the sum over subspaces of ‖q_sub − c_code‖².
     *
     * The scale story PQ exists for: after encoding, ranking touches
     * only (vec_id, sub, code) rows joined to a broadcast m×ksub
     * distance table — the raw vectors are read once at encode time and
     * never shuffled. At 100 TB the codes are m·log₂(ksub) bits/vector
-    * (here 4×4 = 2 bytes) against 256 bytes of floats. */
+    * (here 16×4 bits = 8 bytes) against 256 bytes of floats.
+    * Oracle-exact ([[pqSql]]): every stage is deterministic — seeded
+    * codebook, floor-quantised Lloyd means and ADC totals (exact
+    * integer arithmetic, engine-independent), float subtraction
+    * mirrored exactly. */
   def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
       m: Int = 16, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
     // PQ quantizes for SQUARED L2, but the exact baseline ranks by
@@ -342,8 +399,12 @@ object Similarity {
       val refined = assign
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("code"), col("dim"))
-        .agg((sum(col("x").cast("decimal(20,7)")) / count(lit(1)))
-          .cast("float").as("m"))
+        // floor-quantised mean (the Frags.davg9 idiom): exact integer
+        // sum, then two double divisions — identical on every engine,
+        // unlike decimal division whose derived scale/rounding is
+        // engine-specific (this is what makes the PQ oracle portable)
+        .agg((sum(floor(col("x") * 1e7).cast("decimal(28,0)")).cast("double")
+          / 1e7 / count(lit(1))).cast("float").as("m"))
         .groupBy(col("sub"), col("code"))
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("sub"), col("code"),
@@ -373,8 +434,74 @@ object Similarity {
     codes.join(broadcast(dt), Seq("sub", "code"))
       .filter(col("vec_id") =!= queryId)
       .groupBy(col("vec_id"))
-      .agg(sum(col("qd2")).as("adc_dist2"))
+      // floor-quantised ADC total: 16 doubles summed as exact integers
+      // so the result is independent of partial-aggregation order
+      // (a raw double sum can differ in the last ulp across engines
+      // and partitionings, flipping near-tied ranks)
+      .agg((sum(floor(col("qd2") * 1e12).cast("decimal(28,0)"))
+        .cast("double") / 1e12).as("adc_dist2"))
       .orderBy(col("adc_dist2"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Squared-L2 between two float lists with the subtraction done in
+    * FLOAT then squared in DOUBLE — the exact op sequence of
+    * `zip_with(a, b, x - y)` over `array<float>` followed by dotD. */
+  private def d2Of(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      z -> CAST(CAST(CAST(z[1] AS FLOAT) - CAST(z[2] AS FLOAT) AS DOUBLE)
+       |           * CAST(CAST(z[1] AS FLOAT) - CAST(z[2] AS FLOAT) AS DOUBLE) AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+
+  /** The full PQ plan as DuckDB SQL (mirrors pq()'s defaults:
+    * m=16 subspaces of 4 dims, ksub=16, one Lloyd iteration). */
+  val pqSql: String = {
+    val (m, subLen, ksub) = (16, 4, 16)
+    s"""WITH en AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+       |      / SQRT(GREATEST(${dotOf("embedding", "embedding")}, 1e-30)) AS FLOAT)) AS embedding
+       |  FROM embeddings),
+       |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |sv AS (
+       |  SELECT vec_id, sub, embedding[(sub*$subLen+1):(sub*$subLen+$subLen)] AS sv
+       |  FROM en CROSS JOIN subs),
+       |seed AS (
+       |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS c_sv FROM sv WHERE vec_id < $ksub),
+       |train AS (SELECT * FROM sv WHERE vec_id < 256),
+       |assign AS (
+       |  SELECT vec_id, sub, code, sv FROM (
+       |    SELECT t.vec_id, t.sub, s.code, t.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+       |        ORDER BY ${d2Of("t.sv", "s.c_sv")}, s.code) AS rn
+       |    FROM train t JOIN seed s USING (sub))
+       |  WHERE rn = 1),
+       |refined AS (
+       |  SELECT sub, code, list(m ORDER BY dim) AS c_new FROM (
+       |    SELECT sub, code, dim,
+       |      CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
+       |        / 1e7 / COUNT(*) AS FLOAT) AS m
+       |    FROM (SELECT sub, code, unnest(sv) AS x,
+       |            generate_subscripts(sv, 1) AS dim FROM assign)
+       |    GROUP BY sub, code, dim)
+       |  GROUP BY sub, code),
+       |cents AS (
+       |  SELECT s.sub, s.code, COALESCE(r.c_new, s.c_sv) AS c_sv
+       |  FROM seed s LEFT JOIN refined r ON s.sub = r.sub AND s.code = r.code),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, v.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY ${d2Of("v.sv", "c.c_sv")}, c.code) AS rn
+       |    FROM sv v JOIN cents c USING (sub))
+       |  WHERE rn = 1),
+       |dt AS (
+       |  SELECT q.sub, c.code, ${d2Of("q.sv", "c.c_sv")} AS qd2
+       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub))
+       |SELECT vec_id,
+       |  CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
+       |FROM codes JOIN dt USING (sub, code)
+       |WHERE vec_id <> 0
+       |GROUP BY vec_id
+       |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
   }
 }
