@@ -263,7 +263,73 @@ object Analytics4 {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  // ---- q49: KMV approximate distinct (the engine-portable sketch) ------
+  // q22's HLL sketch is inherently engine-specific; the k-minimum-values
+  // estimator is not: the k smallest md5 hashes of the distinct values
+  // are deterministic, so estimate = (k-1) / (kth smallest hash as a
+  // fraction of the hash space) is bit-identical on every engine.
+  // The k-smallest is computed in TWO phases (per-partition k-smallest,
+  // then a rank over the <= k×P survivors per group) — the global sort
+  // a naive rank window needs never happens; at 100 TB this is the
+  // standard distributed top-k shape. Groups with < k distinct values
+  // short-circuit to the exact count.
+  private def kmvEstimate(df: DataFrame, valCol: String,
+      alias: String, k: Int): DataFrame = {
+    val dv = df.select(col("l_returnflag"), col(valCol)).distinct()
+      .select(col("l_returnflag"),
+        md5(col(valCol).cast("string").cast("binary")).as("h"))
+    val local = dv.withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy(col("l_returnflag"), col("pid")).orderBy(col("h"))))
+      .filter(col("lrk") <= k)
+    val top = local.withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("h"))))
+      .filter(col("rk") <= k)
+    top.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        max(when(col("rk") === k, col("h"))).as("kth"))
+      .select(col("l_returnflag"),
+        when(col("cnt") < k, col("cnt"))
+          .otherwise(floor(lit((k - 1).toDouble) /
+            (conv(substring(col("kth"), 1, 15), 16, 10).cast("bigint") /
+              lit(1152921504606846976.0))).cast("bigint")).as(alias))
+  }
+
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    kmvEstimate(li, "l_orderkey", "kmv_orders", 256)
+      .join(kmvEstimate(li, "l_partkey", "kmv_parts", 256), "l_returnflag")
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q49Sql: String = {
+    val k = 256
+    val hexval =
+      """list_reduce(list_transform(string_split(substr(kth,1,15), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, d) -> a*16 + d)""".stripMargin
+    def kmv(valCol: String, alias: String): String =
+      s"""(SELECT l_returnflag,
+         |  CASE WHEN cnt < $k THEN cnt
+         |       ELSE CAST(FLOOR((${k - 1}.0) / ($hexval / 1152921504606846976.0)) AS BIGINT)
+         |  END AS $alias
+         | FROM (
+         |   SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |     MAX(CASE WHEN rk = $k THEN h END) AS kth
+         |   FROM (
+         |     SELECT l_returnflag, h,
+         |       ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+         |     FROM (SELECT DISTINCT l_returnflag, md5(CAST($valCol AS VARCHAR)) AS h
+         |           FROM (SELECT DISTINCT l_returnflag, $valCol FROM lineitem)))
+         |   WHERE rk <= $k
+         |   GROUP BY l_returnflag))""".stripMargin
+    s"""SELECT o.l_returnflag, o.kmv_orders, p.kmv_parts
+       |FROM ${kmv("l_orderkey", "kmv_orders")} o
+       |JOIN ${kmv("l_partkey", "kmv_parts")} p USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_kmv_distinct" -> (q49 _),
     "q48_order_profile" -> (q48 _),
     "q46_yoy_growth" -> (q46 _),
     "q47_share_of_total" -> (q47 _),
@@ -274,6 +340,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q49_kmv_distinct" -> q49Sql,
     "q48_order_profile" -> q48Sql,
     "q46_yoy_growth" -> q46Sql,
     "q47_share_of_total" -> q47Sql,

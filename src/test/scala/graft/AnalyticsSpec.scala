@@ -81,6 +81,22 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q49 KMV distinct is within 10% of exact (both estimate columns)") {
+    import org.apache.spark.sql.functions._
+    val kmv = queries.Analytics4.q49(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("no"),
+        countDistinct(col("l_partkey")).as("np"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (no, np)) =>
+      val (eo, ep) = kmv(k)
+      assert(math.abs(eo - no).toDouble / no < 0.10, s"$k orders: kmv=$eo exact=$no")
+      assert(math.abs(ep - np).toDouble / np < 0.10, s"$k parts: kmv=$ep exact=$np")
+    }
+  }
+
   test("q24 as-of join: clicked_at is never after the purchase") {
     import org.apache.spark.sql.functions._
     val bad = queries.Analytics2.q24(spark, sf)
