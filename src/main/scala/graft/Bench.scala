@@ -45,15 +45,16 @@ object Bench {
         val times = (1 to repeat).map(_ => run(name, fn))
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
+    // warm failures stay in the map as -1 (same contract as cold: a
+    // fast failure must not read as a fast run — or vanish entirely)
     val warm = results
       .filter { case (_, cold) => warmFloor > 0 && cold >= warmFloor }
       .map { case (name, _) => name -> run(name, SparkEntry.queries(name)) }
-      .filter(_._2 >= 0)
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries report -1 in `queries` and are excluded from total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val warmTotal = warm.map(_._2).sum
+    val warmTotal = warm.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},""" +
       s""""warm_queries":${toJson(warm)},"warm_total":$warmTotal,"sf":"$sfDir"}""")
     spark.stop()

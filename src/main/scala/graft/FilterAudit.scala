@@ -19,11 +19,11 @@ object FilterAudit {
       try {
         val plan = fn(spark, d).queryExecution.executedPlan.toString
         // the quadratic trap: a per-element lambda (transform/filter/
-        // aggregate over an aliased split) inlined into a Filter or
-        // into ANOTHER lambda's element function
+        // exists/aggregate — all render as lambdafunction(...) in the
+        // plan) over an aliased split, inlined into a Filter condition
         val hits = plan.linesIterator.filter { l =>
           (l.contains("Filter ") || l.contains("+- Filter")) &&
-          l.contains("transform(") && l.contains("split(")
+          l.contains("lambdafunction(") && l.contains("split(")
         }.toSeq
         if (hits.nonEmpty) println(s"[audit] $name: ${hits.size} suspect filter(s)")
       } catch { case e: Throwable => println(s"[audit] $name failed: ${e.getClass.getSimpleName}") }

@@ -21,13 +21,23 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Record what this run attempted and what crashed, so the gate can
+    // tell "not selected" (skip) from "selected but threw" (FAIL) —
+    // without this a crashed query's missing output reads as a benign
+    // partial-run skip and the gate exits green.
+    def jsonArr(xs: Seq[String]): String =
+      xs.sorted.map("\"" + _ + "\"").mkString("[", ", ", "]")
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      s"""{"attempted": ${jsonArr(selected.keys.toSeq)}, "failed": ${jsonArr(failed.toSeq)}}""")
     // dedup_minhash's oracle equality is recall-conditional (LSH): the
     // margin between the threshold (0.5) and the weakest true pair is
     // what makes P(miss) negligible, and a new corpus could shrink it
@@ -52,15 +62,21 @@ object Verify {
     // recall@10 IS measurable. Emit it every run: a corpus or parameter
     // change degrading the approximations shows up here, not in silence.
     val annApprox = Seq("ann_lsh", "ann_ivf", "ann_pq")
-    if (annApprox.exists(selected.contains)) {
+    if (annApprox.exists(n => selected.contains(n) && !failed.contains(n))) {
       try {
-        val exact = graft.operators.Similarity.bruteForce(spark, sfDir)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        val recalls = annApprox.filter(selected.contains).map { name =>
-          val got = selected(name)(spark, sfDir)
+        // read the dumps just written above instead of re-running the
+        // full LSH/IVF/PQ pipelines (the probe only needs vec_ids)
+        def ids(name: String): Set[Long] =
+          (try spark.read.parquet(s"$outDir/$name")
+           catch { case _: Throwable => selected(name)(spark, sfDir) })
             .select("vec_id").collect().map(_.getLong(0)).toSet
-          name -> (got.intersect(exact).size.toDouble / exact.size)
-        }
+        val exact =
+          if (selected.contains("ann_bruteforce") && !failed.contains("ann_bruteforce"))
+            ids("ann_bruteforce")
+          else graft.operators.Similarity.bruteForce(spark, sfDir)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        val recalls = annApprox.filter(n => selected.contains(n) && !failed.contains(n))
+          .map { name => name -> (ids(name).intersect(exact).size.toDouble / exact.size) }
         val body = recalls.map { case (n, r) => f""""$n": $r%.2f""" }
           .mkString("{", ", ", s""", "k": ${exact.size}}""")
         Files.writeString(Paths.get(s"$outDir/ann_recall.json"), body)

@@ -575,10 +575,16 @@ object Dedup {
     * and the band extraction, with the final unsigned→signed int64
     * conversion matching JVM Long semantics. */
   val simhashSql: String = {
+    // NB the empty-token guard: DuckDB string_split('', '') yields ['']
+    // (one empty chunk), which would fold a spurious ascii('') = 0 step;
+    // Spark's fnv1a64("") folds NO bytes and returns the offset basis.
+    // Tokens can be empty under consecutive/leading/trailing spaces.
     val fnv =
       """list_reduce(
         |  list_concat([CAST('14695981039346656037' AS HUGEINT)],
-        |              list_transform(string_split(w, ''), c -> CAST(ascii(c) AS HUGEINT))),
+        |              list_transform(CASE WHEN w = '' THEN CAST([] AS VARCHAR[])
+        |                                  ELSE string_split(w, '') END,
+        |                             c -> CAST(ascii(c) AS HUGEINT))),
         |  (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
         |             * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
     val pow2 = (0 until 64)

@@ -200,12 +200,19 @@ object EtlQueries {
         Option(f.listFiles).map(_.iterator.flatMap(walk)).getOrElse(Iterator.empty)
       else Iterator.single(f)
     val root = new java.io.File(d, s"$table.parquet")
-    walk(root).foldLeft(17L) { (h, f) =>
-      var x = h
-      x = x * 1000003L + f.getName.hashCode
-      x = x * 1000003L + f.length
-      x * 1000003L + f.lastModified
-    } & Long.MaxValue // cache dirs are named with this key — keep it non-negative
+    val rootPath = root.toPath
+    // (relative path, length, mtime), SORTED by path: File.listFiles
+    // order is unspecified, so an unsorted fold can change the key for
+    // an unchanged source (spurious rewrite) — and hashing only the
+    // leaf name would miss a part file moving between subdirectories.
+    walk(root).toSeq
+      .sortBy(f => rootPath.relativize(f.toPath).toString)
+      .foldLeft(17L) { (h, f) =>
+        var x = h
+        x = x * 1000003L + rootPath.relativize(f.toPath).toString.hashCode
+        x = x * 1000003L + f.length
+        x * 1000003L + f.lastModified
+      } & Long.MaxValue // cache dirs are named with this key — keep it non-negative
   }
 
   /** The pruned scan itself (shared with the plan-shape spec). One

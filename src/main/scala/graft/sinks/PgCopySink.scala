@@ -203,10 +203,16 @@ object PgCopySink {
     *    autocommitted round trip, so a Spark task retry or speculative
     *    duplicate re-sends that partition. The returned count is the
     *    EXACT input row count (renamed.count(), same contract as
-    *    JdbcSink); if the COPY'd total disagrees with it — i.e. a retry
-    *    actually double-loaded — write throws instead of under/over-
-    *    reporting. Exactly-once needs a staging table + rename, which
-    *    a caller can layer on top.
+    *    JdbcSink); when `verifyCount` is on (default), write compares
+    *    the target table's before/after COUNT(*) delta against it and
+    *    throws if a retry actually double-loaded. (An accumulator
+    *    cannot detect this: Spark discards accumulator updates from
+    *    failed and speculative attempts, so it always equals the input
+    *    count even when a half-failed attempt's COPY committed.) The
+    *    delta check assumes this writer is the table's only concurrent
+    *    writer; disable it for huge targets where COUNT(*) is
+    *    prohibitive. Exactly-once needs a staging table + rename,
+    *    which a caller can layer on top.
     *  - timestamps are encoded as the UTC instant (PG binary µs), which
     *    is correct for `timestamptz` targets or UTC server/session
     *    timezones; a PG wall-clock `timestamp` column written from a
@@ -214,7 +220,8 @@ object PgCopySink {
   def write(df: DataFrame, url: String, table: String,
       aliases: Map[String, Option[String]] = Map.empty,
       batchSize: Int = 10000,
-      sourceFields: Option[Seq[String]] = None): Long = {
+      sourceFields: Option[Seq[String]] = None,
+      verifyCount: Boolean = true): Long = {
     val encoders = df.schema.fields.map(f => PgBinaryCopy.fieldEncoder(f.dataType))
     if (!isPostgres(url) || !copyManagerAvailable || encoders.exists(_.isEmpty))
       return JdbcSink.write(df, url, table, aliases, batchSize, sourceFields)
@@ -237,30 +244,42 @@ object PgCopySink {
     val encs = encoders.map(_.get)
     val colList = targets.map(t => s""""$t"""").mkString(", ")
     val copySql = s"""COPY $table ($colList) FROM STDIN WITH (FORMAT binary)"""
-    val counter = df.sparkSession.sparkContext.longAccumulator("pg_copy_rows")
     // persist across copy+count (same rationale as JdbcSink: the exact
     // count must not re-execute the upstream, and both passes must see
     // the same rows)
     renamed.persist()
     try {
+      val before = if (verifyCount) tableCount(url, table) else 0L
       renamed.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.nonEmpty) {
           val conn = DriverManager.getConnection(url)
-          try {
-            val n = copyPartition(conn, copySql, rows, encs)
-            counter.add(n)
-          } finally conn.close()
+          try { copyPartition(conn, copySql, rows, encs); () }
+          finally conn.close()
         }
       }
       val exact = renamed.count()
-      if (counter.value != exact)
-        throw new IllegalStateException(
-          s"COPY landed ${counter.value} rows for $exact inputs — a task " +
-            "retry or speculative duplicate re-sent a partition (per-" +
-            "partition COPY is at-least-once); de-duplicate the target " +
-            "or reload through a staging table")
+      if (verifyCount) {
+        val landed = tableCount(url, table) - before
+        if (landed != exact)
+          throw new IllegalStateException(
+            s"COPY landed $landed rows for $exact inputs — a task retry " +
+              "or speculative duplicate re-sent a partition (per-" +
+              "partition COPY is at-least-once); de-duplicate the " +
+              "target or reload through a staging table")
+      }
       exact
     } finally renamed.unpersist()
+  }
+
+  /** COUNT(*) of the target table — the before/after delta is the only
+    * retry-duplication signal visible from the driver (executor-side
+    * accumulators never see failed-attempt commits). */
+  private def tableCount(url: String, table: String): Long = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(s"SELECT COUNT(*) FROM $table")
+      rs.next(); rs.getLong(1)
+    } finally conn.close()
   }
 
   private[graft] val PgConnectionIface = "org.postgresql.PGConnection"

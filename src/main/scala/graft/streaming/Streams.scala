@@ -328,13 +328,22 @@ object Streams {
   def streamCorpus(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val docs = s.readStream.schema(schema).parquet(s"$d/documents.parqu*")
-    // The gate filter comes AFTER dropDuplicates: a filter directly
-    // over withReasons is pushed into the projection, re-inlining the
-    // token split per array element (O(words²) per doc — the same
-    // trap fixed in Corpus.corpusMix). The dedup aggregate is a
-    // pushdown barrier, and the reorder is result-identical: fp keys
-    // the FULL text, so every (lang, fp) group has uniform reasons.
-    val curated = graft.operators.Curation.withReasons(docs)
+    // Filter placement vs the O(words²) trap (SURVEY §6), measured:
+    // ANY filter whose condition must materialize `reasons` directly
+    // above the gate projection evaluates the re-inlined split per
+    // array element (4.3 s vs 0.5 s at sf0.1 — a nondeterministic
+    // identity-UDF barrier does NOT avoid it). The dedup aggregate
+    // keeps the projection layered, so the full gate filter goes
+    // AFTER dropDuplicates — result-identical because the dedup key
+    // is the FULL text, so reasons are uniform within every group.
+    // To bound the dedup state, the lambda-free length rule (gate
+    // bit 1, a plain column compare that pushes to the scan
+    // harmlessly) pre-prunes before the stateful op: state holds only
+    // length-passing docs, and dropping gate-failing docs before the
+    // dedup cannot change the output (their groups fail afterwards
+    // anyway).
+    val curated = graft.operators.Curation.withReasons(
+        docs.filter(col("n_chars") >= 100))
       // full md5, matching the oracle's DISTINCT md5(text) key exactly
       // (a truncated fingerprint would make the equivalence merely
       // probabilistic under prefix collisions)

@@ -93,12 +93,29 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify records which queries it attempted and which crashed; a
+    # missing output dir is only a benign skip when the query was NOT
+    # attempted (partial SPARK_GRAFT_ONLY run). Attempted-but-missing
+    # (or listed in "failed") is a FAIL — previously a crashed query's
+    # missing output read as a skip and the gate exited green.
+    import os
+    attempted, crashed = None, set()
+    if os.path.exists(f"{out_dir}/attempted.json"):
+        att = json.load(open(f"{out_dir}/attempted.json"))
+        attempted, crashed = set(att["attempted"]), set(att["failed"])
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
-        import os
+        if name in crashed:
+            print(f"FAIL {name}: query threw during Verify (see verify stderr)")
+            n_fail += 1
+            continue
         if not os.path.isdir(f"{out_dir}/{name}"):
-            # partial verify run (SPARK_GRAFT_ONLY): not produced, not a failure
-            n_skip += 1
+            if attempted is not None and name in attempted:
+                print(f"FAIL {name}: attempted but no output written")
+                n_fail += 1
+            else:
+                # not selected in this partial run: not a failure
+                n_skip += 1
             continue
         try:
             got_cols, got_rows = read_spark(out_dir, name)
