@@ -21,6 +21,20 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // Record what this run attempts and what crashed, so the gate can
+    // tell "not selected" (skip) from "selected but threw" (FAIL) —
+    // without this a crashed query's missing output reads as a benign
+    // partial-run skip and the gate exits green. Written TWICE: the
+    // pre-loop sentinel marks every selected query as failed, so a
+    // process-level death mid-run (OOM, kill) can't leave a previous
+    // run's green marker in the reused outDir — only a run that
+    // reaches the end rewrites it with the true failure list.
+    def jsonArr(xs: Seq[String]): String =
+      xs.sorted.map("\"" + _ + "\"").mkString("[", ", ", "]")
+    def writeAttempted(failedNow: Seq[String]): Unit =
+      Files.writeString(Paths.get(s"$outDir/attempted.json"),
+        s"""{"attempted": ${jsonArr(selected.keys.toSeq)}, "failed": ${jsonArr(failedNow)}}""")
+    writeAttempted(selected.keys.toSeq)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -30,14 +44,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Record what this run attempted and what crashed, so the gate can
-    // tell "not selected" (skip) from "selected but threw" (FAIL) —
-    // without this a crashed query's missing output reads as a benign
-    // partial-run skip and the gate exits green.
-    def jsonArr(xs: Seq[String]): String =
-      xs.sorted.map("\"" + _ + "\"").mkString("[", ", ", "]")
-    Files.writeString(Paths.get(s"$outDir/attempted.json"),
-      s"""{"attempted": ${jsonArr(selected.keys.toSeq)}, "failed": ${jsonArr(failed.toSeq)}}""")
+    writeAttempted(failed.toSeq)
     // dedup_minhash's oracle equality is recall-conditional (LSH): the
     // margin between the threshold (0.5) and the weakest true pair is
     // what makes P(miss) negligible, and a new corpus could shrink it

@@ -106,6 +106,11 @@ object Curation {
     * working names below, which would be clobbered — rejected loudly
     * rather than silently overwritten. Shared by the batch gate and
     * the streaming corpus pipeline. */
+  /** Gate rule 1's length threshold — shared by the rule, its SQL
+    * fragment, and pre-prune filters (streamCorpus) so they can't
+    * drift apart. */
+  val MinChars = 100
+
   def withReasons(docs: DataFrame): DataFrame = {
     val working = Seq("ws", "n_words", "bgs", "nb", "nd", "reasons")
     val clash = docs.columns.toSet.intersect(working.toSet)
@@ -122,7 +127,7 @@ object Curation {
       .withColumn("nb", size(col("bgs")).cast("bigint"))
       .withColumn("nd", size(array_distinct(col("bgs"))).cast("bigint"))
       .withColumn("reasons",
-        when(col("n_chars") < 100, 1).otherwise(0) +
+        when(col("n_chars") < MinChars, 1).otherwise(0) +
           when(col("n_words") < 20, 2).otherwise(0) +
           when(col("nb") > 0 && (col("nb") - col("nd")) * 2 > col("nb"), 4)
             .otherwise(0) +
@@ -144,8 +149,8 @@ object Curation {
     * qualityGate oracle and every downstream oracle that filters on
     * the gate (one definition, no drift). */
   val GateReasonsSql: String =
-    """SELECT doc_id,
-      |    (CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)
+    s"""SELECT doc_id,
+      |    (CASE WHEN n_chars < $MinChars THEN 1 ELSE 0 END)
       |    + (CASE WHEN n_words < 20 THEN 2 ELSE 0 END)
       |    + (CASE WHEN nb > 0 AND (nb - nd) * 2 > nb THEN 4 ELSE 0 END)
       |    + (CASE WHEN (n_chars - n_words + 1) < n_words * 3

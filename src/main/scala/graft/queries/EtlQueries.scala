@@ -205,11 +205,11 @@ object EtlQueries {
     // order is unspecified, so an unsorted fold can change the key for
     // an unchanged source (spurious rewrite) — and hashing only the
     // leaf name would miss a part file moving between subdirectories.
-    walk(root).toSeq
-      .sortBy(f => rootPath.relativize(f.toPath).toString)
-      .foldLeft(17L) { (h, f) =>
+    walk(root).map(f => (rootPath.relativize(f.toPath).toString, f)).toSeq
+      .sortBy(_._1) // sort key IS the hashed key: one derivation, no drift
+      .foldLeft(17L) { case (h, (rel, f)) =>
         var x = h
-        x = x * 1000003L + rootPath.relativize(f.toPath).toString.hashCode
+        x = x * 1000003L + rel.hashCode
         x = x * 1000003L + f.length
         x * 1000003L + f.lastModified
       } & Long.MaxValue // cache dirs are named with this key — keep it non-negative

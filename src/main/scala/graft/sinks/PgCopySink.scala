@@ -223,8 +223,26 @@ object PgCopySink {
       sourceFields: Option[Seq[String]] = None,
       verifyCount: Boolean = true): Long = {
     val encoders = df.schema.fields.map(f => PgBinaryCopy.fieldEncoder(f.dataType))
-    if (!isPostgres(url) || !copyManagerAvailable || encoders.exists(_.isEmpty))
-      return JdbcSink.write(df, url, table, aliases, batchSize, sourceFields)
+    if (!isPostgres(url) || !copyManagerAvailable || encoders.exists(_.isEmpty)) {
+      // The INSERT fallback has the same at-least-once hazard (per-
+      // partition autocommitted batches), so verifyCount applies to it
+      // too — the delta check must not silently vanish on fallback.
+      val before =
+        if (verifyCount && JdbcSink.tableColumns(url, table).nonEmpty)
+          Some(tableCount(url, table))
+        else None // missing table: let JdbcSink raise its own error
+      val n = JdbcSink.write(df, url, table, aliases, batchSize, sourceFields)
+      before.foreach { b =>
+        val landed = tableCount(url, table) - b
+        if (landed != n)
+          throw new IllegalStateException(
+            s"INSERT landed $landed rows for $n inputs — a task retry or " +
+              "speculative duplicate re-sent a partition (per-partition " +
+              "batches are at-least-once); de-duplicate the target or " +
+              "reload through a staging table")
+      }
+      return n
+    }
 
     // connect-time validation + aliasing — identical to the INSERT path
     // (mirrors db.rs Db::connect: fail before any data moves)

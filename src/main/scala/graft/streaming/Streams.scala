@@ -343,7 +343,7 @@ object Streams {
     // dedup cannot change the output (their groups fail afterwards
     // anyway).
     val curated = graft.operators.Curation.withReasons(
-        docs.filter(col("n_chars") >= 100))
+        docs.filter(col("n_chars") >= graft.operators.Curation.MinChars))
       // full md5, matching the oracle's DISTINCT md5(text) key exactly
       // (a truncated fingerprint would make the equivalence merely
       // probabilistic under prefix collisions)
