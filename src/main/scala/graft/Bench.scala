@@ -50,6 +50,15 @@ object Bench {
     val warm = results
       .filter { case (_, cold) => warmFloor > 0 && cold >= warmFloor }
       .map { case (name, _) => name -> run(name, SparkEntry.queries(name)) }
+    // warm ≥ cold is the recompute signature (cold includes codegen +
+    // first-touch IO, so a warm plan should be faster): flag it loudly —
+    // this is exactly how the corpus_mix O(words²) regression surfaced
+    warm.foreach { case (name, w) =>
+      val cold = results.toMap.apply(name)
+      if (w > cold * 1.2)
+        System.err.println(f"[bench] WARN $name warm ${w}%.2fs > 1.2x cold " +
+          f"${cold}%.2fs — plan recomputes work per run (see SURVEY filter-trap note)")
+    }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries report -1 in `queries` and are excluded from total
