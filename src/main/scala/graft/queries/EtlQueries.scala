@@ -275,7 +275,57 @@ object EtlQueries {
        |FROM lineitem
        |WHERE l_returnflag = 'R'""".stripMargin
 
+  /** `etl_format_roundtrip` — source-format breadth: a typed lineitem
+    * slice (int32/int64/double/string/timestamp columns) is written to
+    * CSV, JSON and ORC, read back (text formats with the original
+    * schema), and summarized per format; the oracle computes the same
+    * summary from the parquet source, so equality proves each
+    * roundtrip lossless — including double full-precision text
+    * serialization and timestamp parsing. The reference reads parquet
+    * only (parquet_ops.rs); an engine replacing it must cover the
+    * other interchange formats its warehouse will meet.
+    *
+    * 100 TB: format conversion is a narrow streaming pass per file —
+    * the aggregation here exists only to make the comparison compact.
+    */
+  def formatRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val slice = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
+    val schema = slice.schema
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    def summarize(df: DataFrame, fmt: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)").as("sum_qty"),
+        expr(Frags.dsum2("l_extendedprice")).as("sum_price"),
+        countDistinct(col("l_returnflag")).as("n_flags"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+        .select(lit(fmt).as("fmt"), col("n_rows"), col("sum_qty"),
+          col("sum_price"), col("n_flags"), col("min_ship"), col("max_ship"))
+    slice.write.option("header", "true").csv(s"$base/csv")
+    slice.write.json(s"$base/json")
+    slice.write.orc(s"$base/orc")
+    val csv = s.read.schema(schema).option("header", "true").csv(s"$base/csv")
+    val json = s.read.schema(schema).json(s"$base/json")
+    val orc = s.read.orc(s"$base/orc")
+    summarize(csv, "csv")
+      .union(summarize(json, "json"))
+      .union(summarize(orc, "orc"))
+      .orderBy(col("fmt"))
+  }
+
+  val formatRoundtripSql: String =
+    s"""SELECT f.fmt, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       |  ${Frags.dsum2("l_extendedprice")} AS sum_price,
+       |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+       |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+       |FROM lineitem, (VALUES ('csv'), ('json'), ('orc')) AS f(fmt)
+       |WHERE l_orderkey % 100 = 0
+       |GROUP BY f.fmt ORDER BY f.fmt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
     "etl_cast" -> (cast _),
@@ -285,6 +335,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,
     "etl_cast" -> castSql,

@@ -36,6 +36,29 @@ class EtlSpec extends AnyFunSuite {
       |  dir: work
       |""".stripMargin
 
+  test("format roundtrip is row-level lossless for csv, json and orc") {
+    import org.apache.spark.sql.functions._
+    val slice = Tables.lineitem(spark, sf).filter(col("l_orderkey") % 100 === 0)
+    val schema = slice.schema
+    val want = slice.collect().toSet
+    assert(want.nonEmpty)
+    val base = Files.createTempDirectory("graft_fmt_spec").toString
+    slice.write.option("header", "true").csv(s"$base/csv")
+    slice.write.json(s"$base/json")
+    slice.write.orc(s"$base/orc")
+    val back = Map(
+      "csv" -> spark.read.schema(schema).option("header", "true").csv(s"$base/csv"),
+      "json" -> spark.read.schema(schema).json(s"$base/json"),
+      "orc" -> spark.read.orc(s"$base/orc"))
+    back.foreach { case (fmt, df) =>
+      assert(df.schema == schema, s"$fmt schema drifted")
+      val got = df.collect().toSet
+      assert(got == want,
+        s"$fmt roundtrip lost rows or precision: ${got.size} vs ${want.size}, " +
+          s"sample diff: ${(want -- got).take(1)}")
+    }
+  }
+
   test("config parses the reference yaml schema") {
     val cfg = GraftConfig.fromYamlString(goodYaml)
     assert(cfg.db.tableName == "warehouse_t")
