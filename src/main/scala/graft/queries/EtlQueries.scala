@@ -324,7 +324,65 @@ object EtlQueries {
        |WHERE l_orderkey % 100 = 0
        |GROUP BY f.fmt ORDER BY f.fmt""".stripMargin
 
+  /** `etl_merge` — copy-on-write MERGE into a parquet target: the
+    * lakehouse counterpart of stream_upsert's RDBMS CDC apply. A
+    * materialized target (orders minus a slice) receives a change
+    * batch of upserts (modified status) and deletes; the merge is the
+    * standard CoW shape — target anti-join change-keys ∪ upsert rows —
+    * and the result is REWRITTEN to parquet and read back, so the
+    * summary proves the durable output (update wins, deletes gone,
+    * inserts present), not just the in-memory plan.
+    *
+    * 100 TB: the anti-join shuffles keys only; a production CoW merge
+    * additionally partition-prunes the rewrite to touched partitions
+    * (etl_partition_prune demonstrates the pruning half).
+    */
+  def merge(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    // target: everything except the %7==6 slice (so some upserts are
+    // genuine inserts); changes: the %3==0 slice, odd keys deleted,
+    // even keys upserted with status 'X'
+    orders.filter(col("o_orderkey") % 7 =!= 6).write.parquet(s"$base/target")
+    val target = s.read.parquet(s"$base/target")
+    val changes = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("op", when(col("o_orderkey") % 2 === 1, lit("D")).otherwise(lit("U")))
+      .withColumn("o_orderstatus",
+        when(col("op") === "U", lit("X")).otherwise(col("o_orderstatus")))
+    target
+      .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(changes.filter(col("op") === "U").drop("op"))
+      .write.parquet(s"$base/merged")
+    s.read.parquet(s"$base/merged")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        expr(Frags.dsum2("o_totalprice")).as("total"),
+        sum(col("o_orderkey")).as("key_sum")) // exact key-set membership proof
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val mergeSql: String =
+    s"""WITH c AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'X' END AS o_orderstatus,
+       |    o_totalprice, o_orderdate, o_orderpriority,
+       |    CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+       |  FROM orders WHERE o_orderkey % 3 = 0),
+       |m AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+       |  FROM orders
+       |  WHERE o_orderkey % 7 <> 6
+       |    AND o_orderkey NOT IN (SELECT o_orderkey FROM c)
+       |  UNION ALL
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+       |  FROM c WHERE op = 'U')
+       |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Frags.dsum2("o_totalprice")} AS total,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_merge" -> (merge _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
@@ -335,6 +393,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_merge" -> mergeSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,

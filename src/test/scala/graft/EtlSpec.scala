@@ -59,6 +59,27 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  test("merge semantics: deletes gone, inserts present, update wins") {
+    import org.apache.spark.sql.functions._
+    // re-derive the merged row set independently of the query's
+    // summary: run the same construction and check MEMBERSHIP rules
+    val orders = Tables.orders(spark, sf)
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val deleted = keys.filter(k => k % 3 == 0 && k % 2 == 1)
+    val upserted = keys.filter(k => k % 3 == 0 && k % 2 == 0)
+    val inserted = upserted.filter(_ % 7 == 6) // not in the target slice
+    assert(deleted.nonEmpty && inserted.nonEmpty, "degenerate construction")
+    val summary = graft.queries.EtlQueries.merge(spark, sf).collect()
+    val total = summary.map(_.getLong(1)).sum
+    val expectedCount =
+      keys.count(k => k % 7 != 6 && k % 3 != 0) + upserted.size
+    assert(total == expectedCount, s"merged row count $total != $expectedCount")
+    // every upsert carries status 'X': the X group holds exactly them
+    val xRow = summary.find(_.getString(0) == "X").get
+    assert(xRow.getLong(1) == upserted.size)
+    assert(xRow.getLong(3) == upserted.sum, "X group keys != upserted keys")
+  }
+
   test("config parses the reference yaml schema") {
     val cfg = GraftConfig.fromYamlString(goodYaml)
     assert(cfg.db.tableName == "warehouse_t")
