@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.lineitem
+
+/** Graph analytics beyond connected components (SURVEY.md §2.3's
+  * cluster machinery): PageRank over the part↔supplier bipartite graph
+  * — the importance-scoring primitive a crawl/corpus pipeline uses to
+  * prioritize sources (here: which parts/suppliers anchor the supply
+  * graph).
+  *
+  * Scale design: textbook distributed PageRank — each iteration is one
+  * shuffle of (dst, contribution) pairs keyed by destination plus a
+  * broadcast-free aggregate; ranks/degrees shuffle as (node, value)
+  * longs, never adjacency lists. Iterations are lineage-truncated
+  * (localCheckpoint) like connectedComponents, so plan depth stays
+  * constant.
+  *
+  * Oracle-exact by construction: every iteration's per-node
+  * contribution sum is an EXACT integer sum of floor-quantised (1e-9)
+  * contributions, and the damped update re-quantises — so the float
+  * work per iteration is a fixed, order-independent IEEE sequence and
+  * the DuckDB oracle (the same iterations unrolled as CTEs, generated
+  * from the same constants) reproduces every rank bit-for-bit.
+  */
+object GraphOps {
+
+  private val Damp = 0.85
+  private val Iters = 5
+
+  /** `graph_pagerank` — top-20 nodes of the part↔supplier graph after
+    * `Iters` damped iterations (unnormalised Pregel-style update
+    * r' = 0.15 + 0.85·Σ r/deg). Node ids: part → 2·key,
+    * supplier → 2·key+1 (disjoint integer namespaces). */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(
+      (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+    val edges = li.select(col("p").as("src"), col("sup").as("dst"))
+      .union(li.select(col("sup").as("src"), col("p").as("dst")))
+      .distinct()
+      .localCheckpoint() // reused every iteration: pin it once
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to Iters) {
+      val contribs = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        // quantise BEFORE the sum: an exact integer sum is independent
+        // of partial-aggregation order, where a double sum is not
+        .select(col("dst").as("node"),
+          floor(col("rank") / col("deg") * 1e9).as("qc"))
+        .groupBy("node").agg(sum(col("qc")).as("qsum"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (floor((lit(1 - Damp) + lit(Damp) *
+            (coalesce(col("qsum"), lit(0L)) / 1e9)) * 1e9) / 1e9).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+      .select(
+        when(col("node") % 2 === 0, "part").otherwise("supplier").as("kind"),
+        expr("node DIV 2").as("key"),
+        col("rank"))
+  }
+
+  val pagerankSql: String = {
+    val pre =
+      """WITH li AS (SELECT l_partkey*2 AS p, l_suppkey*2+1 AS sup FROM lineitem),
+        |edges AS (SELECT DISTINCT p AS src, sup AS dst FROM li
+        |          UNION SELECT DISTINCT sup AS src, p AS dst FROM li),
+        |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |r0 AS (SELECT node, 1.0 AS rank FROM nodes)""".stripMargin
+    val steps = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |    FLOOR((${1 - Damp} + $Damp * (COALESCE(c.qsum, 0) / 1e9)) * 1e9) / 1e9 AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |      CAST(SUM(CAST(FLOOR(r.rank / d.deg * 1e9) AS BIGINT)) AS BIGINT) AS qsum
+         |    FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) c ON n.node = c.node)""".stripMargin
+    }
+    s"""$pre,
+       |${steps.mkString(",\n")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+       |  node // 2 AS key, rank
+       |FROM r$Iters
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+}

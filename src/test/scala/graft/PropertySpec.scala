@@ -16,6 +16,38 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("pagerank matches an independent in-memory power iteration") {
+    import SparkTestSession._
+    val li = Tables.lineitem(spark, sf)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = (li.map { case (p, s2) => (p, s2) } ++
+      li.map { case (p, s2) => (s2, p) }).toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edges.map(_._1)
+    var rank = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val qsum = new scala.collection.mutable.HashMap[Long, Long]()
+      edges.foreach { case (src, dst) =>
+        qsum(dst) = qsum.getOrElse(dst, 0L) +
+          math.floor(rank(src) / deg(src) * 1e9).toLong
+      }
+      rank = nodes.map { n =>
+        n -> math.floor(((1 - 0.85) +
+          0.85 * (qsum.getOrElse(n, 0L) / 1e9)) * 1e9) / 1e9
+      }.toMap
+    }
+    val expected = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+      .map { case (n, r) =>
+        (if (n % 2 == 0) "part" else "supplier", n / 2, r) }
+    val got = graft.operators.GraphOps.pagerank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    // high-degree suppliers must dominate the top of the ranking
+    assert(got.take(5).forall(_._1 == "supplier"),
+      s"expected supplier-dominated head, got ${got.take(5)}")
+  }
+
   test("fnv1a64 is deterministic and sensitive to any byte change") {
     check(Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
       Gen.choose(0, 1000)) { (bytes: List[Byte], at: Int) =>
