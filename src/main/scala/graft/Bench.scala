@@ -53,8 +53,9 @@ object Bench {
     // warm ≥ cold is the recompute signature (cold includes codegen +
     // first-touch IO, so a warm plan should be faster): flag it loudly —
     // this is exactly how the corpus_mix O(words²) regression surfaced
+    val coldByName = results.toMap
     warm.foreach { case (name, w) =>
-      val cold = results.toMap.apply(name)
+      val cold = coldByName(name)
       if (w > cold * 1.2)
         System.err.println(f"[bench] WARN $name warm ${w}%.2fs > 1.2x cold " +
           f"${cold}%.2fs — plan recomputes work per run (see SURVEY filter-trap note)")

@@ -40,8 +40,11 @@ object GraphOps {
       .union(li.select(col("sup").as("src"), col("p").as("dst")))
       .distinct()
       .localCheckpoint() // reused every iteration: pin it once
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct()
+    // pinned like edges: both are reused every iteration, and each
+    // iteration's eager checkpoint would otherwise re-run their
+    // shuffles (2 redundant exchanges per round)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to Iters) {
       val contribs = edges

@@ -21,8 +21,7 @@ class PropertySpec extends AnyFunSuite {
     val li = Tables.lineitem(spark, sf)
       .select("l_partkey", "l_suppkey").collect()
       .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
-    val edges = (li.map { case (p, s2) => (p, s2) } ++
-      li.map { case (p, s2) => (s2, p) }).toSet
+    val edges = (li ++ li.map { case (p, s2) => (s2, p) }).toSet
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val nodes = edges.map(_._1)
     var rank = nodes.map(_ -> 1.0).toMap
