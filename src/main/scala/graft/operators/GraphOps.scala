@@ -40,29 +40,32 @@ object GraphOps {
       .union(li.select(col("sup").as("src"), col("p").as("dst")))
       .distinct()
       .localCheckpoint() // reused every iteration: pin it once
-    // pinned like edges: both are reused every iteration, and each
-    // iteration's eager checkpoint would otherwise re-run their
-    // shuffles (2 redundant exchanges per round)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to Iters) {
+    // every node IS a src (edges are symmetrised), so the degree table
+    // doubles as the node list; pinned once, and deg rides along in
+    // the rank state so each iteration needs ONE join with the edges
+    // instead of separate rank and degree joins
+    val nd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node").localCheckpoint()
+    var ranks = nd.withColumn("rank", lit(1.0)) // (node, deg, rank)
+    for (i <- 1 to Iters) {
       val contribs = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg, "src")
         // quantise BEFORE the sum: an exact integer sum is independent
         // of partial-aggregation order, where a double sum is not
         .select(col("dst").as("node"),
           floor(col("rank") / col("deg") * 1e9).as("qc"))
         .groupBy("node").agg(sum(col("qc")).as("qsum"))
-      ranks = nodes
+      ranks = nd
         .join(contribs, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (floor((lit(1 - Damp) + lit(Damp) *
             (coalesce(col("qsum"), lit(0L)) / 1e9)) * 1e9) / 1e9).as("rank"))
-        .localCheckpoint()
+      // checkpoint cadence 2: lineage depth stays <= 2 iterations
+      // (constant) at half the eager materializations of every-round
+      if (i % 2 == 0 || i == Iters) ranks = ranks.localCheckpoint()
     }
     ranks
+      .drop("deg")
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
       .select(
