@@ -19,6 +19,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "text_hashfeatures" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
     "text_tokens" -> ((s, d) => TextAnalysis.tokens(s, d)),
@@ -69,6 +70,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,
+    "text_hashfeatures" -> TextAnalysis.hashFeaturesSql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,
     "text_tokens" -> TextAnalysis.tokensSql,

@@ -569,24 +569,30 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on any equal 16-bit band, confirm
     * with full Hamming distance <= maxHamming. */
-  /** DuckDB replay of the 64-bit SimHash: FNV-1a per token via a
-    * HUGEINT list_reduce (xor on the low byte, multiply-mod-2⁶⁴ — the
-    * 104-bit intermediate product fits HUGEINT), then the ±1 bit votes
-    * and the band extraction, with the final unsigned→signed int64
-    * conversion matching JVM Long semantics. */
+  /** DuckDB replay of JVM FNV-1a over a token column `w`, as an
+    * UNSIGNED HUGEINT in [0, 2⁶⁴): a list_reduce folding each char
+    * (xor on the low byte, multiply-mod-2⁶⁴ — the 104-bit intermediate
+    * product fits HUGEINT). Empty-token guard: DuckDB
+    * string_split('', '') yields [''] (one empty chunk), which would
+    * fold a spurious ascii('') = 0 step where Spark's fnv1a64("")
+    * folds NO bytes and returns the offset basis — and tokens can be
+    * empty under consecutive/leading/trailing spaces. Shared by
+    * [[simhashSql]] and TextAnalysis.hashFeaturesSql. */
+  private[operators] val FnvWordSql: String =
+    """list_reduce(
+      |  list_concat([CAST('14695981039346656037' AS HUGEINT)],
+      |              list_transform(CASE WHEN w = '' THEN CAST([] AS VARCHAR[])
+      |                                  ELSE string_split(w, '') END,
+      |                             c -> CAST(ascii(c) AS HUGEINT))),
+      |  (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+      |             * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
+  /** DuckDB replay of the 64-bit SimHash: FNV-1a per token
+    * ([[FnvWordSql]]), then the ±1 bit votes and the band extraction,
+    * with the final unsigned→signed int64 conversion matching JVM Long
+    * semantics. */
   val simhashSql: String = {
-    // NB the empty-token guard: DuckDB string_split('', '') yields ['']
-    // (one empty chunk), which would fold a spurious ascii('') = 0 step;
-    // Spark's fnv1a64("") folds NO bytes and returns the offset basis.
-    // Tokens can be empty under consecutive/leading/trailing spaces.
-    val fnv =
-      """list_reduce(
-        |  list_concat([CAST('14695981039346656037' AS HUGEINT)],
-        |              list_transform(CASE WHEN w = '' THEN CAST([] AS VARCHAR[])
-        |                                  ELSE string_split(w, '') END,
-        |                             c -> CAST(ascii(c) AS HUGEINT))),
-        |  (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
-        |             * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    val fnv = FnvWordSql
     val pow2 = (0 until 64)
       .map(b => s"($b, CAST('${BigInt(1) << b}' AS HUGEINT))").mkString(", ")
     val signFix =

@@ -249,4 +249,35 @@ object TextAnalysis {
     """SELECT doc_id, SUBSTR(md5(text), 1, 16) AS fp
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** `text_hashfeatures` — the hashing-trick featurizer: every token
+    * maps to one of `k` buckets via FNV-1a (low log₂k bits ≡ unsigned
+    * mod for a power-of-two k), and the corpus feature profile is the
+    * per-(lang, bucket) token and document counts — the fixed-width,
+    * vocabulary-free text representation classical quality classifiers
+    * train on. Oracle-exact: the DuckDB side replays FNV-1a in HUGEINT
+    * (Dedup.FnvWordSql) and takes the same low bits.
+    *
+    * 100 TB: one narrow explode + one hash aggregation keyed on
+    * (lang, bucket) — cardinality ≤ langs×k regardless of corpus size,
+    * so the shuffle is constant-width. */
+  def hashFeatures(s: SparkSession, d: String, k: Int = 64): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.HashFunctions.fnv64(col("w"))
+          .bitwiseAND(lit((k - 1).toLong)).cast("int").as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("lang"), col("bucket"))
+
+  val hashFeaturesSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |th AS (SELECT doc_id, lang, ${Dedup.FnvWordSql} AS h FROM toks)
+       |SELECT lang, CAST(h % 64 AS INT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM th GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 }
