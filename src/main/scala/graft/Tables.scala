@@ -36,12 +36,15 @@ object Tables {
     * reject; read it as raw nanos and truncate to microseconds exactly
     * (integer division — a double roundtrip would lose precision at
     * 1e18). DuckDB's TIMESTAMP_NS→µs truncation matches. */
+  /** The ns→µs conversion, shared verbatim with the streaming source
+    * (Streams.eventStream) so the truncation semantics can't drift. */
+  val EventTsFromNanosExpr = "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")
       .withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        org.apache.spark.sql.functions.expr(EventTsFromNanosExpr))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -47,8 +47,12 @@ object Multimodal {
     def frames(r: MediaRow, stepMs: Long): Iterator[Frame] = {
       val n = math.max(1, (r.meta.durationMs / stepMs).toInt)
       (0 until n).iterator.map { i =>
+        // O(64) slice, not drop+take: Array.drop copies the whole tail
+        // per frame, turning the sweep quadratic in payload length
+        val from = math.min(i * 16, r.payload.length)
+        val until = math.min(from + 64, r.payload.length)
         Frame(r.media_id, i, i * stepMs,
-          reencode(r.payload.drop(i * 16), 64))
+          java.util.Arrays.copyOfRange(r.payload, from, until))
       }
     }
   }
@@ -65,7 +69,7 @@ object Multimodal {
         (lit(64) + (col("doc_id") % 16) * 16).cast("int").as("width"),
         (lit(64) + (col("doc_id") % 9) * 16).cast("int").as("height"),
         element_at(lit(Array("raw", "lz", "rle")),
-          (col("doc_id") % 2 + 1).cast("int")).as("codec"),
+          (col("doc_id") % 3 + 1).cast("int")).as("codec"),
         (col("n_chars") * 10).as("durationMs")).as("meta"),
       encode(col("text"), "UTF-8").as("payload"))
 

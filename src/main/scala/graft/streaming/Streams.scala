@@ -53,7 +53,10 @@ object Streams {
         q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(name)
+    // pin the (small) result: the NEXT invocation of the same operator
+    // drops this temp view (see freshMemoryTable), which would turn a
+    // still-held lazy reference into a table-not-found error mid-use
+    s.table(name).localCheckpoint()
   }
 
   private def eventStream(s: SparkSession, d: String,
@@ -69,7 +72,7 @@ object Streams {
     // long (convert exactly to µs); a re-landed copy already has a
     // proper timestamp column
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      raw.withColumn("ts", expr(graft.Tables.EventTsFromNanosExpr))
     else raw
   }
 
@@ -155,6 +158,8 @@ object Streams {
     // far-future heartbeat rows, landed as a second streamed file set
     val maxTs = graft.Tables.events(s, d)
       .agg(max(col("ts"))).head().getTimestamp(0)
+    require(maxTs != null,
+      "events table is empty: no heartbeat anchor for the interval join")
     val hbDir = Files.createTempDirectory("graft_hb").toString
     def landHeartbeat(idx: Int, plusDays: Int): Unit = {
       import s.implicits._
@@ -168,15 +173,19 @@ object Streams {
     // their OWN schema (the testdata events file surfaces nanos-longs
     // and is normalized inside eventStream)
     val hbSchema = s.read.parquet(hbDir).schema
-    def side(types: String*): DataFrame =
+    // sentinels are (negative event_id, type 'heartbeat'): BOTH checks,
+    // so a corpus whose genuine rows use the type 'heartbeat' is
+    // neither injected into a join side nor silently dropped later
+    def side(realType: String): DataFrame =
       eventStream(s, d)
         .unionByName(s.readStream.schema(hbSchema).parquet(hbDir))
-        .filter(col("event_type").isin(types: _*))
-    val p = side("purchase", "heartbeat")
+        .filter(col("event_type") === realType ||
+          (col("event_type") === "heartbeat" && col("event_id") < 0))
+    val p = side("purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"), col("event_type").as("p_type"))
       .withWatermark("p_ts", "1 hour")
-    val e = side("error", "heartbeat")
+    val e = side("error")
       .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
         col("ts").as("e_ts"))
       .withWatermark("e_ts", "1 hour")
@@ -281,8 +290,25 @@ object Streams {
       for (e <- evs) {
         val t = tsUs(e.ts)
         cur = cur match {
-          case Some(c) if t - c.lastUs <= gapSec * 1000000L =>
+          case Some(c) if t > c.lastUs && t - c.lastUs <= gapSec * 1000000L =>
             Some(c.copy(lastUs = t, numEvents = c.numEvents + 1))
+          // cross-batch LATE events (within-batch order is fixed by the
+          // sort above): an unguarded `t - lastUs <= gap` would merge
+          // ANY regression (negative delta) and move lastUs backwards,
+          // corrupting the open session's state
+          case Some(c) if t >= c.startUs && t <= c.lastUs =>
+            // inside the open span: counts toward the session, bounds
+            // unchanged — matches the batch sessionizer exactly
+            Some(c.copy(numEvents = c.numEvents + 1))
+          case Some(c) if t < c.startUs =>
+            // before the open session: emit as its own closed singleton
+            // rather than corrupting state. A batch sessionizer with
+            // full history could merge it when startUs - t <= gap —
+            // the documented correction-free bounded-state trade-off
+            // (replayed testdata is file-ordered, so this arm is
+            // adversarial-input armor, not a live divergence)
+            touched ::= SessState(t, t, 1)
+            Some(c)
           case Some(c) =>
             touched ::= c // closed: this snapshot is final
             Some(SessState(t, t, 1))
@@ -453,7 +479,11 @@ object Streams {
     * row per user (bounded by key cardinality); the rank/limit runs on
     * the aggregated state, never the raw stream. k ties broken by
     * user_id for a deterministic, oracle-comparable result. */
-  def streamTopK(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+  /** Shared by the query's default and its oracle LIMIT so they can't
+    * drift (the Curation.MinChars pattern). */
+  private val TopKDefault = 10
+
+  def streamTopK(s: SparkSession, d: String, k: Int = TopKDefault): DataFrame = {
     val agg = eventStream(s, d)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -464,12 +494,12 @@ object Streams {
   }
 
   val streamTopKSql: String =
-    """SELECT user_id, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-      |FROM events
-      |GROUP BY user_id
-      |ORDER BY n_events DESC, user_id
-      |LIMIT 10""".stripMargin
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY n_events DESC, user_id
+       |LIMIT $TopKDefault""".stripMargin
 
   /** Stream-static enrichment: the event stream joined to the customer
     * dimension (a static DataFrame, broadcast to every micro-batch —
