@@ -55,8 +55,13 @@ object Dedup {
   val dedupCorpusSql: String =
     """SELECT doc_id, lang, source, n_chars
       |FROM documents
-      |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+      |WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+      |                 GROUP BY SUBSTR(md5(text), 1, 16))
       |ORDER BY doc_id""".stripMargin
+      // the 16-hex-char prefix mirrors fingerprint() exactly (as
+      // exactSql does): grouping by the FULL md5 here would keep two
+      // survivors for a 64-bit prefix collision that the Spark side
+      // merges into one — a latent oracle divergence
 
   /** Distinct word-bigram shingles per doc, as 64-bit hashes:
     * (doc_id, sh). Joining/shuffling 8-byte keys instead of strings
@@ -88,12 +93,18 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
-  /** Bitset-strategy caps: the universe must be dictionary-sized (it is
-    * the bitset width) and the doc count broadcastable (the pair stage
-    * broadcasts one side: nDocs × universe/8 bytes; 16k × 100k ≈ 200 MB
-    * worst case). Beyond either cap the shuffle-join / prefix-join
-    * paths are the scale-correct shapes. Shared by every strategy
-    * dispatch so a tuning change can't leave one path behind. */
+  /** Bitset-strategy caps. TWO limits bind, not just broadcast bytes:
+    * the universe must be dictionary-sized (it is the bitset width,
+    * and one side broadcasts nDocs × universe/8 bytes), AND the doc
+    * count must keep the inequality-join's O(nDocs²) pair space of
+    * full-width popcounts tractable — the pair work, not the
+    * broadcast, is what dominates as docs grow (20k docs ≈ 2·10⁸
+    * pairs, each a full-bitset popcount; the measured sf0.1 A/B point
+    * is 5k docs ≈ 1.2·10⁷ pairs at 3.7 s vs 18.8 s for the prefix
+    * path — quadratic extrapolation puts the crossover near 20k).
+    * Beyond either cap the shuffle-join / prefix-join paths are the
+    * scale-correct shapes. Shared by every strategy dispatch so a
+    * tuning change can't leave one path behind. */
   // Overridable for strategy A/B benchmarking (set to 0 to force the
   // prefix-join / shuffle paths); defaults are the production caps.
   // Malformed values fail with a message naming the env var — a bare
@@ -105,7 +116,7 @@ object Dedup {
         throw new IllegalArgumentException(s"$name must be a long, got '$v'"))
     }
   private val BitsetUniverseCap = capEnv("GRAFT_BITSET_UNIVERSE_CAP", 16384L)
-  private val BitsetDocCap = capEnv("GRAFT_BITSET_DOC_CAP", 100000L)
+  private val BitsetDocCap = capEnv("GRAFT_BITSET_DOC_CAP", 20000L)
 
   private def shStats(sh: DataFrame): (Long, Long) = {
     val r = sh.agg(countDistinct(col("sh")).as("u"),
@@ -411,6 +422,10 @@ object Dedup {
   def minhashLsh(s: SparkSession, d: String,
       numHashes: Int = 32, bandRows: Int = 2,
       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes ($numHashes) must divide into bands of $bandRows rows — " +
+        "trailing hashes would be computed but silently ignored, and the " +
+        "effective band count would diverge from the (1-J^r)^b recall math")
     val sh = shingles(s, d)
     val sigCols = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i")
@@ -567,8 +582,6 @@ object Dedup {
     fp.select(cols: _*).orderBy(col("doc_id"))
   }
 
-  /** SimHash near-dup pairs: block on any equal 16-bit band, confirm
-    * with full Hamming distance <= maxHamming. */
   /** DuckDB replay of JVM FNV-1a over a token column `w`, as an
     * UNSIGNED HUGEINT in [0, 2⁶⁴): a list_reduce folding each char
     * (xor on the low byte, multiply-mod-2⁶⁴ — the 104-bit intermediate
@@ -619,6 +632,8 @@ object Dedup {
        |FROM fp ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash near-dup pairs: block on any equal 16-bit band, confirm
+    * with full Hamming distance <= maxHamming. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 16): DataFrame = {
     val fp = documents(s, d)
       .select(col("doc_id"), simhash64(words(col("text"))).as("simhash"))
@@ -638,6 +653,23 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
+
+  /** splitmix64 finalizer — full avalanche, so plane components are
+    * independent across BOTH p and j. (Similarity.plane's linear
+    * congruence is fine for ann_lsh's 6 planes but correlates
+    * consecutive planes — p enters linearly — which breaks band
+    * independence at 256 planes: measured one top-20 miss at sf0.001.) */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[operators] def mixedPlane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      ((mix64(p.toLong * dim + j) >>> 11).toDouble / (1L << 53)) * 2.0 - 1.0
+    }
 
   /** Embedding near-dup: top-20 highest-cosine vector pairs, via
     * banded random-hyperplane candidates + exact-cosine confirm —
@@ -662,23 +694,6 @@ object Dedup {
     * thresholds (cos ≥ 0.9) the same plan prunes hard with e.g.
     * 12 bits × 32 bands: P(candidate | cos≈0) = 32·2⁻¹² ≈ 0.8%.
     */
-  /** splitmix64 finalizer — full avalanche, so plane components are
-    * independent across BOTH p and j. (Similarity.plane's linear
-    * congruence is fine for ann_lsh's 6 planes but correlates
-    * consecutive planes — p enters linearly — which breaks band
-    * independence at 256 planes: measured one top-20 miss at sf0.001.) */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
-  private[operators] def mixedPlane(p: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { j =>
-      ((mix64(p.toLong * dim + j) >>> 11).toDouble / (1L << 53)) * 2.0 - 1.0
-    }
-
   def embeddingPairs(s: SparkSession, d: String, bits: Int = 4,
       bands: Int = 64, dim: Int = 64): DataFrame = {
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
@@ -730,16 +745,9 @@ object Dedup {
   }
 
   val embeddingPairsSql: String =
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
-      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
-      |  / SQRT(
-      |    list_reduce(list_transform(list_zip(a.embedding, a.embedding),
-      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)
-      |    * list_reduce(list_transform(list_zip(b.embedding, b.embedding),
-      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q))
-      |  AS cos
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |ORDER BY cos DESC, vec_a, vec_b
-      |LIMIT 20""".stripMargin
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${Similarity.cosOf("a.embedding", "b.embedding")} AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY cos DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
 }

@@ -48,7 +48,10 @@ object Similarity {
       |    * list_reduce(list_transform(list_zip(%B%, %B%),
       |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q))""".stripMargin
 
-  private def cosOf(a: String, b: String): String =
+  /** Shared with Dedup.embeddingPairsSql (the FnvWordSql precedent):
+    * ONE definition of the cosine fold, so a cast/shape change can't
+    * desynchronize the dedup oracle from the ann_* oracles. */
+  private[operators] def cosOf(a: String, b: String): String =
     cosSql.replace("%A%", a).replace("%B%", b)
 
   val bruteForceSql: String =
@@ -151,7 +154,9 @@ object Similarity {
           .otherwise(lit(0.0)).as("w"))
       .groupBy(col("vec_id"))
       .agg(
-        expr("CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE)").as("w_sum"),
+        // floor-quantised (Frags.davg9 rationale): a rounding decimal
+        // cast tie-breaks half-way doubles differently across engines
+        expr("CAST(SUM(CAST(FLOOR(w * 1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9").as("w_sum"),
         min(col("w")).as("w_min"), max(col("w")).as("w_max"))
       .orderBy(col("vec_id"))
   }
@@ -175,7 +180,7 @@ object Similarity {
        |         ELSE 0.0 END AS w
        |  FROM ex JOIN stats USING (dim))
        |SELECT vec_id,
-       |  CAST(SUM(CAST(w AS DECIMAL(28,9))) AS DOUBLE) AS w_sum,
+       |  CAST(SUM(CAST(FLOOR(w * 1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9 AS w_sum,
        |  MIN(w) AS w_min, MAX(w) AS w_max
        |FROM wh
        |GROUP BY vec_id
@@ -262,14 +267,22 @@ object Similarity {
     * the whole plan. */
   def ivf(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
       nprobe: Int = 2): DataFrame = {
-    val e = embeddings(s, d).select("vec_id", "embedding")
+    // norms precomputed ONCE per vector/centroid: inlining cosine()
+    // into the n×(n/50) assignment stage would re-fold each vector's
+    // own norm per centroid (3× the flops of the dominant stage).
+    // dot/sqrt(n2v·n2c) is the identical IEEE tree, so bit-equality
+    // with ivfSql's per-pair cosine holds.
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
     val cents = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("n2").as("c_n2"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("c_id"),
-        cosine(col("embedding"), col("c_emb")).as("c_cos"))
+        (dotD(col("embedding"), col("c_emb")) /
+          sqrt(col("n2") * col("c_n2"))).as("c_cos"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
