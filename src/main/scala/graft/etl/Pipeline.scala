@@ -10,13 +10,16 @@ import graft.sources.ParquetSource
   * deletes it after load; on Spark the object store IS the filesystem
   * (hadoop-aws s3a, or any Hadoop FS), so "download batch then read"
   * collapses into one multi-path splittable scan with no local copies.
-  * A bucket that names an existing local directory maps to plain paths
-  * (used by tests and the reference's localstack fixtures); anything
-  * else becomes `s3a://bucket/key`.
+  * Bucket resolution: a scheme-qualified bucket (`s3a://b`, or any
+  * registered Hadoop FS scheme — the mocks3 spec rides this) is used
+  * verbatim as the URI base; a bucket that names an existing local
+  * directory maps to plain paths (used by tests and the reference's
+  * localstack fixtures); anything else becomes `s3a://bucket/key`.
   */
 object ObjectStore {
   def resolve(bucket: String, key: String): String =
-    if (new java.io.File(bucket).isDirectory) s"$bucket/$key"
+    if (bucket.contains("://")) s"${bucket.stripSuffix("/")}/$key"
+    else if (new java.io.File(bucket).isDirectory) s"$bucket/$key"
     else s"s3a://$bucket/$key"
 }
 
