@@ -215,6 +215,33 @@ object EtlQueries {
       } & Long.MaxValue // cache dirs are named with this key — keep it non-negative
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Per-(sfDir, source-state, process) scratch dir for queries whose
+    * WRITE is part of the operation under test (formatRoundtrip, merge).
+    * The pid component means two concurrent invocations (bench and
+    * verify on the same machine) can never race on mode("overwrite") of
+    * the same dirs; the mtime key keeps a process's own cache honest
+    * across testdata regeneration. Stale siblings — a different source
+    * key (regenerated testdata) or a long-dead process's dir (same key,
+    * >3 h old; live processes touch their dirs every invocation) — are
+    * swept here so rounds don't accumulate /tmp garbage. */
+  private def scratchDir(prefix: String, d: String, table: String): String = {
+    val key = s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, table)}"
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val dir = new java.io.File(tmp, s"graft_${prefix}_${key}_p${ProcessHandle.current().pid()}")
+    val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
+    Option(tmp.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s"graft_${prefix}_") && f.getName != dir.getName)
+      .filter(f => !f.getName.startsWith(s"graft_${prefix}_$key") || f.lastModified < cutoff)
+      .foreach(deleteRecursively)
+    dir.toString
+  }
+
   /** The pruned scan itself (shared with the plan-shape spec). One
     * partitioned copy per (JVM, sf dir, source mtime), reused across
     * calls. */
@@ -291,13 +318,11 @@ object EtlQueries {
   def formatRoundtrip(s: SparkSession, d: String): DataFrame = {
     val slice = Tables.lineitem(s, d).filter(col("l_orderkey") % 100 === 0)
     val schema = slice.schema
-    // stable per-(sfDir, source-state) dir + overwrite: the write IS
-    // half of the roundtrip under test and must run every invocation,
-    // but a fresh temp dir per call would accumulate slices in /tmp
-    // across bench/verify rounds (cf. jdbcRoundtrip's same rationale)
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_fmt_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, "lineitem")}").toString
+    // stable per-(sfDir, source-state, process) dir + overwrite: the
+    // write IS half of the roundtrip under test and must run every
+    // invocation, but a fresh temp dir per call would accumulate slices
+    // in /tmp across bench/verify rounds (cf. jdbcRoundtrip's rationale)
+    val base = scratchDir("fmt", d, "lineitem")
     // grouped on the fmt literal (not a global agg) so an empty slice
     // yields ZERO rows per format, matching the oracle's GROUP BY shape
     def summarize(df: DataFrame, fmt: String): DataFrame =
@@ -330,44 +355,65 @@ object EtlQueries {
        |WHERE l_orderkey % 100 = 0
        |GROUP BY f.fmt ORDER BY f.fmt""".stripMargin
 
-  /** `etl_merge` — copy-on-write MERGE into a parquet target: the
-    * lakehouse counterpart of stream_upsert's RDBMS CDC apply. A
-    * materialized target (orders minus a slice) receives a change
-    * batch of upserts (modified status) and deletes; the merge is the
-    * standard CoW shape — target anti-join change-keys ∪ upsert rows —
-    * and the result is REWRITTEN to parquet and read back, so the
-    * summary proves the durable output (update wins, deletes gone,
-    * inserts present), not just the in-memory plan.
+  /** `etl_merge` — PARTITION-SCOPED copy-on-write MERGE into a parquet
+    * target: the lakehouse counterpart of stream_upsert's RDBMS CDC
+    * apply. The target is laid out in 8 directory partitions
+    * (pt = o_orderkey % 8); the change batch (restricted to pt ∈ {2,5};
+    * deletes for odd keys, status-'X' upserts for even, some keys being
+    * genuine inserts) derives its TOUCHED partition set at run time, and
+    * the merge rewrites ONLY those partitions — first staged, then
+    * promoted via dynamic partition overwrite, so untouched partition
+    * files are never opened, rewritten, or even listed by the write
+    * (EtlSpec pins their mtimes across a second merge).
     *
-    * 100 TB: the anti-join shuffles keys only; a production CoW merge
-    * additionally partition-prunes the rewrite to touched partitions
-    * (etl_partition_prune demonstrates the pruning half).
+    * 100 TB: this is the shape that survives scale — the anti-join
+    * shuffles keys only, the touched-partition set is bounded by the
+    * partition domain (a legitimate driver-side table), and the rewrite
+    * cost is proportional to the changed slice, not the target. The
+    * merge is also idempotent: re-applying the same change batch to an
+    * already-merged target reproduces it bit-for-bit (warm bench runs
+    * ride this). One caveat of dynamic overwrite, documented here
+    * because it bites real lakehouses: a partition whose rows are ALL
+    * deleted vanishes from the replacement set and would keep its stale
+    * files; pt=5 (delete-only, but never emptied) exercises the nearby
+    * edge while the construction keeps every touched partition
+    * non-empty.
     */
   def merge(s: SparkSession, d: String): DataFrame = {
     val orders = Tables.orders(s, d)
-    // target is a pure function of the source: cache it per
-    // (sfDir, source-state) behind a _SUCCESS marker so bench/verify
+    // target is a pure function of the source: cache it per (sfDir,
+    // source-state, process) behind a _SUCCESS marker so bench/verify
     // rounds don't re-materialize (or charge) the setup — only the
     // merged rewrite, the operation under test, runs per invocation
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_merge_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, "orders")}").toString
-    // target: everything except the %7==6 slice (so some upserts are
-    // genuine inserts); changes: the %3==0 slice, odd keys deleted,
-    // even keys upserted with status 'X'
+    val base = mergeBase(d)
+    val pt = pmod(col("o_orderkey"), lit(8)).cast("int")
     if (!new java.io.File(s"$base/target/_SUCCESS").exists())
-      orders.filter(col("o_orderkey") % 7 =!= 6)
-        .write.mode("overwrite").parquet(s"$base/target")
+      orders.filter(col("o_orderkey") % 7 =!= 6).withColumn("pt", pt)
+        .write.mode("overwrite").partitionBy("pt").parquet(s"$base/target")
     val target = s.read.parquet(s"$base/target")
-    val changes = orders.filter(col("o_orderkey") % 3 === 0)
+    val changes = orders
+      .filter(pt.isin(2, 5) && col("o_orderkey") % 3 === 0)
       .withColumn("op", when(col("o_orderkey") % 2 === 1, lit("D")).otherwise(lit("U")))
       .withColumn("o_orderstatus",
         when(col("op") === "U", lit("X")).otherwise(col("o_orderstatus")))
-    target
+      .withColumn("pt", pt)
+    // touched partitions come from the DATA, not the construction: a
+    // change batch spanning fewer partitions rewrites fewer dirs. The
+    // collect is bounded by the partition domain (8).
+    val touched = changes.select("pt").distinct().collect().map(_.getInt(0)).toSeq
+    val replacement = target
+      .filter(col("pt").isin(touched: _*)) // partition-pruned scan
       .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
       .unionByName(changes.filter(col("op") === "U").drop("op"))
-      .write.mode("overwrite").parquet(s"$base/merged")
-    s.read.parquet(s"$base/merged")
+    // stage → promote: staging breaks the read-target/write-target
+    // cycle without pinning blocks (no checkpoint), and the promote
+    // with dynamic partitionOverwriteMode replaces exactly the
+    // partitions present in the staged data
+    replacement.write.mode("overwrite").parquet(s"$base/staging")
+    s.read.parquet(s"$base/staging")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("pt").parquet(s"$base/target")
+    s.read.parquet(s"$base/target")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         expr(Frags.dsum2("o_totalprice")).as("total"),
@@ -375,13 +421,17 @@ object EtlQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Merge scratch base, exposed so EtlSpec can pin untouched-partition
+    * file mtimes across a re-merge. */
+  def mergeBase(d: String): String = scratchDir("merge", d, "orders")
+
   val mergeSql: String =
     s"""WITH c AS (
        |  SELECT o_orderkey, o_custkey,
        |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'X' END AS o_orderstatus,
        |    o_totalprice, o_orderdate, o_orderpriority,
        |    CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
-       |  FROM orders WHERE o_orderkey % 3 = 0),
+       |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
        |m AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
        |  FROM orders

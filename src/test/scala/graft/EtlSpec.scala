@@ -65,19 +65,59 @@ class EtlSpec extends AnyFunSuite {
     // summary: run the same construction and check MEMBERSHIP rules
     val orders = Tables.orders(spark, sf)
     val keys = orders.select("o_orderkey").collect().map(_.getLong(0)).toSet
-    val deleted = keys.filter(k => k % 3 == 0 && k % 2 == 1)
-    val upserted = keys.filter(k => k % 3 == 0 && k % 2 == 0)
+    def changed(k: Long) = (k % 8 == 2 || k % 8 == 5) && k % 3 == 0
+    val deleted = keys.filter(k => changed(k) && k % 2 == 1)
+    val upserted = keys.filter(k => changed(k) && k % 2 == 0)
     val inserted = upserted.filter(_ % 7 == 6) // not in the target slice
     assert(deleted.nonEmpty && inserted.nonEmpty, "degenerate construction")
     val summary = graft.queries.EtlQueries.merge(spark, sf).collect()
     val total = summary.map(_.getLong(1)).sum
     val expectedCount =
-      keys.count(k => k % 7 != 6 && k % 3 != 0) + upserted.size
+      keys.count(k => k % 7 != 6 && !changed(k)) + upserted.size
     assert(total == expectedCount, s"merged row count $total != $expectedCount")
     // every upsert carries status 'X': the X group holds exactly them
     val xRow = summary.find(_.getString(0) == "X").get
     assert(xRow.getLong(1) == upserted.size)
     assert(xRow.getLong(3) == upserted.sum, "X group keys != upserted keys")
+  }
+
+  /** The 100 TB contract of partition-scoped CoW: a re-merge must leave
+    * every file of every UNtouched partition byte-identical and
+    * un-rewritten (pinned via path→(length, mtime)), while the touched
+    * partitions (pt=2 upserts, pt=5 delete-only) are rewritten, and the
+    * summary stays bit-identical (idempotent merge). */
+  test("merge rewrites only the partitions containing change keys") {
+    val first = graft.queries.EtlQueries.merge(spark, sf).collect().toSeq
+    val targetDir = new java.io.File(
+      graft.queries.EtlQueries.mergeBase(sf), "target")
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).map(_.iterator.flatMap(walk)).getOrElse(Iterator.empty)
+        else Iterator.single(f)
+      walk(targetDir)
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val before = snapshot()
+    val touchedPts = Set("pt=2", "pt=5")
+    assert(touchedPts.forall(p => before.keys.exists(_.contains(p))),
+      "construction must populate the touched partitions")
+    assert(before.keys.exists(k => !touchedPts.exists(k.contains)),
+      "construction must have untouched partitions to pin")
+    Thread.sleep(1100) // outlast filesystem mtime granularity
+    val second = graft.queries.EtlQueries.merge(spark, sf).collect().toSeq
+    assert(second == first, "merge is not idempotent")
+    val after = snapshot()
+    val untouchedBefore = before.filter(k => !touchedPts.exists(k._1.contains))
+    val untouchedAfter = after.filter(k => !touchedPts.exists(k._1.contains))
+    assert(untouchedAfter == untouchedBefore,
+      "untouched partition files were rewritten — merge is not partition-scoped")
+    // and the touched partitions really were rewritten (same data, new files)
+    val touchedSame = before.exists { case (k, v) =>
+      touchedPts.exists(k.contains) && after.get(k).contains(v) &&
+        !k.endsWith("_SUCCESS")
+    }
+    assert(!touchedSame, "touched partitions were not rewritten")
   }
 
   test("config parses the reference yaml schema") {
