@@ -101,6 +101,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair candidates must come from an equi-join:\n$p")
   }
 
+  /** CI promotion of the FilterAudit dev main (VERDICT r4 §next-round
+    * 4): every query plan on the whole surface is scanned for the
+    * O(words²) inlined-lambda filter trap, so it can't re-enter without
+    * failing the build. Queries are only PLANNED here (side-effecting
+    * constructions run at the suite's tiny sf), never collected. */
+  test("no query plans a per-element lambda over split inside a Filter") {
+    val results = FilterAudit.audit(spark, sf)
+    val failed = results.collect { case (n, Left(e)) => s"$n ($e)" }
+    assert(failed.isEmpty,
+      s"queries failed to construct during the audit: ${failed.mkString("; ")}")
+    val suspects = results.collect {
+      case (n, Right(hits)) if hits.nonEmpty => s"$n:\n${hits.mkString("\n")}"
+    }
+    assert(suspects.isEmpty,
+      s"suspect filter(s) — the O(words²) trap is back:\n${suspects.mkString("\n\n")}")
+  }
+
   test("mm_dedup: the shuffle carries hashes, never binary payloads") {
     val es = shuffles(multimodal.Multimodal.payloadDedup(spark, sf))
     assert(es.nonEmpty)
