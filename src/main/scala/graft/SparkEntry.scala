@@ -26,6 +26,7 @@ object SparkEntry {
     "text_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_gini" -> ((s, d) => TextAnalysis.gini(s, d)),
+    "text_scrub" -> ((s, d) => TextAnalysis.scrub(s, d)),
     "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
@@ -77,6 +78,7 @@ object SparkEntry {
     "text_ngrams" -> TextAnalysis.topNgramsSql,
     "text_tfidf" -> TextAnalysis.tfidfSql,
     "text_gini" -> TextAnalysis.giniSql,
+    "text_scrub" -> TextAnalysis.scrubSql,
     "dedup_phrases" -> TextAnalysis.phrasesSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,

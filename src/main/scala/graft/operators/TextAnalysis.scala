@@ -280,4 +280,77 @@ object TextAnalysis {
        |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM th GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
+
+  // ---- text_scrub: PII redaction ----------------------------------------
+
+  /** Engine-portable PII patterns: explicit character classes and
+    * bounded quantifiers only — no \d/\b/\w shorthands, whose semantics
+    * (and unicode behavior) differ between Java regex (Spark) and RE2
+    * (DuckDB). Shared verbatim by the operator, the oracle SQL and the
+    * spec's independent Java-regex recheck. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Deterministic PII augmentation: the synthetic corpus carries no
+    * natural emails/phones/IPs, so both engines append identical
+    * doc_id-derived contact lines to keyed subsets (the slices overlap,
+    * so some docs carry several PII kinds and most carry none — both
+    * cases exercised). This stands in for real documents' embedded PII;
+    * the scrub itself never depends on how the PII got there. */
+  private def augmented: Column = concat(col("text"),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" Contact alice.smith+"), col("doc_id").cast("string"),
+        lit("@mail-example.org or bob@test.net for details.")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0,
+      concat(lit(" Call 415-555-0"),
+        lpad((col("doc_id") % 100).cast("string"), 3, "0"), lit(" now.")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" Server 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".42 responded.")))
+      .otherwise(lit("")))
+
+  /** `text_scrub` — the standard pre-training privacy stage: redact
+    * emails, phone numbers and IPv4 addresses via codegen'd
+    * regexp_replace, emitting per-doc redaction counts by kind plus the
+    * md5 of the scrubbed text (so the oracle proves REPLACEMENT parity,
+    * not just counting parity). Counts are taken before redaction;
+    * replacements apply email → phone → IP (the patterns are disjoint
+    * on this construction, so order only matters for determinism).
+    *
+    * 100 TB: a pure narrow map — no shuffle except the final ordering;
+    * scales with input splits like the rest of the text family. */
+  def scrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), augmented.as("t"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailPattern)).as("n_emails"),
+        regexp_count(col("t"), lit(PhonePattern)).as("n_phones"),
+        regexp_count(col("t"), lit(Ipv4Pattern)).as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), EmailPattern, "<EMAIL>"),
+            PhonePattern, "<PHONE>"),
+          Ipv4Pattern, "<IP>")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+
+  val scrubSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' Contact alice.smith+' || CAST(doc_id AS VARCHAR) || '@mail-example.org or bob@test.net for details.' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' Call 415-555-0' || lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') || ' now.' ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0 THEN ' Server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.42 responded.' ELSE '' END AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailPattern')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(t, '$PhonePattern')) AS INT) AS n_phones,
+       |  CAST(len(regexp_extract_all(t, '$Ipv4Pattern')) AS INT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailPattern', '<EMAIL>', 'g'),
+       |    '$PhonePattern', '<PHONE>', 'g'),
+       |    '$Ipv4Pattern', '<IP>', 'g')) AS scrubbed_md5
+       |FROM aug
+       |ORDER BY doc_id""".stripMargin
 }

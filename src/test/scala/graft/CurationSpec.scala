@@ -38,6 +38,47 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  /** text_scrub parity against an INDEPENDENT Java-regex scrub: the
+    * operator's counts and scrubbed-text md5 must equal a plain-Scala
+    * re-derivation (same shared patterns, java.util.regex engine), and
+    * the scrubbed text must carry no residual PII matches. The oracle
+    * checks Spark-vs-DuckDB; this pins Spark-vs-reference-semantics. */
+  test("text_scrub: counts and redaction parity with an independent scrub") {
+    import graft.operators.TextAnalysis._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def aug(id: Long, text: String): String = {
+      val sb = new StringBuilder(text)
+      if (id % 5 == 0) sb.append(
+        s" Contact alice.smith+$id@mail-example.org or bob@test.net for details.")
+      if (id % 7 == 0) sb.append(f" Call 415-555-0${id % 100}%03d now.")
+      if (id % 11 == 0) sb.append(s" Server 10.0.${id % 256}.42 responded.")
+      sb.toString
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = scrub(spark, sf).collect()
+    assert(out.length == docs.size)
+    val pats = Seq(EmailPattern.r, PhonePattern.r, Ipv4Pattern.r)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val t = aug(id, docs(id))
+      val counts = pats.map(_.findAllIn(t).size)
+      assert(Seq(r.getInt(1), r.getInt(2), r.getInt(3)) == counts,
+        s"doc $id redaction counts diverge")
+      val scrubbed = t.replaceAll(EmailPattern, "<EMAIL>")
+        .replaceAll(PhonePattern, "<PHONE>").replaceAll(Ipv4Pattern, "<IP>")
+      assert(r.getString(4) == md5hex(scrubbed), s"doc $id scrubbed md5 diverges")
+      pats.foreach(p => assert(p.findFirstIn(scrubbed).isEmpty,
+        s"doc $id: residual PII survives the scrub"))
+    }
+    // the construction must exercise every kind (and the no-PII case)
+    assert(out.exists(_.getInt(1) > 0) && out.exists(_.getInt(2) > 0) &&
+      out.exists(_.getInt(3) > 0))
+    assert(out.exists(r => r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0))
+  }
+
   test("repetition ratio is in [0,1) and counts are consistent") {
     val rows = Curation.repetition(spark, sf).collect()
     assert(rows.nonEmpty)
