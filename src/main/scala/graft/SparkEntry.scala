@@ -27,6 +27,7 @@ object SparkEntry {
     "text_tfidf" -> ((s, d) => TextAnalysis.tfidf(s, d)),
     "text_gini" -> ((s, d) => TextAnalysis.gini(s, d)),
     "text_scrub" -> ((s, d) => TextAnalysis.scrub(s, d)),
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
     "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
@@ -79,6 +80,7 @@ object SparkEntry {
     "text_tfidf" -> TextAnalysis.tfidfSql,
     "text_gini" -> TextAnalysis.giniSql,
     "text_scrub" -> TextAnalysis.scrubSql,
+    "text_bpe_tokens" -> TextAnalysis.bpeTokensSql,
     "dedup_phrases" -> TextAnalysis.phrasesSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,

@@ -281,6 +281,135 @@ object TextAnalysis {
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM th GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
 
+  // ---- text_bpe_tokens: corpus-trained mini-BPE token counts ------------
+
+  /** Left-to-right non-overlapping merge of adjacent (a, b) token pairs
+    * — the exact semantics of a single-pass literal string replace over
+    * the bracket-delimited form (shared by operator, oracle and spec). */
+  private def mergePair(ts: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Classic BPE training (Sennrich-style) over a weighted vocabulary:
+    * per round, count adjacent token pairs (weighted by word frequency),
+    * merge the argmax — ties broken by the bracketed pair string, so the
+    * ranking is total-order deterministic and replayable in SQL. Returns
+    * (literal, replacement) pairs over the bracket-delimited token form:
+    * `<a><b>` → `<ab>`. */
+  private[operators] def trainMerges(vocab: Seq[(String, Long)],
+      nMerges: Int): Seq[(String, String)] = {
+    var toks: Seq[(Vector[String], Long)] =
+      vocab.map { case (w, c) => (w.toCharArray.map(_.toString).toVector, c) }
+    val merges = Seq.newBuilder[(String, String)]
+    for (_ <- 1 to nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((ts, c) <- toks; i <- 0 until ts.length - 1) {
+        val k = (ts(i), ts(i + 1))
+        counts(k) = counts.getOrElse(k, 0L) + c
+      }
+      // no pairs left = no-op round (the SQL oracle's NULL-guarded
+      // replace does the same), so both sides stay aligned
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.toSeq.minBy { case ((x, y), n) => (-n, s"<$x><$y>") }
+        merges += ((s"<$a><$b>", s"<$a$b>"))
+        toks = toks.map { case (ts, c) => (mergePair(ts, a, b), c) }
+      }
+    }
+    merges.result()
+  }
+
+  /** `text_bpe_tokens` — tokenizer-faithful token counts: a mini-BPE
+    * whose merges table is trained FROM the corpus (top-`vocabSize`
+    * words by frequency, `nMerges` classic merge rounds with compounding
+    * — later merges combine earlier merged tokens), then applied to
+    * every word as a chain of codegen'd literal `replace` calls over a
+    * bracket-delimited token form (`the` → `<t><h><e>`). Brackets make
+    * single-pass literal replacement boundary-safe: a pair can only
+    * match whole tokens, and adjacent matches share no characters, so
+    * Java and DuckDB replace semantics agree exactly. Integer-exact
+    * throughout; [[bpeTokensSql]] replays the ENTIRE pipeline — vocab,
+    * the 12 training rounds (argmax via scalar subqueries), and the
+    * application — in DuckDB, the same full-training-replay pattern as
+    * the PQ oracle.
+    *
+    * 100 TB: training reads one corpus-wide word count and then runs on
+    * a driver-side top-V table (the bounded-domain pattern — V is a
+    * constant, like corpusMix's source quotas); application is a narrow
+    * map (12 chained replaces) plus one aggregation keyed on doc_id. */
+  def bpeTokens(s: SparkSession, d: String, vocabSize: Int = 300,
+      nMerges: Int = 12): DataFrame = {
+    val docs = documents(s, d)
+    val vocab = docs.select(explode(words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merges = trainMerges(vocab, nMerges)
+    val spaced = concat(lit("<"), array_join(split(col("w"), ""), "><"), lit(">"))
+    val applied = merges.foldLeft(spaced) { case (c, (p, mg)) =>
+      call_function("replace", c, lit(p), lit(mg))
+    }
+    docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      // `t` materialized in its own projection: referencing the
+      // 12-replace chain twice below would otherwise recompute it per
+      // reference (the langId recompute trap)
+      .select(col("doc_id"), col("w"), applied.as("t"))
+      .select(col("doc_id"), length(col("w")).as("wlen"),
+        (length(col("t")) -
+          length(call_function("replace", col("t"), lit("<"), lit("")))).as("ntok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_ws"),
+        sum(col("wlen")).cast("bigint").as("n_chars"),
+        sum(col("ntok")).cast("bigint").as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The full BPE pipeline as DuckDB SQL: vocab → 12 unrolled training
+    * rounds (pair counts → argmax row → NULL-guarded apply) → per-word
+    * application → per-doc counts. Token counting reads the number of
+    * `<` delimiters, exactly like the operator. */
+  val bpeTokensSql: String = {
+    val (v, m) = (300, 12)
+    // every chained CTE is MATERIALIZED: DuckDB inlines CTEs by
+    // default, and v_k/m_k are each referenced twice — inlining would
+    // expand the 12-round chain 2^12-fold (observed as a too-many-open-
+    // files explosion on the vocab scan)
+    val stages = (1 to m).map { k =>
+      val prev = s"v${k - 1}"
+      s"""p$k AS MATERIALIZED (
+         |  SELECT pr, SUM(cnt) AS total FROM (
+         |    SELECT cnt, unnest(list_transform(generate_series(1, len(ts) - 1),
+         |      i -> '<' || ts[i] || '><' || ts[i+1] || '>')) AS pr
+         |    FROM (SELECT cnt, string_split(t[2:len(t)-1], '><') AS ts FROM $prev))
+         |  GROUP BY pr),
+         |m$k AS MATERIALIZED (SELECT pr, replace(pr, '><', '') AS mg FROM p$k ORDER BY total DESC, pr LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT cnt, replace(t, COALESCE((SELECT pr FROM m$k), chr(1)),
+         |  COALESCE((SELECT mg FROM m$k), chr(1))) AS t FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val applied = (1 to m).foldLeft(
+      "'<' || array_to_string(string_split(w, ''), '><') || '>'") { (acc, k) =>
+      s"replace($acc, COALESCE((SELECT pr FROM m$k), chr(1)), COALESCE((SELECT mg FROM m$k), chr(1)))"
+    }
+    s"""WITH vocab AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS cnt
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w ORDER BY cnt DESC, w LIMIT $v),
+       |v0 AS MATERIALIZED (SELECT cnt, '<' || array_to_string(string_split(w, ''), '><') || '>' AS t FROM vocab),
+       |$stages,
+       |tok AS (
+       |  SELECT doc_id, w, $applied AS t
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_ws,
+       |  CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(LENGTH(t) - LENGTH(replace(t, '<', ''))) AS BIGINT) AS n_bpe
+       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- text_scrub: PII redaction ----------------------------------------
 
   /** Engine-portable PII patterns: explicit character classes and

@@ -79,6 +79,73 @@ class CurationSpec extends AnyFunSuite {
     assert(out.exists(r => r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0))
   }
 
+  /** text_bpe_tokens parity against an INDEPENDENTLY-CODED in-memory
+    * BPE: vocab counting, 12 merge rounds and per-word application are
+    * re-derived here in plain Scala collections (no shared helpers
+    * except the merge-training entry point under test is NOT reused —
+    * training is re-implemented below), and the per-doc token counts
+    * must match the operator exactly. Also asserts the merges actually
+    * compound (some merged token spans 3+ characters) — the property
+    * that separates BPE from a one-shot pair ranking. */
+  test("text_bpe_tokens: parity with an independent in-memory BPE") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // independent vocab + training (list-of-token-lists, no brackets)
+    val wordCounts = docs.flatMap(_._2.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val vocab = wordCounts.sortBy { case (w, c) => (-c, w) }.take(300)
+    var vtoks: Seq[(List[String], Long)] =
+      vocab.map { case (w, c) => (w.map(_.toString).toList, c) }
+    var merges = List.empty[(String, String)]
+    for (_ <- 1 to 12) {
+      val pairCounts = vtoks.flatMap { case (ts, c) =>
+        ts.zip(ts.drop(1)).map(p => (p, c))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (pairCounts.nonEmpty) {
+        val ((a, b), _) = pairCounts
+          .minBy { case ((x, y), n) => (-n, s"<$x><$y>") }
+        merges = merges :+ ((a, b))
+        def apply1(ts: List[String]): List[String] = ts match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: apply1(rest)
+          case x :: rest => x :: apply1(rest)
+          case Nil => Nil
+        }
+        vtoks = vtoks.map { case (ts, c) => (apply1(ts), c) }
+      }
+    }
+    assert(merges.size == 12)
+    assert(merges.exists { case (a, b) => (a + b).length >= 3 },
+      "no compounding merge — this is not BPE")
+    // independent application: memoized word -> token count
+    val memo = scala.collection.mutable.Map.empty[String, Long]
+    def tokCount(w: String): Long = memo.getOrElseUpdate(w, {
+      var ts = w.map(_.toString).toList
+      for ((a, b) <- merges) {
+        def apply1(l: List[String]): List[String] = l match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: apply1(rest)
+          case x :: rest => x :: apply1(rest)
+          case Nil => Nil
+        }
+        ts = apply1(ts)
+      }
+      if (w.isEmpty) 1L else ts.length.toLong // '' renders as the single token '<>'
+    })
+    val expected = docs.map { case (id, text) =>
+      val ws = text.split(" ", -1)
+      id -> ((ws.length, ws.map(_.length.toLong).sum, ws.map(tokCount).sum))
+    }.toMap
+    val out = graft.operators.TextAnalysis.bpeTokens(spark, sf).collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val (nWs, nChars, nBpe) = expected(r.getLong(0))
+      assert(r.getInt(1) == nWs && r.getLong(2) == nChars && r.getLong(3) == nBpe,
+        s"doc ${r.getLong(0)}: got (${r.getInt(1)}, ${r.getLong(2)}, ${r.getLong(3)}), " +
+          s"want ($nWs, $nChars, $nBpe)")
+      assert(r.getLong(3) < r.getLong(2) || r.getLong(2) <= 1,
+        "BPE must compress below character count")
+    }
+  }
+
   test("repetition ratio is in [0,1) and counts are consistent") {
     val rows = Curation.repetition(spark, sf).collect()
     assert(rows.nonEmpty)
