@@ -57,7 +57,12 @@ object Bench {
       val c0 = cpuSec
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        // sweeping: release whatever the query pinned (localCheckpoint
+        // blocks survive the session otherwise and 100+ queries of
+        // accumulation would compete with execution memory)
+        Checkpoints.sweeping(spark) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
         ((System.nanoTime() - t0) / 1e9, if (c0 < 0) -1.0 else cpuSec - c0)
       } catch {
         case e: Throwable =>

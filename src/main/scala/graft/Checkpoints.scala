@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** localCheckpoint lifecycle management.
+  *
+  * A localCheckpoint pins its materialized partitions in executor
+  * memory for the SESSION lifetime: Spark never frees them on its own,
+  * and `Dataset.unpersist()` does not reach them (it evicts
+  * query-cache entries, not checkpoint RDDs). Left alone, a 100+-query
+  * bench session accumulates every query's pinned blocks and they
+  * compete with execution memory at larger SFs. Policy:
+  *
+  *  - iterative loops ([[operators.GraphOps.pagerank]],
+  *    [[operators.Dedup.connectedComponents]], PQ's Lloyd refinement)
+  *    release each superseded checkpoint via [[tracked]] as soon as
+  *    its successor is materialized, so construction-time footprint is
+  *    ~2 rounds regardless of iteration count;
+  *  - the harness mains (Verify / Bench) wrap every query action in
+  *    [[sweeping]], releasing everything the query pinned once its
+  *    action completes, so session footprint stays flat;
+  *  - a RESULT-FEEDING checkpoint inside a single invocation is left
+  *    to the harness sweep — releasing it before the caller's action
+  *    runs would drop blocks that the checkpoint's truncated lineage
+  *    can no longer recompute.
+  */
+object Checkpoints {
+
+  /** Eagerly localCheckpoint `ds`, returning the pinned frame plus a
+    * release handle covering exactly the RDD blocks this checkpoint
+    * added. Call the handle only once a successor (or the final
+    * consumer's action) has materialized. */
+  def tracked[T](ds: Dataset[T]): (Dataset[T], () => Unit) = {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = ds.localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet -- before
+    (cp, () => added.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+  }
+
+  /** Run `action` and release every RDD it left persisted — the
+    * harness-side sweep. Safe because graft has no cross-query
+    * memoized DataFrames: every query invocation constructs (and pins)
+    * its own state. */
+  def sweeping[A](spark: SparkSession)(action: => A): A = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try action
+    finally (sc.getPersistentRDDs.keySet -- before).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
+}

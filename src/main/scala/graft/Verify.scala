@@ -37,8 +37,12 @@ object Verify {
     writeAttempted(selected.keys.toSeq)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // sweeping: free each query's pinned checkpoint blocks once its
+      // dump lands — the 100+-query session footprint stays flat
+      try Checkpoints.sweeping(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

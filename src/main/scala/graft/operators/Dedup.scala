@@ -290,9 +290,9 @@ object Dedup {
     val edges = pairs.select(col(u).as("src"), col(v).as("dst"))
       .union(pairs.select(col(v).as("src"), col(u).as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    var (labels, releasePrev) = graft.Checkpoints.tracked(
+      edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
     // Labels only ever decrease, so sum(label) strictly decreases until
     // the fixpoint: ONE scalar agg per round detects convergence — no
     // prev-vs-next join. Summed as DECIMAL(38,0): a Long sum would wrap
@@ -308,13 +308,20 @@ object Dedup {
     while (sum < prevSum) {
       val msgs = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      labels = labels.union(msgs)
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
+      // superseded label snapshot released once its successor is
+      // materialized: at most two snapshots pinned however many rounds
+      val (next, rel) = graft.Checkpoints.tracked(
+        labels.union(msgs)
+          .groupBy(col("node")).agg(min(col("label")).as("label")))
+      releasePrev()
+      labels = next
+      releasePrev = rel
       prevSum = sum
       sum = labelSum(labels)
     }
     edges.unpersist()
+    // the final labels checkpoint feeds the returned plan — the
+    // harness sweep frees it after the consumer's action
     labels
   }
 
@@ -341,8 +348,8 @@ object Dedup {
     val nodes = pairs.select(col(cu).as("node"))
       .union(pairs.select(col(cv).as("node"))).distinct()
       .localCheckpoint()
-    var edges = canon(pairs.select(col(cu).as("u"), col(cv).as("v")))
-      .localCheckpoint()
+    var (edges, releasePrev) = graft.Checkpoints.tracked(
+      canon(pairs.select(col(cu).as("u"), col(cv).as("v"))))
     var done = edges.isEmpty
     var rounds = 0
     while (!done && rounds < 50) {
@@ -364,10 +371,14 @@ object Dedup {
               .union(mins.select(col("u"), col("m").as("v")))
         canon(moved)
       }
-      val next = star(star(edges, large = true), large = false)
-        .localCheckpoint()
+      val (next, rel) = graft.Checkpoints.tracked(
+        star(star(edges, large = true), large = false))
+      // convergence check still reads the OLD edge set: release it
+      // only after both excepts have executed
       done = next.except(edges).isEmpty && edges.except(next).isEmpty
+      releasePrev()
       edges = next
+      releasePrev = rel
       rounds += 1
     }
     // the label read-off below is only valid at a star-forest fixpoint

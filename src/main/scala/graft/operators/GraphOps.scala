@@ -36,17 +36,19 @@ object GraphOps {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(
       (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
-    val edges = li.select(col("p").as("src"), col("sup").as("dst"))
-      .union(li.select(col("sup").as("src"), col("p").as("dst")))
-      .distinct()
-      .localCheckpoint() // reused every iteration: pin it once
+    val (edges, releaseEdges) = graft.Checkpoints.tracked(
+      li.select(col("p").as("src"), col("sup").as("dst"))
+        .union(li.select(col("sup").as("src"), col("p").as("dst")))
+        .distinct()) // reused every iteration: pin it once
     // every node IS a src (edges are symmetrised), so the degree table
     // doubles as the node list; pinned once, and deg rides along in
     // the rank state so each iteration needs ONE join with the edges
     // instead of separate rank and degree joins
-    val nd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("src", "node").localCheckpoint()
+    val (nd, releaseNd) = graft.Checkpoints.tracked(
+      edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node"))
     var ranks = nd.withColumn("rank", lit(1.0)) // (node, deg, rank)
+    var releasePrev: () => Unit = () => ()
     for (i <- 1 to Iters) {
       val contribs = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -61,9 +63,21 @@ object GraphOps {
           (floor((lit(1 - Damp) + lit(Damp) *
             (coalesce(col("qsum"), lit(0L)) / 1e9)) * 1e9) / 1e9).as("rank"))
       // checkpoint cadence 2: lineage depth stays <= 2 iterations
-      // (constant) at half the eager materializations of every-round
-      if (i % 2 == 0 || i == Iters) ranks = ranks.localCheckpoint()
+      // (constant) at half the eager materializations of every-round;
+      // the superseded checkpoint is released as soon as its successor
+      // is materialized, so at most two rank snapshots are ever pinned
+      if (i % 2 == 0 || i == Iters) {
+        val (cp, rel) = graft.Checkpoints.tracked(ranks)
+        releasePrev()
+        ranks = cp
+        releasePrev = rel
+      }
     }
+    // the final ranks checkpoint feeds the returned plan (the harness
+    // sweep frees it after the query's action); edges/deg served only
+    // the now-materialized iterations
+    releaseEdges()
+    releaseNd()
     ranks
       .drop("deg")
       .orderBy(col("rank").desc, col("node"))

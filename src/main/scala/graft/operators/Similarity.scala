@@ -398,11 +398,12 @@ object Similarity {
     val seed = subvecs(e.filter(col("vec_id") < ksub), "embedding")
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("c_sv"))
-    val train = subvecs(e.filter(col("vec_id") < 256), "embedding")
-      .localCheckpoint()
+    val (train, releaseTrain) = graft.Checkpoints.tracked(
+      subvecs(e.filter(col("vec_id") < 256), "embedding"))
     val wTrain = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))
     var cents = seed
+    var releasePrev: () => Unit = () => ()
     for (_ <- 1 to lloydIters) {
       val assign = train.join(broadcast(cents), "sub")
         .select(col("vec_id"), col("sub"), col("code"), col("sv"),
@@ -424,12 +425,17 @@ object Similarity {
           transform(col("dm"), p => p.getField("m")).as("c_new"))
       // a code that attracted no training subvector keeps its previous
       // centroid — the m×ksub codebook must never silently shrink
-      cents = cents
+      val (next, rel) = graft.Checkpoints.tracked(cents
         .join(refined, Seq("sub", "code"), "left")
         .select(col("sub"), col("code"),
-          coalesce(col("c_new"), col("c_sv")).as("c_sv"))
-        .localCheckpoint()
+          coalesce(col("c_new"), col("c_sv")).as("c_sv")))
+      releasePrev() // superseded codebook snapshot (no-op on round 1)
+      cents = next
+      releasePrev = rel
     }
+    // the final cents checkpoint feeds encode/ADC below (harness sweep
+    // frees it post-action); the training sample served only the loop
+    releaseTrain()
     // encode: nearest sub-centroid per (vector, subspace)
     val wCode = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))

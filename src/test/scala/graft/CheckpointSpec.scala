@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pinned-block lifecycle (VERDICT r4 §next-round 7): localCheckpoints
+  * must not accumulate across a session. Iterative operators release
+  * superseded snapshots in-loop; the harness sweep releases the rest
+  * after each query's action. Asserted here via
+  * SparkContext.getPersistentRDDs, the same ledger Spark's storage UI
+  * reads. */
+class CheckpointSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("tracked() releases exactly what the checkpoint pinned") {
+    val before = pinned
+    val (cp, release) = Checkpoints.tracked(
+      spark.range(1000).toDF("id").repartition(4))
+    assert(pinned > before, "localCheckpoint should register persisted RDDs")
+    assert(cp.count() == 1000)
+    release()
+    assert(pinned == before, "release handle must drop the pinned blocks")
+  }
+
+  test("sweeping() leaves the session's pinned-block count flat") {
+    val before = pinned
+    Checkpoints.sweeping(spark) {
+      spark.range(100).toDF("id").localCheckpoint().count()
+    }
+    assert(pinned == before)
+  }
+
+  /** The operators with iterative checkpoint loops, driven to a real
+    * action under the harness sweep: each must come back to a flat
+    * pinned count — repeated invocations (a bench session's cold+warm
+    * runs) cannot grow the session footprint. */
+  test("iterative operators do not grow the pinned-block count across runs") {
+    val before = pinned
+    for (_ <- 1 to 2) {
+      Checkpoints.sweeping(spark) {
+        operators.GraphOps.pagerank(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(pinned == before, "pagerank leaked pinned blocks")
+      Checkpoints.sweeping(spark) {
+        operators.Dedup.clusters(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(pinned == before, "dedup_clusters leaked pinned blocks")
+      Checkpoints.sweeping(spark) {
+        operators.Similarity.pq(spark, sf)
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(pinned == before, "ann_pq leaked pinned blocks")
+    }
+  }
+}
