@@ -86,12 +86,19 @@ object Verify {
             ids("ann_bruteforce")
           else graft.operators.Similarity.bruteForce(spark, sfDir)
             .select("vec_id").collect().map(_.getLong(0)).toSet
-        val recalls = annApprox.filter(n => selected.contains(n) && !failed.contains(n))
-          .map { name => name -> (ids(name).intersect(exact).size.toDouble / exact.size) }
-        val body = recalls.map { case (n, r) => f""""$n": $r%.2f""" }
-          .mkString("{", ", ", s""", "k": ${exact.size}}""")
-        Files.writeString(Paths.get(s"$outDir/ann_recall.json"), body)
-        System.err.println(s"[verify] ann recall@10 vs exact: $body")
+        // emptiness guard: recall divides by exact.size — an empty
+        // brute-force result would yield NaN, which f"%.2f" renders as
+        // bare NaN and corrupts ann_recall.json into invalid JSON
+        if (exact.isEmpty)
+          System.err.println("[verify] ann recall probe skipped: empty exact top-k")
+        else {
+          val recalls = annApprox.filter(n => selected.contains(n) && !failed.contains(n))
+            .map { name => name -> (ids(name).intersect(exact).size.toDouble / exact.size) }
+          val body = recalls.map { case (n, r) => f""""$n": $r%.2f""" }
+            .mkString("{", ", ", s""", "k": ${exact.size}}""")
+          Files.writeString(Paths.get(s"$outDir/ann_recall.json"), body)
+          System.err.println(s"[verify] ann recall@10 vs exact: $body")
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] ann recall probe failed: ${e.getMessage}")
       }

@@ -304,9 +304,12 @@ object Streams {
             // before the open session: emit as its own closed singleton
             // rather than corrupting state. A batch sessionizer with
             // full history could merge it when startUs - t <= gap —
-            // the documented correction-free bounded-state trade-off
-            // (replayed testdata is file-ordered, so this arm is
-            // adversarial-input armor, not a live divergence)
+            // the documented correction-free bounded-state trade-off.
+            // Replayed testdata is file-ordered so this arm is
+            // adversarial-input armor; if replay ever STOPS being
+            // ordered, the divergence is caught at run time by
+            // sessionizeTable's within-gap adjacency assertion instead
+            // of surfacing as a silent oracle hash mismatch
             touched ::= SessState(t, t, 1)
             Some(c)
           case Some(c) =>
@@ -334,10 +337,30 @@ object Streams {
     import s.implicits._
     val evs = eventStream(s, d, maxFilesPerTrigger)
       .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
-    runToMemory(s, sessionize(s, evs, gapSec).toDF(),
+    val sessions = runToMemory(s, sessionize(s, evs, gapSec).toDF(),
         "graft_sessions", "update")
       .groupBy(col("user_id"), col("start"))
       .agg(max(col("end")).as("end"), max(col("n_events")).as("n_events"))
+    // Replay-order soundness assertion: sessionize's bounded-state
+    // trade-off emits a pre-start late event as a closed singleton,
+    // which diverges from a full-history batch sessionizer exactly when
+    // two of a user's output sessions end up within gapSec of each
+    // other (a sound replay always separates consecutive sessions by
+    // MORE than the gap — that is what closed them). File-ordered
+    // replay cannot produce a violation; if replay ever stops being
+    // ordered, this fails the query loudly at action time instead of
+    // silently hash-diverging from the oracle (ADVICE r4).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start"))
+    sessions
+      .withColumn("_prev_end_us", lag(unix_micros(col("end")), 1).over(w))
+      .filter(assert_true(
+        col("_prev_end_us").isNull ||
+          unix_micros(col("start")) - col("_prev_end_us") > gapSec * 1000000L,
+        lit("sessionize replay out of order: consecutive sessions within " +
+          "gap — see the pre-start late-event arm in Streams.sessionize"))
+        .isNull)
+      .drop("_prev_end_us")
       .orderBy(col("user_id"), col("start"))
   }
 

@@ -66,4 +66,49 @@ class WatermarkSpec extends AnyFunSuite {
       s"open day-3 window must not be emitted in append mode: $out")
     spark.catalog.dropTempView("graft_wm_test")
   }
+
+  /** sessionize's bounded-state trade-off emits a pre-open-session late
+    * event as a closed singleton — a divergence from full-history batch
+    * sessionization that is only sound while replay stays file-ordered.
+    * sessionizeTable now asserts that soundness at action time (ADVICE
+    * r4): an out-of-order replay must FAIL LOUDLY, and an in-order
+    * replay of the same events must still merge into one session. */
+  test("sessionize replay-order assertion: out-of-order late event fails loudly") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    def land(dir: Path, first: Seq[(Long, Timestamp, Long)],
+        second: Seq[(Long, Timestamp, Long)]): Unit = {
+      writeOne(first.toDF("user_id", "ts", "event_id"), dir, "events.parquet")
+      writeOne(second.toDF("user_id", "ts", "event_id"), dir, "events.parquet_b")
+      // the file source orders by mtime: make batch order explicit
+      Files.setLastModifiedTime(dir.resolve("events.parquet_b"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 10000))
+    }
+    // out of order: session opens at 10:10, then a LATER file delivers
+    // a 10:00 event — within gap of the open start, the singleton arm
+    val bad = Files.createTempDirectory("graft_sess_ooo")
+    land(bad,
+      Seq((7L, ts("2024-02-01 10:10:00"), 1L), (7L, ts("2024-02-01 10:12:00"), 2L)),
+      Seq((7L, ts("2024-02-01 10:00:00"), 3L)))
+    val ex = intercept[Exception] {
+      graft.streaming.Streams
+        .sessionizeTable(spark, bad.toString, maxFilesPerTrigger = Some(1))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("out of order")),
+      s"expected the replay-order assertion, got: $ex")
+
+    // control: the same events landed in order merge into one session
+    val good = Files.createTempDirectory("graft_sess_ord")
+    land(good,
+      Seq((7L, ts("2024-02-01 10:00:00"), 3L)),
+      Seq((7L, ts("2024-02-01 10:10:00"), 1L), (7L, ts("2024-02-01 10:12:00"), 2L)))
+    val rows = graft.streaming.Streams
+      .sessionizeTable(spark, good.toString, maxFilesPerTrigger = Some(1))
+      .collect()
+    assert(rows.length == 1 && rows.head.getLong(3) == 3L,
+      s"in-order replay should merge into one 3-event session: ${rows.toSeq}")
+  }
 }

@@ -154,6 +154,12 @@ def main():
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
+    # a crashed query with NO DuckDB oracle (e.g. q22_approx_distinct)
+    # never enters the loop above — without this it would go silently
+    # unreported and the gate would stay green
+    for name in sorted(crashed - set(oracle.keys())):
+        print(f"FAIL {name}: query threw during Verify (rows-only query, no oracle)")
+        n_fail += 1
     skipped = f", {n_skip} skipped (not in verify output)" if n_skip else ""
     print(f"== {n_pass} pass, {n_fail} fail{skipped}")
     sys.exit(1 if n_fail else 0)
