@@ -28,6 +28,9 @@ object SparkEntry {
     "text_gini" -> ((s, d) => TextAnalysis.gini(s, d)),
     "text_scrub" -> ((s, d) => TextAnalysis.scrub(s, d)),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokens(s, d)),
+    "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
+    "pack_sequences_bpe" -> ((s, d) => Corpus.packSequencesBpe(s, d)),
+    "corpus_shard" -> ((s, d) => Corpus.corpusShard(s, d)),
     "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
@@ -81,6 +84,9 @@ object SparkEntry {
     "text_gini" -> TextAnalysis.giniSql,
     "text_scrub" -> TextAnalysis.scrubSql,
     "text_bpe_tokens" -> TextAnalysis.bpeTokensSql,
+    "text_lm_score" -> TextAnalysis.lmScoreSql,
+    "pack_sequences_bpe" -> Corpus.packSequencesBpeSql,
+    "corpus_shard" -> Corpus.corpusShardSql,
     "dedup_phrases" -> TextAnalysis.phrasesSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,

@@ -77,10 +77,31 @@ object Corpus {
     * input is localCheckpoint-pinned so the offset table and the
     * cumsum pass see identical range boundaries.
     */
-  def packSequences(s: SparkSession, d: String, budget: Long = 1000L): DataFrame = {
+  def packSequences(s: SparkSession, d: String, budget: Long = 1000L): DataFrame =
+    packFrom(s,
+      documents(s, d)
+        .select(col("doc_id"), size(words(col("text"))).cast("bigint").as("tokens")),
+      budget)
+
+  /** `pack_sequences_bpe` — the same packer re-keyed on
+    * TOKENIZER-FAITHFUL counts: documents are packed by their mini-BPE
+    * token counts (TextAnalysis.bpeCounts) instead of whitespace words,
+    * which is what an actual training-data pipeline budgets on — a
+    * 1000-unit budget means model tokens, not words. Same two-phase
+    * distributed prefix sum; the oracle replays the BPE training CTEs
+    * and the global-window packing. */
+  def packSequencesBpe(s: SparkSession, d: String, budget: Long = 1000L): DataFrame =
+    packFrom(s,
+      TextAnalysis.bpeCounts(s, d)
+        .select(col("doc_id"), col("n_bpe").as("tokens")),
+      budget)
+
+  /** Shared packer over any (doc_id, tokens) frame — see
+    * [[packSequences]] for the two-phase prefix-sum design notes. */
+  private def packFrom(s: SparkSession, tokensDf: DataFrame,
+      budget: Long): DataFrame = {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val toks = documents(s, d)
-      .select(col("doc_id"), size(words(col("text"))).cast("bigint").as("tokens"))
+    val toks = tokensDf
       .repartitionByRange(nPart, col("doc_id"))
       .localCheckpoint()
     val withPid = toks.withColumn("pid", spark_partition_id())
@@ -118,6 +139,22 @@ object Corpus {
       |      FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
       |            FROM documents))
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val packSequencesBpeSql: String =
+    s"""WITH ${TextAnalysis.BpeCtes},
+       |bt AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(LENGTH(t) - LENGTH(replace(t, '<', ''))) AS BIGINT) AS tokens
+       |  FROM tok GROUP BY doc_id)
+       |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM (SELECT doc_id, tokens,
+       |        (SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |          - tokens) // 1000 AS pack_id
+       |      FROM bt)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------- decontamination
 
@@ -261,4 +298,47 @@ object Corpus {
        |SELECT r.source, CAST(r.rk AS INT) AS rk, r.doc_id
        |FROM ranked r JOIN quotas q ON r.source = q.source AND r.rk <= q.quota
        |ORDER BY r.source, r.rk""".stripMargin
+
+  // ------------------------------------------------------------- sharding
+
+  /** `corpus_shard` — deterministic output sharding: the write-side
+    * stage of a training pipeline. Every document is assigned one of
+    * `nShards` shards by the low bits of a content hash (FNV-1a over
+    * the text — the same hash family as text_hashfeatures, so shard
+    * membership is stable across runs, machines and partitionings and
+    * insensitive to doc_id renumbering), and the query emits per-shard
+    * balance statistics — the numbers an operator watches to confirm no
+    * shard is hot before a training job reads them.
+    *
+    * 100 TB: one narrow projection + one 16-group aggregation; in the
+    * real write this shard column feeds partitionBy (cf. ParquetSink),
+    * so readers get one directory per shard. */
+  def corpusShard(s: SparkSession, d: String, nShards: Int = 16): DataFrame = {
+    require((nShards & (nShards - 1)) == 0, "nShards must be a power of two")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        graft.functions.HashFunctions.fnv64(col("text"))
+          .bitwiseAND(lit((nShards - 1).toLong)).cast("int").as("shard"),
+        size(words(col("text"))).cast("bigint").as("toks"),
+        length(col("text")).cast("bigint").as("chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        countDistinct(col("lang")).cast("int").as("n_langs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
+  val corpusShardSql: String =
+    s"""WITH dw AS (SELECT doc_id, lang, text, text AS w FROM documents),
+       |th AS (SELECT doc_id, lang, text, ${Dedup.FnvWordSql} AS h FROM dw)
+       |SELECT CAST(h % 16 AS INT) AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       |  CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM th GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -343,7 +343,13 @@ object TextAnalysis {
     * constant, like corpusMix's source quotas); application is a narrow
     * map (12 chained replaces) plus one aggregation keyed on doc_id. */
   def bpeTokens(s: SparkSession, d: String, vocabSize: Int = 300,
-      nMerges: Int = 12): DataFrame = {
+      nMerges: Int = 12): DataFrame =
+    bpeCounts(s, d, vocabSize, nMerges).orderBy(col("doc_id"))
+
+  /** Unordered per-doc BPE counts — shared by [[bpeTokens]] and
+    * Corpus.packSequencesBpe (which re-keys sequence packing on them). */
+  private[operators] def bpeCounts(s: SparkSession, d: String,
+      vocabSize: Int = 300, nMerges: Int = 12): DataFrame = {
     val docs = documents(s, d)
     val vocab = docs.select(explode(words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -366,14 +372,13 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("int").as("n_ws"),
         sum(col("wlen")).cast("bigint").as("n_chars"),
         sum(col("ntok")).cast("bigint").as("n_bpe"))
-      .orderBy(col("doc_id"))
   }
 
-  /** The full BPE pipeline as DuckDB SQL: vocab → 12 unrolled training
-    * rounds (pair counts → argmax row → NULL-guarded apply) → per-word
-    * application → per-doc counts. Token counting reads the number of
-    * `<` delimiters, exactly like the operator. */
-  val bpeTokensSql: String = {
+  /** The BPE pipeline's CTE block (vocab → 12 unrolled training rounds
+    * → per-word application) — shared by [[bpeTokensSql]] and
+    * Corpus.packSequencesBpeSql. Use as `WITH $BpeCtes <final select
+    * over tok(doc_id, w, t)>`. */
+  private[operators] val BpeCtes: String = {
     val (v, m) = (300, 12)
     // every chained CTE is MATERIALIZED: DuckDB inlines CTEs by
     // default, and v_k/m_k are each referenced twice — inlining would
@@ -395,7 +400,7 @@ object TextAnalysis {
       "'<' || array_to_string(string_split(w, ''), '><') || '>'") { (acc, k) =>
       s"replace($acc, COALESCE((SELECT pr FROM m$k), chr(1)), COALESCE((SELECT mg FROM m$k), chr(1)))"
     }
-    s"""WITH vocab AS MATERIALIZED (
+    s"""vocab AS MATERIALIZED (
        |  SELECT w, COUNT(*) AS cnt
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY w ORDER BY cnt DESC, w LIMIT $v),
@@ -403,12 +408,77 @@ object TextAnalysis {
        |$stages,
        |tok AS (
        |  SELECT doc_id, w, $applied AS t
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents))""".stripMargin
+  }
+
+  /** The full BPE pipeline as DuckDB SQL: vocab → 12 unrolled training
+    * rounds (pair counts → argmax row → NULL-guarded apply) → per-word
+    * application → per-doc counts. Token counting reads the number of
+    * `<` delimiters, exactly like the operator. */
+  val bpeTokensSql: String =
+    s"""WITH $BpeCtes
        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_ws,
        |  CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars,
        |  CAST(SUM(LENGTH(t) - LENGTH(replace(t, '<', ''))) AS BIGINT) AS n_bpe
        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- text_lm_score: bigram-LM quality scoring -------------------------
+
+  /** `text_lm_score` — KenLM-style statistical quality scoring with a
+    * corpus-trained bigram language model: P(w₂|w₁) = c(w₁w₂)/c(w₁·)
+    * by maximum likelihood, and a document scores the mean conditional
+    * probability over its word bigrams. The fluency/quality filter
+    * stage of a training-data pipeline (docs whose transitions are
+    * atypical for the corpus score low), without the log-space floats
+    * that break cross-engine parity: each conditional probability is
+    * quantised EXACTLY as (10⁹·c_pair) DIV c_prefix — pure integer
+    * arithmetic — summed as integers, with one final double division
+    * for the readable score.
+    *
+    * 100 TB: bigram explode (narrow) → two hash aggregations (pair and
+    * prefix counts) → one equi-join keyed on the bigram → one doc-keyed
+    * aggregation. Counts shuffle as (word-pair, long); no driver-side
+    * state. The 10⁹ quantiser bounds c_pair at ~9·10⁹ in int64 — a
+    * 100 TB corpus promotes the product to DECIMAL(38,0), same
+    * semantics. */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val bi = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val pairC = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cp"))
+    val prefC = bi.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+    val probs = pairC.join(prefC, "w1")
+      .select(col("w1"), col("w2"),
+        expr("CAST((1000000000 * cp) DIV cw AS BIGINT)").as("q"))
+    bi.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"), sum(col("q")).as("q_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("q_sum"),
+        (col("q_sum").cast("double") / col("n_bigrams") / 1e9).as("lm_score"))
+      .orderBy(col("doc_id"))
   }
+
+  val lmScoreSql: String =
+    """WITH bi AS MATERIALIZED (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) dd,
+      |       unnest(generate_series(1, len(ws) - 1)) AS t(i)
+      |  WHERE len(ws) >= 2),
+      |pc AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS cp FROM bi GROUP BY w1, w2),
+      |wc AS MATERIALIZED (SELECT w1, COUNT(*) AS cw FROM bi GROUP BY w1),
+      |pr AS MATERIALIZED (
+      |  SELECT pc.w1, pc.w2, (1000000000 * cp) // cw AS q
+      |  FROM pc JOIN wc ON pc.w1 = wc.w1)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+      |  CAST(SUM(q) AS BIGINT) AS q_sum,
+      |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1e9 AS lm_score
+      |FROM bi JOIN pr ON bi.w1 = pr.w1 AND bi.w2 = pr.w2
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---- text_scrub: PII redaction ----------------------------------------
 

@@ -58,6 +58,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.map(_._1) == got.indices.map(_.toLong))
   }
 
+  /** pack_sequences_bpe: PACKING semantics vs a sequential greedy pack
+    * over the BPE counts (the counts themselves are independently
+    * verified against an in-memory BPE in CurationSpec). */
+  test("pack_sequences_bpe equals a sequential greedy pack of BPE counts") {
+    val toks = graft.operators.TextAnalysis.bpeTokens(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+    var cum = 0L
+    val packOf = toks.map { case (id, n) =>
+      val p = cum / 1000; cum += n; (id, n, p)
+    }
+    val expected = packOf.groupBy(_._3).toSeq.sortBy(_._1).map {
+      case (p, rows) =>
+        (p, rows.length.toLong, rows.map(_._2).sum, rows.map(_._1).min, rows.map(_._1).max)
+    }
+    val got = Corpus.packSequencesBpe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    assert(got.map(_._1) == got.indices.map(_.toLong))
+  }
+
+  test("corpus_shard covers the corpus exactly, deterministically, in range") {
+    val rows = Corpus.corpusShard(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.forall { case (s, _, _, _) => s >= 0 && s < 16 })
+    assert(rows.map(_._2).sum == docs.length, "shards must cover every doc once")
+    val totalTokens = docs.map(_._2.split(" ", -1).length.toLong).sum
+    val totalChars = docs.map(_._2.length.toLong).sum
+    assert(rows.map(_._3).sum == totalTokens && rows.map(_._4).sum == totalChars)
+    // stable across runs (content-hash keyed, not partitioning-keyed)
+    val again = Corpus.corpusShard(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == rows.toSeq)
+    // and no empty/hot shard on this corpus: every shard has docs
+    assert(rows.length == 16 && rows.forall(_._2 > 0))
+  }
+
   test("pack_sequences does not run a global single-partition window") {
     val df = Corpus.packSequences(spark, sf)
     df.collect()

@@ -146,6 +146,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  /** text_lm_score parity with an independent in-memory bigram LM:
+    * corpus-wide pair/prefix counts and the exact integer quantisation
+    * (10⁹·c_pair DIV c_prefix) re-derived in plain Scala. */
+  test("text_lm_score: parity with an independent in-memory bigram LM") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val allBi: Seq[(Long, (String, String))] = docs.toSeq.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Seq.empty[(Long, (String, String))]
+      else ws.zip(ws.tail).map(p => (id, p)).toSeq
+    }
+    val cp = allBi.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cw = allBi.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val expected = allBi.groupBy(_._1).view.mapValues { bs =>
+      val qs = bs.map { case (_, p) => 1000000000L * cp(p) / cw(p._1) }
+      (bs.size, qs.sum)
+    }.toMap
+    val out = graft.operators.TextAnalysis.lmScore(spark, sf).collect()
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val (n, qSum) = expected(r.getLong(0))
+      assert(r.getInt(1) == n && r.getLong(2) == qSum,
+        s"doc ${r.getLong(0)}: got (${r.getInt(1)}, ${r.getLong(2)}), want ($n, $qSum)")
+      assert(r.getDouble(3) == qSum.toDouble / n / 1e9)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0,
+        "mean conditional probability must be in (0, 1]")
+    }
+  }
+
   test("repetition ratio is in [0,1) and counts are consistent") {
     val rows = Curation.repetition(spark, sf).collect()
     assert(rows.nonEmpty)
