@@ -425,6 +425,55 @@ object EtlQueries {
     * file mtimes across a re-merge. */
   def mergeBase(d: String): String = scratchDir("merge", d, "orders")
 
+  /** `etl_cluster` — data-layout clustering for scan pruning: lineitem
+    * is rewritten range-partitioned AND sorted on `ship_date` (the
+    * timestamp is normalised to DATE — Spark writes raw timestamps as
+    * INT96, which carries no usable parquet statistics and blocks
+    * filter pushdown), so every file covers a disjoint date range and
+    * row groups inside a file are ordered. A date-window query over the
+    * clustered copy then prunes at TWO levels below the Spark planner:
+    * the pushed predicate (PushedFilters in the scan — spec-pinned)
+    * lets the parquet reader skip whole row groups via footer min/max,
+    * and pages via page indexes. EtlSpec opens the footers and asserts
+    * the skippability is real: stats present on every row group, sorted
+    * within files, and the query window intersecting a minority.
+    *
+    * 100 TB: THE lever for time-sliced warehouse queries — the same
+    * scan drops from full-table to O(window) bytes with no planner
+    * change, exactly what Z-order/clustering services sell. The oracle
+    * aggregates the raw table under the same window, proving the
+    * rewrite loses nothing. */
+  def cluster(s: SparkSession, d: String): DataFrame = {
+    val base = clusterBase(d)
+    if (!new java.io.File(s"$base/clustered/_SUCCESS").exists())
+      Tables.lineitem(s, d)
+        .withColumn("ship_date", col("l_shipdate").cast("date"))
+        .repartitionByRange(8, col("ship_date"))
+        .sortWithinPartitions(col("ship_date"))
+        .write.mode("overwrite").parquet(s"$base/clustered")
+    s.read.parquet(s"$base/clustered")
+      .filter(col("ship_date") >= lit("1995-03-01").cast("date") &&
+        col("ship_date") <= lit("1995-03-31").cast("date"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(Frags.dsum6("l_quantity")).as("sum_qty"),
+        expr(Frags.dsum2("l_extendedprice")).as("sum_price"),
+        min(col("ship_date")).as("min_ship"),
+        max(col("ship_date")).as("max_ship"))
+  }
+
+  /** Cluster scratch base, exposed for EtlSpec's footer audit. */
+  def clusterBase(d: String): String = scratchDir("cluster", d, "lineitem")
+
+  val clusterSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Frags.dsum6("l_quantity")} AS sum_qty,
+       |  ${Frags.dsum2("l_extendedprice")} AS sum_price,
+       |  MIN(CAST(l_shipdate AS DATE)) AS min_ship,
+       |  MAX(CAST(l_shipdate AS DATE)) AS max_ship
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
+       |  AND CAST(l_shipdate AS DATE) <= DATE '1995-03-31'""".stripMargin
+
   val mergeSql: String =
     s"""WITH c AS (
        |  SELECT o_orderkey, o_custkey,
@@ -446,6 +495,7 @@ object EtlQueries {
        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_cluster" -> (cluster _),
     "etl_merge" -> (merge _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
@@ -457,6 +507,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_cluster" -> clusterSql,
     "etl_merge" -> mergeSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,

@@ -466,6 +466,54 @@ class EtlSpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(work, "wip")).isEmpty)
   }
 
+  /** etl_cluster's skippability claim, verified at the parquet-footer
+    * level: every row group of the clustered copy must carry real
+    * min/max stats on ship_date (the reason the rewrite normalises the
+    * INT96 timestamp to DATE), row groups within a file must be sorted,
+    * and the query's one-month window must intersect only a minority of
+    * row groups — the structural property that lets the reader skip the
+    * rest at 100 TB. */
+  test("etl_cluster: sorted rewrite yields skippable row-group stats") {
+    import scala.jdk.CollectionConverters._
+    // run once: materializes the clustered copy and checks the plan
+    val df = graft.queries.EtlQueries.cluster(spark, sf)
+    assert(df.collect().head.getLong(0) > 0, "window must be non-empty")
+    val scanMeta = df.queryExecution.executedPlan.toString
+    assert(scanMeta.contains("PushedFilters") && scanMeta.contains("ship_date"),
+      s"date filter did not reach the parquet scan:\n$scanMeta")
+    val dir = new java.io.File(
+      graft.queries.EtlQueries.clusterBase(sf), "clustered")
+    val files = dir.listFiles.filter(_.getName.endsWith(".parquet")).sorted
+    assert(files.length >= 4, s"expected >=4 range files, got ${files.length}")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val perFile: Seq[Seq[(Int, Int)]] = files.toSeq.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.asScala.toSeq.map { rg =>
+        val cc = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "ship_date").get
+        val st = cc.getStatistics
+        assert(st != null && !st.isEmpty && st.hasNonNullValue,
+          s"row group without ship_date stats in ${f.getName}")
+        (st.genericGetMin.asInstanceOf[Number].intValue,
+          st.genericGetMax.asInstanceOf[Number].intValue)
+      } finally r.close()
+    }
+    // sorted within every file: row-group mins non-decreasing
+    perFile.foreach { rgs =>
+      assert(rgs.map(_._1) == rgs.map(_._1).sorted, s"unsorted row groups: $rgs")
+    }
+    // the query window (days since epoch) touches a minority of groups
+    val lo = java.time.LocalDate.parse("1995-03-01").toEpochDay.toInt
+    val hi = java.time.LocalDate.parse("1995-03-31").toEpochDay.toInt
+    val all = perFile.flatten
+    val touched = all.count { case (mn, mx) => mx >= lo && mn <= hi }
+    assert(touched > 0, "window must intersect some row group")
+    assert(touched <= all.size / 2,
+      s"clustering failed: window intersects $touched of ${all.size} row groups")
+  }
+
   test("binary payloads load to a BLOB column (reference leaves this todo!)") {
     val url = derby("binsink")
     exec(url, "CREATE TABLE bin_t (id BIGINT, payload BLOB)")
