@@ -40,6 +40,7 @@ object SparkEntry {
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
+    "embed_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "chunk_documents" -> ((s, d) => Corpus.chunks(s, d)),
     "pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
     "dedup_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,
+    "embed_kmeans" -> Similarity.kmeansSql,
     "ann_range" -> Similarity.rangeSearchSql,
     "ann_whiten" -> Similarity.whitenSql,
     "ann_lsh" -> Similarity.lshSql,

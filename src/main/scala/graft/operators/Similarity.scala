@@ -523,4 +523,110 @@ object Similarity {
        |GROUP BY vec_id
        |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
   }
+
+  // ---- embed_kmeans: whole-vector Lloyd clustering ----------------------
+
+  /** `embed_kmeans` — semantic clustering of the embedding corpus: k=8
+    * whole-vector centroids, seeded deterministically (vec_id < k) and
+    * refined by `iters` Lloyd rounds, then per-cluster balance stats
+    * (size, quantised inertia, id range). The cluster-balanced-sampling
+    * / semantic-grouping stage of a training-data pipeline — IVF uses
+    * the same assignment shape for search; this surfaces the CLUSTERS
+    * as the product.
+    *
+    * Oracle-exact for the same reasons as PQ: deterministic seed,
+    * floor-quantised DECIMAL-summed Lloyd means rounded to FLOAT, and
+    * floor-quantised inertia sums — every float op is a fixed IEEE
+    * sequence mirrored in [[kmeansSql]]'s unrolled CTEs.
+    *
+    * 100 TB: each round is one broadcast of k centroids + a narrow
+    * n×k distance pass + a (c, dim)-keyed mean aggregation (≤ k·dim
+    * rows); superseded centroid checkpoints are released in-loop. */
+  def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    def d2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, (x, y) => x - y)
+      dotD(diff, diff)
+    }
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd2"), col("c"))
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c"), col("embedding").as("c_emb"))
+    var releasePrev: () => Unit = () => ()
+    def assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("c"),
+        d2(col("embedding"), col("c_emb")).as("cd2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+    for (_ <- 1 to iters) {
+      val refined = assigned
+        .select(col("c"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("c"), col("dim"))
+        // floor-quantised mean (the PQ idiom): exact integer sum, two
+        // double divisions, FLOAT round — engine-order-independent
+        .agg((sum(floor(col("x") * 1e7).cast("decimal(28,0)")).cast("double")
+          / 1e7 / count(lit(1))).cast("float").as("m"))
+        .groupBy(col("c"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("c"), transform(col("dm"), p => p.getField("m")).as("c_new"))
+      // an empty cluster keeps its previous centroid (k never shrinks)
+      val (next, rel) = graft.Checkpoints.tracked(
+        cents.join(refined, Seq("c"), "left")
+          .select(col("c"), coalesce(col("c_new"), col("c_emb")).as("c_emb")))
+      releasePrev()
+      cents = next
+      releasePrev = rel
+    }
+    assigned
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // quantised inertia: order-independent exact integer sum
+        (sum(floor(col("cd2") * 1e9).cast("decimal(28,0)")).cast("double")
+          / 1e9).as("inertia"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .withColumnRenamed("c", "cluster")
+      .orderBy(col("cluster"))
+  }
+
+  /** The k-means pipeline as DuckDB SQL: seed → `iters` unrolled
+    * (assign → quantised-mean refine) rounds → final assignment →
+    * per-cluster stats. MATERIALIZED CTEs: each round's centroids are
+    * referenced twice and DuckDB inlines by default. */
+  val kmeansSql: String = {
+    val (k, iters) = (8, 2)
+    def assignFrom(cte: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT vec_id, embedding, c, cd2 FROM (
+         |    SELECT e.vec_id, e.embedding, c.c,
+         |      ${d2Of("e.embedding", "c.c_emb")} AS cd2,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${d2Of("e.embedding", "c.c_emb")}, c.c) AS rn
+         |    FROM e CROSS JOIN $cte c)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""${assignFrom(s"c${i - 1}", s"a$i")},
+         |r$i AS MATERIALIZED (
+         |  SELECT c, list(m ORDER BY dim) AS c_new FROM (
+         |    SELECT c, dim,
+         |      CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
+         |        / 1e7 / COUNT(*) AS FLOAT) AS m
+         |    FROM (SELECT c, unnest(embedding) AS x,
+         |            generate_subscripts(embedding, 1) AS dim FROM a$i)
+         |    GROUP BY c, dim)
+         |  GROUP BY c),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.c, COALESCE(r.c_new, p.c_emb) AS c_emb
+         |  FROM c${i - 1} p LEFT JOIN r$i r ON p.c = r.c)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS INT) AS c, embedding AS c_emb FROM e WHERE vec_id < $k),
+       |$rounds,
+       |${assignFrom(s"c$iters", "fin")}
+       |SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CAST(FLOOR(cd2 * 1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9 AS inertia,
+       |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+       |FROM fin GROUP BY c ORDER BY cluster""".stripMargin
+  }
 }

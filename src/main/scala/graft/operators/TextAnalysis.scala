@@ -302,7 +302,7 @@ object TextAnalysis {
     * ranking is total-order deterministic and replayable in SQL. Returns
     * (literal, replacement) pairs over the bracket-delimited token form:
     * `<a><b>` → `<ab>`. */
-  private[operators] def trainMerges(vocab: Seq[(String, Long)],
+  private[graft] def trainMerges(vocab: Seq[(String, Long)],
       nMerges: Int): Seq[(String, String)] = {
     var toks: Seq[(Vector[String], Long)] =
       vocab.map { case (w, c) => (w.toCharArray.map(_.toString).toVector, c) }

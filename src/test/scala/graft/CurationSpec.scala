@@ -197,6 +197,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_kmeans: full coverage, k clusters, Lloyd monotonicity") {
+    val total = Tables.embeddings(spark, sf).count()
+    val rows = graft.operators.Similarity.kmeans(spark, sf).collect()
+    assert(rows.length == 8, "k never shrinks (empty clusters keep centroids)")
+    assert(rows.map(_.getLong(1)).sum == total, "every vector assigned once")
+    // Lloyd monotonicity: refined centroids must not increase total
+    // inertia vs the seed assignment (quantisation noise is ~1e-7 per
+    // element — far below any real decrease)
+    val seedInertia = graft.operators.Similarity.kmeans(spark, sf, iters = 0)
+      .collect().map(_.getDouble(2)).sum
+    val refined = rows.map(_.getDouble(2)).sum
+    assert(refined <= seedInertia + 1e-3,
+      s"Lloyd iterations increased inertia: $refined > $seedInertia")
+    assert(refined < seedInertia, "refinement should strictly improve on random seeds")
+  }
+
   test("ann_pq: structural invariants + better-than-random ranking") {
     val pq = Similarity.pq(spark, sf).collect()
     assert(pq.length == 10)

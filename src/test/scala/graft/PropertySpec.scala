@@ -16,6 +16,45 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  /** The load-bearing equivalence behind text_bpe_tokens' oracle: a
+    * single-pass LITERAL string replace over the bracket-delimited
+    * token form must equal left-to-right non-overlapping VECTOR pair
+    * merging, for any merge table BPE training can produce — including
+    * the adversarial self-pair overlap case (aaaa + merge (a,a)). The
+    * tiny alphabet maximizes repeated-char collisions. */
+  test("BPE bracket-form literal replace equals vector pair merge (property)") {
+    val wordGen = Gen.chooseNum(0, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k, wordGen))
+    check(Prop.forAll(vocabGen, wordGen) { (vocab, w) =>
+      val merges = graft.operators.TextAnalysis
+        .trainMerges(vocab.map(v => (v, 1L)), nMerges = 6)
+      // string path — exactly the operator's codegen'd replace chain
+      val spaced =
+        if (w.isEmpty) "<>"
+        else "<" + w.toCharArray.map(_.toString).mkString("><") + ">"
+      val strCount = merges
+        .foldLeft(spaced) { case (s, (p, m)) => s.replace(p, m) }
+        .count(_ == '<')
+      // vector path — left-to-right non-overlapping merges
+      var ts = w.toCharArray.map(_.toString).toVector
+      merges.foreach { case (p, _) =>
+        val inner = p.substring(1, p.length - 1).split("><")
+        val (a, b) = (inner(0), inner(1))
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        ts = out.result()
+      }
+      val vecCount = if (w.isEmpty) 1 else ts.length
+      (strCount == vecCount) :| s"w=$w merges=$merges str=$strCount vec=$vecCount"
+    })
+  }
+
   test("pagerank matches an independent in-memory power iteration") {
     import SparkTestSession._
     val li = Tables.lineitem(spark, sf)
