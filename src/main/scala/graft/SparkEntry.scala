@@ -62,6 +62,7 @@ object SparkEntry {
     "stream_upsert" -> ((s, d) => graft.streaming.Streams.streamUpsert(s, d)),
     "stream_corpus" -> ((s, d) => graft.streaming.Streams.streamCorpus(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.Streams.sessionizeTable(s, d)),
+    "stream_session_timeout" -> ((s, d) => graft.streaming.Streams.sessionTimeoutTable(s, d)),
     "stream_dedup" -> ((s, d) => graft.streaming.Streams.streamDedup(s, d)),
     "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoin(s, d)),
     "stream_interval_left" -> ((s, d) => graft.streaming.Streams.intervalJoinLeft(s, d)))
@@ -119,6 +120,7 @@ object SparkEntry {
     "stream_upsert" -> graft.streaming.Streams.streamUpsertSql,
     "stream_corpus" -> graft.streaming.Streams.streamCorpusSql,
     "stream_sessionize" -> graft.streaming.Streams.sessionizeSql,
+    "stream_session_timeout" -> graft.streaming.Streams.sessionTimeoutSql,
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql,
     "stream_interval_left" -> graft.streaming.Streams.intervalJoinLeftSql)

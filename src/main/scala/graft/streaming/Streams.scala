@@ -12,7 +12,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * production the same plan runs against a live source with the
   * watermark bounding state.
   */
-object Streams {
+// Serializable: the stateful-operator closures (sessionize /
+// sessionTimeoutTable's fn) call module helpers like tsUs/usTs, which
+// lifts them to instance methods capturing this stateless module.
+object Streams extends Serializable {
 
   /** Run `body` with a bounded state-partition count: bounded-replay
     * verification runs pay per-state-store setup cost, and 8 partitions
@@ -341,15 +344,20 @@ object Streams {
         "graft_sessions", "update")
       .groupBy(col("user_id"), col("start"))
       .agg(max(col("end")).as("end"), max(col("n_events")).as("n_events"))
-    // Replay-order soundness assertion: sessionize's bounded-state
-    // trade-off emits a pre-start late event as a closed singleton,
-    // which diverges from a full-history batch sessionizer exactly when
-    // two of a user's output sessions end up within gapSec of each
-    // other (a sound replay always separates consecutive sessions by
-    // MORE than the gap — that is what closed them). File-ordered
-    // replay cannot produce a violation; if replay ever stops being
-    // ordered, this fails the query loudly at action time instead of
-    // silently hash-diverging from the oracle (ADVICE r4).
+    assertSessionSeparation(sessions, gapSec)
+      .orderBy(col("user_id"), col("start"))
+  }
+
+  /** Replay-order soundness assertion: the bounded-state sessionizers
+    * emit a pre-start late event as a closed singleton, which diverges
+    * from a full-history batch sessionizer exactly when two of a user's
+    * output sessions end up within gapSec of each other (a sound replay
+    * always separates consecutive sessions by MORE than the gap — that
+    * is what closed them). File-ordered replay cannot produce a
+    * violation; if replay ever stops being ordered, this fails the
+    * query loudly at action time instead of silently hash-diverging
+    * from the oracle (ADVICE r4). */
+  private def assertSessionSeparation(sessions: DataFrame, gapSec: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("start"))
     sessions
@@ -361,8 +369,129 @@ object Streams {
           "gap — see the pre-start late-event arm in Streams.sessionize"))
         .isNull)
       .drop("_prev_end_us")
-      .orderBy(col("user_id"), col("start"))
   }
+
+  /** `stream_session_timeout` — timeout-CLOSED sessionization: the
+    * production pattern [[sessionize]] deliberately avoids. There,
+    * sessions close only when the user's NEXT event arrives (upsert
+    * snapshots, consumer keeps the latest); here every session is
+    * emitted EXACTLY ONCE, at close — in-stream closes (next event
+    * beyond the gap) emit on data, and tail sessions close via
+    * `GroupStateTimeout.EventTimeTimeout` when the event-time watermark
+    * passes `last + gap`, with no later event needed. Far-future
+    * heartbeat rows (sentinel user, landed as a second streamed file
+    * set — the intervalJoinLeft pattern) advance the watermark past
+    * every real session so the bounded replay closes them all; the
+    * output therefore equals full batch sessionization, under
+    * emit-once semantics instead of upsert snapshots.
+    *
+    * 100 TB: state holds ONE open session per active user and the
+    * watermark reaps it — the unbounded-stream-safe shape. */
+  def sessionTimeoutTable(s: SparkSession, d: String, gapSec: Long = 1800,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    import java.nio.file.Files
+    val HbUser = -999999L // absent from the events table by construction
+    val maxTs = graft.Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    require(maxTs != null, "events table is empty: no heartbeat anchor")
+    val hbDir = Files.createTempDirectory("graft_hb_sess").toString
+    def landHeartbeat(idx: Int, plusDays: Int): Unit = {
+      val hbTs = new Timestamp(maxTs.getTime + plusDays * 86400000L)
+      Seq((-1L - idx, hbTs, HbUser, "heartbeat", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(hbDir)
+    }
+    landHeartbeat(0, 1)
+    val hbSchema = s.read.parquet(hbDir).schema
+    val evs = eventStream(s, d, maxFilesPerTrigger)
+      .unionByName(s.readStream.schema(hbSchema).parquet(hbDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+    def fn(user: Long, it: Iterator[Ev],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        // the watermark passed last+gap: the open session closes NOW
+        val c = state.get
+        state.remove()
+        return Iterator.single(
+          Session(user, usTs(c.startUs), usTs(c.lastUs), c.numEvents))
+      }
+      val sorted = it.toSeq.sortBy(e => (tsUs(e.ts), e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var closed = List.empty[SessState]
+      var cur: Option[SessState] = state.getOption
+      for (e <- sorted) {
+        val t = tsUs(e.ts)
+        cur = cur match {
+          case Some(c) if t > c.lastUs && t - c.lastUs <= gapSec * 1000000L =>
+            Some(c.copy(lastUs = t, numEvents = c.numEvents + 1))
+          case Some(c) if t >= c.startUs && t <= c.lastUs =>
+            Some(c.copy(numEvents = c.numEvents + 1))
+          case Some(c) if t < c.startUs =>
+            // pre-start late event: same bounded-state armor as
+            // sessionize; the separation assertion guards the oracle
+            closed ::= SessState(t, t, 1)
+            Some(c)
+          case Some(c) =>
+            closed ::= c // in-stream close: gap exceeded by this event
+            Some(SessState(t, t, 1))
+          case None => Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach { c =>
+        val closeAtMs = c.lastUs / 1000L + gapSec * 1000L
+        if (closeAtMs <= state.getCurrentWatermarkMs()) {
+          closed ::= c // watermark already beyond last+gap: close now
+        } else {
+          state.update(c)
+          state.setTimeoutTimestamp(closeAtMs)
+        }
+      }
+      closed.reverseIterator.map(c =>
+        Session(user, usTs(c.startUs), usTs(c.lastUs), c.numEvents))
+    }
+    val sessions = evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+    try {
+      // watermark trails by one trigger: the second heartbeat forces
+      // the batch whose watermark reaps every remaining real session
+      val out = runToMemory(s, sessions.toDF(), "graft_sess_to", "update",
+        afterFirstDrain = () => landHeartbeat(1, 2))
+      // the sentinel's own (heartbeat-only) sessions, dropped post-
+      // materialization — an in-plan filter would push below the
+      // watermark node and starve it (see intervalJoinLeft)
+      assertSessionSeparation(out.filter(col("user_id") =!= HbUser), gapSec)
+        .orderBy(col("user_id"), col("start"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(hbDir))
+    }
+  }
+
+  /** Identical result set to full batch sessionization: every real
+    * session closes (in-stream or by watermark timeout), each emitted
+    * once. */
+  val sessionTimeoutSql: String =
+    """SELECT user_id, MIN(ts) AS start, MAX(ts) AS "end",
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN LAG(ts) OVER w IS NULL
+      |             OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |           THEN 1 ELSE 0 END AS new_s
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, start""".stripMargin
 
   /** Streaming corpus curation, end to end: the documents table
     * replayed as a landing stream → quality gate (Curation.withReasons,

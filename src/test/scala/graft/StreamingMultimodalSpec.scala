@@ -34,6 +34,23 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(sess.count() == batch.count())
   }
 
+  /** Timeout-closed vs upsert-snapshot sessionization must produce the
+    * SAME sessions: sessionTimeoutTable emits each exactly once (tail
+    * sessions reaped by the event-time timeout — a user's final
+    * session has no later event, so its presence proves the timeout
+    * path fired), while sessionizeTable upserts snapshots and keeps
+    * the latest. */
+  test("stream_session_timeout equals upsert sessionization, emit-once") {
+    val viaTimeout = Streams.sessionTimeoutTable(spark, sf).collect()
+    val viaUpsert = Streams.sessionizeTable(spark, sf).collect()
+    assert(viaTimeout.nonEmpty)
+    assert(viaTimeout.map(_.toSeq).toSeq == viaUpsert.map(_.toSeq).toSeq,
+      "timeout-closed sessions diverge from upsert-closed sessions")
+    // emit-once: raw emissions already unique per (user, start)
+    val keys = viaTimeout.map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(keys.distinct.length == keys.length, "a session was emitted twice")
+  }
+
   test("multimodal: feature extraction is deterministic and normalized") {
     val media = Multimodal.mediaTable(spark, sf)
     val f = Multimodal.extractFeatures(spark, media).collect()
