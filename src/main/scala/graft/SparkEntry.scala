@@ -18,6 +18,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "dedup_fuzzy" -> ((s, d) => Dedup.fuzzy(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "text_hashfeatures" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -73,6 +74,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
+    "dedup_fuzzy" -> Dedup.fuzzySql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_clusters" -> Dedup.clustersSql,

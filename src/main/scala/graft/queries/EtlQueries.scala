@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.etl.TypeMapping
@@ -494,7 +494,139 @@ object EtlQueries {
        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
        |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** `etl_stats` — ANALYZE-style per-column table statistics, the
+    * planner/zone-map food every warehouse keeps: per column of
+    * lineitem, row count, null count, exact distinct count, and
+    * engine-portable min/max representations (ints verbatim, doubles as
+    * floor-cents / integral casts, timestamps as dates — each a
+    * monotone map, so repr(MIN) = MIN(repr) and both engines agree
+    * bit-for-bit).
+    *
+    * Plan: ONE scan of the table. All 7 columns' aggregates run in a
+    * single Aggregate (the multi-distinct Expand, factor = #columns —
+    * the same shape `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`
+    * plans); the wide one-row result is then pivoted to long form with
+    * an array-of-structs explode, entirely plan-side. EtlSpec pins the
+    * single-scan shape.
+    *
+    * 100 TB: exact NDV is kept here because the oracle demands
+    * bit-equality; at production scale the same single-pass plan swaps
+    * `count_distinct` for `approx_count_distinct` (HLL, no Expand) —
+    * min/max/nulls are unchanged. Partial aggregation makes the scan
+    * map-side-combining: the shuffle carries one partial row per task,
+    * not data. */
+  def stats(s: SparkSession, d: String): DataFrame = {
+    val intRepr = (c: Column) => c.cast("string")
+    val qtyRepr = (c: Column) => c.cast("bigint").cast("string")
+    val centsRepr = (c: Column) => floor(c * 100).cast("bigint").cast("string")
+    val strRepr = (c: Column) => c
+    val dateRepr = (c: Column) => date_format(c.cast("date"), "yyyy-MM-dd")
+    val specs: Seq[(String, Column => Column)] = Seq(
+      "l_orderkey" -> intRepr, "l_linenumber" -> intRepr,
+      "l_quantity" -> qtyRepr, "l_extendedprice" -> centsRepr,
+      "l_returnflag" -> strRepr, "l_linestatus" -> strRepr,
+      "l_shipdate" -> dateRepr)
+    val aggs = count(lit(1)).as("n_rows") +: specs.flatMap { case (cn, r) =>
+      Seq(count(col(cn)).as(s"${cn}__nn"),
+        countDistinct(col(cn)).as(s"${cn}__nd"),
+        r(min(col(cn))).as(s"${cn}__mn"),
+        r(max(col(cn))).as(s"${cn}__mx"))
+    }
+    val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = array(specs.map { case (cn, _) =>
+      struct(lit(cn).as("col_name"),
+        col("n_rows").as("n_rows"),
+        (col("n_rows") - col(s"${cn}__nn")).as("n_nulls"),
+        col(s"${cn}__nd").as("n_distinct"),
+        col(s"${cn}__mn").as("min_repr"),
+        col(s"${cn}__mx").as("max_repr"))
+    }: _*)
+    wide.select(explode(rows).as("s")).select("s.*").orderBy(col("col_name"))
+  }
+
+  val statsSql: String = {
+    def block(cn: String, mn: String, mx: String): String =
+      s"""SELECT '$cn' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($cn) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $cn) AS BIGINT) AS n_distinct,
+         |  $mn AS min_repr, $mx AS max_repr
+         |FROM lineitem""".stripMargin
+    def intR(e: String) = s"CAST($e AS VARCHAR)"
+    def qtyR(e: String) = s"CAST(CAST($e AS BIGINT) AS VARCHAR)"
+    def centsR(e: String) = s"CAST(CAST(FLOOR($e * 100) AS BIGINT) AS VARCHAR)"
+    def dateR(e: String) = s"strftime(CAST($e AS DATE), '%Y-%m-%d')"
+    Seq(
+      block("l_orderkey", intR("MIN(l_orderkey)"), intR("MAX(l_orderkey)")),
+      block("l_linenumber", intR("MIN(l_linenumber)"), intR("MAX(l_linenumber)")),
+      block("l_quantity", qtyR("MIN(l_quantity)"), qtyR("MAX(l_quantity)")),
+      block("l_extendedprice", centsR("MIN(l_extendedprice)"), centsR("MAX(l_extendedprice)")),
+      block("l_returnflag", "MIN(l_returnflag)", "MAX(l_returnflag)"),
+      block("l_linestatus", "MIN(l_linestatus)", "MAX(l_linestatus)"),
+      block("l_shipdate", dateR("MIN(l_shipdate)"), dateR("MAX(l_shipdate)")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** `etl_quarantine` — validation routing, the standard ETL stage the
+    * reference's converter errors hint at but never materialize: every
+    * input row is checked against the rule set and ROUTED — clean rows
+    * to the load path, violators to a per-reason quarantine that stays
+    * queryable and replayable (fix the rule, re-drain the directory).
+    * Dirt is injected deterministically from the source itself (every
+    * 37th key loses its price, every 41st gets an invalid status) so
+    * the oracle can replay the injection; rule priority (null_price
+    * before bad_status) is part of the contract and mirrored in the
+    * oracle's CASE order.
+    *
+    * Plan: ONE pass — the routed write is `partitionBy(reason)`, so
+    * good and quarantined rows land in separate directories from a
+    * single scan (no per-verdict re-scan), and the summary read-back
+    * prunes on the partition column. At 100 TB the quarantine rate is
+    * the monitored metric; the layout here is exactly the dead-letter
+    * pattern: bad rows carry full payload + reason, are never silently
+    * dropped, and never block the clean partition's load. */
+  def quarantine(s: SparkSession, d: String): DataFrame = {
+    val base = scratchDir("quar", d, "orders")
+    val dirty = Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 37 === 0, lit(null).cast("double"))
+        .otherwise(col("o_totalprice")).as("price"),
+      when(col("o_orderkey") % 41 === 0, lit("Z"))
+        .otherwise(col("o_orderstatus")).as("status"))
+    val routed = dirty.withColumn("reason",
+      when(col("price").isNull, lit("null_price"))
+        .when(!col("status").isin("O", "F", "P"), lit("bad_status"))
+        .otherwise(lit("ok")))
+    routed.write.mode("overwrite").partitionBy("reason").parquet(s"$base/routed")
+    s.read.parquet(s"$base/routed")
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n"),
+        expr(Frags.dsum2("COALESCE(price, 0.0)")).as("sum_price"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("reason"))
+  }
+
+  /** Quarantine scratch base, exposed for EtlSpec's routing audit. */
+  def quarantineBase(d: String): String = scratchDir("quar", d, "orders")
+
+  val quarantineSql: String =
+    s"""WITH dirty AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 37 = 0 THEN NULL ELSE o_totalprice END AS price,
+       |    CASE WHEN o_orderkey % 41 = 0 THEN 'Z' ELSE o_orderstatus END AS status
+       |  FROM orders),
+       |routed AS (
+       |  SELECT *, CASE WHEN price IS NULL THEN 'null_price'
+       |                 WHEN status NOT IN ('O','F','P') THEN 'bad_status'
+       |                 ELSE 'ok' END AS reason
+       |  FROM dirty)
+       |SELECT reason, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Frags.dsum2("COALESCE(price, 0.0)")} AS sum_price,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |FROM routed GROUP BY reason ORDER BY reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_stats" -> (stats _),
+    "etl_quarantine" -> (quarantine _),
     "etl_cluster" -> (cluster _),
     "etl_merge" -> (merge _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
@@ -507,6 +639,8 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_stats" -> statsSql,
+    "etl_quarantine" -> quarantineSql,
     "etl_cluster" -> clusterSql,
     "etl_merge" -> mergeSql,
     "etl_format_roundtrip" -> formatRoundtripSql,

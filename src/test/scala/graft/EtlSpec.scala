@@ -514,6 +514,51 @@ class EtlSpec extends AnyFunSuite {
       s"clustering failed: window intersects $touched of ${all.size} row groups")
   }
 
+  test("etl_stats: single scan, values agree with direct recomputation") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.EtlQueries.stats(spark, sf)
+    // ONE table scan feeds all 7 columns' statistics: the multi-distinct
+    // Aggregate plans an Expand over a single FileScan, not 7 scans
+    // (string-matched: AQE wraps the plan, hiding nodes from collect())
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(plan.contains("Expand"), "multi-distinct should plan a single-scan Expand")
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(rows.keySet == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate"))
+    val li = Tables.lineitem(spark, sf)
+    val n = li.count()
+    val flags = li.select("l_returnflag").distinct().collect()
+      .map(_.getString(0)).sorted
+    val (nr, nn, nd, mn, mx) = rows("l_returnflag")
+    assert(nr == n && nn == 0 && nd == flags.length &&
+      mn == flags.head && mx == flags.last)
+    val qty = li.select(min(col("l_quantity")), max(col("l_quantity"))).head()
+    assert(rows("l_quantity")._4 == qty.getDouble(0).toLong.toString &&
+      rows("l_quantity")._5 == qty.getDouble(1).toLong.toString)
+    assert(rows.values.forall(_._1 == n), "n_rows must be the table count everywhere")
+  }
+
+  test("etl_quarantine: rows route to per-reason dirs, nothing lost") {
+    import org.apache.spark.sql.functions._
+    val summary = graft.queries.EtlQueries.quarantine(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.keySet == Set("ok", "null_price", "bad_status"))
+    val total = Tables.orders(spark, sf).count()
+    assert(summary.values.sum == total, "routing must partition the input exactly")
+    val base = graft.queries.EtlQueries.quarantineBase(sf)
+    // the quarantine stays queryable per reason — and pure: every row in
+    // null_price is a %37 key, every bad_status row a %41 (non-%37) key
+    val nullKeys = spark.read.parquet(s"$base/routed/reason=null_price")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(nullKeys.nonEmpty && nullKeys.forall(_ % 37 == 0))
+    val badKeys = spark.read.parquet(s"$base/routed/reason=bad_status")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    assert(badKeys.nonEmpty && badKeys.forall(k => k % 41 == 0 && k % 37 != 0))
+  }
+
   test("binary payloads load to a BLOB column (reference leaves this todo!)") {
     val url = derby("binsink")
     exec(url, "CREATE TABLE bin_t (id BIGINT, payload BLOB)")

@@ -86,6 +86,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"IVF nprobe=2 top cosine $approx too far below exact $exact")
   }
 
+  test("dedup_fuzzy: parity with an independent in-memory blocking+DP") {
+    // classic O(mn) DP, written here independently of both engines
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "lang", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val blocked = docs.map { case (id, lang, nc, text) =>
+      (id, (lang, nc / 16, text.split(" ", 2).head), text.take(64))
+    }
+    val expected = (for {
+      (ia, ka, pa) <- blocked; (ib, kb, pb) <- blocked
+      if ka == kb && ia < ib
+      d = lev(pa, pb) if d <= 16
+    } yield (ia, ib, d)).toSet
+    val got = Dedup.fuzzy(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(expected.nonEmpty, "blocking must yield at least one pair at sf0.001")
+    assert(got == expected, s"fuzzy pairs diverge: got $got expected $expected")
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val n = Tables.documents(spark, sf).count()
     assert(Dedup.exact(spark, sf).count() == n) // testdata has no exact dups
