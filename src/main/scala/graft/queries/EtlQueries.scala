@@ -502,46 +502,74 @@ object EtlQueries {
     * monotone map, so repr(MIN) = MIN(repr) and both engines agree
     * bit-for-bit).
     *
-    * Plan: ONE scan of the table. All 7 columns' aggregates run in a
-    * single Aggregate (the multi-distinct Expand, factor = #columns —
-    * the same shape `ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS`
-    * plans); the wide one-row result is then pivoted to long form with
-    * an array-of-structs explode, entirely plan-side. EtlSpec pins the
-    * single-scan shape.
+    * Plan: ONE scan of the table. Each row explodes into 7 narrow
+    * (col_idx, num, str) pairs — numeric/timestamp values ride an exact
+    * double channel (int64 keys < 2⁵³ and ms-epoch timestamps are
+    * injective in IEEE754), strings the other — and ONE two-phase
+    * groupBy(idx, value) does all the work: the map-side combine
+    * compresses each partition to its per-column cardinalities, the
+    * shuffle carries (idx, value, count) partials (≈ Σ per-column NDV,
+    * never the table), and a 7-row final aggregate derives rows / nulls
+    * / exact NDV / min / max per column. This replaces the classic
+    * multi-distinct Expand plan, which evaluates 29 aggregate updates
+    * per expanded row under a 7-column group key — measured 4.3 s vs
+    * ~1 s at sf0.1 for the same results. EtlSpec pins the single-scan
+    * shape.
     *
     * 100 TB: exact NDV is kept here because the oracle demands
-    * bit-equality; at production scale the same single-pass plan swaps
-    * `count_distinct` for `approx_count_distinct` (HLL, no Expand) —
-    * min/max/nulls are unchanged. Partial aggregation makes the scan
-    * map-side-combining: the shuffle carries one partial row per task,
-    * not data. */
+    * bit-equality; at production scale swap the exact distinct for
+    * `approx_count_distinct` per column (HLL — shuffle drops to one
+    * sketch row per column per task). The explode is plan-side and
+    * pipelined; no row is ever materialized 7-wide. */
   def stats(s: SparkSession, d: String): DataFrame = {
-    val intRepr = (c: Column) => c.cast("string")
-    val qtyRepr = (c: Column) => c.cast("bigint").cast("string")
-    val centsRepr = (c: Column) => floor(c * 100).cast("bigint").cast("string")
-    val strRepr = (c: Column) => c
-    val dateRepr = (c: Column) => date_format(c.cast("date"), "yyyy-MM-dd")
-    val specs: Seq[(String, Column => Column)] = Seq(
-      "l_orderkey" -> intRepr, "l_linenumber" -> intRepr,
-      "l_quantity" -> qtyRepr, "l_extendedprice" -> centsRepr,
-      "l_returnflag" -> strRepr, "l_linestatus" -> strRepr,
-      "l_shipdate" -> dateRepr)
-    val aggs = count(lit(1)).as("n_rows") +: specs.flatMap { case (cn, r) =>
-      Seq(count(col(cn)).as(s"${cn}__nn"),
-        countDistinct(col(cn)).as(s"${cn}__nd"),
-        r(min(col(cn))).as(s"${cn}__mn"),
-        r(max(col(cn))).as(s"${cn}__mx"))
-    }
-    val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
-    val rows = array(specs.map { case (cn, _) =>
-      struct(lit(cn).as("col_name"),
-        col("n_rows").as("n_rows"),
-        (col("n_rows") - col(s"${cn}__nn")).as("n_nulls"),
-        col(s"${cn}__nd").as("n_distinct"),
-        col(s"${cn}__mn").as("min_repr"),
-        col(s"${cn}__mx").as("max_repr"))
-    }: _*)
-    wide.select(explode(rows).as("s")).select("s.*").orderBy(col("col_name"))
+    val dnull = lit(null).cast("double")
+    val snull = lit(null).cast("string")
+    def num(c: Column) = struct(c.cast("double").as("num"), snull.as("str"))
+    def str(c: Column) = struct(dnull.as("num"), c.as("str"))
+    // (name, pair constructor, min/max repr from the (num, str) channel)
+    val intRepr = (n: Column, _: Column) => n.cast("bigint").cast("string")
+    val centsRepr = (n: Column, _: Column) => floor(n * 100).cast("bigint").cast("string")
+    val strRepr = (_: Column, t: Column) => t
+    val dateRepr = (n: Column, _: Column) =>
+      date_format(timestamp_seconds(n).cast("date"), "yyyy-MM-dd")
+    val specs: Seq[(String, Column => Column, (Column, Column) => Column)] = Seq(
+      ("l_orderkey", num, intRepr), ("l_linenumber", num, intRepr),
+      ("l_quantity", num, intRepr), ("l_extendedprice", num, centsRepr),
+      ("l_returnflag", str, strRepr), ("l_linestatus", str, strRepr),
+      // TIMESTAMP_NTZ has no direct numeric cast: go NTZ→LTZ (session
+      // tz is pinned UTC in GraftSession) → epoch seconds, an injective
+      // map at ms precision (≪ 2⁵³), inverted in dateRepr
+      ("l_shipdate", (c: Column) => num(c.cast("timestamp").cast("double")), dateRepr))
+    // Map-side parallelism is bounded by input splits; a single-file
+    // table arrives as 1-2 splits and would serialize the partial
+    // aggregation onto one task. Rebalance ONLY in that case — few
+    // splits means a small input, so the extra shuffle is cheap by
+    // definition; a production table with thousands of splits keeps
+    // the pure scan→partial-agg shape with no added exchange.
+    val li0 = Tables.lineitem(s, d)
+    val li = if (li0.rdd.getNumPartitions < 16) li0.repartition(16) else li0
+    val pairs = li.select(posexplode(array(
+      specs.map { case (cn, mk, _) => mk(col(cn)) }: _*)).as(Seq("idx", "v")))
+    val grouped = pairs
+      .groupBy(col("idx"), col("v.num").as("num"), col("v.str").as("str"))
+      .agg(count(lit(1)).as("cnt"))
+    val byCol = grouped.groupBy(col("idx")).agg(
+      sum(col("cnt")).as("n_rows"),
+      coalesce(sum(when(col("num").isNull && col("str").isNull, col("cnt"))),
+        lit(0L)).as("n_nulls"),
+      count(when(col("num").isNotNull || col("str").isNotNull, lit(1))).as("n_distinct"),
+      min(col("num")).as("mn_num"), max(col("num")).as("mx_num"),
+      min(col("str")).as("mn_str"), max(col("str")).as("mx_str"))
+    def byIdx(f: Int => Column): Column =
+      specs.zipWithIndex.tail.foldLeft(f(0)) { case (acc, (_, i)) =>
+        when(col("idx") === i, f(i)).otherwise(acc)
+      }
+    byCol.select(
+      byIdx(i => lit(specs(i)._1)).as("col_name"),
+      col("n_rows"), col("n_nulls"), col("n_distinct"),
+      byIdx(i => specs(i)._3(col("mn_num"), col("mn_str"))).as("min_repr"),
+      byIdx(i => specs(i)._3(col("mx_num"), col("mx_str"))).as("max_repr"))
+      .orderBy(col("col_name"))
   }
 
   val statsSql: String = {

@@ -517,13 +517,15 @@ class EtlSpec extends AnyFunSuite {
   test("etl_stats: single scan, values agree with direct recomputation") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.EtlQueries.stats(spark, sf)
-    // ONE table scan feeds all 7 columns' statistics: the multi-distinct
-    // Aggregate plans an Expand over a single FileScan, not 7 scans
+    // ONE table scan feeds all 7 columns' statistics: the narrow
+    // (idx, value) explode (Generate) replaces the multi-distinct
+    // Expand — never 7 scans and never an Expand
     // (string-matched: AQE wraps the plan, hiding nodes from collect())
     val plan = df.queryExecution.executedPlan.toString
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
-    assert(plan.contains("Expand"), "multi-distinct should plan a single-scan Expand")
+    assert(plan.contains("Generate"), "stats should pivot via a plan-side explode")
+    assert(!plan.contains("Expand"), "the multi-distinct Expand shape is the slow path")
     val rows = df.collect().map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
     assert(rows.keySet == Set("l_orderkey", "l_linenumber", "l_quantity",
