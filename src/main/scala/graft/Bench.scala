@@ -81,14 +81,19 @@ object Bench {
     val warm = results
       .filter { case (_, (cold, _)) => warmFloor > 0 && cold >= warmFloor }
       .map { case (name, _) => name -> run(name, SparkEntry.queries(name)) }
-    // warm ≥ cold is the recompute signature (cold includes codegen +
+    // warm ≫ cold is the recompute signature (cold includes codegen +
     // first-touch IO, so a warm plan should be faster): flag it loudly —
-    // this is exactly how the corpus_mix O(words²) regression surfaced
+    // this is exactly how the corpus_mix O(words²) regression surfaced.
+    // Threshold 1.5×, not lower: warm is a SINGLE run compared against a
+    // min-of-repeat cold, and measured idle-host run-to-run variance on
+    // the heavy queries is ±25% (isolated A/B, r5) — a tighter bound
+    // flags ordinary jitter as recompute. Real recompute bugs are ≫2×
+    // (corpus_mix was >10×), so 1.5 loses none of the signal.
     val coldByName = results.toMap
     warm.foreach { case (name, (w, _)) =>
       val cold = coldByName(name)._1
-      if (w > cold * 1.2)
-        System.err.println(f"[bench] WARN $name warm ${w}%.2fs > 1.2x cold " +
+      if (w > cold * 1.5)
+        System.err.println(f"[bench] WARN $name warm ${w}%.2fs > 1.5x cold " +
           f"${cold}%.2fs — plan recomputes work per run (see SURVEY filter-trap note)")
     }
     // End-of-session canary: same fixed plan as the cold q1_agg at the
