@@ -32,6 +32,7 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextAnalysis.lmScore(s, d)),
     "pack_sequences_bpe" -> ((s, d) => Corpus.packSequencesBpe(s, d)),
     "corpus_shard" -> ((s, d) => Corpus.corpusShard(s, d)),
+    "corpus_token_budget" -> ((s, d) => Corpus.tokenBudget(s, d)),
     "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "text_lm_score" -> TextAnalysis.lmScoreSql,
     "pack_sequences_bpe" -> Corpus.packSequencesBpeSql,
     "corpus_shard" -> Corpus.corpusShardSql,
+    "corpus_token_budget" -> Corpus.tokenBudgetSql,
     "dedup_phrases" -> TextAnalysis.phrasesSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,

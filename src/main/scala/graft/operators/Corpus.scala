@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.documents
@@ -96,17 +96,25 @@ object Corpus {
         .select(col("doc_id"), col("n_bpe").as("tokens")),
       budget)
 
-  /** Shared packer over any (doc_id, tokens) frame — see
-    * [[packSequences]] for the two-phase prefix-sum design notes. */
-  private def packFrom(s: SparkSession, tokensDf: DataFrame,
-      budget: Long): DataFrame = {
+  /** Two-phase distributed global prefix sum — appends `cum`, the
+    * running total of `valueCol` in the total order given by
+    * `sortCols` (which must be a total order: include a unique
+    * tiebreaker). Range-partition on the sort key, per-partition
+    * cumsum under a pid-partitioned window, then add per-partition
+    * offsets from a driver-side table bounded by the partition count
+    * (≤ 1 row per partition — the legitimate bounded-table pattern,
+    * never data). The input is localCheckpoint-pinned so the offset
+    * table and the cumsum pass see identical range boundaries; the
+    * harness sweep frees the pinned blocks after the consumer's
+    * action. Shared by [[packSequences]]/[[packSequencesBpe]] (doc_id
+    * order) and [[tokenBudget]] (quality-descending order). */
+  private def withGlobalCumsum(s: SparkSession, df: DataFrame,
+      sortCols: Seq[Column], valueCol: String): DataFrame = {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val toks = tokensDf
-      .repartitionByRange(nPart, col("doc_id"))
-      .localCheckpoint()
-    val withPid = toks.withColumn("pid", spark_partition_id())
-    // per-partition token totals: <= nPart rows, safe to collect
-    val totals = withPid.groupBy("pid").agg(sum("tokens").as("t"))
+    val part = df.repartitionByRange(nPart, sortCols: _*).localCheckpoint()
+    val withPid = part.withColumn("pid", spark_partition_id())
+    // per-partition totals: <= nPart rows, safe to collect
+    val totals = withPid.groupBy("pid").agg(sum(valueCol).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var acc = 0L
     val offRows = totals.keys.toSeq.sorted.map { p =>
@@ -114,19 +122,69 @@ object Corpus {
     }
     import s.implicits._
     val offDf = offRows.toDF("pid", "off")
-    val w = Window.partitionBy("pid").orderBy("doc_id")
+    val w = Window.partitionBy("pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid
-      .withColumn("lcum", sum("tokens").over(w))
+      .withColumn("lcum", sum(valueCol).over(w))
       .join(broadcast(offDf), "pid")
-      .withColumn("pack_id", expr(s"CAST((lcum + off - tokens) DIV $budget AS BIGINT)"))
+      .withColumn("cum", col("lcum") + col("off"))
+      .drop("pid", "lcum", "off")
+  }
+
+  /** Shared packer over any (doc_id, tokens) frame — see
+    * [[packSequences]] for the two-phase prefix-sum design notes. */
+  private def packFrom(s: SparkSession, tokensDf: DataFrame,
+      budget: Long): DataFrame =
+    withGlobalCumsum(s, tokensDf, Seq(col("doc_id")), "tokens")
+      .withColumn("pack_id", expr(s"CAST((cum - tokens) DIV $budget AS BIGINT)"))
       .groupBy("pack_id")
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum("tokens").as("pack_tokens"),
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
       .orderBy("pack_id")
+
+  /** `corpus_token_budget` — data selection under a token budget: rank
+    * the corpus by the composite quality score (descending, doc_id
+    * tiebreak) and keep the greedy prefix whose running token count
+    * stays within `budget` — "fill N training tokens with the best
+    * documents", the selection step between scoring and packing in a
+    * curation pipeline. Emits (doc_id, quality, tokens, cum_tokens)
+    * for the selected prefix in rank order.
+    *
+    * 100 TB: the rank order is a range partition (no global
+    * single-partition sort) and the running total is the same
+    * two-phase distributed prefix sum as [[packSequences]]; the
+    * only driver-side state is the ≤-one-row-per-partition offset
+    * table. The quality score is [[TextAnalysis.quality]]'s exact
+    * composite — bit-stable doubles, so rank order and the budget
+    * cut agree with the oracle bit-for-bit. */
+  def tokenBudget(s: SparkSession, d: String, budget: Long = 10000L): DataFrame = {
+    val scored = TextAnalysis.quality(s, d)
+      .select(col("doc_id"), col("quality"),
+        col("n_tokens").cast("bigint").as("tokens"))
+    withGlobalCumsum(s, scored, Seq(col("quality").desc, col("doc_id")), "tokens")
+      .withColumn("cum_tokens", col("cum").cast("bigint"))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("tokens"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
   }
+
+  /** Oracle: the scored subquery IS [[TextAnalysis.qualitySql]] embedded
+    * verbatim (so the score formula cannot drift between the two), with
+    * the global window replaying the rank-order running sum. */
+  val tokenBudgetSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, quality, CAST(n_tokens AS BIGINT) AS tokens
+       |  FROM (${TextAnalysis.qualitySql.replace("\n", "\n  ")})),
+       |cum AS (
+       |  SELECT doc_id, quality, tokens,
+       |    CAST(SUM(tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM scored)
+       |SELECT doc_id, quality, tokens, cum_tokens
+       |FROM cum WHERE cum_tokens <= 10000
+       |ORDER BY cum_tokens""".stripMargin
 
   val packSequencesSql: String =
     """SELECT CAST(pack_id AS BIGINT) AS pack_id,

@@ -94,6 +94,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows.length == 16 && rows.forall(_._2 > 0))
   }
 
+  test("corpus_token_budget equals a sequential greedy selection by quality rank") {
+    // the score itself is text_quality's (oracle-checked there); this
+    // pins the SELECTION: rank by (quality desc, doc_id), running sum,
+    // cut at the budget — recomputed sequentially in memory
+    val scored = graft.operators.TextAnalysis.quality(spark, sf)
+      .select("doc_id", "quality", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+    val ranked = scored.sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expected = ranked.flatMap { case (id, q, n) =>
+      cum += n
+      if (cum <= 10000L) Some((id, q, n, cum)) else None
+    }.toSeq
+    val got = Corpus.tokenBudget(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty, "budget selection must be non-empty at sf0.001")
+  }
+
+  test("corpus_token_budget does not run a global single-partition window") {
+    val df = Corpus.tokenBudget(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), s"global window detected:\n$p")
+    assert(p.contains("Window"), "expected the per-partition cumsum window")
+  }
+
   test("pack_sequences does not run a global single-partition window") {
     val df = Corpus.packSequences(spark, sf)
     df.collect()
