@@ -19,6 +19,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_fuzzy" -> ((s, d) => Dedup.fuzzy(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringCoverage(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
     "text_hashfeatures" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -76,6 +77,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_fuzzy" -> Dedup.fuzzySql,
+    "dedup_substring" -> Dedup.substringCoverageSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_clusters" -> Dedup.clustersSql,

@@ -815,4 +815,112 @@ object Dedup {
       | AND x.blk_tok = y.blk_tok AND x.doc_id < y.doc_id
       |WHERE levenshtein(x.prefix, y.prefix) <= 16
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** `dedup_substring` — cross-document duplicated-span coverage, the
+    * token-granular exact-substring dedup signal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): for
+    * every doc, what fraction of its tokens sits inside a k-gram
+    * (k=8 words) that also appears verbatim in ANOTHER document.
+    * Unlike whole-doc dedup (exact/minhash), this catches boilerplate
+    * headers, license blocks and quoted passages embedded in otherwise
+    * unique documents — the duplication that whole-doc Jaccard dilutes
+    * below threshold.
+    *
+    * Plan: one narrow pass explodes each doc into (start, md5(k-gram))
+    * — the gram STRING never leaves the map side, only its 16-byte
+    * hash; a hash aggregate finds grams spanning ≥2 distinct docs
+    * (partial-distinct map-side agg, same two-phase shape the engine
+    * gives COUNT(DISTINCT)); a shuffle join marks duplicated positions;
+    * per-doc interval union (sort by start inside the doc partition,
+    * gaps-and-islands with a running-max window — adjacency need not
+    * merge: islands are disjoint, so their lengths sum to the union
+    * exactly) yields covered token counts. At 100 TB every stage is
+    * either narrow or keyed on gram-hash/doc_id — no pairwise doc join
+    * anywhere, and the window runs inside doc partitions (bounded by
+    * doc length, not corpus size). Suffix-array dedup finds arbitrary-
+    * length spans; fixed-k gram coverage is the bounded-memory
+    * distributed approximation (any duplicated span ≥ k words is fully
+    * covered by its k-grams; spans < k are below the noise floor). */
+  def substringCoverage(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select(col("doc_id"), size(words(col("text"))).as("n_ws"))
+    val grams = documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${k - 1}), " +
+          s"i -> md5(cast(concat_ws(' ', slice(ws, i, $k)) as binary)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+    val dup = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = grams.join(dup, "h")
+      .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("e"))
+      .withColumn("flag",
+        when(col("start") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("flag")).over(wRun))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("start")).as("s0"), max(col("e")).as("e1"),
+        count(lit(1)).as("ng"))
+    val perDoc = islands.groupBy(col("doc_id"))
+      .agg(sum(col("e1") - col("s0") + 1).as("covered_words"),
+        sum(col("ng")).as("n_dup_grams"))
+    docs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ws").cast("int").as("n_ws"),
+        coalesce(col("n_dup_grams"), lit(0L)).cast("bigint").as("n_dup_grams"),
+        coalesce(col("covered_words"), lit(0L)).cast("bigint").as("covered_words"),
+        when(col("n_ws") === 0, lit(0.0))
+          .otherwise(coalesce(col("covered_words"), lit(0L)).cast("double") /
+            col("n_ws"))
+          .as("dup_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same gram hashing (md5 of the space-joined k words), same
+    * ≥2-distinct-docs test, same gaps-and-islands union — covered
+    * counts are pure integers, so the only double (dup_fraction) is a
+    * single int/int division, bit-identical across engines. */
+  val substringCoverageSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, i AS start,
+      |    md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+      |  FROM w, UNNEST(generate_series(1, len(ws) - 7)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |pos AS (
+      |  SELECT g.doc_id, g.start, g.start + 7 AS e
+      |  FROM g JOIN dup USING (h)),
+      |flg AS (
+      |  SELECT doc_id, start, e,
+      |    CASE WHEN start > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+      |          ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |          -1) THEN 1 ELSE 0 END AS flag
+      |  FROM pos),
+      |isl AS (
+      |  SELECT doc_id, start, e,
+      |    SUM(flag) OVER (PARTITION BY doc_id ORDER BY start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM flg),
+      |seg AS (
+      |  SELECT doc_id, isl, MIN(start) AS s0, MAX(e) AS e1, COUNT(*) AS ng
+      |  FROM isl GROUP BY doc_id, isl),
+      |cov AS (
+      |  SELECT doc_id, SUM(e1 - s0 + 1) AS covered_words, SUM(ng) AS n_dup_grams
+      |  FROM seg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CAST(len(string_split(d.text, ' ')) AS INT) AS n_ws,
+      |  CAST(COALESCE(cov.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+      |  CAST(COALESCE(cov.covered_words, 0) AS BIGINT) AS covered_words,
+      |  CASE WHEN len(string_split(d.text, ' ')) = 0 THEN 0.0
+      |       ELSE CAST(COALESCE(cov.covered_words, 0) AS DOUBLE)
+      |            / len(string_split(d.text, ' ')) END AS dup_fraction
+      |FROM documents d LEFT JOIN cov USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -328,7 +328,54 @@ object Analytics4 {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  // ---- q50: CUBE / grouping-sets pricing rollup ------------------------
+  /** Multi-level rollup in ONE pass: the full
+    * (returnflag × linestatus × ship-year) CUBE — all 8 grouping sets,
+    * subtotals and the grand total — with GROUPING flags identifying
+    * each level. Spark plans this as a single Expand + hash aggregate
+    * (one shuffle for every level, vs 8 separate scans if each subtotal
+    * were its own query); at 100 TB the Expand factor (8×) is traded
+    * against 8 full input scans — the aggregation keys are tiny, so
+    * partial map-side aggregation collapses the blowup before the
+    * shuffle. Money sums run through the exact DECIMAL patterns
+    * ([[Frags.revenue]]) so every level is bit-identical to the oracle;
+    * l_quantity is integer-valued and exact in IEEE summation. */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    li.select(col("l_returnflag"), col("l_linestatus"),
+        year(col("l_shipdate")).cast("int").as("ship_year"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        grouping(col("ship_year")).cast("int").as("g_yr"),
+        expr("SUM(l_quantity)").as("sum_qty"),
+        expr(Frags.revenue()).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("g_rf"), col("g_ls"), col("g_yr"),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+  }
+
+  val q50Sql: String =
+    s"""WITH src AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |    CAST(year(l_shipdate) AS INT) AS ship_year,
+       |    l_quantity, l_extendedprice, l_discount
+       |  FROM lineitem)
+       |SELECT l_returnflag, l_linestatus, ship_year,
+       |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       |  CAST(GROUPING(ship_year) AS INT) AS g_yr,
+       |  SUM(l_quantity) AS sum_qty,
+       |  ${Frags.revenue()} AS revenue,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM src
+       |GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
+       |ORDER BY g_rf, g_ls, g_yr, l_returnflag, l_linestatus, ship_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_cube" -> (q50 _),
     "q49_kmv_distinct" -> (q49 _),
     "q48_order_profile" -> (q48 _),
     "q46_yoy_growth" -> (q46 _),
@@ -340,6 +387,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q50_cube" -> q50Sql,
     "q49_kmv_distinct" -> q49Sql,
     "q48_order_profile" -> q48Sql,
     "q46_yoy_growth" -> q46Sql,

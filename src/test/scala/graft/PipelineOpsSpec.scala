@@ -118,6 +118,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected, s"fuzzy pairs diverge: got $got expected $expected")
   }
 
+  test("dedup_substring: parity with an independent in-memory gram-coverage scan") {
+    val k = 8
+    val docs = graft.Tables.documents(spark, SparkTestSession.sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, ws) <- docs; i <- 0 to ws.length - k)
+      gramDocs.getOrElseUpdate(ws.slice(i, i + k).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val dup = gramDocs.filter(_._2.size >= 2).keySet
+    val expected = docs.map { case (id, ws) =>
+      val starts = (0 to ws.length - k).filter(i => dup(ws.slice(i, i + k).mkString(" ")))
+      val covered = starts.flatMap(i => i until i + k).distinct.size
+      (id, ws.length, starts.size.toLong, covered.toLong,
+        if (ws.length == 0) 0.0 else covered.toDouble / ws.length)
+    }.sortBy(_._1).toSeq
+    val got = Dedup.substringCoverage(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(expected.exists(_._4 > 0), "corpus must contain at least one duplicated span")
+    assert(got == expected)
+  }
+
+  test("dedup_substring plan has no pairwise doc join and no global window") {
+    val df = Dedup.substringCoverage(spark, SparkTestSession.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"pairwise join detected:\n$p")
+    assert(!p.contains("SinglePartition"), s"global exchange detected:\n$p")
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val n = Tables.documents(spark, sf).count()
     assert(Dedup.exact(spark, sf).count() == n) // testdata has no exact dups
