@@ -652,7 +652,135 @@ object EtlQueries {
        |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
        |FROM routed GROUP BY reason ORDER BY reason""".stripMargin
 
+  // ---- etl_scd2: slowly-changing-dimension type-2 apply ----------------
+  /** Market-segment rotation used by the synthetic changelog — cyclic
+    * over the five TPC-H segments, so a rotation ALWAYS changes the
+    * value (no fixed point). */
+  private def segRot(c: Column): Column =
+    when(c === "AUTOMOBILE", "BUILDING")
+      .when(c === "BUILDING", "FURNITURE")
+      .when(c === "FURNITURE", "HOUSEHOLD")
+      .when(c === "HOUSEHOLD", "MACHINERY")
+      .otherwise("AUTOMOBILE")
+
+  private def segRotSql(e: String): String =
+    s"""CASE $e WHEN 'AUTOMOBILE' THEN 'BUILDING'
+       | WHEN 'BUILDING' THEN 'FURNITURE' WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+       | WHEN 'HOUSEHOLD' THEN 'MACHINERY' ELSE 'AUTOMOBILE' END""".stripMargin
+
+  /** `etl_scd2` — changelog → type-2 versioned dimension, the standard
+    * warehouse history-keeping transform the reference's Postgres users
+    * run downstream of the load: each attribute change opens a new
+    * version row with [valid_from, valid_to) validity and exactly one
+    * is_current row per key.
+    *
+    * The changelog is derived deterministically from `customer`: a base
+    * snapshot (1994-01-01) plus four dated event waves — segment
+    * rotation + balance credit for keys %7 (1995-06-15), a NO-OP wave
+    * for keys %5 re-delivering the then-current values (1996-01-01 — a
+    * replayed extract, the classic at-least-once delivery artifact),
+    * a balance credit for keys %3 (1996-09-01) and a second segment
+    * rotation for keys %21 (1997-03-10). The SCD2 apply must suppress
+    * the no-op wave (else every re-delivery would open a spurious
+    * version): a lag-compare inside the key partition keeps only rows
+    * whose (segment, balance) differ from the previous event — sound
+    * because a dropped row is value-identical to its predecessor, so
+    * the next comparison still sees the surviving values. Versions,
+    * validity ranges and the current flag then come from
+    * row_number/lead over the surviving rows.
+    *
+    * 100 TB: one union of narrow projections, then everything happens
+    * inside c_custkey partitions (high-cardinality key, one shuffle;
+    * windows bounded by per-key event count, never corpus size) — the
+    * canonical distributed changelog apply. Balances are floor-cents
+    * integers; dates are literal; everything is bit-exact. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      col("c_mktsegment").as("seg0"),
+      floor(col("c_acctbal") * 100).cast("bigint").as("bal0"))
+    def ev(date: String, seg: Column, bal: Column): Seq[Column] =
+      Seq(col("c_custkey"), lit(date).cast("date").as("eff_date"),
+        seg.as("segment"), bal.as("bal_cents"))
+    val segAfterE1 =
+      when(col("c_custkey") % 7 === 0, segRot(col("seg0"))).otherwise(col("seg0"))
+    val balAfterE1 =
+      col("bal0") + when(col("c_custkey") % 7 === 0, 1000L).otherwise(0L)
+    val base = cust.select(ev("1994-01-01", col("seg0"), col("bal0")): _*)
+    val e1 = cust.filter(col("c_custkey") % 7 === 0)
+      .select(ev("1995-06-15", segRot(col("seg0")), col("bal0") + 1000L): _*)
+    val e2 = cust.filter(col("c_custkey") % 5 === 0)
+      .select(ev("1996-01-01", segAfterE1, balAfterE1): _*)
+    val e3 = cust.filter(col("c_custkey") % 3 === 0)
+      .select(ev("1996-09-01", segAfterE1, balAfterE1 + 2500L): _*)
+    val e4 = cust.filter(col("c_custkey") % 21 === 0)
+      .select(ev("1997-03-10", segRot(segRot(col("seg0"))),
+        col("bal0") + 3500L): _*)
+    val events = base.union(e1).union(e2).union(e3).union(e4)
+    val w = Window.partitionBy(col("c_custkey")).orderBy(col("eff_date"))
+    val changed = events
+      .withColumn("pseg", lag(col("segment"), 1).over(w))
+      .withColumn("pbal", lag(col("bal_cents"), 1).over(w))
+      .filter(col("pseg").isNull ||
+        col("segment") =!= col("pseg") || col("bal_cents") =!= col("pbal"))
+      .drop("pseg", "pbal")
+    changed
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("nxt", lead(col("eff_date"), 1).over(w))
+      .select(col("c_custkey"), col("version"), col("segment"),
+        col("bal_cents"),
+        col("eff_date").cast("timestamp").as("valid_from"),
+        // open rows carry NULL valid_to (is_current flags them): a
+        // 9999-12-31 sentinel overflows datetime64[ns] on the driver's
+        // pandas read-back path and is representation-hostile anyway
+        col("nxt").cast("timestamp").as("valid_to"),
+        when(col("nxt").isNull, 1).otherwise(0).cast("int").as("is_current"))
+      .orderBy(col("c_custkey"), col("version"))
+  }
+
+  val scd2Sql: String = {
+    val rot = segRotSql("seg0")
+    val rotrot = segRotSql(s"($rot)")
+    val segAfterE1 = s"CASE WHEN c_custkey % 7 = 0 THEN $rot ELSE seg0 END"
+    val balAfterE1 = "bal0 + CASE WHEN c_custkey % 7 = 0 THEN 1000 ELSE 0 END"
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_mktsegment AS seg0,
+       |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal0
+       |  FROM customer),
+       |events AS (
+       |  SELECT c_custkey, DATE '1994-01-01' AS eff_date,
+       |    seg0 AS segment, bal0 AS bal_cents FROM cust
+       |  UNION ALL
+       |  SELECT c_custkey, DATE '1995-06-15', $rot, bal0 + 1000
+       |  FROM cust WHERE c_custkey % 7 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, DATE '1996-01-01', $segAfterE1, $balAfterE1
+       |  FROM cust WHERE c_custkey % 5 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, DATE '1996-09-01', $segAfterE1, $balAfterE1 + 2500
+       |  FROM cust WHERE c_custkey % 3 = 0
+       |  UNION ALL
+       |  SELECT c_custkey, DATE '1997-03-10', $rotrot, bal0 + 3500
+       |  FROM cust WHERE c_custkey % 21 = 0),
+       |lagged AS (
+       |  SELECT c_custkey, eff_date, segment, bal_cents,
+       |    LAG(segment) OVER w AS pseg, LAG(bal_cents) OVER w AS pbal
+       |  FROM events WINDOW w AS (PARTITION BY c_custkey ORDER BY eff_date)),
+       |changed AS (
+       |  SELECT c_custkey, eff_date, segment, bal_cents FROM lagged
+       |  WHERE pseg IS NULL OR segment <> pseg OR bal_cents <> pbal)
+       |SELECT c_custkey, CAST(ROW_NUMBER() OVER w AS INT) AS version,
+       |  segment, bal_cents,
+       |  CAST(eff_date AS TIMESTAMP) AS valid_from,
+       |  CAST(LEAD(eff_date) OVER w AS TIMESTAMP) AS valid_to,
+       |  CAST(CASE WHEN LEAD(eff_date) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+       |    AS is_current
+       |FROM changed WINDOW w AS (PARTITION BY c_custkey ORDER BY eff_date)
+       |ORDER BY c_custkey, version""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_scd2" -> (scd2 _),
     "etl_stats" -> (stats _),
     "etl_quarantine" -> (quarantine _),
     "etl_cluster" -> (cluster _),
@@ -667,6 +795,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2" -> scd2Sql,
     "etl_stats" -> statsSql,
     "etl_quarantine" -> quarantineSql,
     "etl_cluster" -> clusterSql,

@@ -561,6 +561,38 @@ class EtlSpec extends AnyFunSuite {
     assert(badKeys.nonEmpty && badKeys.forall(k => k % 41 == 0 && k % 37 != 0))
   }
 
+  test("etl_scd2: SCD2 invariants — no-op suppression, one current row, contiguous validity") {
+    val rows = graft.queries.EtlQueries.scd2(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getTimestamp(4), Option(r.getTimestamp(5)), r.getInt(6)))
+    val byKey = rows.groupBy(_._1)
+    // the 1996-01-01 wave re-delivers then-current values for every %5
+    // key: a correct apply suppresses ALL of it
+    val noop = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    assert(rows.forall(_._5 != noop), "no-op change wave must open no versions")
+    // exactly one open (is_current) version per key, and it's the last
+    byKey.foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.count(_._7 == 1) == 1, s"key $k: current-count != 1")
+      assert(sorted.last._7 == 1 && sorted.last._6.isEmpty,
+        s"key $k: open version must be the last, with NULL valid_to")
+      // versions are 1..n and validity is contiguous: valid_to(v) == valid_from(v+1)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6.contains(b._5),
+          s"key $k: validity gap between v${a._2} and v${b._2}")
+        case _ => ()
+      }
+    }
+    // %21 keys see base + both balance events + the second rotation
+    val k21 = byKey.filter(_._1 % 21 == 0)
+    assert(k21.nonEmpty && k21.values.forall(_.length == 4),
+      "every %21 key must carry exactly 4 versions")
+    // untouched keys stay single-version
+    val untouched = byKey.filter { case (k, _) => k % 7 != 0 && k % 3 != 0 }
+    assert(untouched.nonEmpty && untouched.values.forall(_.length == 1))
+  }
+
   test("binary payloads load to a BLOB column (reference leaves this todo!)") {
     val url = derby("binsink")
     exec(url, "CREATE TABLE bin_t (id BIGINT, payload BLOB)")
