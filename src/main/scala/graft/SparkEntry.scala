@@ -40,6 +40,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pq(s, d)),
+    "ann_ivfpq" -> ((s, d) => Similarity.ivfpq(s, d)),
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.lshSql,
     "ann_ivf" -> Similarity.ivfSql,
     "ann_pq" -> Similarity.pqSql,
+    "ann_ivfpq" -> Similarity.ivfpqSql,
     "chunk_documents" -> Corpus.chunksSql,
     "pack_sequences" -> Corpus.packSequencesSql,
     "dedup_decontaminate" -> Corpus.decontaminateSql,

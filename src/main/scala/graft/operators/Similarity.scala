@@ -356,50 +356,48 @@ object Similarity {
     * codebook, floor-quantised Lloyd means and ADC totals (exact
     * integer arithmetic, engine-independent), float subtraction
     * mirrored exactly. */
-  def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      m: Int = 16, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
-    // PQ quantizes for SQUARED L2, but the exact baseline ranks by
-    // cosine — on unnormalized vectors the two metrics disagree and no
-    // codebook can fix that. Normalize first (guaranteed, not assumed):
-    // on unit vectors ‖a−b‖² = 2−2·cos(a,b), so the ADC ranking
-    // approximates the cosine ranking directly.
-    // Defaults from a measured sweep on this corpus (recall@10 vs
-    // exact, emitted per verify run in ann_recall.json): m=16/ksub=16
-    // gives 3-5/10 across SFs — the ceiling for ADC over structureless
-    // random embeddings, where quantization error is irreducible noise
-    // (clustered production embeddings are what PQ exploits). ONE
-    // Lloyd iteration: on random data further mean-updates shrink
-    // centroids toward the global mean and flatten the ADC table
-    // (m=8/iters=2 measured 0/10).
-    val e = embeddings(s, d)
+  // PQ quantizes for SQUARED L2, but the exact baseline ranks by
+  // cosine — on unnormalized vectors the two metrics disagree and no
+  // codebook can fix that. Normalize first (guaranteed, not assumed):
+  // on unit vectors ‖a−b‖² = 2−2·cos(a,b), so the ADC ranking
+  // approximates the cosine ranking directly.
+  private def normalizedEmb(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
       .withColumn("n2", sqrt(greatest(
         dotD(col("embedding"), col("embedding")), lit(1e-30))))
       .select(col("vec_id"),
         transform(col("embedding"), x => (x / col("n2")).cast("float"))
           .as("embedding"))
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val subLen = dim / m
-    def subvecs(df: DataFrame, vecCol: String): DataFrame = df
-      .select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
-      .withColumn("sv", slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
-    def d2(a: Column, b: Column): Column = {
-      val diff = zip_with(a, b, (x, y) => x - y)
-      dotD(diff, diff)
-    }
-    // codebook: seed with the ksub first vectors' subvectors, then
-    // `lloydIters` Lloyd refinements over a deterministic 256-vector
-    // training sample (assign → per-(sub,code) element-wise mean).
-    // The refined centroids approximate the sample distribution
-    // instead of echoing 16 arbitrary vectors — measurably better ADC
-    // recall. Means accumulate in DECIMAL (fixed per-element
-    // quantization) and round to FLOAT, so the codebook — and hence
-    // the output — is bit-deterministic across runs/partitionings.
-    val seed = subvecs(e.filter(col("vec_id") < ksub), "embedding")
+
+  private def subvecsOf(df: DataFrame, vecCol: String, m: Int,
+      subLen: Int): DataFrame = df
+    .select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
+    .withColumn("sv", slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
+
+  /** Squared L2 — float subtraction, double square+sum (the IEEE op
+    * sequence the d2Of oracle fragment mirrors exactly). */
+  private def sqDiff(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    dotD(diff, diff)
+  }
+
+  /** PQ codebook shared by [[pq]] and [[ivfpq]]: seed with the ksub
+    * first vectors' subvectors, then `lloydIters` Lloyd refinements
+    * over a deterministic 256-vector training sample (assign →
+    * per-(sub,code) element-wise mean). The refined centroids
+    * approximate the sample distribution instead of echoing 16
+    * arbitrary vectors — measurably better ADC recall. Means
+    * accumulate in DECIMAL (fixed per-element quantization) and round
+    * to FLOAT, so the codebook — and hence the output — is
+    * bit-deterministic across runs/partitionings. Returns the codebook
+    * and a release handle for its pinned checkpoint. */
+  private def pqCodebook(e: DataFrame, m: Int, subLen: Int, ksub: Int,
+      lloydIters: Int): (DataFrame, () => Unit) = {
+    val seed = subvecsOf(e.filter(col("vec_id") < ksub), "embedding", m, subLen)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("c_sv"))
     val (train, releaseTrain) = graft.Checkpoints.tracked(
-      subvecs(e.filter(col("vec_id") < 256), "embedding"))
+      subvecsOf(e.filter(col("vec_id") < 256), "embedding", m, subLen))
     val wTrain = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))
     var cents = seed
@@ -407,7 +405,7 @@ object Similarity {
     for (_ <- 1 to lloydIters) {
       val assign = train.join(broadcast(cents), "sub")
         .select(col("vec_id"), col("sub"), col("code"), col("sv"),
-          d2(col("sv"), col("c_sv")).as("cd2"))
+          sqDiff(col("sv"), col("c_sv")).as("cd2"))
         .withColumn("rn", row_number().over(wTrain))
         .filter(col("rn") === 1)
       val refined = assign
@@ -433,23 +431,42 @@ object Similarity {
       cents = next
       releasePrev = rel
     }
-    // the final cents checkpoint feeds encode/ADC below (harness sweep
-    // frees it post-action); the training sample served only the loop
+    // the final cents checkpoint feeds the caller's encode/ADC stages
+    // (harness sweep frees it post-action); the training sample served
+    // only the loop
     releaseTrain()
+    (cents, releasePrev)
+  }
+
+  def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      m: Int = 16, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
+    // Defaults from a measured sweep on this corpus (recall@10 vs
+    // exact, emitted per verify run in ann_recall.json): m=16/ksub=16
+    // gives 3-5/10 across SFs — the ceiling for ADC over structureless
+    // random embeddings, where quantization error is irreducible noise
+    // (clustered production embeddings are what PQ exploits). ONE
+    // Lloyd iteration: on random data further mean-updates shrink
+    // centroids toward the global mean and flatten the ADC table
+    // (m=8/iters=2 measured 0/10).
+    val e = normalizedEmb(s, d)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val (cents, _) = pqCodebook(e, m, subLen, ksub, lloydIters)
     // encode: nearest sub-centroid per (vector, subspace)
     val wCode = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))
-    val codes = subvecs(e, "embedding")
+    val codes = subvecsOf(e, "embedding", m, subLen)
       .join(broadcast(cents), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
-        d2(col("sv"), col("c_sv")).as("cd2"))
+        sqDiff(col("sv"), col("c_sv")).as("cd2"))
       .withColumn("rn", row_number().over(wCode))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
     // ADC table: query-subvector distance to every sub-centroid
-    val dt = subvecs(e.filter(col("vec_id") === queryId), "embedding")
+    val dt = subvecsOf(e.filter(col("vec_id") === queryId), "embedding", m, subLen)
       .join(broadcast(cents), "sub")
-      .select(col("sub"), col("code"), d2(col("sv"), col("c_sv")).as("qd2"))
+      .select(col("sub"), col("code"), sqDiff(col("sv"), col("c_sv")).as("qd2"))
     codes.join(broadcast(dt), Seq("sub", "code"))
       .filter(col("vec_id") =!= queryId)
       .groupBy(col("vec_id"))
@@ -457,6 +474,68 @@ object Similarity {
       // so the result is independent of partial-aggregation order
       // (a raw double sum can differ in the last ulp across engines
       // and partitionings, flipping near-tied ranks)
+      .agg((sum(floor(col("qd2") * 1e12).cast("decimal(28,0)"))
+        .cast("double") / 1e12).as("adc_dist2"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** `ann_ivfpq` — the composed production ANN shape (IVF-PQ, the
+    * architecture behind FAISS-style billion-vector indices): IVF
+    * coarse cells prune the corpus to the query's nprobe cells, PQ ADC
+    * ranks ONLY the surviving candidates. At 100 TB the two compose
+    * multiplicatively: the cell filter drops (1 − nprobe/C) of the
+    * corpus before any per-vector work, and the survivors are ranked
+    * from 8-byte codes against a broadcast m×ksub distance table —
+    * full vectors are never shuffled at query time. The cell filter is
+    * pushed BEFORE encoding (only probed cells' codes are computed
+    * here; a stored index would precompute all codes — the query-side
+    * join shape is identical). Coarse assignment runs on the same
+    * normalized vectors as the codebook, so L2 cell order == cosine
+    * cell order. Oracle-exact like [[pq]]: deterministic coarse sample
+    * (vec_id % 50), seeded codebook, floor-quantised Lloyd means and
+    * ADC totals, float ops mirrored exactly in [[ivfpqSql]]. */
+  def ivfpq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      nprobe: Int = 2, m: Int = 16, ksub: Int = 16): DataFrame = {
+    val e = normalizedEmb(s, d)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subLen = dim / m
+    val cents0 = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd2"), col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents0))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        sqDiff(col("embedding"), col("c_emb")).as("cd2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_id").as("cell"))
+    val qCells = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents0))
+      .select(col("c_id"), sqDiff(col("q_emb"), col("c_emb")).as("qcd2"))
+      .orderBy(col("qcd2"), col("c_id"))
+      .limit(nprobe)
+      .select(col("c_id").as("probe_cell"))
+    val (cents, _) = pqCodebook(e, m, subLen, ksub, 1)
+    val cand = assigned.join(broadcast(qCells), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd2"), col("code"))
+    val codes = subvecsOf(cand, "embedding", m, subLen)
+      .join(broadcast(cents), "sub")
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"),
+        sqDiff(col("sv"), col("c_sv")).as("cd2"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    val dt = subvecsOf(e.filter(col("vec_id") === queryId), "embedding", m, subLen)
+      .join(broadcast(cents), "sub")
+      .select(col("sub"), col("code"), sqDiff(col("sv"), col("c_sv")).as("qd2"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("cell"))
       .agg((sum(floor(col("qd2") * 1e12).cast("decimal(28,0)"))
         .cast("double") / 1e12).as("adc_dist2"))
       .orderBy(col("adc_dist2"), col("vec_id"))
@@ -521,6 +600,78 @@ object Similarity {
        |FROM codes JOIN dt USING (sub, code)
        |WHERE vec_id <> 0
        |GROUP BY vec_id
+       |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** The composed IVF-PQ plan as DuckDB SQL: the coarse-cell CTEs
+    * (deterministic vec_id%50 sample, L2 assignment on the normalized
+    * vectors) prune to the query's 2 probe cells, then the exact
+    * [[pqSql]] codebook CTEs rank only the candidates. */
+  val ivfpqSql: String = {
+    val (m, subLen, ksub, nprobe) = (16, 4, 16, 2)
+    s"""WITH en AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+       |      / SQRT(GREATEST(${dotOf("embedding", "embedding")}, 1e-30)) AS FLOAT)) AS embedding
+       |  FROM embeddings),
+       |cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM en WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Of("e.embedding", "c.c_emb")}, c.c_id) AS rn
+       |    FROM en e CROSS JOIN cents0 c)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT c_id AS probe_cell FROM (
+       |    SELECT c.c_id, ${d2Of("q.q_emb", "c.c_emb")} AS qcd2
+       |    FROM (SELECT embedding AS q_emb FROM en WHERE vec_id = 0) q
+       |    CROSS JOIN cents0 c)
+       |  ORDER BY qcd2, c_id LIMIT $nprobe),
+       |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |sv AS (
+       |  SELECT vec_id, sub, embedding[(sub*$subLen+1):(sub*$subLen+$subLen)] AS sv
+       |  FROM en CROSS JOIN subs),
+       |seed AS (
+       |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS c_sv FROM sv WHERE vec_id < $ksub),
+       |train AS (SELECT * FROM sv WHERE vec_id < 256),
+       |assign AS (
+       |  SELECT vec_id, sub, code, sv FROM (
+       |    SELECT t.vec_id, t.sub, s.code, t.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+       |        ORDER BY ${d2Of("t.sv", "s.c_sv")}, s.code) AS rn
+       |    FROM train t JOIN seed s USING (sub))
+       |  WHERE rn = 1),
+       |refined AS (
+       |  SELECT sub, code, list(m ORDER BY dim) AS c_new FROM (
+       |    SELECT sub, code, dim,
+       |      CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
+       |        / 1e7 / COUNT(*) AS FLOAT) AS m
+       |    FROM (SELECT sub, code, unnest(sv) AS x,
+       |            generate_subscripts(sv, 1) AS dim FROM assign)
+       |    GROUP BY sub, code, dim)
+       |  GROUP BY sub, code),
+       |cents AS (
+       |  SELECT s.sub, s.code, COALESCE(r.c_new, s.c_sv) AS c_sv
+       |  FROM seed s LEFT JOIN refined r ON s.sub = r.sub AND s.code = r.code),
+       |cand AS (
+       |  SELECT a.vec_id, a.cell FROM assigned a
+       |  JOIN qcells q ON a.cell = q.probe_cell
+       |  WHERE a.vec_id <> 0),
+       |codes AS (
+       |  SELECT vec_id, cell, sub, code FROM (
+       |    SELECT v.vec_id, cd.cell, v.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY ${d2Of("v.sv", "c.c_sv")}, c.code) AS rn
+       |    FROM sv v JOIN cand cd USING (vec_id) JOIN cents c USING (sub))
+       |  WHERE rn = 1),
+       |dt AS (
+       |  SELECT q.sub, c.code, ${d2Of("q.sv", "c.c_sv")} AS qd2
+       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub))
+       |SELECT vec_id, cell,
+       |  CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
+       |FROM codes JOIN dt USING (sub, code)
+       |GROUP BY vec_id, cell
        |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
   }
 

@@ -86,6 +86,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"IVF nprobe=2 top cosine $approx too far below exact $exact")
   }
 
+  test("ann_ivfpq: every result sits in one of the query's probe cells (in-memory IVF replay)") {
+    // replay the coarse quantizer independently: normalize, centroids =
+    // vec_id % 50 sample, L2 assignment with (dist, c_id) tie-break
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def norm(v: Array[Float]): Array[Float] = {
+      val n2 = math.sqrt(math.max(v.map(x => x.toDouble * x.toDouble).sum, 1e-30))
+      v.map(x => (x / n2).toFloat)
+    }
+    val en = vecs.map { case (id, v) => id -> norm(v) }.toMap
+    val cents = en.filter(_._1 % 50 == 0).toSeq.sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val df = (x - y).toDouble; df * df }.sum
+    def cellOf(v: Array[Float]): Long =
+      cents.map { case (cid, c) => (d2(v, c), cid) }.min._2
+    val probes = cents.map { case (cid, c) => (d2(en(0L), c), cid) }
+      .sorted.take(2).map(_._2).toSet
+    val got = Similarity.ivfpq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, cell, adc) =>
+      assert(probes.contains(cell), s"vec $id returned from unprobed cell $cell")
+      assert(cellOf(en(id)) == cell, s"vec $id cell $cell != replayed assignment")
+      assert(adc >= 0.0)
+    }
+  }
+
   test("dedup_fuzzy: parity with an independent in-memory blocking+DP") {
     // classic O(mn) DP, written here independently of both engines
     def lev(a: String, b: String): Int = {
