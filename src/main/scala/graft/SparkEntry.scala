@@ -45,6 +45,7 @@ object SparkEntry {
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "embed_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
+    "embed_outliers" -> ((s, d) => Similarity.outliers(s, d)),
     "chunk_documents" -> ((s, d) => Corpus.chunks(s, d)),
     "pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
     "dedup_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "embed_kmeans" -> Similarity.kmeansSql,
+    "embed_outliers" -> Similarity.outliersSql,
     "ann_range" -> Similarity.rangeSearchSql,
     "ann_whiten" -> Similarity.whitenSql,
     "ann_lsh" -> Similarity.lshSql,

@@ -780,4 +780,72 @@ object Similarity {
        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
        |FROM fin GROUP BY c ORDER BY cluster""".stripMargin
   }
+
+  // ---- embed_outliers: centroid-distance outlier scoring ----------------
+
+  /** `embed_outliers` — embedding-space outlier detection for corpus
+    * cleaning: squared L2 distance of every vector to the corpus
+    * centroid, z-scored against the corpus distance distribution, top
+    * 20 by z. Vectors far from the bulk are mislabeled/garbled/
+    * off-distribution documents — the embedding-side counterpart of
+    * text_quality's heuristic gate.
+    *
+    * 100 TB: the centroid is a 64-row broadcast (per-dim davg9 means),
+    * the distance pass is narrow, the distance distribution is ONE
+    * global aggregate row broadcast back, and only the top-20 leave
+    * the final rank — no stage materializes more than the input scan.
+    * Oracle-exact: per-dim means, per-vector distance sums and the
+    * distance moments are all floor-quantised exact-integer
+    * accumulations (the Frags.davg9 idiom); z is a fixed IEEE op
+    * sequence on those. */
+  def outliers(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import graft.queries.Frags.davg9
+    val mu = embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), col("x").cast("double").as("xd"))
+      .groupBy(col("dim"))
+      .agg(expr(davg9("xd")).as("mean"))
+    val d2 = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .join(broadcast(mu), "dim")
+      .select(col("vec_id"),
+        ((col("x").cast("double") - col("mean")) *
+          (col("x").cast("double") - col("mean"))).as("sq"))
+      .groupBy(col("vec_id"))
+      .agg(expr("CAST(SUM(CAST(FLOOR(sq * 1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9")
+        .as("d2"))
+    val moments = d2.agg(
+      expr(davg9("d2")).as("mu_d"),
+      expr(davg9("d2 * d2")).as("mu_d2"))
+      .select(col("mu_d"),
+        sqrt(greatest(col("mu_d2") - col("mu_d") * col("mu_d"), lit(0.0)))
+          .as("sd_d"))
+    d2.crossJoin(broadcast(moments))
+      .select(col("vec_id"), col("d2"),
+        when(col("sd_d") > 0, (col("d2") - col("mu_d")) / col("sd_d"))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy(col("z").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val outliersSql: String = {
+    import graft.queries.Frags.davg9
+    s"""WITH ex AS (
+       |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS xd
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |mu AS (SELECT dim, ${davg9("xd")} AS mean FROM ex GROUP BY dim),
+       |d2 AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(FLOOR((xd - mean) * (xd - mean) * 1e9) AS DECIMAL(28,0)))
+       |      AS DOUBLE) / 1e9 AS d2
+       |  FROM ex JOIN mu USING (dim) GROUP BY vec_id),
+       |mom AS (
+       |  SELECT mu_d, SQRT(GREATEST(mu_d2 - mu_d * mu_d, 0.0)) AS sd_d FROM (
+       |    SELECT ${davg9("d2")} AS mu_d, ${davg9("d2 * d2")} AS mu_d2 FROM d2))
+       |SELECT vec_id, d2,
+       |  CASE WHEN sd_d > 0 THEN (d2 - mu_d) / sd_d ELSE 0.0 END AS z
+       |FROM d2 CROSS JOIN mom
+       |ORDER BY z DESC, vec_id LIMIT 20""".stripMargin
+  }
 }

@@ -374,7 +374,82 @@ object Analytics4 {
        |GROUP BY CUBE(l_returnflag, l_linestatus, ship_year)
        |ORDER BY g_rf, g_ls, g_yr, l_returnflag, l_linestatus, ship_year""".stripMargin
 
+  // ---- q51: ordered event funnel (view → click → purchase) -------------
+  /** Per-user staged funnel with STRICT event-time ordering AND
+    * conversion windows (first-touch attribution): the first view, the
+    * first click AFTER that view — counting only if within 1 day —
+    * and the first purchase AFTER that click, counting only if within 2
+    * days. A click preceding any view does not count, and a
+    * too-late next step breaks the funnel (without the windows every
+    * user at this event density trivially completes all 3 stages —
+    * measured before the windows were added). Output: users per
+    * reached depth (0-3) + the exact summed view→purchase conversion
+    * time for full-funnel users.
+    *
+    * 100 TB: three conditional-min aggregations and two joins, ALL
+    * keyed on user_id — one co-partitioned shuffle family (AQE reuses
+    * the exchange); no windows over raw events, no event-list
+    * collection. Conversion times are exact epoch-µs integer sums. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val clickWinUs = 1L * 86400 * 1000000   // view → click
+    val buyWinUs = 2L * 86400 * 1000000     // click → purchase
+    val e = events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = e.join(v, "user_id")
+      .filter(col("event_type") === "click" && col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = e.join(c, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val u = e.select(col("user_id")).distinct()
+    u.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn("ok2", col("tc").isNotNull &&
+        unix_micros(col("tc")) - unix_micros(col("tv")) <= clickWinUs)
+      .withColumn("ok3", col("ok2") && col("tp").isNotNull &&
+        unix_micros(col("tp")) - unix_micros(col("tc")) <= buyWinUs)
+      .select(
+        when(col("ok3"), 3).when(col("ok2"), 2)
+          .when(col("tv").isNotNull, 1).otherwise(0).as("depth"),
+        when(col("ok3"),
+          unix_micros(col("tp")) - unix_micros(col("tv"))).as("conv_us"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("conv_us")).cast("bigint").as("sum_conv_us"))
+      .orderBy(col("depth"))
+  }
+
+  val q51Sql: String = {
+    val clickWinUs = 1L * 86400 * 1000000
+    val buyWinUs = 2L * 86400 * 1000000
+    s"""WITH v AS (SELECT user_id, MIN(ts) AS tv FROM events
+       |           WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, MIN(ts) AS tc FROM events e JOIN v USING (user_id)
+       |      WHERE event_type = 'click' AND ts > tv GROUP BY 1),
+       |p AS (SELECT e.user_id, MIN(ts) AS tp FROM events e JOIN c USING (user_id)
+       |      WHERE event_type = 'purchase' AND ts > tc GROUP BY 1),
+       |u AS (SELECT DISTINCT user_id FROM events),
+       |staged AS (
+       |  SELECT
+       |    CASE WHEN ok3 THEN 3 WHEN ok2 THEN 2
+       |         WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS depth,
+       |    CASE WHEN ok3 THEN epoch_us(tp) - epoch_us(tv) END AS conv_us
+       |  FROM (
+       |    SELECT tv, tc, tp,
+       |      (tc IS NOT NULL AND epoch_us(tc) - epoch_us(tv) <= $clickWinUs) AS ok2,
+       |      (tc IS NOT NULL AND epoch_us(tc) - epoch_us(tv) <= $clickWinUs
+       |       AND tp IS NOT NULL AND epoch_us(tp) - epoch_us(tc) <= $buyWinUs) AS ok3
+       |    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       |         LEFT JOIN p USING (user_id)))
+       |SELECT CAST(depth AS INT) AS depth, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(conv_us) AS BIGINT) AS sum_conv_us
+       |FROM staged GROUP BY depth ORDER BY depth""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_funnel" -> (q51 _),
     "q50_cube" -> (q50 _),
     "q49_kmv_distinct" -> (q49 _),
     "q48_order_profile" -> (q48 _),
@@ -387,6 +462,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q51_funnel" -> q51Sql,
     "q50_cube" -> q50Sql,
     "q49_kmv_distinct" -> q49Sql,
     "q48_order_profile" -> q48Sql,

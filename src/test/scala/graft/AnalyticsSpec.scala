@@ -97,6 +97,34 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q51 funnel equals a sequential per-user replay with conversion windows") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clickWin = 1L * 86400 * 1000000
+    val buyWin = 2L * 86400 * 1000000
+    val byUser = evs.groupBy(_._1)
+    val staged = byUser.toSeq.map { case (_, es) =>
+      val tv = es.filter(_._2 == "view").map(_._3).minOption
+      val tc = tv.flatMap(v => es.filter(e => e._2 == "click" && e._3 > v).map(_._3).minOption)
+      val tp = tc.flatMap(c => es.filter(e => e._2 == "purchase" && e._3 > c).map(_._3).minOption)
+      val ok2 = tv.isDefined && tc.exists(_ - tv.get <= clickWin)
+      val ok3 = ok2 && tp.exists(_ - tc.get <= buyWin)
+      val depth = if (ok3) 3 else if (ok2) 2 else if (tv.isDefined) 1 else 0
+      (depth, if (ok3) Some(tp.get - tv.get) else None)
+    }.toSeq
+    val expected = staged.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.size.toLong, xs.flatMap(_._2) match {
+        case Nil => None; case ys => Some(ys.sum) })
+    }.toSeq.sortBy(_._1)
+    val got = queries.Analytics4.q51(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == byUser.size, "depth buckets must partition the users")
+  }
+
   test("q24 as-of join: clicked_at is never after the purchase") {
     import org.apache.spark.sql.functions._
     val bad = queries.Analytics2.q24(spark, sf)

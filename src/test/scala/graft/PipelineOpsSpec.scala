@@ -114,6 +114,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embed_outliers: parity with an in-memory quantised replay") {
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble))
+    val n = vecs.length
+    val dim = vecs.head._2.length
+    // davg9: exact integer sum of floor(x*1e9), then /1e9/COUNT
+    def davg9(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1e9).toLong).sum.toDouble / 1e9 / xs.size
+    val mu = (0 until dim).map(j => davg9(vecs.map(_._2(j)).toSeq))
+    val d2 = vecs.map { case (id, v) =>
+      id -> v.indices.map { j =>
+        val df = v(j) - mu(j); math.floor(df * df * 1e9).toLong
+      }.sum.toDouble / 1e9
+    }
+    val muD = davg9(d2.map(_._2).toSeq)
+    val muD2 = davg9(d2.map(x => x._2 * x._2).toSeq)
+    val sdD = math.sqrt(math.max(muD2 - muD * muD, 0.0))
+    val expected = d2.map { case (id, x) =>
+      (id, x, if (sdD > 0) (x - muD) / sdD else 0.0)
+    }.sortBy { case (id, _, z) => (-z, id) }.take(20).toSeq
+    val got = Similarity.outliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(got.head._3 > 0, "top outlier should sit above the mean distance")
+  }
+
   test("dedup_fuzzy: parity with an independent in-memory blocking+DP") {
     // classic O(mn) DP, written here independently of both engines
     def lev(a: String, b: String): Int = {
