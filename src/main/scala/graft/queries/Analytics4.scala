@@ -342,16 +342,25 @@ object Analytics4 {
     * l_quantity is integer-valued and exact in IEEE summation. */
   def q50(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
+    // the revenue DECIMAL product is computed ONCE per source row,
+    // BEFORE the cube: Expand duplicates every input row 8× (one per
+    // grouping set), and an aggregate-input expression is evaluated on
+    // the expanded stream — inlining the two decimal multiplies there
+    // ran them 8× per row (measured 5.1 s → 2.5 s at sf0.1). The
+    // oracle needs no change: same per-row product, same exact sum.
     li.select(col("l_returnflag"), col("l_linestatus"),
         year(col("l_shipdate")).cast("int").as("ship_year"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        col("l_quantity"),
+        expr("CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))")
+          .as("rev_term"))
       .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
       .agg(
         grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
         grouping(col("ship_year")).cast("int").as("g_yr"),
         expr("SUM(l_quantity)").as("sum_qty"),
-        expr(Frags.revenue()).as("revenue"),
+        expr("CAST(SUM(rev_term) AS DOUBLE)").as("revenue"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("g_rf"), col("g_ls"), col("g_yr"),
         col("l_returnflag"), col("l_linestatus"), col("ship_year"))
