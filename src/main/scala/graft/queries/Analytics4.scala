@@ -457,7 +457,59 @@ object Analytics4 {
        |FROM staged GROUP BY depth ORDER BY depth""".stripMargin
   }
 
+  // ---- q52: cohort retention ------------------------------------------
+  /** Daily cohort retention: users are cohorted by the day of their
+    * FIRST event; for each (cohort, day-offset) cell, how many of the
+    * cohort's users were active that day and what fraction of the
+    * cohort that is — the standard growth-analytics triangle (daily
+    * grain: the synthetic corpus spans ~5 weeks with every user
+    * active every week, so weekly cells saturate at 1.0 — measured).
+    *
+    * 100 TB: first-touch is one user-keyed min-aggregation; activity
+    * is a distinct (user, day) projection; the cell count is one
+    * join on user_id (co-partitioned with the first-touch agg) and a
+    * small-keyed aggregation. Day arithmetic is exact integer
+    * epoch-µs division — no calendar functions whose conventions
+    * could diverge across engines. */
+  def q52(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    // exact integer day index: floor(epoch_us / 1 day in us)
+    val dayOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column = ts =>
+      floor(unix_micros(ts) / lit(86400000000L)).cast("bigint")
+    val first = e.groupBy(col("user_id"))
+      .agg(min(dayOf(col("ts"))).as("cohort_day"))
+    val active = e.select(col("user_id"), dayOf(col("ts")).as("dy")).distinct()
+    val cohortSize = first.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_n"))
+    active.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("dy") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(cohortSize, "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        (col("n_active").cast("double") / col("cohort_n")).as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val q52Sql: String =
+    """WITH dy AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS dy
+      |  FROM events),
+      |first AS (SELECT user_id, MIN(dy) AS cohort_day FROM dy GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id, dy FROM dy),
+      |size_ AS (SELECT cohort_day, COUNT(*) AS cohort_n FROM first GROUP BY 1),
+      |cells AS (
+      |  SELECT f.cohort_day, a.dy - f.cohort_day AS day_offset,
+      |    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |  FROM active a JOIN first f USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort_day, c.day_offset, c.n_active,
+      |  CAST(c.n_active AS DOUBLE) / s.cohort_n AS retention
+      |FROM cells c JOIN size_ s USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_retention" -> (q52 _),
     "q51_funnel" -> (q51 _),
     "q50_cube" -> (q50 _),
     "q49_kmv_distinct" -> (q49 _),
@@ -471,6 +523,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q52_retention" -> q52Sql,
     "q51_funnel" -> q51Sql,
     "q50_cube" -> q50Sql,
     "q49_kmv_distinct" -> q49Sql,

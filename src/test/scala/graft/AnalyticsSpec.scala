@@ -125,6 +125,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == byUser.size, "depth buckets must partition the users")
   }
 
+  test("q52 retention equals a sequential per-user cohort replay") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L)))
+    val firstDay = evs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val activeCells = evs.distinct.map { case (u, d) => (firstDay(u), d - firstDay(u), u) }
+    val cohortN = firstDay.values.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = activeCells.groupBy(c => (c._1, c._2)).map { case ((c, o), xs) =>
+      val n = xs.map(_._3).distinct.size.toLong
+      (c, o, n, n.toDouble / cohortN(c))
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = queries.Analytics4.q52(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // offset 0 is always fully retained (first-touch day is active)
+    assert(got.filter(_._2 == 0L).forall(_._4 == 1.0))
+  }
+
   test("q24 as-of join: clicked_at is never after the purchase") {
     import org.apache.spark.sql.functions._
     val bad = queries.Analytics2.q24(spark, sf)
