@@ -845,13 +845,18 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
       .select(col("doc_id"), size(words(col("text"))).as("n_ws"))
-    val grams = documents(s, d)
+    // pinned: grams feeds BOTH the ≥2-doc aggregate and the position
+    // join with different exchange children, so ReuseExchange cannot
+    // apply — without the checkpoint the explode+md5 pass (the heavy
+    // stage) would run twice. Result-feeding, so the harness sweep
+    // frees it post-action (Checkpoints policy).
+    val (grams, _) = graft.Checkpoints.tracked(documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ws) - ${k - 1}), " +
           s"i -> md5(cast(concat_ws(' ', slice(ws, i, $k)) as binary)))")))
-      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h")))
     val dup = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("h"))

@@ -389,10 +389,11 @@ object Similarity {
     * arbitrary vectors — measurably better ADC recall. Means
     * accumulate in DECIMAL (fixed per-element quantization) and round
     * to FLOAT, so the codebook — and hence the output — is
-    * bit-deterministic across runs/partitionings. Returns the codebook
-    * and a release handle for its pinned checkpoint. */
+    * bit-deterministic across runs/partitionings. The returned
+    * codebook is checkpoint-pinned and result-feeding: the harness
+    * sweep frees it post-action (Checkpoints policy). */
   private def pqCodebook(e: DataFrame, m: Int, subLen: Int, ksub: Int,
-      lloydIters: Int): (DataFrame, () => Unit) = {
+      lloydIters: Int): DataFrame = {
     val seed = subvecsOf(e.filter(col("vec_id") < ksub), "embedding", m, subLen)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
         col("sv").as("c_sv"))
@@ -435,7 +436,7 @@ object Similarity {
     // (harness sweep frees it post-action); the training sample served
     // only the loop
     releaseTrain()
-    (cents, releasePrev)
+    cents
   }
 
   def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
@@ -452,7 +453,7 @@ object Similarity {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subLen = dim / m
-    val (cents, _) = pqCodebook(e, m, subLen, ksub, lloydIters)
+    val cents = pqCodebook(e, m, subLen, ksub, lloydIters)
     // encode: nearest sub-centroid per (vector, subspace)
     val wCode = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))
@@ -518,7 +519,7 @@ object Similarity {
       .orderBy(col("qcd2"), col("c_id"))
       .limit(nprobe)
       .select(col("c_id").as("probe_cell"))
-    val (cents, _) = pqCodebook(e, m, subLen, ksub, 1)
+    val cents = pqCodebook(e, m, subLen, ksub, 1)
     val cand = assigned.join(broadcast(qCells), col("cell") === col("probe_cell"))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("embedding"), col("cell"))

@@ -346,7 +346,7 @@ object Analytics4 {
     // BEFORE the cube: Expand duplicates every input row 8× (one per
     // grouping set), and an aggregate-input expression is evaluated on
     // the expanded stream — inlining the two decimal multiplies there
-    // ran them 8× per row (measured 5.1 s → 2.5 s at sf0.1). The
+    // ran them 8× per row (measured 5.1 s → 1.9 s at sf0.1). The
     // oracle needs no change: same per-row product, same exact sum.
     li.select(col("l_returnflag"), col("l_linestatus"),
         year(col("l_shipdate")).cast("int").as("ship_year"),
