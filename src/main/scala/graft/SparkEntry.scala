@@ -46,6 +46,7 @@ object SparkEntry {
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "embed_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "embed_outliers" -> ((s, d) => Similarity.outliers(s, d)),
+    "embed_pca" -> ((s, d) => Similarity.pca(s, d)),
     "chunk_documents" -> ((s, d) => Corpus.chunks(s, d)),
     "pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
     "dedup_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),

@@ -849,4 +849,141 @@ object Similarity {
        |FROM d2 CROSS JOIN mom
        |ORDER BY z DESC, vec_id LIMIT 20""".stripMargin
   }
+
+  // ---- embed_pca: top-2 principal components ---------------------------
+
+  /** Power-iteration steps shared by [[pca]] and the spec's independent
+    * replay: T rounds of w = floor-quantised C·v followed by max-|w|
+    * normalisation. Every step is either exact integer arithmetic or a
+    * fixed IEEE op on identical inputs, so the iterate is bit-identical
+    * across engines and aggregation orders. */
+  private[graft] def pcaPowerIter(c: Array[Array[Double]], iters: Int): Array[Double] = {
+    val dim = c.length
+    var v = Array.fill(dim)(1.0)
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += math.floor(c(i)(j) * v(j) * 1e9).toLong; j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).max
+      require(m != 0L, "degenerate covariance: power iterate vanished")
+      v = w.map(x => x.toDouble / m.toDouble)
+    }
+    v
+  }
+
+  /** Quantised Rayleigh value vᵀCv (exact integer sum over d² terms). */
+  private[graft] def pcaRayleigh(c: Array[Array[Double]], v: Array[Double]): Double = {
+    var acc = 0L
+    for (i <- c.indices; j <- c.indices)
+      acc += math.floor(v(i) * c(i)(j) * v(j) * 1e9).toLong
+    acc.toDouble / 1e9
+  }
+
+  /** `embed_pca` — dimensionality reduction over the embedding corpus:
+    * per-dim quantised mean, floor-quantised centred covariance, top-2
+    * principal components via `iters` deterministic power iterations
+    * (all-ones start, max-|w| normalisation, quantised-Rayleigh
+    * deflation for the second component), then every vector's
+    * projection onto both — the 2-D map / decorrelation stage that
+    * precedes IVF/PQ indexing and embedding visualisation.
+    *
+    * Oracle-exact end to end: the covariance entries are exact integer
+    * sums (order-independent), the d×d eigen-iteration is replayed in
+    * [[pcaSql]] as unrolled CTEs over IDENTICAL doubles (floor-quantised
+    * matvec, integer max normaliser), and the projections are quantised
+    * integer sums again — no step depends on engine summation order.
+    *
+    * 100 TB: the covariance is ONE map-side-combined aggregation of
+    * per-row outer products keyed on (i, j) — d² = 4,096 groups — fed
+    * by a vec_id-co-partitioned self-join of the centred coordinates;
+    * the d² result (32 KB) is the legitimate bounded driver table on
+    * which the eigen-iteration runs (pure d²-cost math, no data); the
+    * components then broadcast back for a narrow projection pass. No
+    * stage scales worse than the input scan. */
+  def pca(s: SparkSession, d: String, iters: Int = 12): DataFrame = {
+    import graft.queries.Frags.davg9
+    val x = embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val mu = x.groupBy(col("dim")).agg(expr(davg9("x")).as("mean"))
+    val cx = x.join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"), (col("x") - col("mean")).as("cx"))
+    val cov = cx.toDF("vec_id", "i", "cxa")
+      .join(cx.toDF("vec_id", "j", "cxb"), "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg((sum(floor(col("cxa") * col("cxb") * 1e9).cast("decimal(28,0)"))
+        .cast("double") / 1e9 / count(lit(1))).as("c"))
+    // d² = 4,096 doubles: the bounded driver table the eigensolve runs on
+    val covRows = cov.collect()
+    val dim = covRows.iterator.map(_.getAs[Int]("i")).max + 1
+    val c1 = Array.ofDim[Double](dim, dim)
+    covRows.foreach(r => c1(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c"))
+    val v1 = pcaPowerIter(c1, iters)
+    val lam1 = pcaRayleigh(c1, v1)
+    val c2 = Array.tabulate(dim, dim)((i, j) => c1(i)(j) - lam1 * v1(i) * v1(j))
+    val v2 = pcaPowerIter(c2, iters)
+    val comps = s.createDataFrame(
+      (0 until dim).map(j => (j, v1(j), v2(j)))).toDF("dim", "v1", "v2")
+    cx.join(broadcast(comps), "dim")
+      .groupBy(col("vec_id"))
+      .agg(
+        (sum(floor(col("cx") * col("v1") * 1e9).cast("decimal(28,0)"))
+          .cast("double") / 1e9).as("p1"),
+        (sum(floor(col("cx") * col("v2") * 1e9).cast("decimal(28,0)"))
+          .cast("double") / 1e9).as("p2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The full PCA pipeline as DuckDB SQL: quantised mean → quantised
+    * covariance → `iters` unrolled power-iteration CTEs → quantised
+    * Rayleigh deflation → second component → quantised projections.
+    * Same shape as [[kmeansSql]]: training replayed, not approximated. */
+  val pcaSql: String = {
+    val iters = 12
+    def rounds(covCte: String, p: String): String = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"${p}v${t - 1}"
+      s"""${p}w$t AS MATERIALIZED (
+         |  SELECT c.i AS dim,
+         |    SUM(CAST(FLOOR(c.c * v.v * 1e9) AS DECIMAL(28,0))) AS w
+         |  FROM $covCte c JOIN $prev v ON c.j = v.dim GROUP BY c.i),
+         |${p}v$t AS MATERIALIZED (
+         |  SELECT dim, CAST(w AS DOUBLE) /
+         |    CAST((SELECT MAX(ABS(w)) FROM ${p}w$t) AS DOUBLE) AS v
+         |  FROM ${p}w$t)""".stripMargin
+    }.mkString(",\n")
+    import graft.queries.Frags.davg9
+    s"""WITH x AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+       |        FROM embeddings)),
+       |mu AS MATERIALIZED (SELECT dim, ${davg9("x")} AS mean FROM x GROUP BY dim),
+       |cx AS MATERIALIZED (
+       |  SELECT vec_id, dim, x - mean AS cx FROM x JOIN mu USING (dim)),
+       |cov AS MATERIALIZED (
+       |  SELECT a.dim AS i, b.dim AS j,
+       |    CAST(SUM(CAST(FLOOR(a.cx * b.cx * 1e9) AS DECIMAL(28,0))) AS DOUBLE)
+       |      / 1e9 / COUNT(*) AS c
+       |  FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT dim, 1.0 AS v FROM mu),
+       |${rounds("cov", "a")},
+       |lam AS MATERIALIZED (
+       |  SELECT CAST(SUM(CAST(FLOOR(a.v * c.c * b.v * 1e9) AS DECIMAL(28,0)))
+       |    AS DOUBLE) / 1e9 AS l
+       |  FROM cov c JOIN av$iters a ON c.i = a.dim JOIN av$iters b ON c.j = b.dim),
+       |cov2 AS MATERIALIZED (
+       |  SELECT c.i, c.j, c.c - (SELECT l FROM lam) * a.v * b.v AS c
+       |  FROM cov c JOIN av$iters a ON c.i = a.dim JOIN av$iters b ON c.j = b.dim),
+       |${rounds("cov2", "b")}
+       |SELECT cx.vec_id,
+       |  CAST(SUM(CAST(FLOOR(cx.cx * v1.v * 1e9) AS DECIMAL(28,0))) AS DOUBLE)
+       |    / 1e9 AS p1,
+       |  CAST(SUM(CAST(FLOOR(cx.cx * v2.v * 1e9) AS DECIMAL(28,0))) AS DOUBLE)
+       |    / 1e9 AS p2
+       |FROM cx JOIN av$iters v1 ON cx.dim = v1.dim
+       |        JOIN bv$iters v2 ON cx.dim = v2.dim
+       |GROUP BY cx.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
 }

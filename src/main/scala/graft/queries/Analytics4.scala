@@ -508,7 +508,68 @@ object Analytics4 {
       |FROM cells c JOIN size_ s USING (cohort_day)
       |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---- q53: market-basket pair affinity --------------------------------
+  /** Frequent pair mining over order baskets: for every pair of parts
+    * co-purchased in >= 2 orders, the pair support and its lift
+    * (observed co-occurrence vs independence), top 200 by support.
+    * The association-rule / "bought together" primitive.
+    *
+    * 100 TB: the pair space is generated by a SELF-JOIN CO-PARTITIONED
+    * ON THE BASKET KEY (one shuffle of the distinct (order, part)
+    * projection; never a part×part cross product) and the per-basket
+    * fan-out is bounded by basket size squared (TPC-H baskets are <= 7
+    * lines). Map-side partial aggregation collapses the pair stream
+    * before the support shuffle; the support filter then prunes the
+    * singleton long tail (99.7% of pairs at sf0.1) before the item-
+    * support joins, which are keyed on part — no skew (parts are
+    * near-uniform). Only the top 200 rows leave via TakeOrdered. Lift
+    * is exact-integer products with ONE double division, so it is
+    * bit-identical across engines. */
+  def q53(s: SparkSession, d: String): DataFrame = {
+    val b = lineitem(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = b.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemN = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 2)
+    pairs
+      .join(itemN.select(col("l_partkey").as("part_a"), col("n_item").as("n_a")), "part_a")
+      .join(itemN.select(col("l_partkey").as("part_b"), col("n_item").as("n_b")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        ((col("n_pair") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("n_pair").desc, col("part_a"), col("part_b"))
+      .limit(200)
+  }
+
+  val q53Sql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+      |item AS (SELECT l_partkey, COUNT(*) AS n_item FROM b GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pair
+      |  FROM b x JOIN b y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2)
+      |SELECT p.part_a, p.part_b, p.n_pair,
+      |  CAST(p.n_pair * o.n_orders AS DOUBLE) /
+      |    CAST(a.n_item * c.n_item AS DOUBLE) AS lift
+      |FROM pairs p
+      |JOIN item a ON a.l_partkey = p.part_a
+      |JOIN item c ON c.l_partkey = p.part_b
+      |CROSS JOIN n_orders o
+      |ORDER BY n_pair DESC, part_a, part_b
+      |LIMIT 200""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_market_basket" -> (q53 _),
     "q52_retention" -> (q52 _),
     "q51_funnel" -> (q51 _),
     "q50_cube" -> (q50 _),
@@ -523,6 +584,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q53_market_basket" -> q53Sql,
     "q52_retention" -> q52Sql,
     "q51_funnel" -> q51Sql,
     "q50_cube" -> q50Sql,

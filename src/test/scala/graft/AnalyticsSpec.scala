@@ -144,6 +144,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.filter(_._2 == 0L).forall(_._4 == 1.0))
   }
 
+  test("q53 market basket equals an in-memory pair-mining replay") {
+    import org.apache.spark.sql.functions._
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = baskets.map(_._1).distinct.length.toLong
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = baskets.groupBy(_._1).values.toSeq
+      .flatMap { lines =>
+        val parts = lines.map(_._2).sorted
+        for (i <- parts.indices; j <- i + 1 until parts.length)
+          yield (parts(i), parts(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .collect { case ((a, b), n) if n >= 2 =>
+        (a, b, n, (n * nOrders).toDouble / (itemN(a) * itemN(b)).toDouble)
+      }
+      .sortBy { case (a, b, n, _) => (-n, a, b) }
+      .take(200)
+    val got = queries.Analytics4.q53(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // lift must exceed 1 for genuinely associated pairs at the top
+    assert(got.take(4).forall(_._4 > 1.0))
+  }
+
   test("q24 as-of join: clicked_at is never after the purchase") {
     import org.apache.spark.sql.functions._
     val bad = queries.Analytics2.q24(spark, sf)
