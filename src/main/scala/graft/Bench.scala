@@ -32,6 +32,8 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail loudly and FIRST on testdata schema drift (see Preflight)
+    Preflight.assertClean(spark, sfDir)
     // Process-CPU clock: sums every JVM thread, which in local mode IS
     // the whole engine (driver + executor threads share the process).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -52,10 +54,19 @@ object Bench {
     // cold-codegen variance can't mask (or fake) a regression there.
     // 0 disables; the cold number remains the headline `value`.
     val warmFloor = sys.env.getOrElse("SPARK_GRAFT_WARM_FLOOR", "1.0").toDouble
+    // Session-relative start offset per timed run (cold + warm), dumped
+    // to bench_out.json: a host-contention window (the r4/r5 driver
+    // anomalies) inflates every query whose [t0, t0+wall] overlaps it,
+    // so WARNs can be correlated with WHEN they ran, not just how long.
+    val sessionT0 = System.nanoTime()
+    val startedAt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     /** One timed run → (wall seconds, process-cpu seconds); failure → (-1, -1). */
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       val c0 = cpuSec
       val t0 = System.nanoTime()
+      // last start wins: for repeat/warm re-runs the retained timing is
+      // minBy/last, and the offset only needs to be roughly aligned
+      startedAt(name) = (t0 - sessionT0) / 1e9
       try {
         // sweeping: release whatever the query pinned (localCheckpoint
         // blocks survive the session otherwise and 100+ queries of
@@ -76,6 +87,7 @@ object Bench {
         val times = (1 to repeat).map(_ => run(name, fn))
         name -> (if (times.exists(_._1 < 0)) (-1.0, -1.0) else times.minBy(_._1))
       }
+    val coldStarts = startedAt.toMap // snapshot before warm runs overwrite
     // warm failures stay in the map as -1 (same contract as cold: a
     // fast failure must not read as a fast run — or vanish entirely)
     val warm = results
@@ -127,6 +139,8 @@ object Bench {
       s""""queries":${objOf(results.map { case (n, (w, _)) => n -> w })},""" +
       s""""queries_cpu":${objOf(results.map { case (n, (_, c)) => n -> c })},""" +
       s""""warm_queries":${objOf(warm.map { case (n, (w, _)) => n -> w })},""" +
+      s""""queries_t0":${objOf(results.map { case (n, _) => n -> coldStarts.getOrElse(n, -1.0) })},""" +
+      s""""warm_queries_t0":${objOf(warm.map { case (n, _) => n -> startedAt.getOrElse(n, -1.0) })},""" +
       s""""sf":"$sfDir"}"""
     val outFile = Paths.get("bench_out.json").toAbsolutePath
     Files.writeString(outFile, fullJson + "\n")

@@ -104,6 +104,7 @@ object SparkEntry {
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "embed_kmeans" -> Similarity.kmeansSql,
     "embed_outliers" -> Similarity.outliersSql,
+    "embed_pca" -> Similarity.pcaSql,
     "ann_range" -> Similarity.rangeSearchSql,
     "ann_whiten" -> Similarity.whitenSql,
     "ann_lsh" -> Similarity.lshSql,
@@ -135,11 +136,13 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.Streams.streamDedupSql,
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql,
     "stream_interval_left" -> graft.streaming.Streams.intervalJoinLeftSql)
-    // Every pipeline query is oracle-gated except q22_approx_distinct
-    // (HLL sketch values are genuinely engine-specific): the formerly
-    // rows-only four are replayed exactly — deterministic hyperplane /
-    // centroid / codebook literals for ann_lsh/ann_ivf/ann_pq, and
-    // HUGEINT mod-2^64 FNV-1a for dedup_simhash.
+    // Every pipeline query is oracle-gated: the formerly rows-only
+    // four are replayed exactly — deterministic hyperplane / centroid /
+    // codebook literals for ann_lsh/ann_ivf/ann_pq, and HUGEINT
+    // mod-2^64 FNV-1a for dedup_simhash. q22_approx_distinct (r6)
+    // emits exact distincts + a within-5% flag, so even the HLL
+    // contract is hash-gated (the sketch values themselves stay
+    // engine-specific and out of the output).
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

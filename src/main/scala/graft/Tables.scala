@@ -32,19 +32,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which vanilla Spark scans
-    * reject; read it as raw nanos and truncate to microseconds exactly
-    * (integer division — a double roundtrip would lose precision at
-    * 1e18). DuckDB's TIMESTAMP_NS→µs truncation matches. */
-  /** The ns→µs conversion, shared verbatim with the streaming source
-    * (Streams.eventStream) so the truncation semantics can't drift. */
+  /** The ns→µs conversion for TIMESTAMP(NANOS) parquet files surfaced
+    * as a nanos long via `nanosAsLong` — truncate to microseconds
+    * exactly (integer division; a double roundtrip would lose precision
+    * at 1e18). DuckDB's TIMESTAMP_NS→µs truncation matches. Shared
+    * verbatim with the streaming source (Streams.eventStream) so the
+    * truncation semantics can't drift. */
   val EventTsFromNanosExpr = "timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"
 
+  /** Normalise a scanned events frame so `ts` is always TIMESTAMP
+    * (with-tz, µs), whatever unit/annotation the generator wrote:
+    *  - LongType: TIMESTAMP(NANOS) surfaced via `nanosAsLong` → exact
+    *    ns→µs truncation;
+    *  - TIMESTAMP_NTZ: stored µs without UTC annotation → cast; the
+    *    session is pinned UTC so the cast is value-preserving and the
+    *    DuckDB oracle's `epoch_us(ts)` agrees (and `withWatermark`
+    *    requires TIMESTAMP, not NTZ);
+    *  - TimestampType: pass through. */
+  def adaptEventTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr(EventTsFromNanosExpr))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported stored type $other; expected " +
+          "TIMESTAMP(NANOS)-as-long, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when ts is a real timestamp; required when it's NANOS
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr(EventTsFromNanosExpr))
+    adaptEventTs(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fail loudly and FIRST on testdata schema drift — one named-column
+    // error beats 19 scattered DATATYPE_MISMATCH crashes (round 5)
+    Preflight.assertClean(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // Dev knob: SPARK_GRAFT_ONLY=q30_lead_lag,q31_ntile restricts the dump
     // (the driver leaves it unset and always dumps everything).

@@ -24,14 +24,35 @@ object Analytics2 {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
-  // ---- q22: HLL approximate distinct (rows-only: sketch values are
-  // engine-specific; accuracy asserted in AnalyticsSpec) ----------------
+  // ---- q22: HLL approximate distinct ----------------------------------
+  // The HLL estimates themselves are engine-specific (sketch hash +
+  // register layout), so they can't be hash-compared — but the ≤5%
+  // error CONTRACT can: emit the exact distincts (oracle-comparable)
+  // plus a boolean that both estimates landed within 5% of exact. The
+  // oracle asserts TRUE, turning the former rows-only row into a full
+  // hash gate that numerically checks the bound. One aggregation pass
+  // computes sketches and exact counts together (same shuffle).
   def q22(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05 &&
+          abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          .as("within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  val q22Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS within_5pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---- q23: interpolated percentiles -----------------------------------
   def q23(s: SparkSession, d: String): DataFrame =
@@ -182,6 +203,7 @@ object Analytics2 {
     "q26_latest_per_key" -> q26Sql,
     "q27_hash_sample" -> q27Sql,
     "q21_count_distinct" -> q21Sql,
+    "q22_approx_distinct" -> q22Sql,
     "q23_percentile" -> q23Sql,
     "q24_asof_join" -> q24Sql,
     "q25_range_join" -> q25Sql)

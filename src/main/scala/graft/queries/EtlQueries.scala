@@ -243,12 +243,11 @@ object EtlQueries {
   }
 
   /** The pruned scan itself (shared with the plan-shape spec). One
-    * partitioned copy per (JVM, sf dir, source mtime), reused across
-    * calls. */
+    * partitioned copy per (process, sf dir, source mtime), reused
+    * across calls — pid-scoped via scratchDir so a driver Verify and a
+    * local sbt run can't race on one half-written copy. */
   def partitionedScan(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, "lineitem")}")
+    val dir = new java.io.File(scratchDir("part", d, "lineitem"))
     // _SUCCESS marker, not bare existence: an interrupted earlier run
     // must be rewritten, never served as a silent partial copy
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
@@ -266,9 +265,9 @@ object EtlQueries {
     * recomputes the same aggregates from the unsplit source, proving
     * the evolved read loses nothing. */
   def schemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, "orders")}")
+    // pid-scoped (scratchDir) for the same concurrency reason as
+    // partitionedScan
+    val dir = new java.io.File(scratchDir("evo", d, "orders"))
     // completeness markers, not bare existence: an interrupted earlier
     // run must be rewritten, never served as a silent partial copy
     val complete = new java.io.File(dir, "batch=1/_SUCCESS").exists() &&

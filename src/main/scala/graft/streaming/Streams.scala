@@ -71,12 +71,9 @@ object Streams extends Serializable {
     maxFilesPerTrigger.foreach(n =>
       reader = reader.option("maxFilesPerTrigger", n.toString))
     val raw = reader.parquet(s"$d/events.parqu*")
-    // driver testdata carries TIMESTAMP(NANOS) surfaced as a nanos
-    // long (convert exactly to µs); a re-landed copy already has a
-    // proper timestamp column
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr(graft.Tables.EventTsFromNanosExpr))
-    else raw
+    // normalise ts to TIMESTAMP whatever the stored unit/annotation —
+    // withWatermark rejects both BIGINT and TIMESTAMP_NTZ
+    graft.Tables.adaptEventTs(raw)
   }
 
   /** Tumbling 1-day event-time windows with a watermark; complete mode

