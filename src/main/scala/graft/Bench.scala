@@ -41,6 +41,16 @@ object Bench {
       case _ => None
     }
     def cpuSec: Double = osBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
+    // Cumulative stop-the-world GC seconds across all collectors: the
+    // per-run delta separates "this query's plan recomputes work" from
+    // "the session's accumulated garbage taxes this query" — the r6
+    // warm-tail WARNs (text_* 5-13x) reproduce only late in a
+    // 129-query session, never isolated, and only on allocation-heavy
+    // queries, which is the GC signature.
+    import scala.jdk.CollectionConverters._
+    def gcSec: Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     // Warm the JVM / codegen / filesystem once so the first timed query
     // isn't charged for session setup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -60,9 +70,10 @@ object Bench {
     // so WARNs can be correlated with WHEN they ran, not just how long.
     val sessionT0 = System.nanoTime()
     val startedAt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    /** One timed run → (wall seconds, process-cpu seconds); failure → (-1, -1). */
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    /** One timed run → (wall s, process-cpu s, gc-pause s); failure → (-1,-1,-1). */
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val c0 = cpuSec
+      val g0 = gcSec
       val t0 = System.nanoTime()
       // last start wins: for repeat/warm re-runs the retained timing is
       // minBy/last, and the offset only needs to be roughly aligned
@@ -74,24 +85,25 @@ object Bench {
         Checkpoints.sweeping(spark) {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
-        ((System.nanoTime() - t0) / 1e9, if (c0 < 0) -1.0 else cpuSec - c0)
+        ((System.nanoTime() - t0) / 1e9,
+          if (c0 < 0) -1.0 else cpuSec - c0, gcSec - g0)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          (-1.0, -1.0) // a fast failure must not report as a fast run
+          (-1.0, -1.0, -1.0) // a fast failure must not report as a fast run
       }
     }
-    val results: Seq[(String, (Double, Double))] = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results: Seq[(String, (Double, Double, Double))] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
         val times = (1 to repeat).map(_ => run(name, fn))
-        name -> (if (times.exists(_._1 < 0)) (-1.0, -1.0) else times.minBy(_._1))
+        name -> (if (times.exists(_._1 < 0)) (-1.0, -1.0, -1.0) else times.minBy(_._1))
       }
     val coldStarts = startedAt.toMap // snapshot before warm runs overwrite
     // warm failures stay in the map as -1 (same contract as cold: a
     // fast failure must not read as a fast run — or vanish entirely)
     val warm = results
-      .filter { case (_, (cold, _)) => warmFloor > 0 && cold >= warmFloor }
+      .filter { case (_, (cold, _, _)) => warmFloor > 0 && cold >= warmFloor }
       .map { case (name, _) => name -> run(name, SparkEntry.queries(name)) }
     // warm ≫ cold is the recompute signature (cold includes codegen +
     // first-touch IO, so a warm plan should be faster): flag it loudly —
@@ -102,11 +114,11 @@ object Bench {
     // flags ordinary jitter as recompute. Real recompute bugs are ≫2×
     // (corpus_mix was >10×), so 1.5 loses none of the signal.
     val coldByName = results.toMap
-    warm.foreach { case (name, (w, _)) =>
-      val cold = coldByName(name)._1
+    warm.foreach { case (name, (w, _, wgc)) =>
+      val (cold, _, cgc) = coldByName(name)
       if (w > cold * 1.5)
-        System.err.println(f"[bench] WARN $name warm ${w}%.2fs > 1.5x cold " +
-          f"${cold}%.2fs — plan recomputes work per run (see SURVEY filter-trap note)")
+        System.err.println(f"[bench] WARN $name warm ${w}%.2fs (gc ${wgc}%.2fs) > 1.5x cold " +
+          f"${cold}%.2fs (gc ${cgc}%.2fs) — recompute if gc is flat, heap pressure if gc eats the gap")
     }
     // End-of-session canary: same fixed plan as the cold q1_agg at the
     // top of the run. If this is multiples of the cold number, the HOST
@@ -118,6 +130,7 @@ object Bench {
         run(canaryName, SparkEntry.queries(canaryName))._1
       else -1.0
     val canaryCold = coldByName.get(canaryName).map(_._1).getOrElse(-1.0)
+    val gcTotal = gcSec
 
     def num(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     def objOf(rs: Seq[(String, Double)]): String =
@@ -128,17 +141,20 @@ object Bench {
     val cpuTotal = if (ok.exists(_._2._2 < 0)) -1.0 else ok.map(_._2._2).sum
     val warmTotal = warm.map(_._2._1).filter(_ >= 0).sum
     val failedNames = results.filter(_._2._1 < 0).map(_._1)
-    val worst5 = ok.sortBy(-_._2._1).take(5).map { case (n, (w, _)) => n -> w }
+    val worst5 = ok.sortBy(-_._2._1).take(5).map { case (n, (w, _, _)) => n -> w }
 
     // Full detail → file (survives regardless of stdout truncation).
     val fullJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""cpu_total":${num(cpuTotal)},"warm_total":${num(warmTotal)},""" +
       s""""canary_cold":${num(canaryCold)},"canary_end":${num(canaryEnd)},""" +
+      s""""gc_total":${num(gcTotal)},""" +
       s""""n_queries":${results.size},"failed":${failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""queries":${objOf(results.map { case (n, (w, _)) => n -> w })},""" +
-      s""""queries_cpu":${objOf(results.map { case (n, (_, c)) => n -> c })},""" +
-      s""""warm_queries":${objOf(warm.map { case (n, (w, _)) => n -> w })},""" +
+      s""""queries":${objOf(results.map { case (n, (w, _, _)) => n -> w })},""" +
+      s""""queries_cpu":${objOf(results.map { case (n, (_, c, _)) => n -> c })},""" +
+      s""""queries_gc":${objOf(results.map { case (n, (_, _, g)) => n -> g })},""" +
+      s""""warm_queries":${objOf(warm.map { case (n, (w, _, _)) => n -> w })},""" +
+      s""""warm_queries_gc":${objOf(warm.map { case (n, (_, _, g)) => n -> g })},""" +
       s""""queries_t0":${objOf(results.map { case (n, _) => n -> coldStarts.getOrElse(n, -1.0) })},""" +
       s""""warm_queries_t0":${objOf(warm.map { case (n, _) => n -> startedAt.getOrElse(n, -1.0) })},""" +
       s""""sf":"$sfDir"}"""

@@ -32,18 +32,31 @@ object Analytics2 {
   // oracle asserts TRUE, turning the former rows-only row into a full
   // hash gate that numerically checks the bound. One aggregation pass
   // computes sketches and exact counts together (same shuffle).
-  def q22(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+  // Plan note: the sketches and the two exact distincts are computed
+  // as THREE separate single-distinct aggregates joined on the 3-row
+  // group key, NOT one multi-distinct agg — two countDistinct on
+  // different children force an Expand (row multiplication) and, mixed
+  // with the imperative HLL aggregates, a SortAggregate fallback
+  // (measured 52 s vs ~2 s at sf0.1; same trap as etl_stats, SURVEY
+  // §6). Each single-distinct agg keeps the two-phase hash shape with
+  // map-side partial dedup; the joins are broadcasts of ≤3 rows.
+  def q22(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"))
+    val exactOrders = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val exactParts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    approx.join(broadcast(exactOrders), "l_returnflag")
+      .join(broadcast(exactParts), "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05 &&
           abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
           .as("within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q22Sql: String =
     """SELECT l_returnflag,
