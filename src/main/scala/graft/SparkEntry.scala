@@ -34,6 +34,7 @@ object SparkEntry {
     "pack_sequences_bpe" -> ((s, d) => Corpus.packSequencesBpe(s, d)),
     "corpus_shard" -> ((s, d) => Corpus.corpusShard(s, d)),
     "corpus_token_budget" -> ((s, d) => Corpus.tokenBudget(s, d)),
+    "corpus_domain_cap" -> ((s, d) => Corpus.domainCap(s, d)),
     "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "pack_sequences_bpe" -> Corpus.packSequencesBpeSql,
     "corpus_shard" -> Corpus.corpusShardSql,
     "corpus_token_budget" -> Corpus.tokenBudgetSql,
+    "corpus_domain_cap" -> Corpus.domainCapSql,
     "dedup_phrases" -> TextAnalysis.phrasesSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,

@@ -399,4 +399,39 @@ object Corpus {
        |  CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM th GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** `corpus_domain_cap` — per-domain document caps, the Gopher /
+    * FineWeb-style curation stage that stops any one source dominating
+    * the training mix: within each `source`, rank documents by
+    * size (n_chars DESC, doc_id tiebreak — deterministic) and keep
+    * the top `cap`.
+    *
+    * Deliberately declared as `row_number().over(source window)` +
+    * `rk <= cap` filter rather than any hand-built top-k: Catalyst's
+    * InferWindowGroupLimit rewrites exactly this shape into a
+    * WindowGroupLimit that drops rows BELOW the per-group limit on the
+    * map side, BEFORE the shuffle — so a hot domain with 10⁹ docs
+    * ships ~cap rows per input partition instead of all of them, which
+    * is precisely the skew mitigation a hand-rolled version would need
+    * to reimplement. CurationSpec pins the WindowGroupLimit node in
+    * the physical plan so a regression to full-window shuffling is a
+    * test failure, not a silent 100×-scale cliff. */
+  def domainCap(s: SparkSession, d: String, cap: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val domainCapSql: String =
+    """SELECT source, doc_id, n_chars, rk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
 }

@@ -213,6 +213,40 @@ class CurationSpec extends AnyFunSuite {
     assert(refined < seedInertia, "refinement should strictly improve on random seeds")
   }
 
+  test("corpus_domain_cap: exact per-source caps + map-side group limit in plan") {
+    val cap = 10
+    val rows = graft.operators.Corpus.domainCap(spark, sf, cap).collect()
+    val sizes = Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = rows.groupBy(_.getString(0))
+    assert(kept.keySet == sizes.keySet, "every source must survive capping")
+    for ((src, rs) <- kept) {
+      assert(rs.length == math.min(cap.toLong, sizes(src)).toInt, s"$src cap wrong")
+      // ranks contiguous from 1, n_chars non-increasing along rank
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getLong(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"$src not ranked by n_chars desc")
+    }
+    // the kept set per source IS the exact top-cap by (n_chars desc, doc_id)
+    val all = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .groupBy(_.getString(0))
+    for ((src, rs) <- kept) {
+      val expect = all(src).sortBy(r => (-r.getLong(2), r.getLong(1)))
+        .take(cap).map(_.getLong(1)).toSet
+      assert(rs.map(_.getLong(1)).toSet == expect, s"$src kept wrong docs")
+    }
+    // scale shape: Catalyst must have inferred the per-group limit so
+    // hot domains are pruned map-side BEFORE the shuffle
+    val plan = graft.operators.Corpus.domainCap(spark, sf, cap)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rank-filter must compile to WindowGroupLimit (map-side top-k), " +
+        "not a full-window shuffle")
+  }
+
   test("embed_pca: power-iteration parity + projection invariants") {
     // in-memory parity: on a matrix with a known dominant eigenvector,
     // the shared power-iteration kernel must converge to it
