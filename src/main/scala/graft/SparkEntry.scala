@@ -41,6 +41,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
     "ann_pq" -> ((s, d) => Similarity.pq(s, d)),
+    "ann_pq_rerank" -> ((s, d) => Similarity.pqRerank(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.ivfpq(s, d)),
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "ann_lsh" -> Similarity.lshSql,
     "ann_ivf" -> Similarity.ivfSql,
     "ann_pq" -> Similarity.pqSql,
+    "ann_pq_rerank" -> Similarity.pqRerankSql,
     "ann_ivfpq" -> Similarity.ivfpqSql,
     "chunk_documents" -> Corpus.chunksSql,
     "pack_sequences" -> Corpus.packSequencesSql,

@@ -551,9 +551,41 @@ object Similarity {
        |      z -> CAST(CAST(CAST(z[1] AS FLOAT) - CAST(z[2] AS FLOAT) AS DOUBLE)
        |           * CAST(CAST(z[1] AS FLOAT) - CAST(z[2] AS FLOAT) AS DOUBLE) AS DOUBLE)), (p, q) -> p + q)""".stripMargin
 
-  /** The full PQ plan as DuckDB SQL (mirrors pq()'s defaults:
-    * m=16 subspaces of 4 dims, ksub=16, one Lloyd iteration). */
-  val pqSql: String = {
+  /** `ann_pq_rerank` — PQ candidates + exact re-rank, the standard
+    * two-stage production ANN answer shape: ADC ranks the whole corpus
+    * from 8-byte codes (cheap, approximate), the top-`c` candidates are
+    * then re-scored with the EXACT cosine against the raw vectors, and
+    * the final top-k is exact-within-candidates. Buys back most of the
+    * recall ADC loses to quantization for the price of `c` exact
+    * distance evaluations (c=50 here; recall@10 measured per verify
+    * run in ann_recall.json alongside the un-reranked pq). At 100 TB
+    * the re-rank stage fetches exactly `c` full vectors by id — a
+    * broadcast-join point lookup, not a scan; everything before it
+    * ships codes only. Oracle replays the ADC CTE chain (shared
+    * verbatim with [[pqSql]] via pqCtes) + the bruteForce cosine fold. */
+  def pqRerank(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      c: Int = 50): DataFrame = {
+    val cand = pq(s, d, queryId, k = c).select(col("vec_id"))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    // candidate list is c rows: broadcast it into the id lookup, then
+    // score with the IDENTICAL expression bruteForce uses (parity with
+    // the exact baseline is what makes the oracle bit-exact)
+    e.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (dotD(col("embedding"), col("q_emb")) /
+        sqrt(col("n2") * col("q_n2"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** The PQ training + encode + ADC chain as DuckDB CTEs (mirrors
+    * pq()'s defaults: m=16 subspaces of 4 dims, ksub=16, one Lloyd
+    * iteration) — shared by [[pqSql]] and [[pqRerankSql]] so the two
+    * oracles can never drift apart. */
+  private val pqCtes: String = {
     val (m, subLen, ksub) = (16, 4, 16)
     s"""WITH en AS (
        |  SELECT vec_id,
@@ -595,14 +627,28 @@ object Similarity {
        |  WHERE rn = 1),
        |dt AS (
        |  SELECT q.sub, c.code, ${d2Of("q.sv", "c.c_sv")} AS qd2
-       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub))
-       |SELECT vec_id,
-       |  CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
-       |FROM codes JOIN dt USING (sub, code)
-       |WHERE vec_id <> 0
-       |GROUP BY vec_id
-       |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
+       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub)),
+       |adc AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
+       |  FROM codes JOIN dt USING (sub, code)
+       |  WHERE vec_id <> 0
+       |  GROUP BY vec_id)""".stripMargin
   }
+
+  val pqSql: String =
+    s"""$pqCtes
+       |SELECT vec_id, adc_dist2 FROM adc
+       |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
+
+  val pqRerankSql: String =
+    s"""$pqCtes,
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc_dist2, vec_id LIMIT 50)
+       |SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
+       |FROM embeddings e
+       |JOIN cand USING (vec_id)
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   /** The composed IVF-PQ plan as DuckDB SQL: the coarse-cell CTEs
     * (deterministic vec_id%50 sample, L2 assignment on the normalized

@@ -283,6 +283,31 @@ class CurationSpec extends AnyFunSuite {
       s"component order violated: var(p1)=${varOf(p1)} < var(p2)=${varOf(p2)}")
   }
 
+  test("ann_pq_rerank: equals exact re-ranking of ADC candidates, recall >= plain PQ") {
+    val rr = Similarity.pqRerank(spark, sf).collect()
+    assert(rr.length == 10)
+    val cos = rr.map(_.getDouble(1))
+    assert(cos.toSeq == cos.sortBy(-_).toSeq, "re-ranked output must descend by cosine")
+    // independent replay: exact top-10 within the ADC top-50 candidates
+    val cand = Similarity.pq(spark, sf, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    val exactAll = Similarity.bruteForce(spark, sf, queryId = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bruteForce returns only top-10; recompute full ranking for replay
+    val full = Similarity.pqRerank(spark, sf, k = 500, c = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap // k=c=500 ⇒ all vectors scored
+    val expect = cand.toSeq.map(id => id -> full(id))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(rr.map(_.getLong(0)).toSeq == expect,
+      "re-rank must be the exact cosine order of the ADC candidate set")
+    // recall@10 of the re-ranked answer is >= plain PQ's
+    val exact10 = exactAll.keySet
+    val pq10 = Similarity.pq(spark, sf).collect().map(_.getLong(0)).toSet
+    val rr10 = rr.map(_.getLong(0)).toSet
+    assert(rr10.intersect(exact10).size >= pq10.intersect(exact10).size,
+      "re-ranking must not lose recall vs plain ADC")
+  }
+
   test("ann_pq: structural invariants + better-than-random ranking") {
     val pq = Similarity.pq(spark, sf).collect()
     assert(pq.length == 10)
