@@ -43,6 +43,7 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Similarity.pq(s, d)),
     "ann_pq_rerank" -> ((s, d) => Similarity.pqRerank(s, d)),
     "ann_ivfpq" -> ((s, d) => Similarity.ivfpq(s, d)),
+    "ann_ivfpq_rerank" -> ((s, d) => Similarity.ivfpqRerank(s, d)),
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
@@ -115,6 +116,7 @@ object SparkEntry {
     "ann_pq" -> Similarity.pqSql,
     "ann_pq_rerank" -> Similarity.pqRerankSql,
     "ann_ivfpq" -> Similarity.ivfpqSql,
+    "ann_ivfpq_rerank" -> Similarity.ivfpqRerankSql,
     "chunk_documents" -> Corpus.chunksSql,
     "pack_sequences" -> Corpus.packSequencesSql,
     "dedup_decontaminate" -> Corpus.decontaminateSql,

@@ -564,15 +564,31 @@ object Similarity {
     * ships codes only. Oracle replays the ADC CTE chain (shared
     * verbatim with [[pqSql]] via pqCtes) + the bruteForce cosine fold. */
   def pqRerank(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      c: Int = 50): DataFrame = {
-    val cand = pq(s, d, queryId, k = c).select(col("vec_id"))
+      c: Int = 50): DataFrame =
+    exactRerank(s, d, queryId, k, pq(s, d, queryId, k = c).select(col("vec_id")))
+
+  /** `ann_ivfpq_rerank` — the COMPLETE production pipeline: IVF cells
+    * prune the corpus, PQ ADC ranks the survivors from codes, exact
+    * cosine re-ranks the top-`c` — i.e. [[ivfpq]] + the [[pqRerank]]
+    * refinement stage. Recall is bounded by cell recall (candidates
+    * only come from the nprobe probed cells), which is exactly the
+    * production trade-off the nprobe knob tunes. Oracle shares the
+    * full IVF+PQ CTE chain with [[ivfpqSql]] (ivfpqCtes). */
+  def ivfpqRerank(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+      c: Int = 50): DataFrame =
+    exactRerank(s, d, queryId, k, ivfpq(s, d, queryId, k = c).select(col("vec_id")))
+
+  /** Shared exact re-rank stage: score `cand` (a small vec_id list)
+    * against the query with the IDENTICAL expression bruteForce uses
+    * (parity with the exact baseline is what makes the oracles
+    * bit-exact); candidates broadcast into an id lookup — a point
+    * fetch of |cand| full vectors, never a scan. */
+  private def exactRerank(s: SparkSession, d: String, queryId: Long,
+      k: Int, cand: DataFrame): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    // candidate list is c rows: broadcast it into the id lookup, then
-    // score with the IDENTICAL expression bruteForce uses (parity with
-    // the exact baseline is what makes the oracle bit-exact)
     e.join(broadcast(cand), "vec_id")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), (dotD(col("embedding"), col("q_emb")) /
@@ -650,11 +666,12 @@ object Similarity {
        |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
-  /** The composed IVF-PQ plan as DuckDB SQL: the coarse-cell CTEs
+  /** The composed IVF-PQ plan as DuckDB CTEs: the coarse-cell CTEs
     * (deterministic vec_id%50 sample, L2 assignment on the normalized
     * vectors) prune to the query's 2 probe cells, then the exact
-    * [[pqSql]] codebook CTEs rank only the candidates. */
-  val ivfpqSql: String = {
+    * [[pqSql]] codebook CTEs rank only the candidates. Shared by
+    * [[ivfpqSql]] and [[ivfpqRerankSql]]. */
+  private val ivfpqCtes: String = {
     val (m, subLen, ksub, nprobe) = (16, 4, 16, 2)
     s"""WITH en AS (
        |  SELECT vec_id,
@@ -714,13 +731,27 @@ object Similarity {
        |  WHERE rn = 1),
        |dt AS (
        |  SELECT q.sub, c.code, ${d2Of("q.sv", "c.c_sv")} AS qd2
-       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub))
-       |SELECT vec_id, cell,
-       |  CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
-       |FROM codes JOIN dt USING (sub, code)
-       |GROUP BY vec_id, cell
-       |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
+       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub)),
+       |adcq AS (
+       |  SELECT vec_id, cell,
+       |    CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
+       |  FROM codes JOIN dt USING (sub, code)
+       |  GROUP BY vec_id, cell)""".stripMargin
   }
+
+  val ivfpqSql: String =
+    s"""$ivfpqCtes
+       |SELECT vec_id, cell, adc_dist2 FROM adcq
+       |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
+
+  val ivfpqRerankSql: String =
+    s"""$ivfpqCtes,
+       |cand50 AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT 50)
+       |SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
+       |FROM embeddings e
+       |JOIN cand50 USING (vec_id)
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   // ---- embed_kmeans: whole-vector Lloyd clustering ----------------------
 

@@ -308,6 +308,26 @@ class CurationSpec extends AnyFunSuite {
       "re-ranking must not lose recall vs plain ADC")
   }
 
+  test("ann_ivfpq_rerank: candidates stay within ivfpq's probed cells, exact order") {
+    val rr = Similarity.ivfpqRerank(spark, sf).collect()
+    assert(rr.length == 10)
+    val cos = rr.map(_.getDouble(1))
+    assert(cos.toSeq == cos.sortBy(-_).toSeq)
+    // every result must come from the ADC candidate set (cell-bounded)
+    val cand = Similarity.ivfpq(spark, sf, k = 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(rr.map(_.getLong(0)).forall(cand),
+      "re-rank must only reorder ADC candidates, never add vectors")
+    // exact-within-candidates: cosine of each result matches bruteForce's
+    // expression on the same ids (checked via the full rerank ranking)
+    val full = Similarity.pqRerank(spark, sf, k = 500, c = 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = cand.toSeq.map(id => id -> full(id))
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    assert(rr.map(_.getLong(0)).toSeq == expect,
+      "re-rank must be the exact cosine order of the IVF-PQ candidate set")
+  }
+
   test("ann_pq: structural invariants + better-than-random ranking") {
     val pq = Similarity.pq(spark, sf).collect()
     assert(pq.length == 10)
