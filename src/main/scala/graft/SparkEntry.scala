@@ -40,10 +40,17 @@ object SparkEntry {
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
-    "ann_pq" -> ((s, d) => Similarity.pq(s, d)),
-    "ann_pq_rerank" -> ((s, d) => Similarity.pqRerank(s, d)),
-    "ann_ivfpq" -> ((s, d) => Similarity.ivfpq(s, d)),
-    "ann_ivfpq_rerank" -> ((s, d) => Similarity.ivfpqRerank(s, d)),
+    // The PQ family SERVES from the persisted index (AnnIndex): the
+    // first invocation in a session builds it, the rest answer from
+    // stored codes — bit-identical to the inline training pipelines
+    // (AnnIndexSpec pins served == inline), so the training-replay
+    // oracles below still hash-match.
+    "ann_index_build" -> ((s, d) => graft.operators.AnnIndex.stats(s, d)),
+    "ann_index_query" -> ((s, d) => graft.operators.AnnIndex.ivfpqRerankQuery(s, d)),
+    "ann_pq" -> ((s, d) => graft.operators.AnnIndex.pqQuery(s, d)),
+    "ann_pq_rerank" -> ((s, d) => graft.operators.AnnIndex.pqRerankQuery(s, d)),
+    "ann_ivfpq" -> ((s, d) => graft.operators.AnnIndex.ivfpqQuery(s, d)),
+    "ann_ivfpq_rerank" -> ((s, d) => graft.operators.AnnIndex.ivfpqRerankQuery(s, d)),
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
@@ -113,6 +120,10 @@ object SparkEntry {
     "ann_whiten" -> Similarity.whitenSql,
     "ann_lsh" -> Similarity.lshSql,
     "ann_ivf" -> Similarity.ivfSql,
+    "ann_index_build" -> graft.operators.AnnIndex.statsSql,
+    // the served query answers the SAME top-k as the inline pipeline,
+    // so it shares ann_ivfpq_rerank's training-replay oracle verbatim
+    "ann_index_query" -> Similarity.ivfpqRerankSql,
     "ann_pq" -> Similarity.pqSql,
     "ann_pq_rerank" -> Similarity.pqRerankSql,
     "ann_ivfpq" -> Similarity.ivfpqSql,

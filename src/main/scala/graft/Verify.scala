@@ -76,7 +76,7 @@ object Verify {
     // recall@10 IS measurable. Emit it every run: a corpus or parameter
     // change degrading the approximations shows up here, not in silence.
     val annApprox = Seq("ann_lsh", "ann_ivf", "ann_pq", "ann_pq_rerank",
-      "ann_ivfpq", "ann_ivfpq_rerank")
+      "ann_ivfpq", "ann_ivfpq_rerank", "ann_index_query")
     if (annApprox.exists(n => selected.contains(n) && !failed.contains(n))) {
       try {
         // read the dumps just written above instead of re-running the

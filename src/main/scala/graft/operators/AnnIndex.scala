@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index (SURVEY.md §2.4 `ann_index_build` /
+  * `ann_index_query`) — the billion-vector SERVING shape.
+  *
+  * Every PQ-family query used to retrain codebooks and re-encode the
+  * corpus per invocation; at serving scale that cost belongs in an
+  * OFFLINE build. [[build]] materializes the three index artifacts to
+  * parquet exactly once per corpus version:
+  *
+  *   - `coarse/`   — the IVF coarse centroids (c_id, c_emb), the
+  *                   deterministic vec_id%50 sample of the normalized
+  *                   corpus ([[Similarity.ivfpq]]'s cells);
+  *   - `codebook/` — the m×ksub PQ codebook (sub, code, c_sv) from
+  *                   [[Similarity.pqCodebook]] (seeded + one Lloyd
+  *                   refinement, floor-quantised means);
+  *   - `codes/`    — one row per vector: (vec_id, cell, codes[16]) —
+  *                   the 16×4-bit ≙ 8-byte PQ code plus its coarse
+  *                   cell. This is the ONLY per-vector state a query
+  *                   touches; raw vectors are read again only by the
+  *                   exact re-rank point-lookup.
+  *
+  * Query-time ([[ivfpqQuery]]) then does what a FAISS-style server
+  * does: normalize the query vector, pick nprobe cells against the
+  * stored coarse centroids (a ≤n/50-row broadcast), scan ONLY the
+  * probed cells' stored codes, rank by ADC against a broadcast m×ksub
+  * distance table, and exact-rerank the top-c survivors by id lookup.
+  * Nothing is retrained and no raw vector outside the query row and
+  * the c re-rank candidates is touched — at 100 TB the per-query cost
+  * is (codes-in-probed-cells × 8 bytes) + c point fetches.
+  *
+  * Staleness safety: the index directory is keyed by a fingerprint of
+  * the source parquet (name/length/mtime of every data file) plus the
+  * index parameters and format version, so a driver-side testdata
+  * regeneration can NEVER be served stale — the fingerprint moves and
+  * the index rebuilds. [[stats]] (the gated `ann_index_build` query)
+  * force-rebuilds unconditionally: it IS the materialization operator,
+  * and its timing must measure the build, not a cache hit.
+  *
+  * Determinism: every stored artifact is bit-deterministic (seeded
+  * sample, floor-quantised DECIMAL-summed Lloyd means, FLOAT rounding
+  * — the [[Similarity.pqCodebook]] guarantees), and floats round-trip
+  * parquet exactly, so serving from the index is bit-identical to the
+  * inline pipelines — the DuckDB oracles for ann_pq/ann_ivfpq(_rerank)
+  * replay the TRAINING (pqCtes/ivfpqCtes) and still hash-match the
+  * served results (AnnIndexSpec pins served == inline).
+  */
+object AnnIndex {
+  /** Index parameters — fixed to [[Similarity.pq]]/[[Similarity.ivfpq]]
+    * defaults so the stored index answers the same queries. */
+  val M = 16
+  val Ksub = 16
+  val Nprobe = 2
+  private val FormatVersion = 1
+
+  private def root: String =
+    sys.props.getOrElse("graft.annIndexDir",
+      new java.io.File("target/ann_index").getAbsolutePath)
+
+  /** Content fingerprint of the source table + index parameters: any
+    * regeneration (length or mtime moves), source path change, or
+    * param/format bump yields a new index directory. */
+  private[graft] def fingerprint(d: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    val src =
+      if (f.isDirectory)
+        f.listFiles.filter(_.isFile).sortBy(_.getName).map(stat).mkString("|")
+      else stat(f)
+    val key = s"v$FormatVersion:m=$M:ksub=$Ksub:${f.getAbsolutePath}:$src"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
+  private[operators] def dirFor(d: String): String = s"$root/${fingerprint(d)}"
+  private def marker(dir: String) = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
+
+  /** In-session memo of completed builds: after the first ensure() the
+    * remaining PQ-family queries skip even the marker stat. Keyed by
+    * the fingerprinted dir, so a regeneration mid-session still misses. */
+  private val builtMemo = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Build-if-absent; returns the index dir. The marker file is written
+    * LAST, so a killed half-finished build reads as absent, never as a
+    * servable index. */
+  def ensure(s: SparkSession, d: String): String = {
+    val dir = dirFor(d)
+    if (builtMemo.contains(dir)) return dir
+    if (!java.nio.file.Files.exists(marker(dir))) build(s, d)
+    builtMemo.add(dir)
+    dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Force (re)build the index for `d`'s corpus. Prunes superseded
+    * fingerprint dirs (older regenerations) — sessions are sequential
+    * here (driver + memory note), so the prune can't race a reader. */
+  def build(s: SparkSession, d: String): String = {
+    val dir = dirFor(d)
+    val rootF = new java.io.File(root)
+    if (rootF.isDirectory)
+      rootF.listFiles.filter(x => x.isDirectory && x.getName != fingerprint(d))
+        .foreach(deleteRecursively)
+    val dirF = new java.io.File(dir)
+    if (dirF.exists()) deleteRecursively(dirF)
+
+    val e = Similarity.normalizedEmb(s, d)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    val subLen = dim / M
+    val cents0 = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd2"), col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents0))
+      .select(col("vec_id"), col("c_id"),
+        Similarity.sqDiff(col("embedding"), col("c_emb")).as("cd2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val cb = Similarity.pqCodebook(e, M, subLen, Ksub, lloydIters = 1)
+    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd2"), col("code"))
+    val codesFlat = Similarity.subvecsOf(e, "embedding", M, subLen)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("code"),
+        Similarity.sqDiff(col("sv"), col("c_sv")).as("cd2"))
+      .withColumn("rn", row_number().over(wCode))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // one row per vector, codes ordered by sub — the packed-codes shape
+    val codes = codesFlat
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vec_id"),
+        transform(col("sc"), p => p.getField("code")).as("codes"))
+      .join(assigned, "vec_id")
+    cents0.write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    java.nio.file.Files.createFile(marker(dir))
+    builtMemo.add(dir)
+    dir
+  }
+
+  private def coarseDf(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/coarse")
+  private def codebookDf(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/codebook")
+  private def codesDf(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${ensure(s, d)}/codes")
+
+  /** ADC distance table (sub, code, qd2) for the query vector against
+    * the STORED codebook — the only per-query "training"-shaped work
+    * left, and it is m×ksub = 256 rows from one vector. */
+  private def distTable(s: SparkSession, d: String, queryId: Long): DataFrame = {
+    val cb = codebookDf(s, d)
+    val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
+    val q = Similarity.normalizedEmb(s, d).filter(col("vec_id") === queryId)
+    Similarity.subvecsOf(q, "embedding", M, subLen)
+      .join(broadcast(cb), "sub")
+      .select(col("sub"), col("code"),
+        Similarity.sqDiff(col("sv"), col("c_sv")).as("qd2"))
+  }
+
+  /** Floor-quantised ADC total (identical to the inline pipelines'
+    * expression, so served results hash-match the training oracles). */
+  private def adcTotal =
+    (sum(floor(col("qd2") * 1e12).cast("decimal(28,0)"))
+      .cast("double") / 1e12).as("adc_dist2")
+
+  /** `ann_pq` served from the stored index: whole-corpus ADC ranking
+    * from stored codes — bit-identical to [[Similarity.pq]]. */
+  def pqQuery(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame =
+    codesDf(s, d).filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(distTable(s, d, queryId)), Seq("sub", "code"))
+      .groupBy(col("vec_id"))
+      .agg(adcTotal)
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(k)
+
+  /** `ann_ivfpq` served from the stored index: probe-cell filter on the
+    * stored (vec_id, cell) assignment, then ADC over stored codes —
+    * bit-identical to [[Similarity.ivfpq]]. */
+  def ivfpqQuery(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val qCells = Similarity.normalizedEmb(s, d)
+      .filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+      .crossJoin(broadcast(coarseDf(s, d)))
+      .select(col("c_id"), Similarity.sqDiff(col("q_emb"), col("c_emb")).as("qcd2"))
+      .orderBy(col("qcd2"), col("c_id"))
+      .limit(Nprobe)
+      .select(col("c_id").as("probe_cell"))
+    codesDf(s, d).join(broadcast(qCells), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(distTable(s, d, queryId)), Seq("sub", "code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(adcTotal)
+      .orderBy(col("adc_dist2"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** `ann_pq_rerank` served: stored-index ADC candidates + exact
+    * re-rank ([[Similarity.exactRerank]] — same expression as the
+    * exact baseline, candidates fetched by id, never a scan). */
+  def pqRerankQuery(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10, c: Int = 50): DataFrame =
+    Similarity.exactRerank(s, d, queryId, k,
+      pqQuery(s, d, queryId, k = c).select(col("vec_id")))
+
+  /** `ann_index_query` / `ann_ivfpq_rerank` served: the COMPLETE
+    * production serving path — stored coarse cells prune, stored codes
+    * ADC-rank, exact re-rank of the top-c. Same top-k as the inline
+    * [[Similarity.ivfpqRerank]]; oracle reuses ivfpqRerankSql. */
+  def ivfpqRerankQuery(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10, c: Int = 50): DataFrame =
+    Similarity.exactRerank(s, d, queryId, k,
+      ivfpqQuery(s, d, queryId, k = c).select(col("vec_id")))
+
+  /** `ann_index_build` — force-rebuild the index and emit per-cell
+    * stats from the artifacts just written: vectors per cell, an exact
+    * checksum over every stored PQ code (so the oracle verifies the
+    * full code table, not just row counts), and the cell's id range. */
+  def stats(s: SparkSession, d: String): DataFrame = {
+    build(s, d)
+    codesDf(s, d)
+      .select(col("vec_id"), col("cell"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("code_sum")).as("code_checksum"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy(col("cell"))
+  }
+
+  /** The index build replayed as DuckDB SQL: normalize → coarse assign
+    * → codebook train (seed + one floor-quantised Lloyd round, the
+    * pqCtes chain) → full-corpus encode → per-cell stats over the code
+    * table. Verifies every stored artifact: `n_vecs`/id-range pin the
+    * coarse assignment, `code_checksum` pins all m codes per vector. */
+  val statsSql: String = {
+    val (m, subLen, ksub) = (M, 4, Ksub)
+    import Similarity.{d2Of, dotOf}
+    s"""WITH en AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
+       |      / SQRT(GREATEST(${dotOf("embedding", "embedding")}, 1e-30)) AS FLOAT)) AS embedding
+       |  FROM embeddings),
+       |cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM en WHERE vec_id % 50 = 0),
+       |assigned AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Of("e.embedding", "c.c_emb")}, c.c_id) AS rn
+       |    FROM en e CROSS JOIN cents0 c)
+       |  WHERE rn = 1),
+       |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |sv AS (
+       |  SELECT vec_id, sub, embedding[(sub*$subLen+1):(sub*$subLen+$subLen)] AS sv
+       |  FROM en CROSS JOIN subs),
+       |seed AS (
+       |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS c_sv FROM sv WHERE vec_id < $ksub),
+       |train AS (SELECT * FROM sv WHERE vec_id < 256),
+       |assign AS (
+       |  SELECT vec_id, sub, code, sv FROM (
+       |    SELECT t.vec_id, t.sub, s.code, t.sv,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
+       |        ORDER BY ${d2Of("t.sv", "s.c_sv")}, s.code) AS rn
+       |    FROM train t JOIN seed s USING (sub))
+       |  WHERE rn = 1),
+       |refined AS (
+       |  SELECT sub, code, list(m ORDER BY dim) AS c_new FROM (
+       |    SELECT sub, code, dim,
+       |      CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
+       |        / 1e7 / COUNT(*) AS FLOAT) AS m
+       |    FROM (SELECT sub, code, unnest(sv) AS x,
+       |            generate_subscripts(sv, 1) AS dim FROM assign)
+       |    GROUP BY sub, code, dim)
+       |  GROUP BY sub, code),
+       |cents AS (
+       |  SELECT s.sub, s.code, COALESCE(r.c_new, s.c_sv) AS c_sv
+       |  FROM seed s LEFT JOIN refined r ON s.sub = r.sub AND s.code = r.code),
+       |codes AS (
+       |  SELECT vec_id, code FROM (
+       |    SELECT v.vec_id, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY ${d2Of("v.sv", "c.c_sv")}, c.code) AS rn
+       |    FROM sv v JOIN cents c USING (sub))
+       |  WHERE rn = 1),
+       |per_vec AS (SELECT vec_id, SUM(code) AS code_sum FROM codes GROUP BY vec_id)
+       |SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(p.code_sum) AS BIGINT) AS code_checksum,
+       |  MIN(a.vec_id) AS min_vec, MAX(a.vec_id) AS max_vec
+       |FROM assigned a JOIN per_vec p USING (vec_id)
+       |GROUP BY a.cell
+       |ORDER BY cell""".stripMargin
+  }
+}

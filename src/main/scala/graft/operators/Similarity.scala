@@ -234,7 +234,7 @@ object Similarity {
       (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes)
         yield (1 << p) | (1 << r))
 
-  private def dotOf(a: String, b: String): String =
+  private[operators] def dotOf(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
 
@@ -361,7 +361,7 @@ object Similarity {
   // codebook can fix that. Normalize first (guaranteed, not assumed):
   // on unit vectors ‖a−b‖² = 2−2·cos(a,b), so the ADC ranking
   // approximates the cosine ranking directly.
-  private def normalizedEmb(s: SparkSession, d: String): DataFrame =
+  private[operators] def normalizedEmb(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .withColumn("n2", sqrt(greatest(
         dotD(col("embedding"), col("embedding")), lit(1e-30))))
@@ -369,14 +369,14 @@ object Similarity {
         transform(col("embedding"), x => (x / col("n2")).cast("float"))
           .as("embedding"))
 
-  private def subvecsOf(df: DataFrame, vecCol: String, m: Int,
+  private[operators] def subvecsOf(df: DataFrame, vecCol: String, m: Int,
       subLen: Int): DataFrame = df
     .select(col("*"), explode(sequence(lit(0), lit(m - 1))).as("sub"))
     .withColumn("sv", slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
 
   /** Squared L2 — float subtraction, double square+sum (the IEEE op
     * sequence the d2Of oracle fragment mirrors exactly). */
-  private def sqDiff(a: Column, b: Column): Column = {
+  private[operators] def sqDiff(a: Column, b: Column): Column = {
     val diff = zip_with(a, b, (x, y) => x - y)
     dotD(diff, diff)
   }
@@ -392,7 +392,7 @@ object Similarity {
     * bit-deterministic across runs/partitionings. The returned
     * codebook is checkpoint-pinned and result-feeding: the harness
     * sweep frees it post-action (Checkpoints policy). */
-  private def pqCodebook(e: DataFrame, m: Int, subLen: Int, ksub: Int,
+  private[operators] def pqCodebook(e: DataFrame, m: Int, subLen: Int, ksub: Int,
       lloydIters: Int): DataFrame = {
     val seed = subvecsOf(e.filter(col("vec_id") < ksub), "embedding", m, subLen)
       .select(col("sub"), col("vec_id").cast("int").as("code"),
@@ -546,7 +546,7 @@ object Similarity {
   /** Squared-L2 between two float lists with the subtraction done in
     * FLOAT then squared in DOUBLE — the exact op sequence of
     * `zip_with(a, b, x - y)` over `array<float>` followed by dotD. */
-  private def d2Of(a: String, b: String): String =
+  private[operators] def d2Of(a: String, b: String): String =
     s"""list_reduce(list_transform(list_zip($a, $b),
        |      z -> CAST(CAST(CAST(z[1] AS FLOAT) - CAST(z[2] AS FLOAT) AS DOUBLE)
        |           * CAST(CAST(z[1] AS FLOAT) - CAST(z[2] AS FLOAT) AS DOUBLE) AS DOUBLE)), (p, q) -> p + q)""".stripMargin
@@ -583,7 +583,7 @@ object Similarity {
     * (parity with the exact baseline is what makes the oracles
     * bit-exact); candidates broadcast into an id lookup — a point
     * fetch of |cand| full vectors, never a scan. */
-  private def exactRerank(s: SparkSession, d: String, queryId: Long,
+  private[operators] def exactRerank(s: SparkSession, d: String, queryId: Long,
       k: Int, cand: DataFrame): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))

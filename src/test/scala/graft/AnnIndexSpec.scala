@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIndex, Similarity}
+
+/** Pins the persisted-index contract: serving from the stored
+  * (coarse, codebook, codes) artifacts is BIT-IDENTICAL to the inline
+  * training pipelines (which is what keeps the training-replay DuckDB
+  * oracles valid for the served queries), and the fingerprint keying
+  * makes stale serving impossible across testdata regenerations. */
+class AnnIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toIndexedSeq.map(_.toSeq)
+
+  test("served ann_pq is bit-identical to the inline training pipeline") {
+    assert(rowsOf(AnnIndex.pqQuery(spark, sf)) == rowsOf(Similarity.pq(spark, sf)))
+  }
+
+  test("served ann_ivfpq is bit-identical to the inline pipeline") {
+    assert(rowsOf(AnnIndex.ivfpqQuery(spark, sf)) ==
+      rowsOf(Similarity.ivfpq(spark, sf)))
+  }
+
+  test("served rerank queries are bit-identical to the inline pipelines") {
+    assert(rowsOf(AnnIndex.pqRerankQuery(spark, sf)) ==
+      rowsOf(Similarity.pqRerank(spark, sf)))
+    assert(rowsOf(AnnIndex.ivfpqRerankQuery(spark, sf)) ==
+      rowsOf(Similarity.ivfpqRerank(spark, sf)))
+  }
+
+  test("index stats cover the whole corpus and only sampled cells") {
+    val stats = AnnIndex.stats(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum == n,
+      "every vector must be assigned to exactly one cell")
+    assert(stats.forall(_.getAs[Long]("cell") % 50 == 0),
+      "cells must be the deterministic vec_id%50 coarse sample")
+    assert(stats.forall(r => r.getAs[Long]("min_vec") <= r.getAs[Long]("max_vec")))
+    // m codes in [0, ksub) per vector bound the checksum
+    stats.foreach { r =>
+      val hi = r.getAs[Long]("n_vecs") * AnnIndex.M * (AnnIndex.Ksub - 1)
+      val cs = r.getAs[Long]("code_checksum")
+      assert(cs >= 0 && cs <= hi, s"checksum $cs outside [0, $hi]")
+    }
+  }
+
+  test("fingerprint moves when the source parquet is regenerated") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_fp").toFile
+    try {
+      val src = new java.io.File(s"$sf/embeddings.parquet")
+      val dst = new java.io.File(tmp, "embeddings.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      val fp1 = AnnIndex.fingerprint(tmp.getAbsolutePath)
+      // a regeneration rewrites the file: mtime (and usually length) move
+      assert(dst.setLastModified(dst.lastModified() + 60000))
+      val fp2 = AnnIndex.fingerprint(tmp.getAbsolutePath)
+      assert(fp1 != fp2, "regenerated source must key a NEW index dir")
+      // and two different corpora never share an index
+      assert(AnnIndex.fingerprint(tmp.getAbsolutePath) !=
+        AnnIndex.fingerprint(sf))
+    } finally {
+      tmp.listFiles.foreach(_.delete())
+      tmp.delete(): Unit
+    }
+  }
+
+  test("a missing completion marker forces a rebuild (no partial serving)") {
+    val dir = AnnIndex.build(spark, sf)
+    val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
+    assert(java.nio.file.Files.exists(marker), "build must write the marker last")
+    // served output from the fresh build still matches inline
+    assert(rowsOf(AnnIndex.pqQuery(spark, sf)) == rowsOf(Similarity.pq(spark, sf)))
+  }
+}
