@@ -30,8 +30,7 @@ object Analytics2 {
   // error CONTRACT can: emit the exact distincts (oracle-comparable)
   // plus a boolean that both estimates landed within 5% of exact. The
   // oracle asserts TRUE, turning the former rows-only row into a full
-  // hash gate that numerically checks the bound. One aggregation pass
-  // computes sketches and exact counts together (same shuffle).
+  // hash gate that numerically checks the bound.
   // Plan note: the sketches and the two exact distincts are computed
   // as THREE separate single-distinct aggregates joined on the 3-row
   // group key, NOT one multi-distinct agg — two countDistinct on
@@ -84,6 +83,55 @@ object Analytics2 {
       |  quantile_cont(o_totalprice, 0.9) AS p90,
       |  MIN(o_totalprice) AS lo,
       |  MAX(o_totalprice) AS hi
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q23a: sketch percentiles with a rank-error gate -----------------
+  // The SCALE path for q23: exact `percentile` buffers whole groups in
+  // the agg buffer (memory-unbounded at 100 TB); approx_percentile is
+  // a bounded GK-style sketch whose buffer is O(accuracy) regardless
+  // of group size. The sketch VALUES are engine/merge-order-specific,
+  // so — the q22 pattern — the gated output carries the deterministic
+  // group stats plus booleans asserting the sketch's rank-error
+  // CONTRACT: the returned element's rank interval [#{x<v}, #{x≤v}]
+  // must intersect [p·n − tol, p·n + tol] with tol = n/accuracy + 2
+  // (the +2 absorbs rank-convention off-by-ones; GK guarantees
+  // |rank − p·n| ≤ n/accuracy always, so the flag is TRUE under any
+  // partitioning). Two passes over orders — the sketch must finish
+  // before ranks of its outputs can be counted — joined via a ≤3-row
+  // broadcast; both keep the two-phase hash-agg shape.
+  def q23a(s: SparkSession, d: String): DataFrame = {
+    val accuracy = 100
+    val o = orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+    val ap = o.groupBy(col("o_orderstatus"))
+      .agg(expr(s"approx_percentile(o_totalprice, array(0.5, 0.9), $accuracy)")
+        .as("ap"))
+    def inBound(p: Double, lt: String, le: String) = {
+      val tol = col("n_orders").cast("double") / accuracy + 2.0
+      val target = col("n_orders").cast("double") * p
+      (col(le).cast("double") >= target - tol) &&
+        (col(lt).cast("double") <= target + tol)
+    }
+    o.join(broadcast(ap), "o_orderstatus")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        sum(when(col("o_totalprice") < col("ap")(0), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("ap")(0), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("ap")(1), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("o_totalprice") <= col("ap")(1), 1L).otherwise(0L)).as("le90"))
+      .select(col("o_orderstatus"), col("n_orders"), col("lo"), col("hi"),
+        inBound(0.5, "lt50", "le50").as("p50_in_bound"),
+        inBound(0.9, "lt90", "le90").as("p90_in_bound"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q23aSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+      |  TRUE AS p50_in_bound, TRUE AS p90_in_bound
       |FROM orders
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
@@ -209,6 +257,7 @@ object Analytics2 {
     "q21_count_distinct" -> (q21 _),
     "q22_approx_distinct" -> (q22 _),
     "q23_percentile" -> (q23 _),
+    "q23_percentile_approx" -> (q23a _),
     "q24_asof_join" -> (q24 _),
     "q25_range_join" -> (q25 _))
 
@@ -218,6 +267,7 @@ object Analytics2 {
     "q21_count_distinct" -> q21Sql,
     "q22_approx_distinct" -> q22Sql,
     "q23_percentile" -> q23Sql,
+    "q23_percentile_approx" -> q23aSql,
     "q24_asof_join" -> q24Sql,
     "q25_range_join" -> q25Sql)
 }

@@ -82,6 +82,20 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q23a approx percentile: rank-bound flags true, stats match exact q23") {
+    val a = queries.Analytics2.q23a(spark, sf).collect()
+    assert(a.nonEmpty)
+    val exact = queries.Analytics2.q23(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    a.foreach { r =>
+      val k = r.getString(0)
+      assert(r.getBoolean(4) && r.getBoolean(5),
+        s"$k: approx percentile escaped the GK rank-error bound")
+      assert((r.getAs[Double]("lo"), r.getAs[Double]("hi")) == exact(k),
+        s"$k: group min/max drifted from exact q23")
+    }
+  }
+
   test("q49 KMV distinct is within 10% of exact (both estimate columns)") {
     import org.apache.spark.sql.functions._
     val kmv = queries.Analytics4.q49(spark, sf).collect()
