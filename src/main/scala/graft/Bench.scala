@@ -16,7 +16,12 @@ import java.nio.file.{Files, Paths}
   * compact headline line (total, warm_total, worst-5, canary, CPU time)
   * guaranteed to survive the tail capture.
   *
-  * Contention detection: every query records process-CPU seconds
+  * Contention detection is SELF-CORRECTING (r7): any query whose cold
+  * and warm runs disagree >1.5x in either direction is re-run once at
+  * the end of the sweep (`retry_queries`), and `best_of_total` (per-
+  * query min over cold/warm/retry) gives the gate a steady-state
+  * headline even when a transient host window inflated one pass.
+  * Every query records process-CPU seconds
   * (all JVM threads) alongside wall time. On an idle local[32] host the
   * hot queries run many CPU-seconds per wall-second; when the *host* is
   * oversubscribed (the r4 driver run inflated text_repetition 55x) the
@@ -120,6 +125,29 @@ object Bench {
         System.err.println(f"[bench] WARN $name warm ${w}%.2fs (gc ${wgc}%.2fs) > 1.5x cold " +
           f"${cold}%.2fs (gc ${cgc}%.2fs) — recompute if gc is flat, heap pressure if gc eats the gap")
     }
+    // snapshot BEFORE the retry/canary runs below overwrite offsets —
+    // warm_queries_t0 must report when the WARM run started, or the
+    // contention-window correlation the field exists for breaks
+    val warmStarts = startedAt.toMap
+    // Self-correcting contention pass: a host-contention window (the
+    // r4-r6 driver anomalies) inflates whichever of cold/warm overlaps
+    // it, so when the two disagree >1.5x in EITHER direction the query
+    // gets ONE more isolated run here — after the full sweep, when the
+    // transient window has most likely passed. The gate reads
+    // best_of_total (min over cold/warm/retry per query), which then
+    // converges to steady-state even on a contended driver host.
+    val retry = results
+      .filter { case (name, (cold, _, _)) =>
+        val w = warm.collectFirst { case (n, (t, _, _)) if n == name => t }
+          .getOrElse(-1.0)
+        cold >= 0 && w >= 0 && (w > cold * 1.5 || cold > w * 1.5)
+      }
+      .map { case (name, _) => name -> run(name, SparkEntry.queries(name)) }
+    retry.foreach { case (name, (t, _, _)) =>
+      val (cold, _, _) = coldByName(name)
+      System.err.println(f"[bench] retry $name ${t}%.2fs (cold ${cold}%.2fs)")
+    }
+    val retryStarts = startedAt.toMap
     // End-of-session canary: same fixed plan as the cold q1_agg at the
     // top of the run. If this is multiples of the cold number, the HOST
     // degraded over the session (r4: 55x wall inflation under driver
@@ -140,6 +168,14 @@ object Bench {
     val total = ok.map(_._2._1).sum
     val cpuTotal = if (ok.exists(_._2._2 < 0)) -1.0 else ok.map(_._2._2).sum
     val warmTotal = warm.map(_._2._1).filter(_ >= 0).sum
+    // per-query min over cold/warm/retry — the steady-state headline a
+    // contended host converges to (failed runs excluded per contract)
+    val warmByName = warm.toMap
+    val retryByName = retry.toMap
+    val bestOfTotal = ok.map { case (name, (cold, _, _)) =>
+      (Seq(cold) ++ warmByName.get(name).map(_._1) ++
+        retryByName.get(name).map(_._1)).filter(_ >= 0).min
+    }.sum
     val failedNames = results.filter(_._2._1 < 0).map(_._1)
     val worst5 = ok.sortBy(-_._2._1).take(5).map { case (n, (w, _, _)) => n -> w }
 
@@ -155,8 +191,12 @@ object Bench {
       s""""queries_gc":${objOf(results.map { case (n, (_, _, g)) => n -> g })},""" +
       s""""warm_queries":${objOf(warm.map { case (n, (w, _, _)) => n -> w })},""" +
       s""""warm_queries_gc":${objOf(warm.map { case (n, (_, _, g)) => n -> g })},""" +
+      s""""retry_queries":${objOf(retry.map { case (n, (w, _, _)) => n -> w })},""" +
+      s""""retry_queries_gc":${objOf(retry.map { case (n, (_, _, g)) => n -> g })},""" +
+      s""""best_of_total":${num(bestOfTotal)},""" +
       s""""queries_t0":${objOf(results.map { case (n, _) => n -> coldStarts.getOrElse(n, -1.0) })},""" +
-      s""""warm_queries_t0":${objOf(warm.map { case (n, _) => n -> startedAt.getOrElse(n, -1.0) })},""" +
+      s""""warm_queries_t0":${objOf(warm.map { case (n, _) => n -> warmStarts.getOrElse(n, -1.0) })},""" +
+      s""""retry_queries_t0":${objOf(retry.map { case (n, _) => n -> retryStarts.getOrElse(n, -1.0) })},""" +
       s""""sf":"$sfDir"}"""
     val outFile = Paths.get("bench_out.json").toAbsolutePath
     Files.writeString(outFile, fullJson + "\n")
@@ -165,9 +205,11 @@ object Bench {
     println(
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""queries":${objOf(worst5)},"warm_total":${num(warmTotal)},""" +
+      s""""best_of_total":${num(bestOfTotal)},""" +
       s""""cpu_total":${num(cpuTotal)},"canary_cold":${num(canaryCold)},""" +
       s""""canary_end":${num(canaryEnd)},"n_queries":${results.size},""" +
-      s""""n_failed":${failedNames.size},"full":"$outFile","sf":"$sfDir"}""")
+      s""""n_failed":${failedNames.size},"n_retried":${retry.size},""" +
+      s""""full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,7 +32,7 @@ object Preflight {
   /** table -> required columns with their acceptable type families.
     * Families, not exact types: the readers tolerate e.g. int32/int64
     * drift on keys, but NOT a type the adaptive paths can't normalise. */
-  private val expectations: Map[String, Seq[ColCheck]] = Map(
+  private[graft] val expectations: Map[String, Seq[ColCheck]] = Map(
     "region" -> Seq(
       ("r_regionkey", integral, "integral"),
       ("r_name", _ == StringType, "string")),
@@ -67,6 +67,7 @@ object Preflight {
       ("l_orderkey", integral, "integral"),
       ("l_partkey", integral, "integral"),
       ("l_suppkey", integral, "integral"),
+      ("l_linenumber", integral, "integral"),
       ("l_quantity", fractional, "fractional"),
       ("l_extendedprice", fractional, "fractional"),
       ("l_discount", fractional, "fractional"),
@@ -86,11 +87,24 @@ object Preflight {
       ("doc_id", integral, "integral"),
       ("text", _ == StringType, "string"),
       ("lang", _ == StringType, "string"),
-      ("source", _ == StringType, "string")),
+      ("source", _ == StringType, "string"),
+      // physically read by corpus_domain_cap / chunk_documents /
+      // multimodal — a regeneration dropping or retyping it must fail
+      // HERE, not deep inside those queries
+      ("n_chars", integral, "integral")),
     "embeddings" -> Seq(
       ("vec_id", integral, "integral"),
       ("embedding", floatArray, "array<float|double>"),
       ("label", integral, "integral")))
+
+  /** Epoch-magnitude floor separating nanosecond longs from anything
+    * coarser: epoch-ns for any date after ~1970-04 exceeds 1e16, while
+    * epoch-µs stays below ~4.2e15 until the year 2100 (ms/s are smaller
+    * still). Tables.adaptEventTs divides LongType ts by 1000 assuming
+    * NANOS; a regeneration storing µs/ms BIGINT would pass the type
+    * check and silently produce timestamps 1000×+ too early — this
+    * value check makes that drift loud. */
+  private val MinPlausibleEpochNanos = 1e16
 
   /** All violations found under `dir`, each naming table.column, the
     * expected type family, and what the parquet actually stores. */
@@ -107,7 +121,7 @@ object Preflight {
         case Left(err) => Seq(err)
         case Right(schema) =>
           val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-          cols.flatMap { case (col, ok, expected) =>
+          val typeViolations = cols.flatMap { case (col, ok, expected) =>
             byName.get(col) match {
               case None => Some(s"$table.$col: MISSING (expected $expected)")
               case Some(dt) if !ok(dt) =>
@@ -115,6 +129,22 @@ object Preflight {
               case _ => None
             }
           }
+          // value-level check the type check can't express: a LongType
+          // events.ts is only adaptable if the longs really are NANOS
+          val magnitudeViolations =
+            if (table == "events" && typeViolations.isEmpty &&
+                byName.get("ts").contains(LongType)) {
+              import org.apache.spark.sql.functions.{abs, col, max}
+              Option(spark.read.parquet(path).agg(max(abs(col("ts"))))
+                  .head.get(0)).map(_.asInstanceOf[Long]) match {
+                case Some(mx) if mx < MinPlausibleEpochNanos => Seq(
+                  s"events.ts: LongType but max |ts| = $mx < 1e16 — these are " +
+                    "µs/ms/s longs, NOT the epoch-nanos Tables.adaptEventTs " +
+                    "assumes (its ÷1000 would shift every timestamp 1000×+ early)")
+                case _ => Nil
+              }
+            } else Nil
+          typeViolations ++ magnitudeViolations
       }
     }
   }

@@ -31,6 +31,52 @@ class PreflightSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("events.ts"))
   }
 
+  test("a LongType events.ts whose values are NOT nanos fails loudly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_preflight_us").toString
+    // µs-magnitude BIGINTs pass the type check (LongType is adaptable)
+    // but adaptEventTs's ÷1000 would silently shift them 1000× early —
+    // the magnitude check must catch exactly this
+    Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts")))
+      .limit(10).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val v = Preflight.violations(spark, dir)
+    assert(v.exists(s => s.startsWith("events.ts:") && s.contains("NOT the epoch-nanos")),
+      s"µs-magnitude longs must be flagged, got: $v")
+    // and genuine nanos-magnitude longs pass
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_preflight_ns").toString
+    Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts")) * 1000L)
+      .limit(10).write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    assert(!Preflight.violations(spark, dir2).exists(_.startsWith("events.ts")),
+      "nanos-magnitude longs are the adaptable form and must pass")
+  }
+
+  test("every stored column the source physically reads is preflight-covered") {
+    // audit, pinned: for each testdata table, any stored column name
+    // referenced anywhere in the main source tree must appear in the
+    // expectations map — otherwise a regeneration dropping it fails
+    // deep inside a query instead of in Preflight (the r6 ADVICE gap:
+    // documents.n_chars was read by three queries but unasserted)
+    val srcFiles = {
+      val root = java.nio.file.Paths.get("src/main/scala")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(_.toString.endsWith(".scala"))
+        .map[String](java.nio.file.Files.readString(_))
+        .toArray.mkString("\n")
+      finally s.close()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gaps = Tables.All.flatMap { t =>
+      val stored = spark.read.parquet(s"$sf/$t.parquet").schema.fieldNames
+      val covered = Preflight.expectations(t).map(_._1).toSet
+      stored.filter(c => !covered(c) && srcFiles.contains(s""""$c""""))
+        .map(c => s"$t.$c")
+    }
+    assert(gaps.isEmpty,
+      s"source reads stored columns Preflight never asserts: $gaps")
+  }
+
   test("a missing required column is reported as MISSING by name") {
     val dir = java.nio.file.Files.createTempDirectory("graft_preflight2").toString
     Tables.events(spark, sf).drop("user_id")
