@@ -845,26 +845,29 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
       .select(col("doc_id"), size(words(col("text"))).as("n_ws"))
-    // pinned: grams feeds BOTH the ≥2-doc aggregate and the position
-    // join with different exchange children, so ReuseExchange cannot
-    // apply — without the checkpoint the explode+md5 pass (the heavy
-    // stage) would run twice. Result-feeding, so the harness sweep
-    // frees it post-action (Checkpoints policy).
-    val (grams, _) = graft.Checkpoints.tracked(documents(s, d)
+    // SINGLE consumption of the explode+md5 pass (r7; was checkpoint +
+    // ≥2-doc aggregate + join back — two full-stream shuffles and a
+    // materialization): "spans ≥2 distinct docs" needs no COUNT
+    // DISTINCT, it is exactly min(doc_id) ≠ max(doc_id) over the gram
+    // hash — one window over h consumes the position stream once, in
+    // one shuffle, and the checkpoint (which existed only because two
+    // consumers defeated ReuseExchange) disappears.
+    val wH = Window.partitionBy(col("h"))
+    val grams = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ws) - ${k - 1}), " +
           s"i -> md5(cast(concat_ws(' ', slice(ws, i, $k)) as binary)))")))
-      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h")))
-    val dup = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2).select(col("h"))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("start"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val islands = grams.join(dup, "h")
+    val islands = grams
+      .withColumn("dmin", min(col("doc_id")).over(wH))
+      .withColumn("dmax", max(col("doc_id")).over(wH))
+      .filter(col("dmin") =!= col("dmax"))
       .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("e"))
       .withColumn("flag",
         when(col("start") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1)

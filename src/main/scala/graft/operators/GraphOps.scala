@@ -36,14 +36,27 @@ object GraphOps {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(
       (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+    // distinct BEFORE symmetrising (r7; was distinct over the doubled
+    // union): part/supplier node ids live in disjoint namespaces
+    // (even/odd), so the two symmetrised halves are disjoint by
+    // construction and the swap needs no second dedup — half the
+    // distinct's shuffle. Then pre-partition ONCE on dst, the
+    // per-iteration aggregation key: the checkpoint's LogicalRDD
+    // carries the partitioning, so every iteration's contribution
+    // groupBy(dst) runs EXCHANGE-FREE on the pinned edges (the rank
+    // side broadcasts; a BroadcastHashJoin preserves the streamed
+    // side's partitioning).
+    val pairs = li.distinct()
     val (edges, releaseEdges) = graft.Checkpoints.tracked(
-      li.select(col("p").as("src"), col("sup").as("dst"))
-        .union(li.select(col("sup").as("src"), col("p").as("dst")))
-        .distinct()) // reused every iteration: pin it once
+      pairs.select(col("p").as("src"), col("sup").as("dst"))
+        .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
+        .repartition(col("dst")))
     // every node IS a src (edges are symmetrised), so the degree table
     // doubles as the node list; pinned once, and deg rides along in
     // the rank state so each iteration needs ONE join with the edges
-    // instead of separate rank and degree joins
+    // instead of separate rank and degree joins. groupBy(src) lands it
+    // hash-partitioned on node — co-partitioned with each iteration's
+    // contribs, so the rank update join is exchange-free too.
     val (nd, releaseNd) = graft.Checkpoints.tracked(
       edges.groupBy("src").agg(count(lit(1)).as("deg"))
         .withColumnRenamed("src", "node"))
@@ -51,7 +64,7 @@ object GraphOps {
     var releasePrev: () => Unit = () => ()
     for (i <- 1 to Iters) {
       val contribs = edges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         // quantise BEFORE the sum: an exact integer sum is independent
         // of partial-aggregation order, where a double sum is not
         .select(col("dst").as("node"),
