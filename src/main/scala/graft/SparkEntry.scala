@@ -13,6 +13,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_ngram_dfcap" -> ((s, d) => Dedup.ngramDfCap(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -87,6 +88,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exactSql,
     "dedup_corpus" -> Dedup.dedupCorpusSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_ngram_dfcap" -> Dedup.ngramDfCapSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_fuzzy" -> Dedup.fuzzySql,

@@ -170,13 +170,16 @@ object Dedup {
     * silently desynchronize one oracle from the Spark side it checks.
     * (This val is a plain literal — only the CONSUMER strings are
     * s-interpolated, so a literal $ added there must be doubled.) */
-  private val ShPairsCte: String =
+  private val ShCte: String =
     """sh AS (
       |  SELECT doc_id, UNNEST(list_distinct(list_transform(
       |           generate_series(1, len(string_split(text, ' ')) - 1),
       |           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]))) AS sh
       |  FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 2),
+      |  WHERE len(string_split(text, ' ')) >= 2)""".stripMargin
+
+  private val ShPairsCte: String =
+    s"""$ShCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |common AS (
       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
@@ -234,6 +237,91 @@ object Dedup {
 
   val ngramJaccardSql: String =
     s"""WITH $ShPairsCte
+      |SELECT doc_a, doc_b,
+      |  CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) AS jaccard
+      |FROM common
+      |JOIN sizes a ON a.doc_id = doc_a
+      |JOIN sizes b ON b.doc_id = doc_b
+      |ORDER BY jaccard DESC, doc_a, doc_b
+      |LIMIT 20""".stripMargin
+
+  /** Document-frequency cap for [[ngramDfCap]]'s candidate generation,
+    * shared by the Spark side and the oracle (which replays it).
+    * At sf0.1 the per-shingle df distribution is bimodal: 31 shingles
+    * with df ≤ 50 vs 900 boilerplate shingles at df 101-338 carrying
+    * 99.997% of the 36.5M-row shared-shingle pair work — any cap in
+    * [50, 200] selects the same rare set, so 200 is the loose end of
+    * the plateau. */
+  val NgramDfCapThreshold = 200
+
+  /** df-capped exact-pair dedup — the hot-key-proof scale shape for
+    * the shared-shingle family (standard PPJoin/prefix practice:
+    * Xiao et al., WWW'08).
+    *
+    * [[ngramJaccard]]/[[containment]]'s shared-shingle join is
+    * quadratic in per-shingle document frequency: at 100 TB one
+    * boilerplate bigram ("all rights" in every page footer) is a
+    * hot-key blowup that no partitioning fixes. The cap drops shingles
+    * with df > [[NgramDfCapThreshold]] from CANDIDATE GENERATION only;
+    * surviving candidate pairs are then confirmed with EXACT Jaccard
+    * over their FULL shingle sets (per-doc sorted hash arrays — each
+    * bounded by doc length, so the confirm join shuffles candidate
+    * pairs + per-doc arrays, never the df² pair explosion).
+    *
+    * Measured trade at sf0.1 (SURVEY §6): candidates 9.7M → 1,071
+    * (0.011%); all 9 exact-duplicate pairs (J = 1.0) survive — an
+    * exact dup shares EVERY shingle, so one rare shingle anywhere in
+    * the doc keeps the pair — while near-dups composed purely of
+    * boilerplate are lost (top-20 recall 45% on this deliberately
+    * tiny-vocab corpus, the same adversarial shape that defeats the
+    * PPJoin prefix path in the §6 Strategy A/B). On a Zipfian real
+    * corpus the rare tail dominates every document and recall ≈ 1;
+    * minhash banding remains the scale path for hot-only near-dups.
+    */
+  def ngramDfCap(s: SparkSession, d: String,
+      cap: Int = NgramDfCapThreshold): DataFrame = {
+    val sh = shingles(s, d)
+    // sh is distinct per doc, so count(*) per shingle IS document freq
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select(col("sh"))
+    val shRare = sh.join(rare, "sh")
+    val cand = shRare.as("x")
+      .join(shRare.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val docsets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n_sh"))
+    val confirmed = cand
+      .join(docsets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(docsets.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        col("n_a"), col("n_b"))
+    withJaccard(confirmed)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Oracle replays the IDENTICAL cap on string shingles (same
+    * df-equivalence argument as every shingle oracle: xxhash64 is
+    * collision-free at this universe). */
+  val ngramDfCapSql: String =
+    s"""WITH $ShCte,
+      |df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  WHERE x.sh IN (SELECT sh FROM df WHERE df <= $NgramDfCapThreshold)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.doc_a
+      |  JOIN sh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+      |  GROUP BY c.doc_a, c.doc_b)
       |SELECT doc_a, doc_b,
       |  CAST(common AS DOUBLE) / (a.n_sh + b.n_sh - common) AS jaccard
       |FROM common

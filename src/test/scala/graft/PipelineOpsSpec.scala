@@ -56,6 +56,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"LSH should recover >=90% of jaccard>0.8 pairs, got $recovered/${hot.length}")
   }
 
+  test("ngramDfCap: capped pairs carry exact full-set jaccard and keep every exact-dup pair") {
+    // the cap prunes CANDIDATES only; confirmed scores must be the
+    // same exact Jaccard the uncapped path computes for those pairs
+    val brute = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = Dedup.ngramDfCap(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(capped.nonEmpty, "df-cap should leave candidates at test SF")
+    capped.foreach { case (pair, j) =>
+      brute.get(pair).foreach(bj =>
+        assert(math.abs(bj - j) < 1e-12,
+          s"pair $pair capped j=$j != brute j=$bj"))
+    }
+    // exact dups share EVERY shingle, so any rare shingle keeps the
+    // pair: all J=1.0 pairs in the brute top-20 must survive the cap
+    val exactDups = brute.filter(_._2 >= 1.0 - 1e-12).keySet
+    val cappedPairs = capped.map(_._1).toSet
+    assert(exactDups.subsetOf(cappedPairs),
+      s"lost exact-dup pairs: ${exactDups -- cappedPairs}")
+  }
+
   test("dedup_minhash oracle-exactness margin: no true pair sits near the 0.5 threshold") {
     // the driver oracle for dedup_minhash is the EXACT all-pairs J>=0.5
     // result; LSH equality is recall-conditional and only overwhelming
