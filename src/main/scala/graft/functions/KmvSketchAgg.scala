@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.security.MessageDigest
+import java.util.TreeSet
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bounded k-minimum-values sketch as a true mergeable aggregate.
+  *
+  * The KMV distinct-count estimator needs exactly the k smallest
+  * md5 hashes of the DISTINCT input values per group. Expressing that
+  * with built-ins takes a distinct shuffle plus two ranking windows
+  * (the q49 shape before r7) — three exchanges of the full value
+  * stream. This aggregate holds the invariant directly in its buffer:
+  * a sorted set of hex digests truncated at k, so
+  *
+  *  - partial state is ≤ k × 32-char strings per (group × partition)
+  *    — map-side partials collapse the raw stream BEFORE the only
+  *    exchange, which then moves sketches, not values;
+  *  - duplicates vanish structurally (set semantics ⇒ no distinct
+  *    pre-pass);
+  *  - merge = set-union + re-truncate, associative and commutative —
+  *    the property that makes KMV the engine-portable sketch at
+  *    100 TB (a billion-row group still ships k hashes).
+  *
+  * Hashing matches SQL `md5(CAST(v AS STRING))` bit-for-bit (lowercase
+  * hex of the UTF-8 decimal string), so a DuckDB oracle replaying the
+  * same k-smallest ranking reproduces the output exactly; the
+  * estimate math stays OUTSIDE the aggregate in shared column
+  * expressions. Hex strings order lexicographically = numerically
+  * (fixed width, lowercase), the same collation both engines use.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TreeSet[String]] with UnaryLike[Expression] {
+
+  require(k > 0, s"kmv_sketch k must be positive, got $k")
+
+  override def createAggregationBuffer(): TreeSet[String] = new TreeSet[String]()
+
+  private def insert(buffer: TreeSet[String], h: String): Unit =
+    if (buffer.size < k) { buffer.add(h); () }
+    else if (h.compareTo(buffer.last) < 0 && buffer.add(h)) { buffer.pollLast(); () }
+
+  override def update(buffer: TreeSet[String], input: InternalRow): TreeSet[String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val str = v match {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+      insert(buffer, KmvSketch.md5Hex(str))
+    }
+    buffer
+  }
+
+  override def merge(buffer: TreeSet[String], other: TreeSet[String]): TreeSet[String] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buffer, it.next())
+    buffer
+  }
+
+  override def eval(buffer: TreeSet[String]): Any = {
+    val kth = if (buffer.size >= k) UTF8String.fromString(buffer.last) else null
+    InternalRow(buffer.size.toLong, kth)
+  }
+
+  // 32 ASCII bytes per digest, fixed width — length-prefix-free framing
+  override def serialize(buffer: TreeSet[String]): Array[Byte] = {
+    val out = new Array[Byte](buffer.size * 32)
+    var i = 0
+    val it = buffer.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, i * 32, 32)
+      i += 1
+    }
+    out
+  }
+
+  override def deserialize(bytes: Array[Byte]): TreeSet[String] = {
+    val buffer = new TreeSet[String]()
+    var i = 0
+    while (i < bytes.length) {
+      buffer.add(new String(bytes, i, 32, "US-ASCII"))
+      i += 32
+    }
+    buffer
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("kth", StringType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_sketch"
+}
+
+object KmvSketch {
+  /** Lowercase hex MD5 of the UTF-8 bytes — identical to SQL
+    * `md5(CAST(v AS STRING))` on both Spark and DuckDB. */
+  def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** `kmv_sketch(v, k) -> struct(cnt, kth)`: cnt = distinct count
+    * capped at k; kth = k-th smallest md5 hex (null while cnt < k). */
+  def kmvSketch(c: Column, k: Int): Column =
+    shim.toColumn(KmvSketch(shim.toExpression(c), k).toAggregateExpression())
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables._
@@ -234,13 +234,19 @@ object Analytics4 {
   // Orders spanning ≥2 suppliers with ≥1 returned item (the TPC-H
   // Q21-ish shape): ONE aggregation over lineitem computes both
   // conditions, then a broadcast-joined rollup by priority — no
-  // correlated subquery re-scans.
+  // correlated subquery re-scans. "≥2 distinct suppliers" is exactly
+  // min(l_suppkey) != max(l_suppkey): a COUNT(DISTINCT) here would
+  // plan as a two-level aggregate with NO map-side partial reduction
+  // (every (orderkey, suppkey) pair shuffles); min/max keep the
+  // single two-phase hash agg where partials collapse each order's
+  // lines before the exchange. The oracle keeps COUNT(DISTINCT) — the
+  // predicates are equivalent, so the result is identical.
   def q48(s: SparkSession, d: String): DataFrame = {
     val profile = lineitem(s, d)
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+      .agg(min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"),
         max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_ret"))
-      .filter(col("n_supp") >= 2 && col("has_ret") === 1)
+      .filter(col("s_min") =!= col("s_max") && col("has_ret") === 1)
       .select(col("l_orderkey"))
     orders(s, d)
       .join(profile, col("o_orderkey") === col("l_orderkey"))
@@ -268,37 +274,33 @@ object Analytics4 {
   // estimator is not: the k smallest md5 hashes of the distinct values
   // are deterministic, so estimate = (k-1) / (kth smallest hash as a
   // fraction of the hash space) is bit-identical on every engine.
-  // The k-smallest is computed in TWO phases (per-partition k-smallest,
-  // then a rank over the <= k×P survivors per group) — the global sort
-  // a naive rank window needs never happens; at 100 TB this is the
-  // standard distributed top-k shape. Groups with < k distinct values
-  // short-circuit to the exact count.
-  private def kmvEstimate(df: DataFrame, valCol: String,
-      alias: String, k: Int): DataFrame = {
-    val dv = df.select(col("l_returnflag"), col(valCol)).distinct()
-      .select(col("l_returnflag"),
-        md5(col(valCol).cast("string").cast("binary")).as("h"))
-    val local = dv.withColumn("pid", spark_partition_id())
-      .withColumn("lrk", row_number().over(
-        Window.partitionBy(col("l_returnflag"), col("pid")).orderBy(col("h"))))
-      .filter(col("lrk") <= k)
-    val top = local.withColumn("rk", row_number().over(
-        Window.partitionBy(col("l_returnflag")).orderBy(col("h"))))
-      .filter(col("rk") <= k)
-    top.groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("cnt"),
-        max(when(col("rk") === k, col("h"))).as("kth"))
-      .select(col("l_returnflag"),
-        when(col("cnt") < k, col("cnt"))
-          .otherwise(floor(lit((k - 1).toDouble) /
-            (conv(substring(col("kth"), 1, 15), 16, 10).cast("bigint") /
-              lit(1152921504606846976.0))).cast("bigint")).as(alias))
+  // Both sketches come from ONE aggregation pass over lineitem via the
+  // bounded KmvSketch aggregate (graft.functions.KmvSketchAgg): each
+  // partial buffer is a ≤ k-element sorted digest set, so map-side
+  // partials collapse the raw stream before the only exchange — the
+  // prior shape (distinct shuffle + two ranking windows PER COLUMN,
+  // six exchanges total) shipped the full value stream three times.
+  // Groups with < k distinct values short-circuit to the exact count
+  // (the sketch's capped cnt is exact below k).
+  private def kmvCol(sketch: Column, alias: String, k: Int): Column = {
+    val cnt = sketch.getField("cnt")
+    val kth = sketch.getField("kth")
+    when(cnt < k, cnt)
+      .otherwise(floor(lit((k - 1).toDouble) /
+        (conv(substring(kth, 1, 15), 16, 10).cast("bigint") /
+          lit(1152921504606846976.0))).cast("bigint")).as(alias)
   }
 
   def q49(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d)
-    kmvEstimate(li, "l_orderkey", "kmv_orders", 256)
-      .join(kmvEstimate(li, "l_partkey", "kmv_parts", 256), "l_returnflag")
+    import graft.functions.KmvSketch.kmvSketch
+    val k = 256
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(kmvSketch(col("l_orderkey"), k).as("so"),
+        kmvSketch(col("l_partkey"), k).as("sp"))
+      .select(col("l_returnflag"),
+        kmvCol(col("so"), "kmv_orders", k),
+        kmvCol(col("sp"), "kmv_parts", k))
       .orderBy(col("l_returnflag"))
   }
 

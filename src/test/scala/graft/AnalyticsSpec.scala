@@ -112,6 +112,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("KmvSketch aggregate equals an in-memory k-smallest-md5 replay") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.KmvSketch
+    val k = 16
+    // 8 partitions force the partial/merge/serde paths; g=6 has only
+    // 10 distinct values (< k) to exercise the exact-count branch
+    val df = SparkTestSession.spark.range(0, 1000)
+      .select((col("id") % 7).as("g"),
+        when(col("id") % 7 === 6, col("id") % 10)
+          .otherwise(col("id") % 333).as("v"))
+      .repartition(8)
+    val got = df.groupBy(col("g"))
+      .agg(KmvSketch.kmvSketch(col("v"), k).as("s"))
+      .select(col("g"), col("s.cnt"), col("s.kth")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2)))).toMap
+    val rows = (0L until 1000L).map(id =>
+      (id % 7, if (id % 7 == 6) id % 10 else id % 333))
+    val exp = rows.groupBy(_._1).map { case (g, vs) =>
+      val hs = vs.map(_._2).distinct.map(v => KmvSketch.md5Hex(v.toString)).sorted
+      (g, (math.min(hs.size, k).toLong, if (hs.size >= k) hs(k - 1) else null))
+    }
+    assert(got == exp)
+    assert(got(6L)._2 == null, "under-k group must report exact cnt, null kth")
+  }
+
   test("q51 funnel equals a sequential per-user replay with conversion windows") {
     import org.apache.spark.sql.functions._
     val evs = Tables.events(spark, sf)
