@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Larger-SF scaling measurement for the dedup-pair + ANN families
+  * (SURVEY §6): amplifies the sf0.1 corpus ×R and times the heavy
+  * subset at ×1 vs ×R on identical plans, turning the "fixed overhead
+  * amortizes" extrapolation into a measurement one scale decade up.
+  *
+  * Amplification is REALISTIC growth, not naive replication:
+  *  - documents: replica k > 0 prefixes every word with `r<k>_`, so
+  *    replicas share no shingles — vocabulary grows with the corpus
+  *    (the Zipfian property real corpora have) and per-shingle df
+  *    stays at base level instead of multiplying by R, which would
+  *    make exact pair work scale R² by construction and measure the
+  *    amplifier, not the operator. doc_id offset 1e8 per replica.
+  *  - embeddings: replica k > 0 adds a deterministic per-dimension
+  *    xxhash64 perturbation (≤ 1e-3) so replica vectors are distinct
+  *    but the space keeps its geometry. vec_id offset 1e8.
+  *
+  * Usage: `sbt "runMain graft.ScaleUp [baseDir] [outDir]"` with
+  * SPARK_GRAFT_SCALE=5 (default). Writes amplified parquet under
+  * target/scale_sweep (gitignored) once — reruns reuse it — and
+  * prints one JSON line with per-query seconds at both scales.
+  */
+object ScaleUp {
+
+  /** The queries the r6 verdict asked to scale-check: the exact-pair
+    * dedup family (quadratic danger zone), its banded/capped scale
+    * paths, and the ANN serving pipeline. */
+  private val Subset = Seq(
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_ngram_dfcap", "dedup_substring", "dedup_simhash",
+    "dedup_clusters", "dedup_embedding",
+    "ann_bruteforce", "ann_index_build", "ann_ivfpq_rerank")
+
+  private def amplify(spark: SparkSession, base: String, out: String, r: Int): Unit = {
+    val marker = java.nio.file.Paths.get(out, "_GRAFT_SCALE_OK")
+    if (java.nio.file.Files.exists(marker)) return
+    val reps = spark.range(0, r).select(col("id").cast("int").as("rep"))
+    Tables.documents(spark, base)
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 100000000L).as("doc_id"),
+        when(col("rep") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit("r"), col("rep").cast("string"), lit("_"), w)),
+            " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      // spread the corpus over many files: a single fat parquet file
+      // gives the ×R scans 2-4 input splits and funnels the pair-stage
+      // aggregations into a couple of giant tasks (observed: 12-min
+      // single-task stages) — real corpora are many-file by nature
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet")
+      .crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("rep").cast("long") * 100000000L).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          // zip_with against the index sequence = transform-with-index
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x + (pmod(xxhash64(col("vec_id"), col("rep"), i),
+              lit(1000)).cast("double") / lit(1000000.0)).cast("float"))
+              .cast("float"))).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    java.nio.file.Files.createFile(marker): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val r = sys.env.getOrElse("SPARK_GRAFT_SCALE", "5").toInt
+    val out = args.lift(1).getOrElse(s"target/scale_sweep/x$r")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    amplify(spark, base, out, r)
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        Checkpoints.sweeping(spark) {
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+        }
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once()) // min-of-2: second run is plan-warm
+    }
+
+    val only = SparkEntry.parseOnly()
+    val rows = Subset.filter(q => only.forall(_.contains(q)))
+      .map { q =>
+        val t1 = time(q, base)
+        val tr = time(q, out)
+        System.err.println(f"[scale] $q%-22s x1 $t1%7.2fs  x$r $tr%7.2fs  ratio ${tr / t1}%5.2f")
+        q -> (t1, tr)
+      }
+    val json = rows.map { case (q, (t1, tr)) =>
+      f""""$q":{"x1":$t1%.3f,"x$r":$tr%.3f,"ratio":${tr / t1}%.2f}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scaleup","factor":$r,"base":"$base","queries":$json}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"target/scale_sweep/result_x$r.json"), line): Unit
+    spark.stop()
+  }
+}

@@ -14,6 +14,7 @@ object SparkEntry {
     "dedup_corpus" -> ((s, d) => Dedup.dedupCorpus(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_dfcap" -> ((s, d) => Dedup.ngramDfCap(s, d)),
+    "dedup_bloom" -> ((s, d) => Dedup.bloomDedup(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -89,6 +90,7 @@ object SparkEntry {
     "dedup_corpus" -> Dedup.dedupCorpusSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_ngram_dfcap" -> Dedup.ngramDfCapSql,
+    "dedup_bloom" -> Dedup.bloomDedupSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_fuzzy" -> Dedup.fuzzySql,

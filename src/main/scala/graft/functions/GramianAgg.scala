@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.shim
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-pass quantised Gramian (outer-product sum) accumulation.
+  *
+  * Covariance over a d-dim embedding corpus needs Σ cxᵢ·cxⱼ for all
+  * (i, j). Expressed with built-ins that is a posexplode (n×d rows) +
+  * self-join on vec_id (n×d² rows) + d²-group aggregate — the join
+  * output stream is 4,096× the row count at d = 64. This aggregate
+  * accumulates the full d×d Gramian per input ROW into a d²-long
+  * buffer (32 KB at d = 64): n rows stream through once, partials
+  * merge element-wise, and only d² longs ever shuffle. At 100 TB this
+  * is how covariance is actually computed (one pass, fixed-size
+  * state); the explode/join shape was measuring the amplifier.
+  *
+  * Quantisation matches the oracle bit-for-bit: each term is
+  * floor((cxᵢ·cxⱼ)·1e9) summed exactly in Long — identical values to
+  * the prior DECIMAL(28,0) sums (bound: |term| ≤ 1e9, n ≤ 9e9 before
+  * overflow; the corpus is 5e3 and a guard asserts d matches).
+  */
+case class GramianSums(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(d > 0, s"gramian_sums d must be positive, got $d")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * d)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      require(arr.numElements() == d,
+        s"gramian_sums: vector of ${arr.numElements()} elements, expected $d")
+      val xs = new Array[Double](d)
+      var i = 0
+      while (i < d) { xs(i) = arr.getDouble(i); i += 1 }
+      i = 0
+      while (i < d) {
+        val xi = xs(i)
+        val row = i * d
+        var j = 0
+        while (j < d) {
+          buffer(row + j) += math.floor(xi * xs(j) * 1e9).toLong
+          j += 1
+        }
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramianSums =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramianSums =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramianSums =
+    copy(child = newChild)
+  override def prettyName: String = "gramian_sums"
+}
+
+object GramianSums {
+  /** `gramian_sums(vec, d) -> array<long>` of d² quantised
+    * outer-product sums (row-major), over array<double> input. */
+  def gramianSums(c: Column, d: Int): Column =
+    shim.toColumn(GramianSums(shim.toExpression(c), d).toAggregateExpression())
+}

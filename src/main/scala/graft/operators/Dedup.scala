@@ -1019,4 +1019,108 @@ object Dedup {
       |            / len(string_split(d.text, ' ')) END AS dup_fraction
       |FROM documents d LEFT JOIN cov USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Bloom parameters, shared verbatim by the oracle. m is a power of
+    * two well above 4 hashes × corpus size (16k set bits of 131,072 →
+    * ~12% fill, fpp ≈ 0.12⁴ ≈ 2e-4 on this corpus). */
+  val BloomBits = 131072L
+  val BloomHashes = 4
+
+  /** `dedup_bloom` — Bloom-filter incremental dedup: the
+    * membership-probe primitive for "is this incoming document already
+    * in the corpus?" at 100 TB, where the exact answer (a shuffle join
+    * of the batch against the full corpus hash set) is the thing you
+    * cannot afford per ingest tick. The corpus side compresses to a
+    * fixed-size bit set that BROADCASTS; each batch doc probes locally;
+    * only the (tiny) hit set pays the exact confirm join — the same
+    * candidates→confirm discipline as minhash/LSH, applied to exact
+    * membership. No false negatives by construction; false positives
+    * are bounded by the fill factor and washed out by the confirm.
+    *
+    * Everything is engine-portable, so the oracle replays the FILTER
+    * ITSELF, not just the final answer: positions are double-hashed
+    * from md5 (h1 = hex[1,15], h2 = hex[16,15], posᵢ = (h1+i·h2) mod
+    * m — Kirsch-Mitzenmacher), the corpus bit set is the DISTINCT
+    * position set, and a probe hits iff ALL its distinct positions are
+    * set — plain relational algebra on both engines, bit-identical.
+    *
+    * Spark shape: the corpus position set aggregates to ≤ m rows and
+    * broadcasts into the probe join (at real scale the same positions
+    * pack into a bitmap via a bounded aggregate and ship as one row —
+    * the join below IS that bitmap lookup, expressed relationally);
+    * the batch side never shuffles by content. Output per batch doc:
+    * bloom_hit (probe answer) and true_dup (exact confirm), so the
+    * false-positive behaviour is itself part of the gated result. */
+  def bloomDedup(s: SparkSession, d: String): DataFrame = {
+    val m = BloomBits
+    val k = BloomHashes
+    def hashed(df: DataFrame): DataFrame = {
+      val h = md5(col("text").cast("binary"))
+      df.select(col("doc_id"),
+        conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 16, 15), 16, 10).cast("long").as("h2"))
+    }
+    def positions(df: DataFrame): DataFrame =
+      hashed(df)
+        .select(col("doc_id"), col("h1"), col("h2"),
+          explode(sequence(lit(0), lit(k - 1))).as("i"))
+        .select(col("doc_id"),
+          pmod(col("h1") + col("i") * col("h2"), lit(m)).as("pos"))
+        .distinct() // K-M doubles can collide within a doc: count sets, not probes
+    val corpus = documents(s, d).filter(col("doc_id") % 10 < 8)
+    val batch = documents(s, d).filter(col("doc_id") % 10 >= 8)
+    val bits = positions(corpus).select(col("pos")).distinct()
+    val probes = positions(batch)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
+    val hits = positions(batch).join(broadcast(bits), "pos")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    // exact confirm: batch content hash present in the corpus hash set
+    val corpusH = hashed(corpus).select(col("h1").as("c1"), col("h2").as("c2")).distinct()
+    val dups = hashed(batch)
+      .join(corpusH, col("h1") === col("c1") && col("h2") === col("c2"),
+        "left_semi")
+      .select(col("doc_id"))
+    probes.join(hits, Seq("doc_id"), "left")
+      .join(dups.withColumn("td", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_hit"), lit(0L)) === col("n_pos")).as("bloom_hit"),
+        coalesce(col("td"), lit(false)).as("true_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bloomDedupSql: String = {
+    val m = BloomBits
+    val k = BloomHashes
+    // 15-hex-char → BIGINT, the q49 hexval replay (DuckDB has no conv)
+    def hexval(e: String): String =
+      s"""list_reduce(list_transform(string_split(substr($e, 1, 15), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (a, d) -> a * 16 + d)""".stripMargin
+    s"""WITH h AS (
+      |  SELECT doc_id,
+      |    ${hexval("md5(text)")} AS h1,
+      |    ${hexval("substr(md5(text), 16, 15)")} AS h2
+      |  FROM documents),
+      |cpos AS (
+      |  SELECT DISTINCT (h1 + i * h2) % $m AS pos
+      |  FROM h, UNNEST(generate_series(0, ${k - 1})) AS t(i)
+      |  WHERE doc_id % 10 < 8),
+      |bpos AS (
+      |  SELECT DISTINCT doc_id, (h1 + i * h2) % $m AS pos
+      |  FROM h, UNNEST(generate_series(0, ${k - 1})) AS t(i)
+      |  WHERE doc_id % 10 >= 8),
+      |probes AS (SELECT doc_id, COUNT(*) AS n_pos FROM bpos GROUP BY doc_id),
+      |hits AS (
+      |  SELECT doc_id, COUNT(*) AS n_hit
+      |  FROM bpos JOIN cpos USING (pos) GROUP BY doc_id),
+      |dups AS (
+      |  SELECT DISTINCT b.doc_id
+      |  FROM h b JOIN h c ON b.h1 = c.h1 AND b.h2 = c.h2
+      |  WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8)
+      |SELECT p.doc_id,
+      |  COALESCE(hits.n_hit, 0) = p.n_pos AS bloom_hit,
+      |  p.doc_id IN (SELECT doc_id FROM dups) AS true_dup
+      |FROM probes p LEFT JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+  }
 }

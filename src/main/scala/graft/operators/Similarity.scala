@@ -972,44 +972,51 @@ object Similarity {
     * matvec, integer max normaliser), and the projections are quantised
     * integer sums again — no step depends on engine summation order.
     *
-    * 100 TB: the covariance is ONE map-side-combined aggregation of
-    * per-row outer products keyed on (i, j) — d² = 4,096 groups — fed
-    * by a vec_id-co-partitioned self-join of the centred coordinates;
-    * the d² result (32 KB) is the legitimate bounded driver table on
-    * which the eigen-iteration runs (pure d²-cost math, no data); the
-    * components then broadcast back for a narrow projection pass. No
-    * stage scales worse than the input scan. */
+    * 100 TB: the covariance is ONE pass through the vectors via the
+    * [[graft.functions.GramianSums]] aggregate — each row's full d×d
+    * quantised outer product accumulates into a d²-long buffer
+    * (32 KB at d = 64), partials merge element-wise, and only d²
+    * longs ever shuffle (the prior explode + vec_id-self-join shape
+    * streamed n×d² = 4,096× the row count through a join before
+    * aggregating — measuring the amplifier, not the covariance). The
+    * d² result and the d-element mean vector are the legitimate
+    * bounded driver tables on which the eigen-iteration runs (pure
+    * d²-cost math, no data); the components then fold back as literal
+    * arrays in a narrow zip_with projection pass — no explode, no
+    * join, no per-vector aggregate. No stage scales worse than the
+    * input scan. */
   def pca(s: SparkSession, d: String, iters: Int = 12): DataFrame = {
     import graft.queries.Frags.davg9
-    val x = embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
-    val mu = x.groupBy(col("dim")).agg(expr(davg9("x")).as("mean"))
-    val cx = x.join(broadcast(mu), "dim")
-      .select(col("vec_id"), col("dim"), (col("x") - col("mean")).as("cx"))
-    val cov = cx.toDF("vec_id", "i", "cxa")
-      .join(cx.toDF("vec_id", "j", "cxb"), "vec_id")
-      .groupBy(col("i"), col("j"))
-      .agg((sum(floor(col("cxa") * col("cxb") * 1e9).cast("decimal(28,0)"))
-        .cast("double") / 1e9 / count(lit(1))).as("c"))
-    // d² = 4,096 doubles: the bounded driver table the eigensolve runs on
-    val covRows = cov.collect()
-    val dim = covRows.iterator.map(_.getAs[Int]("i")).max + 1
-    val c1 = Array.ofDim[Double](dim, dim)
-    covRows.foreach(r => c1(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c"))
+    import graft.functions.GramianSums.gramianSums
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // per-dim quantised means: d rows, the first bounded driver table
+    val muRows = e
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .groupBy(col("dim")).agg(expr(davg9("CAST(xf AS DOUBLE)")).as("mean"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val dim = muRows.keys.max + 1
+    val muLit = array((0 until dim).map(i => lit(muRows(i))): _*)
+    def cent = zip_with(col("embedding"), muLit,
+      (xv, m) => xv.cast("double") - m)
+    // one-pass Gramian: d² quantised sums, the second bounded table
+    val gRow = e.agg(gramianSums(cent, dim).as("sums"),
+      count(lit(1)).as("n")).head()
+    val sums = gRow.getSeq[Long](0)
+    val n = gRow.getLong(1)
+    val c1 = Array.tabulate(dim, dim)((i, j) =>
+      sums(i * dim + j).toDouble / 1e9 / n)
     val v1 = pcaPowerIter(c1, iters)
     val lam1 = pcaRayleigh(c1, v1)
     val c2 = Array.tabulate(dim, dim)((i, j) => c1(i)(j) - lam1 * v1(i) * v1(j))
     val v2 = pcaPowerIter(c2, iters)
-    val comps = s.createDataFrame(
-      (0 until dim).map(j => (j, v1(j), v2(j)))).toDF("dim", "v1", "v2")
-    cx.join(broadcast(comps), "dim")
-      .groupBy(col("vec_id"))
-      .agg(
-        (sum(floor(col("cx") * col("v1") * 1e9).cast("decimal(28,0)"))
-          .cast("double") / 1e9).as("p1"),
-        (sum(floor(col("cx") * col("v2") * 1e9).cast("decimal(28,0)"))
-          .cast("double") / 1e9).as("p2"))
+    // projections: literal components folded per row — same quantised
+    // long sums as the prior decimal aggregation, term for term
+    def proj(v: Array[Double], alias: String): Column =
+      (aggregate(
+        zip_with(cent, array(v.map(lit).toIndexedSeq: _*),
+          (cx, c) => floor(cx * c * lit(1e9))),
+        lit(0L), (acc, t) => acc + t).cast("double") / 1e9).as(alias)
+    e.select(col("vec_id"), proj(v1, "p1"), proj(v2, "p2"))
       .orderBy(col("vec_id"))
   }
 

@@ -77,6 +77,35 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"lost exact-dup pairs: ${exactDups -- cappedPairs}")
   }
 
+  test("dedup_bloom: zero false negatives; positions match an in-memory Kirsch-Mitzenmacher replay") {
+    val rows = Dedup.bloomDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    // Bloom guarantee: a true duplicate can never miss
+    rows.foreach { case (id, hit, dup) =>
+      assert(!dup || hit, s"doc $id is a true dup but bloom missed it")
+    }
+    // independent replay of the filter itself
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def pos(text: String): Set[Long] = {
+      val hex = graft.functions.KmvSketch.md5Hex(text)
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      (0 until Dedup.BloomHashes)
+        .map(i => (h1 + i * h2) % Dedup.BloomBits).toSet
+    }
+    val corpusBits = docs.filter(_._1 % 10 < 8).flatMap(d => pos(d._2)).toSet
+    val expected = docs.filter(_._1 % 10 >= 8).map { case (id, text) =>
+      id -> pos(text).subsetOf(corpusBits)
+    }.toMap
+    rows.foreach { case (id, hit, _) =>
+      assert(expected(id) == hit, s"doc $id: replay says ${expected(id)}, query says $hit")
+    }
+    assert(rows.map(_._1).toSet == expected.keySet)
+  }
+
   test("dedup_minhash oracle-exactness margin: no true pair sits near the 0.5 threshold") {
     // the driver oracle for dedup_minhash is the EXACT all-pairs J>=0.5
     // result; LSH equality is recall-conditional and only overwhelming
