@@ -28,11 +28,20 @@ object ScaleUp {
 
   /** The queries the r6 verdict asked to scale-check: the exact-pair
     * dedup family (quadratic danger zone), its banded/capped scale
-    * paths, and the ANN serving pipeline. */
+    * paths, and the ANN serving pipeline.
+    *
+    * dedup_clusters is deliberately EXCLUDED: at ×5 its past-the-caps
+    * prefix-join path is the documented adversarial case measured to
+    * destruction (tiny vocab ⇒ every prefix shingle is hot ⇒ the
+    * t=0.5 prefix keeps ~half of each doc's shingles ⇒ tens of
+    * millions of candidates into the exact confirm; killed at 13 min).
+    * The scale path for clustering an adversarial-vocab corpus is
+    * minhash-banded candidates → components, not the prefix join —
+    * recorded in SURVEY §6 with the ×5 minhash banding finding. */
   private val Subset = Seq(
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_ngram_dfcap", "dedup_substring", "dedup_simhash",
-    "dedup_clusters", "dedup_embedding",
+    "dedup_embedding",
     "ann_bruteforce", "ann_index_build", "ann_ivfpq_rerank")
 
   private def amplify(spark: SparkSession, base: String, out: String, r: Int): Unit = {

@@ -101,16 +101,33 @@ object AnnIndex {
   }
 
   /** Force (re)build the index for `d`'s corpus. Prunes superseded
-    * fingerprint dirs (older regenerations) — sessions are sequential
-    * here (driver + memory note), so the prune can't race a reader. */
+    * fingerprint dirs of the SAME source corpus (older regenerations)
+    * — and only those: each index dir records its source path, and a
+    * prune keyed on fingerprint alone deleted every OTHER corpus's
+    * live index while its dir stayed memoized in builtMemo (found by
+    * the r7 multi-corpus scale sweep: serving x1 after building x5
+    * read a deleted path). Dirs without a source record (foreign or
+    * half-written) are left alone. Sessions are sequential here
+    * (driver + memory note), so the prune can't race a reader. */
   def build(s: SparkSession, d: String): String = {
     val dir = dirFor(d)
+    val srcPath = new java.io.File(s"$d/embeddings.parquet").getAbsolutePath
     val rootF = new java.io.File(root)
     if (rootF.isDirectory)
-      rootF.listFiles.filter(x => x.isDirectory && x.getName != fingerprint(d))
-        .foreach(deleteRecursively)
+      rootF.listFiles
+        .filter(x => x.isDirectory && x.getName != fingerprint(d))
+        .filter { x =>
+          val meta = new java.io.File(x, "_GRAFT_INDEX_SOURCE")
+          meta.isFile &&
+            new String(java.nio.file.Files.readAllBytes(meta.toPath),
+              "UTF-8") == srcPath
+        }
+        .foreach { x =>
+          builtMemo.remove(x.getAbsolutePath)
+          deleteRecursively(x)
+        }
     val dirF = new java.io.File(dir)
-    if (dirF.exists()) deleteRecursively(dirF)
+    if (dirF.exists()) { builtMemo.remove(dir); deleteRecursively(dirF) }
 
     val e = Similarity.normalizedEmb(s, d)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
@@ -146,6 +163,9 @@ object AnnIndex {
     cents0.write.mode("overwrite").parquet(s"$dir/coarse")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_GRAFT_INDEX_SOURCE"),
+      srcPath.getBytes("UTF-8")): Unit
     java.nio.file.Files.createFile(marker(dir))
     builtMemo.add(dir)
     dir

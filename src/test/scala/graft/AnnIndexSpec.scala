@@ -66,6 +66,44 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("building a second corpus's index must not prune the first corpus's (multi-corpus serving)") {
+    // regression: the prune in build() keyed on fingerprint alone and
+    // deleted every OTHER corpus's live index while builtMemo still
+    // memoized it — the next serve read a deleted path (found by the
+    // r7 x1-vs-x5 scale sweep). The prune now matches the recorded
+    // source path, so only stale dirs of the SAME corpus die.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_mc").toFile
+    try {
+      val src = new java.io.File(s"$sf/embeddings.parquet")
+      java.nio.file.Files.copy(src.toPath,
+        new java.io.File(tmp, "embeddings.parquet").toPath)
+      val dirA = AnnIndex.build(spark, sf)
+      AnnIndex.build(spark, tmp.getAbsolutePath)
+      assert(new java.io.File(dirA, "_GRAFT_INDEX_OK").isFile,
+        "corpus A's index must survive corpus B's build")
+      // and A still serves (would throw PATH_NOT_FOUND before the fix)
+      assert(rowsOf(AnnIndex.pqQuery(spark, sf)) ==
+        rowsOf(Similarity.pq(spark, sf)))
+      // stale-same-source prune still works: rebuilding B after a
+      // "regeneration" (mtime bump) leaves exactly one B dir
+      val bFile = new java.io.File(tmp, "embeddings.parquet")
+      assert(bFile.setLastModified(bFile.lastModified() + 60000))
+      val dirB2 = AnnIndex.build(spark, tmp.getAbsolutePath)
+      val root = new java.io.File(dirB2).getParentFile
+      val srcPath = bFile.getAbsolutePath
+      val bDirs = root.listFiles.filter(x => x.isDirectory && {
+        val m = new java.io.File(x, "_GRAFT_INDEX_SOURCE")
+        m.isFile && new String(
+          java.nio.file.Files.readAllBytes(m.toPath), "UTF-8") == srcPath
+      })
+      assert(bDirs.map(_.getName).toSet == Set(new java.io.File(dirB2).getName),
+        s"stale same-source dirs must be pruned, found ${bDirs.mkString(",")}")
+    } finally {
+      tmp.listFiles.foreach(_.delete())
+      tmp.delete(): Unit
+    }
+  }
+
   test("a missing completion marker forces a rebuild (no partial serving)") {
     val dir = AnnIndex.build(spark, sf)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
