@@ -941,12 +941,17 @@ object Dedup {
     // one shuffle, and the checkpoint (which existed only because two
     // consumers defeated ReuseExchange) disappears.
     val wH = Window.partitionBy(col("h"))
+    // gram identity hash: xxhash64 (8-byte longs), not md5 (32-char
+    // strings) — h is never output, it only keys the ≥2-docs window,
+    // so the only requirement is injectivity-in-practice (same
+    // argument as the shingle joins; the oracle's md5 is equally
+    // opaque). 4× narrower shuffle for the corpus-wide gram pass.
     val grams = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ws) - ${k - 1}), " +
-          s"i -> md5(cast(concat_ws(' ', slice(ws, i, $k)) as binary)))")))
+          s"i -> xxhash64(concat_ws(' ', slice(ws, i, $k))))")))
       .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -978,7 +983,9 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Oracle: same gram hashing (md5 of the space-joined k words), same
+  /** Oracle: same gram identity (md5 of the space-joined k words where
+    * the Spark side uses xxhash64 — both are opaque injective-in-
+    * practice gram keys, equal results absent collisions), same
     * ≥2-distinct-docs test, same gaps-and-islands union — covered
     * counts are pure integers, so the only double (dup_fraction) is a
     * single int/int division, bit-identical across engines. */
