@@ -15,6 +15,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_ngram_dfcap" -> ((s, d) => Dedup.ngramDfCap(s, d)),
     "dedup_bloom" -> ((s, d) => Dedup.bloomDedup(s, d)),
+    "dedup_corpus_near" -> ((s, d) => Dedup.dedupCorpusNear(s, d)),
+    "sample_importance" -> ((s, d) => Curation.sampleImportance(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -91,6 +93,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_ngram_dfcap" -> Dedup.ngramDfCapSql,
     "dedup_bloom" -> Dedup.bloomDedupSql,
+    "dedup_corpus_near" -> Dedup.dedupCorpusNearSql,
+    "sample_importance" -> Curation.sampleImportanceSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_fuzzy" -> Dedup.fuzzySql,

@@ -63,6 +63,40 @@ object Curation {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  /** `sample_importance` — quality-weighted importance sampling, the
+    * data-mixing primitive behind "sample better documents more
+    * often" corpus recipes: each doc is kept with probability
+    * keep_p = √quality (temperature T = 2 flattening — high-quality
+    * docs are near-certain keeps, low-quality docs survive at a
+    * down-weighted rate instead of a hard gate's zero). The coin is
+    * DETERMINISTIC — u(doc) = md5(doc_id) as a fraction of the hash
+    * space, the [[sampleRank]] idiom — so the sample is reproducible
+    * on any cluster layout and the oracle replays the exact draw
+    * (same md5 slice, same 2⁻⁶⁰ division, same IEEE sqrt —
+    * engine-identical comparisons). 100 TB: a stateless narrow
+    * filter over the quality projection; nothing shuffles. */
+  def sampleImportance(s: SparkSession, d: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 15), 16, 10).cast("bigint") / lit(1.152921504606846976E18)).as("u")
+    TextAnalysis.quality(s, d)
+      .select(col("doc_id"), col("quality"), u)
+      .withColumn("keep_p", sqrt(col("quality")))
+      .filter(col("u") < col("keep_p"))
+      .select(col("doc_id"), col("quality"), col("keep_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sampleImportanceSql: String = {
+    val hexval =
+      """list_reduce(list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (a, d) -> a * 16 + d)""".stripMargin
+    s"""SELECT doc_id, quality, SQRT(quality) AS keep_p
+      |FROM (${TextAnalysis.qualitySql.replace("ORDER BY doc_id", "")}) q
+      |WHERE $hexval / 1152921504606846976.0 < SQRT(quality)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   /** Intra-document repetition score (Gopher-style boilerplate
     * signal): fraction of word-bigram occurrences that are repeats of
     * an earlier bigram in the same doc. Counts are exact integers; the

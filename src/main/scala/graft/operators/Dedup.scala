@@ -484,8 +484,11 @@ object Dedup {
   }
 
   /** Oracle: transitive closure by recursive CTE, min reachable label. */
-  val clustersSql: String =
-    s"""WITH RECURSIVE $ShPairsCte,
+  /** The recursive component-closure CTE chain, shared by
+    * [[clustersSql]] and [[dedupCorpusNearSql]] (one definition — the
+    * ShPairsCte discipline). */
+  private val ClustersCtes: String =
+    s"""$ShPairsCte,
       |jpairs AS (
       |  SELECT doc_a, doc_b
       |  FROM common
@@ -497,9 +500,41 @@ object Dedup {
       |reach(node, lbl) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)""".stripMargin
+
+  val clustersSql: String =
+    s"""WITH RECURSIVE $ClustersCtes
       |SELECT node AS doc_id, MIN(lbl) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** `dedup_corpus_near` — the consumer-facing NEAR-dup corpus:
+    * [[dedupCorpus]] removes exact copies; this removes near-dup
+    * CLUSTERS, keeping one survivor (min doc_id) per connected
+    * component of the Jaccard ≥ 0.5 graph — the "keep one doc per
+    * near-dup cluster" materialization every corpus-dedup policy
+    * actually ships. Same component machinery as [[clusters]]
+    * (bitset-exact pairs under the caps, minhash-banded candidates at
+    * scale — §6 sweep finding), then one broadcast semi-join back to
+    * full rows: the cluster table is ≪ corpus, the corpus side
+    * streams. */
+  def dedupCorpusNear(s: SparkSession, d: String,
+      threshold: Double = 0.5): DataFrame = {
+    val survivors = clusters(s, d, threshold)
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    documents(s, d).join(broadcast(survivors), "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val dedupCorpusNearSql: String =
+    s"""WITH RECURSIVE $ClustersCtes,
+      |comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+      |         FROM reach GROUP BY node),
+      |surv AS (SELECT MIN(doc_id) AS doc_id FROM comp GROUP BY cluster_id)
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d JOIN surv USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** MinHash + banded LSH near-dup pairs: banded signature buckets
     * propose candidates, exact Jaccard confirms, and only pairs at or

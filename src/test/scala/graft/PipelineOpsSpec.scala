@@ -77,6 +77,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"lost exact-dup pairs: ${exactDups -- cappedPairs}")
   }
 
+  test("dedup_corpus_near keeps exactly one survivor per cluster and every singleton") {
+    val comp = Dedup.clusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val kept = Dedup.dedupCorpusNear(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val byCluster = comp.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      val survivors = members.map(_._1).filter(kept)
+      assert(survivors.toSeq == Seq(members.map(_._1).min),
+        s"cluster $c kept ${survivors.toSeq}, expected only the min doc_id")
+    }
+    assert(kept.size == byCluster.size)
+    // near-dedup is at least as aggressive as exact dedup
+    assert(kept.size <= Dedup.dedupCorpus(spark, sf).count())
+  }
+
+  test("sample_importance: replay of the deterministic coin; monotone in quality") {
+    val rows = graft.operators.Curation.sampleImportance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, q, p) =>
+      assert(math.abs(p - math.sqrt(q)) < 1e-15, s"doc $id keep_p != sqrt(quality)")
+      val hex = graft.functions.KmvSketch.md5Hex(id.toString).substring(0, 15)
+      val u = java.lang.Long.parseLong(hex, 16) / 1.152921504606846976e18
+      assert(u < p, s"doc $id kept but its deterministic coin $u >= keep_p $p")
+    }
+    // and no kept-doc is missing: replay the draw over the full corpus
+    val quality = graft.operators.TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    val expected = quality.filter { case (id, q) =>
+      val hex = graft.functions.KmvSketch.md5Hex(id.toString).substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) / 1.152921504606846976e18 < math.sqrt(q)
+    }.keySet
+    assert(rows.map(_._1).toSet == expected)
+  }
+
   test("dedup_bloom: zero false negatives; positions match an in-memory Kirsch-Mitzenmacher replay") {
     val rows = Dedup.bloomDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
