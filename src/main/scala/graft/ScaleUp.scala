@@ -113,10 +113,40 @@ object ScaleUp {
         System.err.println(f"[scale] $q%-22s x1 $t1%7.2fs  x$r $tr%7.2fs  ratio ${tr / t1}%5.2f")
         q -> (t1, tr)
       }
+    // Banding A/B at ×R (the §6 finding's remedy, measured): at a
+    // FIXED 16-band × 2-row config, random band collisions grow ~n²
+    // with the corpus; r=4 bands cut the false-candidate rate by
+    // squaring the per-band agreement requirement. Recall cost is
+    // checked directly: which r=2 pairs (recall-total at J≥0.9 —
+    // the oracle margin) does r=4 lose?
+    val bandAb = if (only.isEmpty) {
+      def run(bandRows: Int): (Double, Set[(Long, Long)]) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Checkpoints.sweeping(spark) {
+            graft.operators.Dedup.minhashLsh(spark, out, bandRows = bandRows)
+              .write.format("noop").mode("overwrite").save()
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once())
+        val pairs = Checkpoints.sweeping(spark) {
+          graft.operators.Dedup.minhashLsh(spark, out, bandRows = bandRows)
+            .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+        }
+        (t, pairs)
+      }
+      val (t2, p2) = run(2)
+      val (t4, p4) = run(4)
+      val lost = p2 -- p4
+      System.err.println(f"[scale] minhash banding x$r: r=2 $t2%.2fs/${p2.size} pairs, " +
+        f"r=4 $t4%.2fs/${p4.size} pairs, lost ${lost.size} (recall ${1.0 - lost.size.toDouble / math.max(p2.size, 1)}%.4f)")
+      f""","banding_x$r":{"r2_s":$t2%.3f,"r4_s":$t4%.3f,"r2_pairs":${p2.size},"r4_pairs":${p4.size},"lost":${lost.size}}"""
+    } else ""
     val json = rows.map { case (q, (t1, tr)) =>
       f""""$q":{"x1":$t1%.3f,"x$r":$tr%.3f,"ratio":${tr / t1}%.2f}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scaleup","factor":$r,"base":"$base","queries":$json}"""
+    val line = s"""{"metric":"scaleup","factor":$r,"base":"$base","queries":$json$bandAb}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"target/scale_sweep/result_x$r.json"), line): Unit
