@@ -40,12 +40,12 @@ object Streams extends Serializable {
 
   /** Drive a bounded stream to completion into a fresh memory sink and
     * return the materialized table — the one replay harness every
-    * operator here shares (8 state partitions during replay; see
+    * operator here shares (4 state partitions during replay — measured faster than 8 or 2; see
     * [[withStatePartitions]]). */
   private def runToMemory(s: SparkSession, df: DataFrame, prefix: String,
       mode: String, afterFirstDrain: () => Unit = () => ()): DataFrame = {
     val name = freshMemoryTable(s, prefix)
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       try {
