@@ -78,8 +78,14 @@ object Curation {
   def sampleImportance(s: SparkSession, d: String): DataFrame = {
     val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
       1, 15), 16, 10).cast("bigint") / lit(1.152921504606846976E18)).as("u")
+    // checkpoint the quality projection BEFORE filtering on it — the
+    // corpus_mix discipline (§6 filter-over-expensive-projection trap):
+    // a filter over quality's stop_ratio lambda re-inlines the token
+    // split per array element when pushdown collapses the layers
+    // (flagged by FilterAudit when this was written filter-direct)
     TextAnalysis.quality(s, d)
       .select(col("doc_id"), col("quality"), u)
+      .localCheckpoint()
       .withColumn("keep_p", sqrt(col("quality")))
       .filter(col("u") < col("keep_p"))
       .select(col("doc_id"), col("quality"), col("keep_p"))
