@@ -44,9 +44,23 @@ object ScaleUp {
     "dedup_embedding",
     "ann_bruteforce", "ann_index_build", "ann_ivfpq_rerank")
 
+  /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
+    * a regenerated base must invalidate the amplified copy, or every
+    * ×R timing silently runs cross-corpus. */
+  private def baseKey(base: String): String =
+    Seq("documents.parquet", "embeddings.parquet").map { n =>
+      val f = new java.io.File(s"$base/$n")
+      def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+      if (f.isDirectory)
+        f.listFiles.filter(_.isFile).sortBy(_.getName).map(stat).mkString("|")
+      else stat(f)
+    }.mkString("||")
+
   private def amplify(spark: SparkSession, base: String, out: String, r: Int): Unit = {
     val marker = java.nio.file.Paths.get(out, "_GRAFT_SCALE_OK")
-    if (java.nio.file.Files.exists(marker)) return
+    val key = baseKey(base)
+    if (java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == key) return
     val reps = spark.range(0, r).select(col("id").cast("int").as("rep"))
     Tables.documents(spark, base)
       .crossJoin(broadcast(reps))
@@ -78,7 +92,7 @@ object ScaleUp {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-    java.nio.file.Files.createFile(marker): Unit
+    java.nio.file.Files.writeString(marker, key): Unit
   }
 
   def main(args: Array[String]): Unit = {
@@ -148,8 +162,10 @@ object ScaleUp {
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"scaleup","factor":$r,"base":"$base","queries":$json$bandAb}"""
     println(line)
+    // result lands beside the amplified data (NOT a hardcoded dir that
+    // may not exist when [outDir] is custom — review finding r7)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"target/scale_sweep/result_x$r.json"), line): Unit
+      java.nio.file.Paths.get(out, s"result_x$r.json"), line): Unit
     spark.stop()
   }
 }

@@ -273,48 +273,22 @@ object AnnIndex {
     * table. Verifies every stored artifact: `n_vecs`/id-range pin the
     * coarse assignment, `code_checksum` pins all m codes per vector. */
   val statsSql: String = {
-    val (m, subLen, ksub) = (M, 4, Ksub)
-    import Similarity.{d2Of, dotOf}
-    s"""WITH en AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
-       |      / SQRT(GREATEST(${dotOf("embedding", "embedding")}, 1e-30)) AS FLOAT)) AS embedding
-       |  FROM embeddings),
-       |cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM en WHERE vec_id % 50 = 0),
-       |assigned AS (
+    import Similarity.{PqCents0Cte, PqEnCte, PqTrainCtes, d2Of}
+    // en/cents0 + the full codebook-training chain are the SHARED
+    // fragments (Similarity.PqTrainCtes): one definition with the
+    // pq/ivfpq oracles, so a constant or quantisation change cannot
+    // silently desynchronize this oracle from theirs (review finding
+    // r7 — previously a verbatim copy with a hardcoded subLen)
+    s"WITH $PqEnCte,\n$PqCents0Cte,\n" +
+    s"""assigned AS (
        |  SELECT vec_id, c_id AS cell FROM (
        |    SELECT e.vec_id, c.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${d2Of("e.embedding", "c.c_emb")}, c.c_id) AS rn
        |    FROM en e CROSS JOIN cents0 c)
-       |  WHERE rn = 1),
-       |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
-       |sv AS (
-       |  SELECT vec_id, sub, embedding[(sub*$subLen+1):(sub*$subLen+$subLen)] AS sv
-       |  FROM en CROSS JOIN subs),
-       |seed AS (
-       |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS c_sv FROM sv WHERE vec_id < $ksub),
-       |train AS (SELECT * FROM sv WHERE vec_id < 256),
-       |assign AS (
-       |  SELECT vec_id, sub, code, sv FROM (
-       |    SELECT t.vec_id, t.sub, s.code, t.sv,
-       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
-       |        ORDER BY ${d2Of("t.sv", "s.c_sv")}, s.code) AS rn
-       |    FROM train t JOIN seed s USING (sub))
-       |  WHERE rn = 1),
-       |refined AS (
-       |  SELECT sub, code, list(m ORDER BY dim) AS c_new FROM (
-       |    SELECT sub, code, dim,
-       |      CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
-       |        / 1e7 / COUNT(*) AS FLOAT) AS m
-       |    FROM (SELECT sub, code, unnest(sv) AS x,
-       |            generate_subscripts(sv, 1) AS dim FROM assign)
-       |    GROUP BY sub, code, dim)
-       |  GROUP BY sub, code),
-       |cents AS (
-       |  SELECT s.sub, s.code, COALESCE(r.c_new, s.c_sv) AS c_sv
-       |  FROM seed s LEFT JOIN refined r ON s.sub = r.sub AND s.code = r.code),
-       |codes AS (
+       |  WHERE rn = 1),""".stripMargin +
+    s"\n$PqTrainCtes,\n" +
+    s"""codes AS (
        |  SELECT vec_id, code FROM (
        |    SELECT v.vec_id, c.code,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub

@@ -98,7 +98,7 @@ object Curation {
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
         |      (a, d) -> a * 16 + d)""".stripMargin
     s"""SELECT doc_id, quality, SQRT(quality) AS keep_p
-      |FROM (${TextAnalysis.qualitySql.replace("ORDER BY doc_id", "")}) q
+      |FROM (${TextAnalysis.QualityBodySql}) q
       |WHERE $hexval / 1152921504606846976.0 < SQRT(quality)
       |ORDER BY doc_id""".stripMargin
   }

@@ -1096,29 +1096,32 @@ object Dedup {
   def bloomDedup(s: SparkSession, d: String): DataFrame = {
     val m = BloomBits
     val k = BloomHashes
-    def hashed(df: DataFrame): DataFrame = {
-      val h = md5(col("text").cast("binary"))
-      df.select(col("doc_id"),
+    // hash the full text ONCE for all five consumers (corpus bits,
+    // batch probes, batch hits, exact confirm both sides): the
+    // checkpoint pins the narrow (doc_id, h1, h2) table — without it
+    // each consumer re-scans documents and re-md5s every text (the
+    // dedup_substring single-consumption lesson; harness sweep frees)
+    val h = md5(col("text").cast("binary"))
+    val (hashedAll, _) = graft.Checkpoints.tracked(
+      documents(s, d).select(col("doc_id"),
         conv(substring(h, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(h, 16, 15), 16, 10).cast("long").as("h2"))
-    }
+        conv(substring(h, 16, 15), 16, 10).cast("long").as("h2")))
     def positions(df: DataFrame): DataFrame =
-      hashed(df)
-        .select(col("doc_id"), col("h1"), col("h2"),
+      df.select(col("doc_id"), col("h1"), col("h2"),
           explode(sequence(lit(0), lit(k - 1))).as("i"))
         .select(col("doc_id"),
           pmod(col("h1") + col("i") * col("h2"), lit(m)).as("pos"))
         .distinct() // K-M doubles can collide within a doc: count sets, not probes
-    val corpus = documents(s, d).filter(col("doc_id") % 10 < 8)
-    val batch = documents(s, d).filter(col("doc_id") % 10 >= 8)
+    val corpus = hashedAll.filter(col("doc_id") % 10 < 8)
+    val batch = hashedAll.filter(col("doc_id") % 10 >= 8)
     val bits = positions(corpus).select(col("pos")).distinct()
     val probes = positions(batch)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_pos"))
     val hits = positions(batch).join(broadcast(bits), "pos")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
     // exact confirm: batch content hash present in the corpus hash set
-    val corpusH = hashed(corpus).select(col("h1").as("c1"), col("h2").as("c2")).distinct()
-    val dups = hashed(batch)
+    val corpusH = corpus.select(col("h1").as("c1"), col("h2").as("c2")).distinct()
+    val dups = batch
       .join(corpusH, col("h1") === col("c1") && col("h2") === col("c2"),
         "left_semi")
       .select(col("doc_id"))

@@ -601,14 +601,27 @@ object Similarity {
     * pq()'s defaults: m=16 subspaces of 4 dims, ksub=16, one Lloyd
     * iteration) — shared by [[pqSql]] and [[pqRerankSql]] so the two
     * oracles can never drift apart. */
-  private val pqCtes: String = {
-    val (m, subLen, ksub) = (16, 4, 16)
-    s"""WITH en AS (
+  /** Shared PQ-oracle fragments (private[operators] — AnnIndex's
+    * statsSql composes the SAME training chain; one definition, so a
+    * constant or quantisation change cannot desynchronize the
+    * ann_index_build oracle from the pq/ivfpq oracles — the
+    * ShPairsCte discipline from Dedup). */
+  private[operators] val PqEnCte: String =
+    s"""en AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
        |      / SQRT(GREATEST(${dotOf("embedding", "embedding")}, 1e-30)) AS FLOAT)) AS embedding
-       |  FROM embeddings),
-       |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
+       |  FROM embeddings)""".stripMargin
+
+  private[operators] val PqCents0Cte: String =
+    "cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM en WHERE vec_id % 50 = 0)"
+
+  /** subs → sv → seed → train → assign → refined → cents: the whole
+    * codebook-training replay (m=16 subspaces of 4 dims, ksub=16,
+    * 256-vector train sample, one floor-quantised Lloyd round). */
+  private[operators] val PqTrainCtes: String = {
+    val (m, subLen, ksub) = (16, 4, 16)
+    s"""subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
        |sv AS (
        |  SELECT vec_id, sub, embedding[(sub*$subLen+1):(sub*$subLen+$subLen)] AS sv
        |  FROM en CROSS JOIN subs),
@@ -633,8 +646,12 @@ object Similarity {
        |  GROUP BY sub, code),
        |cents AS (
        |  SELECT s.sub, s.code, COALESCE(r.c_new, s.c_sv) AS c_sv
-       |  FROM seed s LEFT JOIN refined r ON s.sub = r.sub AND s.code = r.code),
-       |codes AS (
+       |  FROM seed s LEFT JOIN refined r ON s.sub = r.sub AND s.code = r.code)""".stripMargin
+  }
+
+  private val pqCtes: String =
+    s"WITH $PqEnCte,\n$PqTrainCtes,\n" +
+    s"""codes AS (
        |  SELECT vec_id, sub, code FROM (
        |    SELECT v.vec_id, v.sub, c.code,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
@@ -650,7 +667,6 @@ object Similarity {
        |  FROM codes JOIN dt USING (sub, code)
        |  WHERE vec_id <> 0
        |  GROUP BY vec_id)""".stripMargin
-  }
 
   val pqSql: String =
     s"""$pqCtes
@@ -672,14 +688,9 @@ object Similarity {
     * [[pqSql]] codebook CTEs rank only the candidates. Shared by
     * [[ivfpqSql]] and [[ivfpqRerankSql]]. */
   private val ivfpqCtes: String = {
-    val (m, subLen, ksub, nprobe) = (16, 4, 16, 2)
-    s"""WITH en AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE)
-       |      / SQRT(GREATEST(${dotOf("embedding", "embedding")}, 1e-30)) AS FLOAT)) AS embedding
-       |  FROM embeddings),
-       |cents0 AS (SELECT vec_id AS c_id, embedding AS c_emb FROM en WHERE vec_id % 50 = 0),
-       |assigned AS (
+    val nprobe = 2
+    s"WITH $PqEnCte,\n$PqCents0Cte,\n" +
+    s"""assigned AS (
        |  SELECT vec_id, embedding, c_id AS cell FROM (
        |    SELECT e.vec_id, e.embedding, c.c_id,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -691,34 +702,9 @@ object Similarity {
        |    SELECT c.c_id, ${d2Of("q.q_emb", "c.c_emb")} AS qcd2
        |    FROM (SELECT embedding AS q_emb FROM en WHERE vec_id = 0) q
        |    CROSS JOIN cents0 c)
-       |  ORDER BY qcd2, c_id LIMIT $nprobe),
-       |subs AS (SELECT unnest(generate_series(0, ${m - 1})) AS sub),
-       |sv AS (
-       |  SELECT vec_id, sub, embedding[(sub*$subLen+1):(sub*$subLen+$subLen)] AS sv
-       |  FROM en CROSS JOIN subs),
-       |seed AS (
-       |  SELECT sub, CAST(vec_id AS INT) AS code, sv AS c_sv FROM sv WHERE vec_id < $ksub),
-       |train AS (SELECT * FROM sv WHERE vec_id < 256),
-       |assign AS (
-       |  SELECT vec_id, sub, code, sv FROM (
-       |    SELECT t.vec_id, t.sub, s.code, t.sv,
-       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.sub
-       |        ORDER BY ${d2Of("t.sv", "s.c_sv")}, s.code) AS rn
-       |    FROM train t JOIN seed s USING (sub))
-       |  WHERE rn = 1),
-       |refined AS (
-       |  SELECT sub, code, list(m ORDER BY dim) AS c_new FROM (
-       |    SELECT sub, code, dim,
-       |      CAST(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e7) AS DECIMAL(28,0))) AS DOUBLE)
-       |        / 1e7 / COUNT(*) AS FLOAT) AS m
-       |    FROM (SELECT sub, code, unnest(sv) AS x,
-       |            generate_subscripts(sv, 1) AS dim FROM assign)
-       |    GROUP BY sub, code, dim)
-       |  GROUP BY sub, code),
-       |cents AS (
-       |  SELECT s.sub, s.code, COALESCE(r.c_new, s.c_sv) AS c_sv
-       |  FROM seed s LEFT JOIN refined r ON s.sub = r.sub AND s.code = r.code),
-       |cand AS (
+       |  ORDER BY qcd2, c_id LIMIT $nprobe),""".stripMargin +
+    s"\n$PqTrainCtes,\n" +
+    s"""cand AS (
        |  SELECT a.vec_id, a.cell FROM assigned a
        |  JOIN qcells q ON a.cell = q.probe_cell
        |  WHERE a.vec_id <> 0),

@@ -94,7 +94,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val qualitySql: String =
+  /** The quality projection WITHOUT ordering — one definition shared
+    * by [[qualitySql]] and Curation.sampleImportanceSql (the ShCte
+    * discipline: consumers compose the fragment instead of doing
+    * textual surgery on a finished statement). */
+  private[operators] val QualityBodySql: String =
     s"""SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, stop_ratio,
        |  0.4 * stop_ratio + 0.4 * alpha_ratio
        |    + 0.2 * LEAST(CAST(n_tokens AS DOUBLE) / 200.0, 1.0) AS quality
@@ -107,7 +111,10 @@ object TextAnalysis {
        |      / GREATEST(LENGTH(text), 1) AS alpha_ratio,
        |    CAST(${markerCountSql(MarkersEn)} AS DOUBLE)
        |      / GREATEST(len(string_split(text, ' ')), 1) AS stop_ratio
-       |  FROM documents)
+       |  FROM documents)""".stripMargin
+
+  val qualitySql: String =
+    s"""$QualityBodySql
        |ORDER BY doc_id""".stripMargin
 
   /** Top-20 word bigrams corpus-wide. */
