@@ -155,7 +155,34 @@ object ScaleUp {
       val lost = p2 -- p4
       System.err.println(f"[scale] minhash banding x$r: r=2 $t2%.2fs/${p2.size} pairs, " +
         f"r=4 $t4%.2fs/${p4.size} pairs, lost ${lost.size} (recall ${1.0 - lost.size.toDouble / math.max(p2.size, 1)}%.4f)")
-      f""","banding_x$r":{"r2_s":$t2%.3f,"r4_s":$t4%.3f,"r2_pairs":${p2.size},"r4_pairs":${p4.size},"lost":${lost.size}}"""
+      // same trap, embedding side: the 4-bit hyperplane bands that suit
+      // the 5k-corpus (loose on purpose — no planted embedding dups,
+      // SURVEY §2.3) put ~n/2^bits vectors in every band bucket, and
+      // candidate pairs grow with the square of that. 8 bits quarters
+      // the bucket occupancy; top-20 equality is the recall bar.
+      def runEmb(bits: Int): (Double, Set[(Long, Long)]) = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Checkpoints.sweeping(spark) {
+            graft.operators.Dedup.embeddingPairs(spark, out, bits = bits)
+              .write.format("noop").mode("overwrite").save()
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once())
+        val pairs = Checkpoints.sweeping(spark) {
+          graft.operators.Dedup.embeddingPairs(spark, out, bits = bits)
+            .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+        }
+        (t, pairs)
+      }
+      val (e4, ep4) = runEmb(4)
+      val (e8, ep8) = runEmb(8)
+      val eLost = ep4 -- ep8
+      System.err.println(f"[scale] embedding banding x$r: 4-bit $e4%.2fs, 8-bit $e8%.2fs, " +
+        f"top-20 overlap ${(ep4 & ep8).size}/${ep4.size}")
+      f""","banding_x$r":{"r2_s":$t2%.3f,"r4_s":$t4%.3f,"r2_pairs":${p2.size},"r4_pairs":${p4.size},"lost":${lost.size}},""" +
+      f""""emb_banding_x$r":{"b4_s":$e4%.3f,"b8_s":$e8%.3f,"overlap":${(ep4 & ep8).size},"lost":${eLost.size}}"""
     } else ""
     val json = rows.map { case (q, (t1, tr)) =>
       f""""$q":{"x1":$t1%.3f,"x$r":$tr%.3f,"ratio":${tr / t1}%.2f}"""
