@@ -828,18 +828,34 @@ object Dedup {
     * thresholds (cos ≥ 0.9) the same plan prunes hard with e.g.
     * 12 bits × 32 bands: P(candidate | cos≈0) = 32·2⁻¹² ≈ 0.8%.
     */
-  def embeddingPairs(s: SparkSession, d: String, bits: Int = 4,
+  /** Hyperplane-band width for a corpus of `n` vectors: the ×10 sweep
+    * measured the fixed-4-bit trap directly (bucket occupancy n/2^bits
+    * ⇒ candidate pairs grow with its square: 38.6 s at 50k vectors vs
+    * 8.9 s with 8 bits, IDENTICAL top-20 — SURVEY §6). Holding
+    * occupancy at the 5k-corpus level (5000/2⁴ ≈ 312 vectors/bucket)
+    * gives bits = ⌈log₂(n/312)⌉, floored at 4 — exactly 4 at n = 5k
+    * (the gated sf0.1 corpus: plan unchanged), 8 at n = 50k (the
+    * measured remedy). */
+  private[graft] def embeddingBitsFor(n: Long): Int =
+    math.max(4, math.ceil(math.log(n / 312.5) / math.log(2)).toInt)
+
+  def embeddingPairs(s: SparkSession, d: String, bits: Int = -1,
       bands: Int = 64, dim: Int = 64): DataFrame = {
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), norm2(col("embedding")).as("n2"))
+    // adaptive banding by default: occupancy-flat bits from the corpus
+    // count (a footer-metadata count — cheap relative to the pair
+    // stage it right-sizes)
+    val useBits = if (bits > 0) bits
+      else embeddingBitsFor(graft.Tables.embeddings(s, d).count())
     val planes: Seq[Seq[Double]] =
-      (0 until bands * bits).map(p => mixedPlane(p, dim).toSeq)
+      (0 until bands * useBits).map(p => mixedPlane(p, dim).toSeq)
     // typedLit → ONE literal node for the whole plane matrix (a
     // lit-per-element array would be a 16k-node expression tree)
     val projs = transform(typedLit(planes), p => dotD(col("embedding"), p))
     val sig = transform(sequence(lit(0), lit(bands - 1)), bb =>
-      (0 until bits).map(i =>
-        when(element_at(col("projs"), bb * bits + i + 1) >= 0, 1 << i)
+      (0 until useBits).map(i =>
+        when(element_at(col("projs"), bb * useBits + i + 1) >= 0, 1 << i)
           .otherwise(0)).reduce(_ + _))
     val banded = e.select(col("vec_id"), projs.as("projs"))
       .select(col("vec_id"), posexplode(sig).as(Seq("band", "sig")))

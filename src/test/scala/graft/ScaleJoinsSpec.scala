@@ -30,6 +30,16 @@ class ScaleJoinsSpec extends AnyFunSuite {
       "banded-hyperplane candidates must contain every exact top-20 pair on this corpus")
   }
 
+  test("dedup_embedding: adaptive banding resolves to 4 bits at the gated corpus, widens with n") {
+    // 5k vectors (every gated SF) must keep the plan the oracle was
+    // tuned against; the x10 remedy (8 bits at 50k) must fall out of
+    // the same occupancy-flat rule
+    assert(operators.Dedup.embeddingBitsFor(5000L) == 4)
+    assert(operators.Dedup.embeddingBitsFor(500L) == 4)
+    assert(operators.Dedup.embeddingBitsFor(50000L) == 8)
+    assert(operators.Dedup.embeddingBitsFor(5000000L) == 14)
+  }
+
   test("dedup_embedding: no nested-loop over the full pair space") {
     val df = operators.Dedup.embeddingPairs(spark, sf)
     df.collect()
