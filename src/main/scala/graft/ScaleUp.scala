@@ -30,18 +30,16 @@ object ScaleUp {
     * dedup family (quadratic danger zone), its banded/capped scale
     * paths, and the ANN serving pipeline.
     *
-    * dedup_clusters is deliberately EXCLUDED: at ×5 its past-the-caps
-    * prefix-join path is the documented adversarial case measured to
-    * destruction (tiny vocab ⇒ every prefix shingle is hot ⇒ the
-    * t=0.5 prefix keeps ~half of each doc's shingles ⇒ tens of
-    * millions of candidates into the exact confirm; killed at 13 min).
-    * The scale path for clustering an adversarial-vocab corpus is
-    * minhash-banded candidates → components, not the prefix join —
-    * recorded in SURVEY §6 with the ×5 minhash banding finding. */
+    * dedup_clusters / dedup_corpus_near are IN since r8: their
+    * past-the-caps dispatch now routes through minhash-banded
+    * candidates (self-tuned rows per band) into the components pass —
+    * the r7 sweep killed the old PPJoin prefix branch at 13 min on
+    * this tiny-vocab corpus (every prefix shingle hot), which is
+    * exactly why the banded path is the clustering scale shape. */
   private val Subset = Seq(
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_ngram_dfcap", "dedup_substring", "dedup_simhash",
-    "dedup_embedding",
+    "dedup_embedding", "dedup_clusters", "dedup_corpus_near",
     "ann_bruteforce", "ann_index_build", "ann_ivfpq_rerank")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
@@ -127,34 +125,39 @@ object ScaleUp {
         System.err.println(f"[scale] $q%-22s x1 $t1%7.2fs  x$r $tr%7.2fs  ratio ${tr / t1}%5.2f")
         q -> (t1, tr)
       }
-    // Banding A/B at ×R (the §6 finding's remedy, measured): at a
+    // Banding A/B at ×R (the §6 finding's remedy, now CODIFIED): at a
     // FIXED 16-band × 2-row config, random band collisions grow ~n²
-    // with the corpus; r=4 bands cut the false-candidate rate by
-    // squaring the per-band agreement requirement. Recall cost is
-    // checked directly: which r=2 pairs (recall-total at J≥0.9 —
-    // the oracle margin) does r=4 lose?
+    // with the corpus; the self-tuning rule (minhashBandRowsFor, the
+    // default since r8) must AUTO-SELECT the measured remedy here.
+    // Recall cost is checked directly: which fixed-r=2 pairs does the
+    // auto-tuned config lose?
     val bandAb = if (only.isEmpty) {
+      // bandRows > 0 forces the fixed legacy config (16×2 when
+      // numHashes=32); bandRows = -1 exercises the production default
       def run(bandRows: Int): (Double, Set[(Long, Long)]) = {
+        def lsh() =
+          if (bandRows > 0)
+            graft.operators.Dedup.minhashLsh(spark, out,
+              numHashes = 32, bandRows = bandRows)
+          else graft.operators.Dedup.minhashLsh(spark, out)
         def once(): Double = {
           val t0 = System.nanoTime()
           Checkpoints.sweeping(spark) {
-            graft.operators.Dedup.minhashLsh(spark, out, bandRows = bandRows)
-              .write.format("noop").mode("overwrite").save()
+            lsh().write.format("noop").mode("overwrite").save()
           }
           (System.nanoTime() - t0) / 1e9
         }
         val t = math.min(once(), once())
         val pairs = Checkpoints.sweeping(spark) {
-          graft.operators.Dedup.minhashLsh(spark, out, bandRows = bandRows)
-            .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+          lsh().collect().map(row => (row.getLong(0), row.getLong(1))).toSet
         }
         (t, pairs)
       }
       val (t2, p2) = run(2)
-      val (t4, p4) = run(4)
+      val (t4, p4) = run(-1) // the self-tuned default
       val lost = p2 -- p4
-      System.err.println(f"[scale] minhash banding x$r: r=2 $t2%.2fs/${p2.size} pairs, " +
-        f"r=4 $t4%.2fs/${p4.size} pairs, lost ${lost.size} (recall ${1.0 - lost.size.toDouble / math.max(p2.size, 1)}%.4f)")
+      System.err.println(f"[scale] minhash banding x$r: fixed 16x2 $t2%.2fs/${p2.size} pairs, " +
+        f"auto $t4%.2fs/${p4.size} pairs, lost ${lost.size} (recall ${1.0 - lost.size.toDouble / math.max(p2.size, 1)}%.4f)")
       // same trap, embedding side: the 4-bit hyperplane bands that suit
       // the 5k-corpus (loose on purpose — no planted embedding dups,
       // SURVEY §2.3) put ~n/2^bits vectors in every band bucket, and

@@ -62,9 +62,14 @@ object Verify {
         val j = graft.operators.Dedup.jaccardPairsAbove(spark, sfDir, 0.5)
           .select("jaccard").collect().map(_.getDouble(0))
         val margin = if (j.isEmpty) 1.0 else j.min
-        // worst pair evades all 16 bands (r=2) with prob (1 - J²)¹⁶
-        val pMiss = math.pow(1.0 - margin * margin, 16)
-        val body = f"""{"min_true_pair_jaccard": $margin%.6f, "threshold": 0.5, "bands": 16, "band_rows": 2, "p_miss_worst_pair": $pMiss%.3e, "n_true_pairs": ${j.length}}"""
+        // worst pair evades all b bands of r rows with prob (1 - J^r)^b
+        // — r from the SELF-TUNING rule at this corpus size (r8), so
+        // the emitted risk tracks the geometry actually run
+        val nDocs = graft.Tables.documents(spark, sfDir).count()
+        val r = graft.operators.Dedup.minhashBandRowsFor(nDocs)
+        val b = graft.operators.Dedup.minhashBandsFor(r)
+        val pMiss = math.pow(1.0 - math.pow(margin, r.toDouble), b.toDouble)
+        val body = f"""{"min_true_pair_jaccard": $margin%.6f, "threshold": 0.5, "bands": $b, "band_rows": $r, "p_miss_worst_pair": $pMiss%.3e, "n_true_pairs": ${j.length}}"""
         Files.writeString(Paths.get(s"$outDir/minhash_margin.json"), body)
         System.err.println(s"[verify] dedup_minhash recall margin: $body")
       } catch { case e: Throwable =>

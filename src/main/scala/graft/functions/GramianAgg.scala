@@ -23,8 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Quantisation matches the oracle bit-for-bit: each term is
   * floor((cxᵢ·cxⱼ)·1e9) summed exactly in Long — identical values to
-  * the prior DECIMAL(28,0) sums (bound: |term| ≤ 1e9, n ≤ 9e9 before
-  * overflow; the corpus is 5e3 and a guard asserts d matches).
+  * the prior DECIMAL(28,0) sums. Overflow is a loud error, not a
+  * silent wraparound: coordinates are NOT assumed bounded (centred
+  * values can exceed 1, so a term can pass 1e9), hence update/merge
+  * accumulate with Math.addExact — a corpus big or wide enough to
+  * overflow the Long sums throws ArithmeticException instead of
+  * returning a wrapped covariance (advice r7).
   */
 case class GramianSums(
     child: Expression,
@@ -52,7 +56,8 @@ case class GramianSums(
         val row = i * d
         var j = 0
         while (j < d) {
-          buffer(row + j) += math.floor(xi * xs(j) * 1e9).toLong
+          buffer(row + j) = Math.addExact(buffer(row + j),
+            math.floor(xi * xs(j) * 1e9).toLong)
           j += 1
         }
         i += 1
@@ -63,7 +68,9 @@ case class GramianSums(
 
   override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    while (i < buffer.length) {
+      buffer(i) = Math.addExact(buffer(i), other(i)); i += 1
+    }
     buffer
   }
 

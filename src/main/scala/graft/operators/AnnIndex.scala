@@ -64,6 +64,15 @@ object AnnIndex {
   /** Content fingerprint of the source table + index parameters: any
     * regeneration (length or mtime moves), source path change, or
     * param/format bump yields a new index directory. */
+  /** CANONICAL source path of `d`'s embeddings table — used both in
+    * the fingerprint key and the _GRAFT_INDEX_SOURCE record, so the
+    * same corpus referenced via different path spellings (symlink,
+    * `..`, trailing slash) keys ONE index and its stale dirs always
+    * prune (advice r7; a raw-string compare never matched the variant
+    * spelling, leaking superseded dirs forever). */
+  private def canonicalSource(d: String): String =
+    new java.io.File(s"$d/embeddings.parquet").getCanonicalPath
+
   private[graft] def fingerprint(d: String): String = {
     val f = new java.io.File(s"$d/embeddings.parquet")
     def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
@@ -71,7 +80,7 @@ object AnnIndex {
       if (f.isDirectory)
         f.listFiles.filter(_.isFile).sortBy(_.getName).map(stat).mkString("|")
       else stat(f)
-    val key = s"v$FormatVersion:m=$M:ksub=$Ksub:${f.getAbsolutePath}:$src"
+    val key = s"v$FormatVersion:m=$M:ksub=$Ksub:${canonicalSource(d)}:$src"
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
@@ -111,16 +120,24 @@ object AnnIndex {
     * (driver + memory note), so the prune can't race a reader. */
   def build(s: SparkSession, d: String): String = {
     val dir = dirFor(d)
-    val srcPath = new java.io.File(s"$d/embeddings.parquet").getAbsolutePath
+    val srcPath = canonicalSource(d)
     val rootF = new java.io.File(root)
     if (rootF.isDirectory)
       rootF.listFiles
         .filter(x => x.isDirectory && x.getName != fingerprint(d))
         .filter { x =>
+          // a concurrently-removed or unreadable meta file must skip
+          // this dir, not fail the whole build (advice r7); records
+          // written before canonicalization still match via their own
+          // canonical form
           val meta = new java.io.File(x, "_GRAFT_INDEX_SOURCE")
-          meta.isFile &&
-            new String(java.nio.file.Files.readAllBytes(meta.toPath),
-              "UTF-8") == srcPath
+          try meta.isFile && {
+            val rec = new String(
+              java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8")
+            rec == srcPath ||
+              (try new java.io.File(rec).getCanonicalPath == srcPath
+               catch { case _: java.io.IOException => false })
+          } catch { case _: java.io.IOException => false }
         }
         .foreach { x =>
           builtMemo.remove(x.getAbsolutePath)
@@ -163,6 +180,8 @@ object AnnIndex {
     cents0.write.mode("overwrite").parquet(s"$dir/coarse")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    // srcPath is already canonical (canonicalSource) — read-side
+    // compares canonical-to-canonical
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_GRAFT_INDEX_SOURCE"),
       srcPath.getBytes("UTF-8")): Unit

@@ -351,9 +351,12 @@ object Dedup {
     val e = jaccardPairsAbove(s, d, threshold).select(col("doc_a"), col("doc_b"))
     val labels = connectedComponents(e)
     documents(s, d).select(col("doc_id"))
-      // labels covers only edge-bearing nodes — the LSH/near-dup
-      // subgraph, ≪ corpus — so it broadcasts; the corpus side streams.
-      .join(broadcast(labels), col("doc_id") === col("node"), "left")
+      // labels covers only edge-bearing nodes — USUALLY ≪ corpus, but
+      // a mostly-duplicate corpus makes it O(corpus), so no forced
+      // broadcast hint (the pagerank/exactConfirm gating discipline):
+      // AQE broadcasts from actual runtime size when it fits, and the
+      // shuffle join on 8-byte keys is the safe fallback.
+      .join(labels, col("doc_id") === col("node"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy(col("doc_id"))
@@ -514,15 +517,18 @@ object Dedup {
     * near-dup cluster" materialization every corpus-dedup policy
     * actually ships. Same component machinery as [[clusters]]
     * (bitset-exact pairs under the caps, minhash-banded candidates at
-    * scale — §6 sweep finding), then one broadcast semi-join back to
-    * full rows: the cluster table is ≪ corpus, the corpus side
-    * streams. */
+    * scale — §6 sweep finding), then one semi-join back to full rows.
+    * No forced broadcast hint on the survivor set: in a mostly-UNIQUE
+    * corpus survivors ≈ one row per document (O(corpus), not
+    * ≪ corpus), so the hint would mandate an O(corpus) driver
+    * broadcast — AQE upgrades the join to broadcast from actual
+    * runtime size when it genuinely fits (advice r7). */
   def dedupCorpusNear(s: SparkSession, d: String,
       threshold: Double = 0.5): DataFrame = {
     val survivors = clusters(s, d, threshold)
       .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    documents(s, d).join(broadcast(survivors), "doc_id")
+    documents(s, d).join(survivors, "doc_id")
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
   }
@@ -553,14 +559,53 @@ object Dedup {
     * threshold would need more bands (numHashes) before the oracle
     * equality claim transfers.
     */
-  def minhashLsh(s: SparkSession, d: String,
-      numHashes: Int = 32, bandRows: Int = 2,
-      threshold: Double = 0.5): DataFrame = {
+  /** Band count for the minhash family — held constant; SELECTIVITY
+    * scales through rows-per-band ([[minhashBandRowsFor]]), so recall
+    * at a fixed J degrades gently (1-(1-J^r)^16) while the false-
+    * candidate rate per pair falls as J_bg^r. */
+  val MinhashBands = 16
+
+  /** Rows per band for a corpus of `n` docs — the minhash analog of
+    * [[embeddingBitsFor]], codifying the ×5/×10 sweep finding (SURVEY
+    * §6): at FIXED r=2 random band collisions grow ~n² and dominate
+    * the confirm stage (8.2 s at ×10), while r=4 suppresses them
+    * J_bg²-fold for 3.3 s with ZERO pair loss (2560/2560 — planted
+    * pairs sit at J ≥ 0.85 where r=4 recall is still ≥ 1-7e-6 at 16
+    * bands). Rule: +2 rows per corpus decade past the gated size —
+    * each decade multiplies the pair space ×100 and two extra rows
+    * multiply the per-pair false-candidate probability by J_bg² ≤ 0.25
+    * at the t=0.5 threshold (candidates with J_bg ≥ t are TRUE pairs).
+    * Base 8000 sits above every gated corpus (≤ 5000 docs: r=2, the
+    * plan and oracle-equality margin unchanged, spec-pinned) and
+    * below the ×5 sweep corpus (25k: r=4, the measured remedy).
+    * Recall at the margin (PipelineOpsSpec pins J ≥ 0.85 for every
+    * true pair): r=2 miss 1e-9, r=4 miss 7e-6, r=6 miss 5e-4 —
+    * ScaleJoinsSpec pins the analytic bound for each emittable r. */
+  private[graft] def minhashBandRowsFor(n: Long): Int =
+    2 + 2 * math.max(0, math.ceil(math.log10(n / 8000.0)).toInt)
+
+  /** Bands for a given rows-per-band: 16 through r=6; past that the
+    * per-band capture at the margin (J ≥ 0.85) has fallen enough that
+    * bands must double to hold P(miss) under 1e-3 — the margin is a
+    * property of the (b, r) PAIR, so the two scale together
+    * (ScaleJoinsSpec pins the analytic bound at every emittable
+    * geometry). */
+  private[graft] def minhashBandsFor(rows: Int): Int =
+    if (rows >= 8) 2 * MinhashBands else MinhashBands
+
+  /** Banded-minhash candidate pairs over a shingle table: per-doc
+    * signatures of `numHashes` min-hashes, split into bands of
+    * `bandRows`; candidates from (band, band_key) equality. Shuffles
+    * carry fixed-width signatures and 16-byte id pairs only — never
+    * text, never the O(n²) pair space. Output (doc_a, doc_b) distinct,
+    * localCheckpoint-pinned (it feeds multiple consumer joins; the
+    * harness sweep frees it). */
+  private def minhashCandidates(sh: DataFrame, numHashes: Int,
+      bandRows: Int): DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes ($numHashes) must divide into bands of $bandRows rows — " +
         "trailing hashes would be computed but silently ignored, and the " +
         "effective band count would diverge from the (1-J^r)^b recall math")
-    val sh = shingles(s, d)
     val sigCols = (0 until numHashes).map { i =>
       min(xxhash64(lit(i), col("sh"))).as(s"h$i")
     }
@@ -572,18 +617,32 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(b, slice(col("sig"), b * bandRows + lit(1), lit(bandRows))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
-    val cands = banded.as("x")
+    banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      // the candidate list feeds BOTH the set-builder filter and the
-      // final joins — materialize it once instead of re-running the
-      // band self-join per consumer (it is tiny: the LSH output)
       .localCheckpoint()
-    exactConfirm(cands, sh)
+  }
+
+  def minhashLsh(s: SparkSession, d: String,
+      numHashes: Int = -1, bandRows: Int = -1,
+      threshold: Double = 0.5): DataFrame = {
+    // self-tuning by default (the embeddingBitsFor discipline): rows
+    // per band from the corpus footer count, bands held at 16, logged
+    // so an oracle mismatch at a new corpus size is diagnosable.
+    // Explicit bandRows/numHashes override for A/B measurement.
+    val r = if (bandRows > 0) bandRows else {
+      val n = documents(s, d).count()
+      val rr = minhashBandRowsFor(n)
+      System.err.println(s"[graft] dedup_minhash adaptive bandRows=$rr (n=$n)")
+      rr
+    }
+    val nh = if (numHashes > 0) numHashes else minhashBandsFor(r) * r
+    val sh = shingles(s, d)
+    exactConfirm(minhashCandidates(sh, nh, r), sh)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -646,17 +705,33 @@ object Dedup {
     }
   }
 
-  /** All doc pairs with shingle Jaccard ≥ `t` — exact. Small corpora
-    * take the dense-bitset all-pairs strategy; past the bitset caps the
-    * PPJoin-style prefix join prunes candidates without ever
-    * enumerating the full pair space. Identical output either way. */
+  /** All doc pairs with shingle Jaccard ≥ `t`. Small corpora take the
+    * dense-bitset all-pairs strategy (exact by enumeration); past the
+    * bitset caps, minhash-banded candidates (self-tuned rows per band)
+    * feed the exact confirm — the scale path the ×5 sweep mandated:
+    * the PPJoin prefix join ([[prefixPairsAbove]], kept for A/B) is
+    * defeated by adversarial tiny-vocab corpora (every prefix shingle
+    * hot → tens of millions of candidates, killed at 13 min at ×5 —
+    * SURVEY §6), while banded candidates shuffle only signatures and
+    * id pairs regardless of vocabulary shape. Confirmed values are
+    * exact; completeness past the caps is LSH-recall-conditional with
+    * the margin pinned by the PipelineOpsSpec/ScaleJoinsSpec margin
+    * specs (every true pair at J ≥ 0.85 → miss ≤ 7e-6 at the r=4
+    * tuning point; the consumer threshold here is the same t=0.5 the
+    * margin is stated against — [[clusters]] inherits it). */
   def jaccardPairsAbove(s: SparkSession, d: String, t: Double): DataFrame = {
     val sh = shingles(s, d)
     val (nUniverse, nDocs) = shStats(sh)
     if (nUniverse <= BitsetUniverseCap && nDocs <= BitsetDocCap)
       withJaccard(ngramPairsBitset(sh, nUniverse.toInt))
         .filter(col("jaccard") >= t)
-    else prefixPairsAboveSh(sh, t)
+    else {
+      val r = minhashBandRowsFor(nDocs)
+      System.err.println(
+        s"[graft] jaccardPairsAbove banded scale path: bandRows=$r (nDocs=$nDocs)")
+      exactConfirm(minhashCandidates(sh, minhashBandsFor(r) * r, r), sh)
+        .filter(col("jaccard") >= t)
+    }
   }
 
   /** PPJoin-style prefix-filtered exact similarity join — the scale
@@ -845,9 +920,19 @@ object Dedup {
       col("embedding"), norm2(col("embedding")).as("n2"))
     // adaptive banding by default: occupancy-flat bits from the corpus
     // count (a footer-metadata count — cheap relative to the pair
-    // stage it right-sizes)
+    // stage it right-sizes). The chosen bits are logged so an oracle
+    // mismatch on a NEW corpus size is diagnosable in one look: the
+    // candidate-recall = 1 property is verified at the measured sizes
+    // (ScaleJoinsSpec 5k, sweep 50k), and any other size runs at a
+    // bits value whose recall is claimed by the occupancy rule, not
+    // yet by a measurement (advice r7).
     val useBits = if (bits > 0) bits
-      else embeddingBitsFor(graft.Tables.embeddings(s, d).count())
+      else {
+        val n = graft.Tables.embeddings(s, d).count()
+        val b = embeddingBitsFor(n)
+        System.err.println(s"[graft] dedup_embedding adaptive bits=$b (n=$n)")
+        b
+      }
     val planes: Seq[Seq[Double]] =
       (0 until bands * useBits).map(p => mixedPlane(p, dim).toSeq)
     // typedLit → ONE literal node for the whole plane matrix (a

@@ -40,6 +40,30 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(operators.Dedup.embeddingBitsFor(5000000L) == 14)
   }
 
+  test("dedup_minhash: self-tuning band rows — gated geometry unchanged, widens per decade, margin holds") {
+    import operators.Dedup
+    // every gated SF (≤ 5000 docs) must keep the 16×2 geometry the
+    // oracle-equality margin was stated against
+    assert(Dedup.minhashBandRowsFor(500L) == 2)
+    assert(Dedup.minhashBandRowsFor(5000L) == 2)
+    // the ×5 (25k docs) and ×10 (50k) sweep corpora must auto-select
+    // the MEASURED remedy (r=4: 8.2 s → 3.3 s at ×10, zero pair loss)
+    assert(Dedup.minhashBandRowsFor(25000L) == 4)
+    assert(Dedup.minhashBandRowsFor(50000L) == 4)
+    // +2 rows per further decade
+    assert(Dedup.minhashBandRowsFor(500000L) == 6)
+    assert(Dedup.minhashBandRowsFor(5000000L) == 8)
+    // oracle-exactness margin at every emittable geometry: true pairs
+    // sit at J ≥ 0.85 (PipelineOpsSpec margin spec — the same t=0.5
+    // threshold clusters/dedup_corpus_near consume), and P(miss) =
+    // (1 - J^r)^b must stay negligible as (b, r) scale together
+    for (r <- Seq(2, 4, 6, 8)) {
+      val b = Dedup.minhashBandsFor(r)
+      val miss = math.pow(1 - math.pow(0.85, r.toDouble), b.toDouble)
+      assert(miss < 1e-3, f"geometry ${b}x$r: miss $miss%.2e at the J=0.85 margin")
+    }
+  }
+
   test("dedup_embedding: no nested-loop over the full pair space") {
     val df = operators.Dedup.embeddingPairs(spark, sf)
     df.collect()
