@@ -152,15 +152,41 @@ object AnnIndex {
     val subLen = dim / M
     val cents0 = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cb = Similarity.pqCodebook(e, M, subLen, Ksub, lloydIters = 1)
+    val codes = encodeVectors(e, cents0, cb, subLen)
+    cents0.write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    // srcPath is already canonical (canonicalSource) — read-side
+    // compares canonical-to-canonical
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_GRAFT_INDEX_SOURCE"),
+      srcPath.getBytes("UTF-8")): Unit
+    // a full build retrains from the current source: the appended-
+    // fraction staleness counter starts over
+    java.nio.file.Files.deleteIfExists(appendedMeta(dir)): Unit
+    java.nio.file.Files.createFile(marker(dir))
+    builtMemo.add(dir)
+    dir
+  }
+
+  /** Encode normalized vectors against GIVEN coarse centroids and PQ
+    * codebook: nearest-cell assignment + per-subspace nearest-code
+    * quantisation, (vec_id, codes[m], cell) out. Shared bit-for-bit by
+    * [[build]] (whole corpus) and [[append]] (new batch only) — same
+    * window expressions, same artifacts in, so an appended vector's
+    * row is indistinguishable from the one a full build would have
+    * written (AnnIndexSpec pins the equality). */
+  private def encodeVectors(e: DataFrame, cents: DataFrame, cb: DataFrame,
+      subLen: Int): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cd2"), col("c_id"))
-    val assigned = e.crossJoin(broadcast(cents0))
+    val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
         Similarity.sqDiff(col("embedding"), col("c_emb")).as("cd2"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cell"))
-    val cb = Similarity.pqCodebook(e, M, subLen, Ksub, lloydIters = 1)
     val wCode = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd2"), col("code"))
     val codesFlat = Similarity.subvecsOf(e, "embedding", M, subLen)
@@ -171,22 +197,71 @@ object AnnIndex {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
     // one row per vector, codes ordered by sub — the packed-codes shape
-    val codes = codesFlat
+    codesFlat
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
       .select(col("vec_id"),
         transform(col("sc"), p => p.getField("code")).as("codes"))
       .join(assigned, "vec_id")
-    cents0.write.mode("overwrite").parquet(s"$dir/coarse")
-    cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
-    // srcPath is already canonical (canonicalSource) — read-side
-    // compares canonical-to-canonical
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_GRAFT_INDEX_SOURCE"),
-      srcPath.getBytes("UTF-8")): Unit
-    java.nio.file.Files.createFile(marker(dir))
-    builtMemo.add(dir)
+  }
+
+  /** Fraction of appended (post-build) vectors beyond which the index
+    * reports stale: past this, accumulated drift between the frozen
+    * codebook/centroids and the corpus distribution erodes recall and
+    * a retraining rebuild is due — the standard IVF maintenance
+    * policy. 20%: comfortably before the centroid-imbalance regime,
+    * and the recall probe (ann_recall.json, emitted every verify run)
+    * is the empirical backstop. */
+  val StaleFraction = 0.2
+  private def appendedMeta(dir: String) =
+    java.nio.file.Paths.get(dir, "_GRAFT_INDEX_APPENDED")
+
+  /** Count of vectors appended since the last full build. */
+  private[graft] def appendedCount(dir: String): Long =
+    if (java.nio.file.Files.exists(appendedMeta(dir)))
+      java.nio.file.Files.readString(appendedMeta(dir)).trim.toLong
+    else 0L
+
+  /** True once appended/base exceeds [[StaleFraction]] — the signal to
+    * schedule a retraining [[build]] (which resets the counter). The
+    * pipeline decides WHEN; serving from a stale index stays correct
+    * (codes are exact nearest-code under the stored codebook), it is
+    * the approximation quality that decays. */
+  def isStale(s: SparkSession, d: String): Boolean = {
+    val dir = dirFor(d)
+    val appended = appendedCount(dir)
+    appended > 0 && {
+      val total = s.read.parquet(s"$dir/codes").count()
+      val base = total - appended
+      base <= 0 || appended.toDouble / base > StaleFraction
+    }
+  }
+
+  /** Incremental maintenance — FAISS `add()` semantics: encode ONLY
+    * `batch` (vec_id, embedding; raw — normalized here with the
+    * build-path expression) against the STORED centroids and codebook
+    * into their cells, landed as additional code files. Nothing is
+    * retrained and nothing existing is rewritten, so appending N
+    * vectors costs O(N · (cells + m·ksub)) — the per-corpus-version
+    * force-rebuild (the r7 2.5× weak entry) becomes amortized cost:
+    * rebuilds happen only when the appended fraction passes
+    * [[StaleFraction]]. Every serving query picks the new vectors up
+    * immediately (they are ordinary rows of `codes/`). */
+  def append(s: SparkSession, d: String, batch: DataFrame): String = {
+    val dir = ensure(s, d)
+    val cents = s.read.parquet(s"$dir/coarse")
+    val cb = s.read.parquet(s"$dir/codebook")
+    val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
+    val e = Similarity.normalizeVecs(
+      batch.select(col("vec_id"), col("embedding")))
+    val n = batch.count()
+    encodeVectors(e, cents, cb, subLen)
+      .write.mode("append").parquet(s"$dir/codes")
+    java.nio.file.Files.writeString(appendedMeta(dir),
+      (appendedCount(dir) + n).toString): Unit
+    if (isStale(s, d))
+      System.err.println(s"[graft] ann index $dir exceeded append " +
+        s"fraction $StaleFraction: schedule a retraining build")
     dir
   }
 

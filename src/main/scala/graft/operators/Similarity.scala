@@ -362,8 +362,13 @@ object Similarity {
   // on unit vectors ‖a−b‖² = 2−2·cos(a,b), so the ADC ranking
   // approximates the cosine ranking directly.
   private[operators] def normalizedEmb(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d)
-      .withColumn("n2", sqrt(greatest(
+    normalizeVecs(embeddings(s, d))
+
+  /** L2-normalize a (vec_id, embedding) frame — ONE expression shared
+    * by the corpus reader above and [[AnnIndex.append]]'s batch path,
+    * so appended vectors normalize bit-identically to built ones. */
+  private[operators] def normalizeVecs(df: DataFrame): DataFrame =
+    df.withColumn("n2", sqrt(greatest(
         dotD(col("embedding"), col("embedding")), lit(1e-30))))
       .select(col("vec_id"),
         transform(col("embedding"), x => (x / col("n2")).cast("float"))

@@ -90,7 +90,8 @@ class AnnIndexSpec extends AnyFunSuite {
       assert(bFile.setLastModified(bFile.lastModified() + 60000))
       val dirB2 = AnnIndex.build(spark, tmp.getAbsolutePath)
       val root = new java.io.File(dirB2).getParentFile
-      val srcPath = bFile.getAbsolutePath
+      // _GRAFT_INDEX_SOURCE records the CANONICAL path (advice r7)
+      val srcPath = bFile.getCanonicalPath
       val bDirs = root.listFiles.filter(x => x.isDirectory && {
         val m = new java.io.File(x, "_GRAFT_INDEX_SOURCE")
         m.isFile && new String(
@@ -102,6 +103,47 @@ class AnnIndexSpec extends AnyFunSuite {
       tmp.listFiles.foreach(_.delete())
       tmp.delete(): Unit
     }
+  }
+
+  test("append: batch re-encoding is bit-identical to the full build, serving sees it, staleness fires") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_ap").toFile
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    try {
+      java.nio.file.Files.copy(
+        new java.io.File(s"$sf/embeddings.parquet").toPath,
+        new java.io.File(tmp, "embeddings.parquet").toPath)
+      val d = tmp.getAbsolutePath
+      val dir = AnnIndex.build(spark, d)
+      val expectedServe = rowsOf(AnnIndex.ivfpqRerankQuery(spark, d))
+      def codeMap(): Map[Long, (Seq[Any], Long)] =
+        spark.read.parquet(s"$dir/codes").collect().map(r =>
+          r.getAs[Long]("vec_id") ->
+            ((r.getSeq[Any](r.fieldIndex("codes")), r.getAs[Long]("cell")))).toMap
+      val full = codeMap()
+      // drop a 25% slice from the stored codes, then re-add it through
+      // the APPEND path: encoding against the stored artifacts must
+      // reproduce exactly the rows the full build wrote
+      val keepDir = new java.io.File(tmp, "codes_keep")
+      spark.read.parquet(s"$dir/codes").filter(col("vec_id") % 4 =!= 0)
+        .write.parquet(keepDir.getAbsolutePath)
+      rmr(new java.io.File(s"$dir/codes"))
+      java.nio.file.Files.move(keepDir.toPath,
+        new java.io.File(s"$dir/codes").toPath)
+      val batch = Tables.embeddings(spark, d).filter(col("vec_id") % 4 === 0)
+      AnnIndex.append(spark, d, batch)
+      assert(codeMap() == full,
+        "append-path codes/cells must be bit-identical to the full build's")
+      // the serving path reads appended rows as ordinary code rows
+      assert(rowsOf(AnnIndex.ivfpqRerankQuery(spark, d)) == expectedServe)
+      // 25% appended > the 20% StaleFraction → retraining is due...
+      assert(AnnIndex.isStale(spark, d), "appended fraction must report stale")
+      // ...and a full rebuild resets the counter
+      AnnIndex.build(spark, d)
+      assert(!AnnIndex.isStale(spark, d), "rebuild must clear staleness")
+    } finally rmr(tmp)
   }
 
   test("a missing completion marker forces a rebuild (no partial serving)") {
