@@ -69,4 +69,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Exact row count of `$dir/$name.parquet` read from the parquet
+    * FOOTERS on the driver — no Spark job at all, so the self-tuning
+    * rules (minhash band rows, embedding bits, the pagerank broadcast
+    * gate) cost file-metadata reads, not a scheduled count() action
+    * (~0.1-0.4 s each at local[32], and a full stage round-trip on a
+    * real cluster). Works for a single file or a directory of part
+    * files. Scale note: footer reads are per-file driver IO — at a
+    * 100k-file table prefer the catalog/statistics path; the tuning
+    * rules only need order-of-magnitude, so even sampling the file
+    * list would do. */
+  def footerRowCount(s: SparkSession, dir: String, name: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sessionState.newHadoopConf()
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val files =
+      if (f.isDirectory)
+        f.listFiles.filter(x => x.isFile && x.getName.endsWith(".parquet"))
+      else Array(f)
+    files.map { x =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(x.getAbsolutePath), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
 }

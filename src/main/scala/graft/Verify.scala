@@ -65,7 +65,7 @@ object Verify {
         // worst pair evades all b bands of r rows with prob (1 - J^r)^b
         // — r from the SELF-TUNING rule at this corpus size (r8), so
         // the emitted risk tracks the geometry actually run
-        val nDocs = graft.Tables.documents(spark, sfDir).count()
+        val nDocs = graft.Tables.footerRowCount(spark, sfDir, "documents")
         val r = graft.operators.Dedup.minhashBandRowsFor(nDocs)
         val b = graft.operators.Dedup.minhashBandsFor(r)
         val pMiss = math.pow(1.0 - math.pow(margin, r.toDouble), b.toDouble)

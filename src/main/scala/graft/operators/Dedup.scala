@@ -635,7 +635,9 @@ object Dedup {
     // so an oracle mismatch at a new corpus size is diagnosable.
     // Explicit bandRows/numHashes override for A/B measurement.
     val r = if (bandRows > 0) bandRows else {
-      val n = documents(s, d).count()
+      // footer row count: the rule costs driver file metadata, not a
+      // count() job (r8)
+      val n = graft.Tables.footerRowCount(s, d, "documents")
       val rr = minhashBandRowsFor(n)
       System.err.println(s"[graft] dedup_minhash adaptive bandRows=$rr (n=$n)")
       rr
@@ -919,16 +921,16 @@ object Dedup {
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
       col("embedding"), norm2(col("embedding")).as("n2"))
     // adaptive banding by default: occupancy-flat bits from the corpus
-    // count (a footer-metadata count — cheap relative to the pair
-    // stage it right-sizes). The chosen bits are logged so an oracle
-    // mismatch on a NEW corpus size is diagnosable in one look: the
-    // candidate-recall = 1 property is verified at the measured sizes
-    // (ScaleJoinsSpec 5k, sweep 50k), and any other size runs at a
-    // bits value whose recall is claimed by the occupancy rule, not
-    // yet by a measurement (advice r7).
+    // row count, read off the parquet FOOTERS on the driver (r8 — no
+    // count() job; the rule costs file metadata). The chosen bits are
+    // logged so an oracle mismatch on a NEW corpus size is diagnosable
+    // in one look: the candidate-recall = 1 property is verified at
+    // the measured sizes (ScaleJoinsSpec 5k, sweep 50k), and any other
+    // size runs at a bits value whose recall is claimed by the
+    // occupancy rule, not yet by a measurement (advice r7).
     val useBits = if (bits > 0) bits
       else {
-        val n = graft.Tables.embeddings(s, d).count()
+        val n = graft.Tables.footerRowCount(s, d, "embeddings")
         val b = embeddingBitsFor(n)
         System.err.println(s"[graft] dedup_embedding adaptive bits=$b (n=$n)")
         b
