@@ -26,11 +26,28 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object Checkpoints {
 
+  /** Audit passthrough: with system property `graft.audit.noCheckpoint`
+    * set, [[tracked]] and [[pin]] return the frame UNCHANGED, so
+    * PlanAudit can follow scans through what is otherwise an opaque
+    * LogicalRDD boundary (r7 verdict item 7: the "check" rows) and
+    * report pushdown/pruning for the FULL pipeline. Plans may repeat
+    * work in this mode (that is what the checkpoints exist to stop) —
+    * it is an ANALYSIS mode, never set by the production mains. */
+  private def passthrough: Boolean =
+    java.lang.Boolean.getBoolean("graft.audit.noCheckpoint")
+
+  /** An untracked pin for result-feeding frames (the harness sweep
+    * frees them): localCheckpoint, or identity under the audit
+    * passthrough. */
+  def pin[T](ds: Dataset[T]): Dataset[T] =
+    if (passthrough) ds else ds.localCheckpoint()
+
   /** Eagerly localCheckpoint `ds`, returning the pinned frame plus a
     * release handle covering exactly the RDD blocks this checkpoint
     * added. Call the handle only once a successor (or the final
     * consumer's action) has materialized. */
   def tracked[T](ds: Dataset[T]): (Dataset[T], () => Unit) = {
+    if (passthrough) return (ds, () => ())
     val sc = ds.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val cp = ds.localCheckpoint()

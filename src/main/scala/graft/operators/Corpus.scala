@@ -111,7 +111,7 @@ object Corpus {
   private def withGlobalCumsum(s: SparkSession, df: DataFrame,
       sortCols: Seq[Column], valueCol: String): DataFrame = {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val part = df.repartitionByRange(nPart, sortCols: _*).localCheckpoint()
+    val part = graft.Checkpoints.pin(df.repartitionByRange(nPart, sortCols: _*))
     val withPid = part.withColumn("pid", spark_partition_id())
     // per-partition totals: <= nPart rows, safe to collect
     val totals = withPid.groupBy("pid").agg(sum(valueCol).as("t"))
@@ -319,7 +319,7 @@ object Corpus {
     // blocks, never the text.
     val gated = Curation.withReasons(documents(s, d))
       .select(col("doc_id"), col("source"), col("reasons"))
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.pin(df))
       .filter(col("reasons") === 0)
       .select(col("doc_id"), col("source"))
     // per-source passing counts: bounded by the source domain (mixing

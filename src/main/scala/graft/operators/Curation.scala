@@ -85,7 +85,7 @@ object Curation {
     // (flagged by FilterAudit when this was written filter-direct)
     TextAnalysis.quality(s, d)
       .select(col("doc_id"), col("quality"), u)
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.pin(df))
       .withColumn("keep_p", sqrt(col("quality")))
       .filter(col("u") < col("keep_p"))
       .select(col("doc_id"), col("quality"), col("keep_p"))

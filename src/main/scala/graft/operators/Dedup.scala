@@ -436,9 +436,9 @@ object Dedup {
       e.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-    val nodes = pairs.select(col(cu).as("node"))
-      .union(pairs.select(col(cv).as("node"))).distinct()
-      .localCheckpoint()
+    val nodes = graft.Checkpoints.pin(
+      pairs.select(col(cu).as("node"))
+        .union(pairs.select(col(cv).as("node"))).distinct())
     var (edges, releasePrev) = graft.Checkpoints.tracked(
       canon(pairs.select(col(cu).as("u"), col(cv).as("v"))))
     var done = edges.isEmpty
@@ -624,7 +624,7 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.pin(df))
   }
 
   def minhashLsh(s: SparkSession, d: String,
@@ -775,7 +775,7 @@ object Dedup {
           col("y.sz") >= ceilT(col("x.sz")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .transform(df => graft.Checkpoints.pin(df))
     exactConfirm(cands, sh).filter(col("jaccard") >= t)
   }
 

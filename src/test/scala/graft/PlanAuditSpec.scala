@@ -118,6 +118,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"suspect filter(s) — the O(words²) trap is back:\n${suspects.mkString("\n\n")}")
   }
 
+  test("PLANS.md carries no unresolved pruned-scan rows (checkpoint passthrough resolution)") {
+    // r7 verdict item 7: every row must be `yes`, `wide:N` (named
+    // width), or `stream-replay` (named reason) — the bare `check`
+    // placeholder (scan status unresolved through a checkpoint/stream
+    // boundary) must never come back. PLANS.md is regenerated per
+    // round by `runMain graft.PlanAudit`.
+    val p = java.nio.file.Paths.get("PLANS.md")
+    assume(java.nio.file.Files.exists(p), "PLANS.md not generated yet")
+    val rows = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala
+      .filter(l => l.startsWith("| ") && l.count(_ == '|') == 7)
+      .drop(1) // header row
+    assert(rows.nonEmpty)
+    val bad = rows.filter { l =>
+      val cell = l.split("\\|")(6).trim
+      !(cell == "yes" || cell == "stream-replay" || cell.startsWith("wide:"))
+    }
+    assert(bad.isEmpty,
+      s"unresolved pruned-scan rows:\n${bad.mkString("\n")}")
+  }
+
   test("mm_dedup: the shuffle carries hashes, never binary payloads") {
     val es = shuffles(multimodal.Multimodal.payloadDedup(spark, sf))
     assert(es.nonEmpty)
