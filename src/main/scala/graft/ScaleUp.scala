@@ -40,14 +40,25 @@ object ScaleUp {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "dedup_ngram_dfcap", "dedup_substring", "dedup_simhash",
     "dedup_embedding", "dedup_clusters", "dedup_corpus_near",
-    "ann_bruteforce", "ann_index_build", "ann_ivfpq_rerank")
+    "ann_bruteforce", "ann_index_build", "ann_ivfpq_rerank",
+    // r8 (verdict item 6): representatives beyond the dedup/ANN
+    // family, so the floor-amortization claim for the ~100 sub-0.3 s
+    // queries rests on a measured ratio too — a broadcast-dim shuffle
+    // join+agg, the salted skew join, a window family, grouping sets,
+    // an event-time as-of join, a streaming replay, the ETL cast
+    // matrix, and the two corpus pipelines with driver-bounded
+    // collects (prefix-sum packer, source-quota mix)
+    "q3_join_agg", "q36_skew_join", "q10_window", "q33_grouping_sets",
+    "q24_asof_join", "stream_windowed_agg", "etl_cast",
+    "pack_sequences", "corpus_mix")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every
-    * ×R timing silently runs cross-corpus. */
+    * ×R timing silently runs cross-corpus. v2: covers every amplified/
+    * copied table, not just the text/embedding corpora. */
   private def baseKey(base: String): String =
-    Seq("documents.parquet", "embeddings.parquet").map { n =>
-      val f = new java.io.File(s"$base/$n")
+    "v2:" + Tables.All.map { n =>
+      val f = new java.io.File(s"$base/$n.parquet")
       def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
       if (f.isDirectory)
         f.listFiles.filter(_.isFile).sortBy(_.getName).map(stat).mkString("|")
@@ -90,6 +101,36 @@ object ScaleUp {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // Fact tables amplified with key offsets (replica k's orders stay
+    // joined to replica k's lineitems; event_ids stay unique and the
+    // user population grows so sessionization state scales too); the
+    // DIMENSION tables copy verbatim — the catalog does not grow when
+    // traffic does, which is exactly what makes broadcast-dim joins
+    // the scale shape and multiplies per-part skew ×R for q36.
+    def ampFacts(name: String, df: DataFrame, offsets: Map[String, Long],
+        nFiles: Int): Unit = {
+      val cols = df.columns.map { c =>
+        offsets.get(c) match {
+          case Some(off) => (col(c) + col("rep").cast("long") * off).as(c)
+          case None => col(c)
+        }
+      }
+      df.crossJoin(broadcast(reps)).select(cols.toIndexedSeq: _*)
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    ampFacts("lineitem", Tables.lineitem(spark, base),
+      Map("l_orderkey" -> 100000000L), 64)
+    ampFacts("orders", Tables.orders(spark, base),
+      Map("o_orderkey" -> 100000000L), 32)
+    // events read through Tables.events (ts normalized to TIMESTAMP µs
+    // whatever the generator wrote — the schema-drift guard)
+    ampFacts("events", Tables.events(spark, base),
+      Map("event_id" -> 100000000L, "user_id" -> 1000000L), 32)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      spark.read.parquet(s"$base/$n.parquet")
+        .write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
     java.nio.file.Files.writeString(marker, key): Unit
   }
 
