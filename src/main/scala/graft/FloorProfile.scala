@@ -1,0 +1,96 @@
+package graft
+
+/** Decomposes the per-action floor (r7 §6 finding: q1_agg min-of-3
+  * 0.83 s at sf0.1/local[32] vs DuckDB 0.145 s — the fixed constant
+  * every Spark query pays, and the root of most residual perf-weak
+  * ratios). Phases measured per run, min-of-N:
+  *
+  *   - build+analyze: DataFrame construction through analyzed plan
+  *   - optimize+plan: optimizedPlan → executedPlan (Catalyst + physical
+  *     strategies, pre-AQE)
+  *   - execute: the noop-sink action (includes AQE re-planning, task
+  *     scheduling, scan, codegen on first touch)
+  *
+  * Variants isolate the levers the r7 verdict named: AQE off (does
+  * runtime re-planning tax a 6-row aggregate?), maxPartitionBytes
+  * sweep (does split planning?), and a pre-analyzed reused frame
+  * (does per-invocation plan construction?).
+  *
+  * `sbt "runMain graft.FloorProfile [sfDir]"` → one JSON line +
+  * target/floor_profile.json.
+  */
+object FloorProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect(): Unit
+    // one full warmup (codegen cache, file-status cache)
+    queries.Analytics.q1(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    def ms(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+    }
+    def minOf(n: Int)(body: => Double): Double = (1 to n).map(_ => body).min
+
+    // phase decomposition, fresh frame per run (the Verify/Bench shape)
+    val buildMs = minOf(5)(ms {
+      queries.Analytics.q1(spark, sfDir).queryExecution.analyzed: Unit
+    })
+    val planMs = minOf(5)(ms {
+      queries.Analytics.q1(spark, sfDir).queryExecution.executedPlan: Unit
+    })
+    val fullMs = minOf(5)(ms {
+      queries.Analytics.q1(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    })
+
+    // lever variants (full action, min-of-5)
+    def withConf(k: String, v: String)(body: => Double): Double = {
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k, v)
+      try body
+      finally prev match {
+        case Some(p) => spark.conf.set(k, p)
+        case None => spark.conf.unset(k)
+      }
+    }
+    val noAqeMs = withConf("spark.sql.adaptive.enabled", "false") {
+      minOf(5)(ms {
+        queries.Analytics.q1(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      })
+    }
+    val bigSplitMs = withConf("spark.sql.files.maxPartitionBytes", "512m") {
+      minOf(5)(ms {
+        queries.Analytics.q1(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      })
+    }
+    // reused pre-built frame: action-only cost when construction and
+    // analysis are amortized across invocations
+    val reused = queries.Analytics.q1(spark, sfDir)
+    reused.write.format("noop").mode("overwrite").save()
+    val reusedMs = minOf(5)(ms {
+      reused.write.format("noop").mode("overwrite").save()
+    })
+    // fewer reducers: is the tail task-scheduling? (32 shuffle tasks
+    // for a 6-row aggregate)
+    val fewPartsMs = withConf("spark.sql.shuffle.partitions", "4") {
+      minOf(5)(ms {
+        queries.Analytics.q1(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      })
+    }
+
+    val line =
+      f"""{"metric":"floor_profile","build_analyze_ms":$buildMs%.1f,"plan_ms":$planMs%.1f,"full_action_ms":$fullMs%.1f,"no_aqe_ms":$noAqeMs%.1f,"big_split_ms":$bigSplitMs%.1f,"reused_frame_ms":$reusedMs%.1f,"shuffle4_ms":$fewPartsMs%.1f,"sf":"$sfDir"}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/floor_profile.json"), line): Unit
+    spark.stop()
+  }
+}

@@ -546,18 +546,21 @@ object Dedup {
     * propose candidates, exact Jaccard confirms, and only pairs at or
     * above `threshold` are emitted — the consumer-facing dup-pair list.
     *
-    * numHashes=32 as 16 bands × r=2: per-band collision prob = J², so
-    * with corpus-level J≈0.03 the candidate set stays ~1-2% of all
-    * pairs — the 100 TB path never materializes the full pair space.
+    * Geometry SELF-TUNES from the corpus footer count (r8):
+    * [[minhashBandRowsFor]] rows per band × [[minhashBandsFor]] bands
+    * — 16×2 (32 hashes) at every gated SF, r=4 at the sweep sizes
+    * (the measured ×5/×10 remedy: fixed r=2's random band collisions
+    * grow ~n² and dominate the confirm stage). Per-band collision
+    * prob = J^r, so background pairs almost never collide and the
+    * 100 TB path never materializes the full pair space.
     *
     * Oracle-exactness: the emitted set equals the exact all-pairs
-    * Jaccard ≥ t result as long as LSH recall at t is total. At t=0.5
-    * a boundary pair survives a band with prob J²=0.25, so P(miss) =
-    * 0.75¹⁶ ≈ 1%; on this corpus every true pair has J ≥ 0.9 →
-    * P(miss) = (1-0.81)¹⁶ ≈ 5e-12. The recall margin is asserted in
-    * PipelineOpsSpec; a corpus with many pairs sitting exactly at the
-    * threshold would need more bands (numHashes) before the oracle
-    * equality claim transfers.
+    * Jaccard ≥ t result as long as LSH recall at t is total. On the
+    * gated corpora every true pair has J ≥ 0.85 (PipelineOpsSpec pins
+    * the margin), where P(miss) ≈ 1e-9 at 16×2; ScaleJoinsSpec pins
+    * the analytic bound at every geometry the rule can emit. A corpus
+    * with many pairs sitting exactly at the threshold would need more
+    * bands before the oracle equality claim transfers.
     */
   /** Band count for the minhash family — held constant; SELECTIVITY
     * scales through rows-per-band ([[minhashBandRowsFor]]), so recall
@@ -905,16 +908,21 @@ object Dedup {
     * thresholds (cos ≥ 0.9) the same plan prunes hard with e.g.
     * 12 bits × 32 bands: P(candidate | cos≈0) = 32·2⁻¹² ≈ 0.8%.
     */
-  /** Hyperplane-band width for a corpus of `n` vectors: the ×10 sweep
+  /** Hyperplane-band width for a corpus of `n` vectors: the sweeps
     * measured the fixed-4-bit trap directly (bucket occupancy n/2^bits
-    * ⇒ candidate pairs grow with its square: 38.6 s at 50k vectors vs
-    * 8.9 s with 8 bits, IDENTICAL top-20 — SURVEY §6). Holding
-    * occupancy at the 5k-corpus level (5000/2⁴ ≈ 312 vectors/bucket)
-    * gives bits = ⌈log₂(n/312)⌉, floored at 4 — exactly 4 at n = 5k
-    * (the gated sf0.1 corpus: plan unchanged), 8 at n = 50k (the
-    * measured remedy). */
+    * ⇒ per-bucket candidate pairs grow with its square: 42.8 s at the
+    * ×10 corpus vs 10.4 s with 8 bits, IDENTICAL top-20 — SURVEY §6).
+    * Anchor: hold occupancy at the GATED corpus level — sf0.1 has
+    * 2,000 vectors at the spec-pinned 4 bits, i.e. 125/bucket — so
+    * bits = ⌈log₂(n/125)⌉, floored at 4. Exactly 4 at every gated SF
+    * (plan and oracle unchanged), 8 at the ×10 sweep corpus (20k
+    * vectors — the measured remedy, 2.3× over the r7 anchor's 6
+    * bits). The r7 anchor (312/bucket) was mis-anchored against a
+    * presumed 5k-vector gated corpus; the r8 ×10 sweep measured the
+    * 2.5×-looser occupancy costing 23.6 s vs 10.4 s and the re-anchor
+    * recovers it with zero top-20 loss. */
   private[graft] def embeddingBitsFor(n: Long): Int =
-    math.max(4, math.ceil(math.log(n / 312.5) / math.log(2)).toInt)
+    math.max(4, math.ceil(math.log(n / 125.0) / math.log(2)).toInt)
 
   def embeddingPairs(s: SparkSession, d: String, bits: Int = -1,
       bands: Int = 64, dim: Int = 64): DataFrame = {

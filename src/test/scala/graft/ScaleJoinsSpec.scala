@@ -31,13 +31,15 @@ class ScaleJoinsSpec extends AnyFunSuite {
   }
 
   test("dedup_embedding: adaptive banding resolves to 4 bits at the gated corpus, widens with n") {
-    // 5k vectors (every gated SF) must keep the plan the oracle was
-    // tuned against; the x10 remedy (8 bits at 50k) must fall out of
-    // the same occupancy-flat rule
-    assert(operators.Dedup.embeddingBitsFor(5000L) == 4)
+    // every gated SF (500 / 2000 vectors) must keep the 4-bit plan the
+    // oracle was tuned against; the ×10 sweep remedy (8 bits at 20k —
+    // measured 10.4 s vs 23.6 s at the r7 anchor's 6 bits, identical
+    // top-20) must fall out of the same occupancy-at-gated-level rule
     assert(operators.Dedup.embeddingBitsFor(500L) == 4)
-    assert(operators.Dedup.embeddingBitsFor(50000L) == 8)
-    assert(operators.Dedup.embeddingBitsFor(5000000L) == 14)
+    assert(operators.Dedup.embeddingBitsFor(2000L) == 4)
+    assert(operators.Dedup.embeddingBitsFor(10000L) == 7)
+    assert(operators.Dedup.embeddingBitsFor(20000L) == 8)
+    assert(operators.Dedup.embeddingBitsFor(5000000L) == 16)
   }
 
   test("dedup_minhash: self-tuning band rows — gated geometry unchanged, widens per decade, margin holds") {
