@@ -86,8 +86,19 @@ object FloorProfile {
       })
     }
 
+    // every lever at once: the in-process lower bound these knobs can
+    // reach (and the anti-scale trade they'd cost a real cluster —
+    // fewer scan/reduce tasks = less parallelism)
+    val stackedMs = withConf("spark.sql.files.maxPartitionBytes", "512m") {
+      withConf("spark.sql.shuffle.partitions", "4") {
+        val f = queries.Analytics.q1(spark, sfDir)
+        f.write.format("noop").mode("overwrite").save()
+        minOf(5)(ms { f.write.format("noop").mode("overwrite").save() })
+      }
+    }
+
     val line =
-      f"""{"metric":"floor_profile","build_analyze_ms":$buildMs%.1f,"plan_ms":$planMs%.1f,"full_action_ms":$fullMs%.1f,"no_aqe_ms":$noAqeMs%.1f,"big_split_ms":$bigSplitMs%.1f,"reused_frame_ms":$reusedMs%.1f,"shuffle4_ms":$fewPartsMs%.1f,"sf":"$sfDir"}"""
+      f"""{"metric":"floor_profile","build_analyze_ms":$buildMs%.1f,"plan_ms":$planMs%.1f,"full_action_ms":$fullMs%.1f,"no_aqe_ms":$noAqeMs%.1f,"big_split_ms":$bigSplitMs%.1f,"reused_frame_ms":$reusedMs%.1f,"shuffle4_ms":$fewPartsMs%.1f,"stacked_ms":$stackedMs%.1f,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/floor_profile.json"), line): Unit
