@@ -154,9 +154,17 @@ object AnnIndex {
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
     val cb = Similarity.pqCodebook(e, M, subLen, Ksub, lloydIters = 1)
     val codes = encodeVectors(e, cents0, cb, subLen)
-    cents0.write.mode("overwrite").parquet(s"$dir/coarse")
-    cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    // Artifact file layout is SIZE-AWARE (r8): coarse (n/50 rows) and
+    // codebook (m×ksub = 256 rows) are driver-tiny — one file each,
+    // not 32 near-empty task outputs whose footers every serve pays
+    // to list. codes is one 24-byte-ish row per vector: ~2M rows
+    // (~50 MB) per file keeps a billion-vector table at ~500
+    // well-sized files while a small corpus writes one.
+    val nVecs = graft.Tables.footerRowCount(s, d, "embeddings")
+    val codeFiles = math.max(1L, (nVecs + 1999999L) / 2000000L).toInt
+    cents0.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.repartition(codeFiles).write.mode("overwrite").parquet(s"$dir/codes")
     // srcPath is already canonical (canonicalSource) — read-side
     // compares canonical-to-canonical
     java.nio.file.Files.write(

@@ -350,20 +350,36 @@ object Analytics4 {
     // the expanded stream — inlining the two decimal multiplies there
     // ran them 8× per row (measured 5.1 s → 1.9 s at sf0.1). The
     // oracle needs no change: same per-row product, same exact sum.
+    // PRE-AGGREGATE to the finest grouping BEFORE the cube (r8):
+    // Expand duplicates its input once per grouping set, so cubing
+    // the fact stream pushes 8× the corpus through the aggregate.
+    // Every aggregate here is decomposable (SUM / COUNT→SUM of
+    // partial counts; quantities are integer-valued doubles and the
+    // revenue term is exact DECIMAL, so re-aggregation is
+    // order-independent and bit-identical), which makes cube-over-
+    // pre-agg algebraically equal to cube-over-facts: the fact
+    // stream is read ONCE by a plain two-phase hash agg (~40 finest
+    // groups out), and Expand multiplies dozens of rows, not
+    // millions. At 100 TB this is the difference between 8× the
+    // corpus through Expand and 8× a few hundred rows.
     li.select(col("l_returnflag"), col("l_linestatus"),
         year(col("l_shipdate")).cast("int").as("ship_year"),
         col("l_quantity"),
         expr("CAST(l_extendedprice AS DECIMAL(12,2)) * " +
           "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))")
           .as("rev_term"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(expr("SUM(l_quantity)").as("p_qty"),
+        expr("SUM(rev_term)").as("p_rev"),
+        count(lit(1)).as("p_n"))
       .cube(col("l_returnflag"), col("l_linestatus"), col("ship_year"))
       .agg(
         grouping(col("l_returnflag")).cast("int").as("g_rf"),
         grouping(col("l_linestatus")).cast("int").as("g_ls"),
         grouping(col("ship_year")).cast("int").as("g_yr"),
-        expr("SUM(l_quantity)").as("sum_qty"),
-        expr("CAST(SUM(rev_term) AS DOUBLE)").as("revenue"),
-        count(lit(1)).as("n_rows"))
+        expr("SUM(p_qty)").as("sum_qty"),
+        expr("CAST(SUM(p_rev) AS DOUBLE)").as("revenue"),
+        expr("CAST(SUM(p_n) AS BIGINT)").as("n_rows"))
       .orderBy(col("g_rf"), col("g_ls"), col("g_yr"),
         col("l_returnflag"), col("l_linestatus"), col("ship_year"))
   }
