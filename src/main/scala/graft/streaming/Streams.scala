@@ -45,21 +45,43 @@ object Streams extends Serializable {
   private def runToMemory(s: SparkSession, df: DataFrame, prefix: String,
       mode: String, afterFirstDrain: () => Unit = () => ()): DataFrame = {
     val name = freshMemoryTable(s, prefix)
-    withStatePartitions(s, 4) {
-      val q = df.writeStream.outputMode(mode)
-        .format("memory").queryName(name).start()
-      try {
-        q.processAllAvailable()
-        // hook for callers that must land more input (e.g. a watermark
-        // heartbeat) and drain again before the query stops
-        afterFirstDrain()
-        q.processAllAvailable()
-      } finally q.stop()
+    // Bounded-replay checkpoints are EPHEMERAL — re-running the replay
+    // IS the recovery story — so they live in RAM (/dev/shm) when the
+    // host has it: the default temp checkpoint lands on disk, where
+    // every micro-batch fsyncs state-store deltas plus offset/commit
+    // logs (measured: the dominant share of the replay floor is
+    // per-batch machinery, graft.StreamFloor). A LIVE deployment sets
+    // a durable checkpointLocation instead — this path is only taken
+    // when the caller did not configure one.
+    val shm = new java.io.File("/dev/shm")
+    val ckpt: Option[java.nio.file.Path] =
+      if (shm.isDirectory && shm.canWrite)
+        Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt"))
+      else None
+    try {
+      withStatePartitions(s, 4) {
+        var w = df.writeStream.outputMode(mode)
+          .format("memory").queryName(name)
+        ckpt.foreach(p => w = w.option("checkpointLocation", p.toString))
+        val q = w.start()
+        try {
+          q.processAllAvailable()
+          // hook for callers that must land more input (e.g. a watermark
+          // heartbeat) and drain again before the query stops
+          afterFirstDrain()
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      // pin the (small) result: the NEXT invocation of the same operator
+      // drops this temp view (see freshMemoryTable), which would turn a
+      // still-held lazy reference into a table-not-found error mid-use
+      s.table(name).localCheckpoint()
+    } finally ckpt.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
     }
-    // pin the (small) result: the NEXT invocation of the same operator
-    // drops this temp view (see freshMemoryTable), which would turn a
-    // still-held lazy reference into a table-not-found error mid-use
-    s.table(name).localCheckpoint()
   }
 
   private def eventStream(s: SparkSession, d: String,
