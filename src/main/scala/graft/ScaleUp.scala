@@ -48,7 +48,11 @@ object ScaleUp {
     // an event-time as-of join, a streaming replay, the ETL cast
     // matrix, and the two corpus pipelines with driver-bounded
     // collects (prefix-sum packer, source-quota mix)
-    "q3_join_agg", "q36_skew_join", "q10_window", "q33_grouping_sets",
+    // q11 (not q10) is the window representative: q10's only input is
+    // customer, which amplification copies VERBATIM — its x1-vs-xR
+    // ratio would compare identical bytes (review finding r8). q11
+    // windows over orders, which the amplifier grows.
+    "q3_join_agg", "q36_skew_join", "q11_running_sum", "q33_grouping_sets",
     "q24_asof_join", "stream_windowed_agg", "etl_cast",
     "pack_sequences", "corpus_mix")
 

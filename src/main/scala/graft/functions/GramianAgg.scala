@@ -56,8 +56,16 @@ case class GramianSums(
         val row = i * d
         var j = 0
         while (j < d) {
-          buffer(row + j) = Math.addExact(buffer(row + j),
-            math.floor(xi * xs(j) * 1e9).toLong)
+          // the quantised term must itself fit a Long BEFORE toLong:
+          // Double→Long saturates silently (and NaN maps to 0), so a
+          // coordinate magnitude past ~3e4 would corrupt sums without
+          // addExact ever firing (review finding r8). Both overflow
+          // modes now fail loudly.
+          val t = math.floor(xi * xs(j) * 1e9)
+          if (!(t >= -9.223372036854775e18 && t <= 9.223372036854775e18))
+            throw new ArithmeticException(
+              s"gramian_sums term overflow: ${xi * xs(j)} quantised to $t")
+          buffer(row + j) = Math.addExact(buffer(row + j), t.toLong)
           j += 1
         }
         i += 1

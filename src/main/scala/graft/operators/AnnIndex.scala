@@ -161,10 +161,20 @@ object AnnIndex {
     // (~50 MB) per file keeps a billion-vector table at ~500
     // well-sized files while a small corpus writes one.
     val nVecs = graft.Tables.footerRowCount(s, d, "embeddings")
-    val codeFiles = math.max(1L, (nVecs + 1999999L) / 2000000L).toInt
-    cents0.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    def filesFor(rows: Long): Int =
+      math.max(1L, (rows + 1999999L) / 2000000L).toInt
+    // coarse is n/50 rows — it SCALES with the corpus (20M rows at a
+    // billion vectors), so it gets the same ~2M-rows-per-file sizing
+    // as codes, not an unconditional single file (review finding r8);
+    // the codebook alone is truly fixed-size (m×ksub = 256 rows).
+    cents0.repartition(filesFor(nVecs / 50)).write
+      .mode("overwrite").parquet(s"$dir/coarse")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
-    codes.repartition(codeFiles).write.mode("overwrite").parquet(s"$dir/codes")
+    codes.repartition(filesFor(nVecs)).write
+      .mode("overwrite").parquet(s"$dir/codes")
+    // base (trained-on) count recorded at build time so staleness is a
+    // pure meta-file read — never a count() job (review finding r8)
+    java.nio.file.Files.writeString(baseMeta(dir), nVecs.toString): Unit
     // srcPath is already canonical (canonicalSource) — read-side
     // compares canonical-to-canonical
     java.nio.file.Files.write(
@@ -223,47 +233,131 @@ object AnnIndex {
   val StaleFraction = 0.2
   private def appendedMeta(dir: String) =
     java.nio.file.Paths.get(dir, "_GRAFT_INDEX_APPENDED")
+  private def baseMeta(dir: String) =
+    java.nio.file.Paths.get(dir, "_GRAFT_INDEX_BASE")
+
+  private def metaLong(p: java.nio.file.Path): Long =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else 0L
 
   /** Count of vectors appended since the last full build. */
   private[graft] def appendedCount(dir: String): Long =
-    if (java.nio.file.Files.exists(appendedMeta(dir)))
-      java.nio.file.Files.readString(appendedMeta(dir)).trim.toLong
-    else 0L
+    metaLong(appendedMeta(dir))
 
   /** True once appended/base exceeds [[StaleFraction]] — the signal to
     * schedule a retraining [[build]] (which resets the counter). The
     * pipeline decides WHEN; serving from a stale index stays correct
     * (codes are exact nearest-code under the stored codebook), it is
-    * the approximation quality that decays. */
+    * the approximation quality that decays. Pure meta-file reads —
+    * the base count is recorded at build time, so no count() job
+    * (review finding r8). */
   def isStale(s: SparkSession, d: String): Boolean = {
     val dir = dirFor(d)
     val appended = appendedCount(dir)
     appended > 0 && {
-      val total = s.read.parquet(s"$dir/codes").count()
-      val base = total - appended
+      val base = metaLong(baseMeta(dir))
       base <= 0 || appended.toDouble / base > StaleFraction
     }
+  }
+
+  /** The newest COMPLETE index dir recorded for `d`'s canonical source
+    * path, other than the current-fingerprint dir — the adoption base
+    * when the source table has grown since the last build. */
+  private def priorDirFor(d: String): Option[java.io.File] = {
+    val src = canonicalSource(d)
+    val cur = fingerprint(d)
+    val rootF = new java.io.File(root)
+    if (!rootF.isDirectory) return None
+    rootF.listFiles
+      .filter(x => x.isDirectory && x.getName != cur &&
+        new java.io.File(x, "_GRAFT_INDEX_OK").isFile)
+      .filter { x =>
+        val meta = new java.io.File(x, "_GRAFT_INDEX_SOURCE")
+        try meta.isFile && new String(
+          java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8") == src
+        catch { case _: java.io.IOException => false }
+      }
+      .sortBy(-_.lastModified)
+      .headOption
+  }
+
+  /** Adopt a prior index's artifacts into the current-fingerprint dir
+    * without retraining: HARDLINK every artifact file (copy fallback
+    * across filesystems — O(files), never O(bytes), on one volume),
+    * carry the base/appended counters, and write the marker LAST so a
+    * killed adoption reads as absent. The prior dir stays intact; the
+    * next retraining [[build]] prunes it by source path as usual. */
+  private def adoptArtifacts(prev: java.io.File, dir: String): Unit = {
+    val dirF = new java.io.File(dir)
+    if (dirF.exists()) deleteRecursively(dirF)
+    def linkTree(from: java.io.File, to: java.io.File): Unit = {
+      to.mkdirs()
+      from.listFiles.foreach { f =>
+        val t = new java.io.File(to, f.getName)
+        if (f.isDirectory) linkTree(f, t)
+        else
+          try java.nio.file.Files.createLink(t.toPath, f.toPath)
+          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+            java.nio.file.Files.copy(f.toPath, t.toPath): Unit
+          }
+      }
+    }
+    Seq("coarse", "codebook", "codes").foreach(sub =>
+      linkTree(new java.io.File(prev, sub), new java.io.File(dirF, sub)))
+    Seq("_GRAFT_INDEX_BASE", "_GRAFT_INDEX_APPENDED").foreach { m =>
+      val f = new java.io.File(prev, m)
+      if (f.isFile)
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dirF, m).toPath): Unit
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_GRAFT_INDEX_SOURCE"),
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(prev, "_GRAFT_INDEX_SOURCE").toPath), "UTF-8")
+        .getBytes("UTF-8")): Unit
+    java.nio.file.Files.createFile(marker(dir)): Unit
   }
 
   /** Incremental maintenance — FAISS `add()` semantics: encode ONLY
     * `batch` (vec_id, embedding; raw — normalized here with the
     * build-path expression) against the STORED centroids and codebook
     * into their cells, landed as additional code files. Nothing is
-    * retrained and nothing existing is rewritten, so appending N
-    * vectors costs O(N · (cells + m·ksub)) — the per-corpus-version
-    * force-rebuild (the r7 2.5× weak entry) becomes amortized cost:
-    * rebuilds happen only when the appended fraction passes
-    * [[StaleFraction]]. Every serving query picks the new vectors up
-    * immediately (they are ordinary rows of `codes/`). */
+    * retrained, so appending N vectors costs O(N · (cells + m·ksub))
+    * — the per-corpus-version force-rebuild (the r7 2.5× weak entry)
+    * becomes amortized cost: rebuilds happen only when the appended
+    * fraction passes [[StaleFraction]].
+    *
+    * The PRODUCTION shape (review finding r8): new vectors land in the
+    * source table (so the exact-rerank id-lookups can see them), which
+    * MOVES the content fingerprint — append therefore ADOPTS the prior
+    * same-source index's artifacts into the new fingerprint dir
+    * (hardlinks, no retraining, no byte copies on one volume) before
+    * encoding the batch. With no prior index to extend, a fresh
+    * [[build]] necessarily covers the batch already (it encodes the
+    * whole current source) and append degenerates to it. Every serving
+    * query picks appended vectors up immediately: they are ordinary
+    * rows of `codes/`, and the raw vectors for re-ranking are in the
+    * grown source table. */
   def append(s: SparkSession, d: String, batch: DataFrame): String = {
-    val dir = ensure(s, d)
+    val dir = dirFor(d)
+    if (!java.nio.file.Files.exists(marker(dir))) {
+      priorDirFor(d) match {
+        case Some(prev) => adoptArtifacts(prev, dir)
+        case None => return build(s, d) // fresh build = batch included
+      }
+    }
+    builtMemo.add(dir)
     val cents = s.read.parquet(s"$dir/coarse")
     val cb = s.read.parquet(s"$dir/codebook")
     val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
     val e = Similarity.normalizeVecs(
       batch.select(col("vec_id"), col("embedding")))
     val n = batch.count()
-    encodeVectors(e, cents, cb, subLen)
+    // batch-sized file count — an append must not litter codes/ with
+    // shuffle.partitions near-empty files per call (review finding r8)
+    val nFiles = math.max(1L, (n + 1999999L) / 2000000L).toInt
+    encodeVectors(e, cents, cb, subLen).repartition(nFiles)
       .write.mode("append").parquet(s"$dir/codes")
     java.nio.file.Files.writeString(appendedMeta(dir),
       (appendedCount(dir) + n).toString): Unit

@@ -641,7 +641,15 @@ object Dedup {
       // footer row count: the rule costs driver file metadata, not a
       // count() job (r8)
       val n = graft.Tables.footerRowCount(s, d, "documents")
-      val rr = minhashBandRowsFor(n)
+      val tuned = minhashBandRowsFor(n)
+      // an EXPLICIT numHashes with self-tuned rows must stay valid on
+      // every corpus size: clamp the tuned r down to the largest even
+      // divisor of numHashes (review finding r8 — numHashes=32 with
+      // tuned r=6 would otherwise fail the divisibility require).
+      // Clamping down only ADDS recall (smaller r = looser bands).
+      val rr = if (numHashes > 0)
+        (tuned to 2 by -1).find(x => numHashes % x == 0).getOrElse(1)
+      else tuned
       System.err.println(s"[graft] dedup_minhash adaptive bandRows=$rr (n=$n)")
       rr
     }

@@ -53,9 +53,14 @@ object Streams extends Serializable {
     // per-batch machinery, graft.StreamFloor). A LIVE deployment sets
     // a durable checkpointLocation instead — this path is only taken
     // when the caller did not configure one.
+    // capacity-gated: containers often mount /dev/shm at 64 MB, where
+    // state deltas would hit ENOSPC mid-batch — require real headroom
+    // (1 GiB) before preferring RAM over the disk default (review
+    // finding r8)
     val shm = new java.io.File("/dev/shm")
     val ckpt: Option[java.nio.file.Path] =
-      if (shm.isDirectory && shm.canWrite)
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace > (1L << 30))
         Some(java.nio.file.Files.createTempDirectory(shm.toPath, "graft_ckpt"))
       else None
     try {

@@ -146,6 +146,55 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally rmr(tmp)
   }
 
+  test("append adopts a grown source: NEW vectors serve end-to-end without retraining") {
+    // the production shape (review finding r8): new vectors land in
+    // the source table (so exact-rerank id-lookups see them), which
+    // MOVES the content fingerprint — append must adopt the prior
+    // same-source artifacts (hardlinks, no retraining) and encode only
+    // the batch, and serving must then cover the whole grown corpus.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_grow").toFile
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    try {
+      val embDir = new java.io.File(tmp, "embeddings.parquet")
+      assert(embDir.mkdirs())
+      val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      def landPart(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val st = new java.io.File(tmp, "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(st.getAbsolutePath)
+        val part = st.listFiles.filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(embDir, name).toPath)
+        rmr(st)
+      }
+      // the base slice must keep vec_id%50==0 rows — they are the
+      // deterministic coarse-centroid sample; a base of %5!=0 would
+      // train on an EMPTY centroid set (found the hard way)
+      landPart(all.filter(col("vec_id") % 5 =!= 3), "part-base.parquet")
+      val d = tmp.getAbsolutePath
+      val dirOld = AnnIndex.build(spark, d)
+      val cbOld = spark.read.parquet(s"$dirOld/codebook")
+        .collect().map(_.toSeq).toSet
+      // the source GROWS in place: new vectors arrive as a new file
+      landPart(all.filter(col("vec_id") % 5 === 3), "part-new.parquet")
+      val batch = Tables.embeddings(spark, d).filter(col("vec_id") % 5 === 3)
+      val dirNew = AnnIndex.append(spark, d, batch)
+      assert(dirNew != dirOld, "grown source must key a new index dir")
+      // adopted, not retrained: the codebook is bit-identical
+      assert(spark.read.parquet(s"$dirNew/codebook")
+        .collect().map(_.toSeq).toSet == cbOld)
+      // the whole grown corpus is indexed exactly once
+      val codes = spark.read.parquet(s"$dirNew/codes")
+      assert(codes.count() == all.count())
+      assert(codes.select("vec_id").distinct().count() == all.count())
+      // serving runs end-to-end on the grown corpus — the query vector
+      // and the rerank id-lookups are appended vectors
+      assert(AnnIndex.ivfpqRerankQuery(spark, d).collect().length == 10)
+    } finally rmr(tmp)
+  }
+
   test("a missing completion marker forces a rebuild (no partial serving)") {
     val dir = AnnIndex.build(spark, sf)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
