@@ -20,6 +20,9 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    "sample_cluster_balanced" -> ((s, d) => Similarity.sampleClusterBalanced(s, d)),
+    "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_fuzzy" -> ((s, d) => Dedup.fuzzy(s, d)),
@@ -100,6 +103,9 @@ object SparkEntry {
     "dedup_fuzzy" -> Dedup.fuzzySql,
     "dedup_substring" -> Dedup.substringCoverageSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
+    "dedup_semantic" -> Similarity.semanticDedupSql,
+    "sample_cluster_balanced" -> Similarity.sampleClusterBalancedSql,
+    "text_cdc_chunks" -> TextAnalysis.cdcChunksSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,

@@ -762,7 +762,27 @@ object Similarity {
     * 100 TB: each round is one broadcast of k centroids + a narrow
     * n×k distance pass + a (c, dim)-keyed mean aggregation (≤ k·dim
     * rows); superseded centroid checkpoints are released in-loop. */
-  def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame = {
+  def kmeans(s: SparkSession, d: String, k: Int = 8, iters: Int = 2): DataFrame =
+    kmeansAssign(s, d, k, iters)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // quantised inertia: order-independent exact integer sum
+        (sum(floor(col("cd2") * 1e9).cast("decimal(28,0)")).cast("double")
+          / 1e9).as("inertia"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .withColumnRenamed("c", "cluster")
+      .orderBy(col("cluster"))
+
+  /** The final Lloyd assignment (vec_id, embedding, c, cd2) — the
+    * shared clustering pass behind [[kmeans]] (per-cluster stats),
+    * [[semanticDedup]] (cluster-local pair generation) and
+    * [[sampleClusterBalanced]] (per-cluster quotas). One definition of
+    * the seed, the quantised-mean refinement and the assignment
+    * tie-break, so the three oracles can share one CTE replay
+    * ([[KmeansAssignCtes]]) without drifting. */
+  private[graft] def kmeansAssign(s: SparkSession, d: String,
+      k: Int, iters: Int): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
     def d2(a: Column, b: Column): Column = {
       val diff = zip_with(a, b, (x, y) => x - y)
@@ -798,22 +818,19 @@ object Similarity {
       releasePrev = rel
     }
     assigned
-      .groupBy(col("c"))
-      .agg(count(lit(1)).as("n_vecs"),
-        // quantised inertia: order-independent exact integer sum
-        (sum(floor(col("cd2") * 1e9).cast("decimal(28,0)")).cast("double")
-          / 1e9).as("inertia"),
-        min(col("vec_id")).as("min_vec"),
-        max(col("vec_id")).as("max_vec"))
-      .withColumnRenamed("c", "cluster")
-      .orderBy(col("cluster"))
   }
 
   /** The k-means pipeline as DuckDB SQL: seed → `iters` unrolled
     * (assign → quantised-mean refine) rounds → final assignment →
     * per-cluster stats. MATERIALIZED CTEs: each round's centroids are
     * referenced twice and DuckDB inlines by default. */
-  val kmeansSql: String = {
+  /** The k-means training + final-assignment pipeline as DuckDB CTEs
+    * ending in `fin` (vec_id, embedding, c, cd2) — shared verbatim by
+    * [[kmeansSql]], [[semanticDedupSql]] and [[sampleClusterBalancedSql]]
+    * (the ShPairsCte discipline: one replay of the training chain).
+    * MATERIALIZED: each round's centroids are referenced twice and
+    * DuckDB inlines by default. */
+  private[graft] val KmeansAssignCtes: String = {
     val (k, iters) = (8, 2)
     def assignFrom(cte: String, out: String): String =
       s"""$out AS MATERIALIZED (
@@ -843,12 +860,122 @@ object Similarity {
        |c0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INT) AS c, embedding AS c_emb FROM e WHERE vec_id < $k),
        |$rounds,
-       |${assignFrom(s"c$iters", "fin")}
+       |${assignFrom(s"c$iters", "fin")}""".stripMargin
+  }
+
+  val kmeansSql: String =
+    s"""$KmeansAssignCtes
        |SELECT c AS cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        |  CAST(SUM(CAST(FLOOR(cd2 * 1e9) AS DECIMAL(28,0))) AS DOUBLE) / 1e9 AS inertia,
        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
        |FROM fin GROUP BY c ORDER BY cluster""".stripMargin
+
+  // ---- dedup_semantic: SemDeDup-style cluster-local semantic dedup ------
+
+  /** Cluster count for the semantic-dedup assignment, from the corpus
+    * footer row count (the minhashBandRowsFor discipline — driver file
+    * metadata, no count() job): k doubles per corpus-size doubling past
+    * the gated 2000 vectors, holding the expected cluster population in
+    * [125, 250] so the within-cluster pair space stays LINEAR in corpus
+    * size (n²/k ≈ 125·n) — the published SemDeDup scale argument. Every
+    * gated SF (500 / 500 / 2000 vectors) lands on k=8, so the fixed
+    * k=8 oracle replay is exact there; SimilaritySpec pins the rule
+    * across sizes. */
+  private[graft] def semanticKFor(n: Long): Int =
+    if (n <= 2000) 8
+    else 8 << math.ceil(math.log(n / 2000.0) / math.log(2.0)).toInt
+
+  /** `dedup_semantic` — SemDeDup (Abbas et al., arXiv:2303.09540)
+    * re-expressed Spark-first: Lloyd-cluster the embedding corpus
+    * ([[kmeansAssign]] — the same deterministic training as
+    * embed_kmeans), then compare vectors ONLY against cluster-mates and
+    * surface, for each vector, its strongest lower-id mate (the
+    * retained representative if the vector were dropped). Output is
+    * the top-`topN` most semantically redundant vectors with an
+    * `is_dup` verdict at cosine ≥ `tau` — on this synthetic corpus the
+    * pairwise-cos ceiling is ~0.6, so τ=0.45 marks the genuine
+    * redundancy tail while the ranking itself stays non-degenerate.
+    *
+    * 100 TB: the cluster restriction is the whole point — pairs are
+    * generated per-cluster (one shuffle keyed on c), and k self-tunes
+    * with corpus size ([[semanticKFor]]) so the pair space grows
+    * linearly, not quadratically; the shuffle carries (id, vector,
+    * norm) once, never the O(n²) pair space. */
+  def semanticDedup(s: SparkSession, d: String,
+      tau: Double = 0.45, topN: Int = 50): DataFrame = {
+    val n = graft.Tables.footerRowCount(s, d, "embeddings")
+    val k = semanticKFor(n)
+    System.err.println(s"[graft] dedup_semantic adaptive k=$k (n=$n)")
+    val a = kmeansAssign(s, d, k, 2)
+      .select(col("vec_id"), col("embedding"), col("c"),
+        norm2(col("embedding")).as("n2"))
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("y.c").as("cluster"),
+        col("x.vec_id").as("mate"),
+        (dotD(col("x.embedding"), col("y.embedding")) /
+          sqrt(col("x.n2") * col("y.n2"))).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("mate"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("mate").as("dup_of"),
+        col("cos"), (col("cos") >= tau).as("is_dup"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topN)
   }
+
+  val semanticDedupSql: String =
+    s"""$KmeansAssignCtes,
+       |prs AS (
+       |  SELECT y.vec_id AS vec_id, y.c AS cluster, x.vec_id AS mate,
+       |    ${cosOf("x.embedding", "y.embedding")} AS cos
+       |  FROM fin x JOIN fin y ON x.c = y.c AND x.vec_id < y.vec_id),
+       |best AS (
+       |  SELECT vec_id, cluster, mate AS dup_of, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, mate) AS rn
+       |  FROM prs)
+       |SELECT vec_id, cluster, dup_of, cos, cos >= 0.45 AS is_dup
+       |FROM best WHERE rn = 1
+       |ORDER BY cos DESC, vec_id LIMIT 50""".stripMargin
+
+  // ---- sample_cluster_balanced: per-cluster sampling quotas --------------
+
+  /** `sample_cluster_balanced` — cluster-balanced selection: the `m`
+    * hash-smallest vectors of every semantic cluster (the same
+    * deterministic content-hash rank as sample_uniform_n, stratified by
+    * [[kmeansAssign]]'s clusters instead of a metadata column). The
+    * diversity-preserving sampling stage of a training-data pipeline —
+    * quota sampling over LEARNED strata, where sample_stratified quotas
+    * over declared ones.
+    *
+    * 100 TB: one shuffle on the cluster id after the assignment pass;
+    * the rank window never sees more than one cluster, and k grows
+    * with corpus size ([[semanticKFor]]) so per-cluster populations —
+    * and the window state — stay bounded. */
+  def sampleClusterBalanced(s: SparkSession, d: String, m: Int = 25): DataFrame = {
+    val n = graft.Tables.footerRowCount(s, d, "embeddings")
+    val k = semanticKFor(n)
+    System.err.println(s"[graft] sample_cluster_balanced adaptive k=$k (n=$n)")
+    val w = Window.partitionBy(col("c"))
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+    kmeansAssign(s, d, k, 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select(col("c").as("cluster"), col("rk").cast("int").as("rk"),
+        col("vec_id"))
+      .orderBy(col("cluster"), col("rk"))
+  }
+
+  val sampleClusterBalancedSql: String =
+    s"""$KmeansAssignCtes
+       |SELECT c AS cluster, CAST(rk AS INT) AS rk, vec_id FROM (
+       |  SELECT c, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY c
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM fin)
+       |WHERE rk <= 25 ORDER BY cluster, rk""".stripMargin
 
   // ---- embed_outliers: centroid-distance outlier scoring ----------------
 

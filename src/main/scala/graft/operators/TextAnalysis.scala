@@ -257,6 +257,98 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- text_cdc_chunks: content-defined chunking + duplicate chunks -----
+
+  /** `text_cdc_chunks` — content-defined chunking: a document is cut
+    * where the FNV-1a hash of the rolling 4-word gram has its low 4
+    * bits zero (expected chunk ≈ 16 words), so chunk boundaries depend
+    * only on LOCAL content — two documents sharing a shifted span
+    * produce byte-identical chunks inside it, which fixed-width
+    * chunking never does (the rsync/LBFS boundary trick, the standard
+    * near-dup shingling alternative for code/doc corpora). Output is
+    * the top-20 most-duplicated chunks corpus-wide (fingerprint,
+    * document frequency, occurrences, width).
+    *
+    * 100 TB: boundaries, chunk assembly and fingerprints are all
+    * per-document array expressions inside the scan projection — ZERO
+    * shuffle until the final constant-width (fp-keyed, top-20)
+    * aggregation; no window over exploded tokens, no per-doc state
+    * beyond the words array the other text ops already build. */
+  def cdcChunks(s: SparkSession, d: String, mask: Int = 15): DataFrame = {
+    val ws = col("ws")
+    // 0-based boundary positions: word i (i >= 3) ends its chunk when
+    // FNV(words[i-3..i]) has the low bits clear; element_at is 1-based
+    val bpos = when(size(ws) >= 4,
+      filter(sequence(lit(3), size(ws) - 1), i =>
+        graft.functions.HashFunctions.fnv64(concat_ws(" ",
+          element_at(ws, i - 2), element_at(ws, i - 1),
+          element_at(ws, i), element_at(ws, i + 1)))
+          .bitwiseAND(lit(mask.toLong)) === 0))
+      .otherwise(array().cast("array<int>"))
+    val starts = concat(array(lit(0)), transform(col("bpos"), p => p + 1))
+    val ends = concat(col("bpos"), array(size(ws) - 1))
+    // a boundary on the last word leaves an empty trailing slice
+    // (start > end) — dropped by the null filter
+    val chunkArr = filter(
+      zip_with(starts, ends, (st, en) => when(st <= en,
+        struct(array_join(slice(ws, st + 1, en - st + 1), " ").as("ctext"),
+          (en - st + 1).as("n_words")))),
+      c => c.isNotNull)
+    documents(s, d)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("bpos", bpos)
+      .select(col("doc_id"), posexplode(chunkArr).as(Seq("chunk_idx", "ck")))
+      .select(col("doc_id"), fingerprint(col("ck.ctext")).as("fp"),
+        col("ck.n_words").as("n_words"))
+      // chunks narrower than the 4-word gram window never contained a
+      // boundary decision — they are stray tokens between two adjacent
+      // cuts, and ranking them buries the real duplicated spans
+      .filter(col("n_words") >= 4)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max(col("n_words")).as("n_words"))
+      .orderBy(col("n_occurrences").desc, col("fp"))
+      .limit(20)
+  }
+
+  /** The chunking replayed over an exploded token table (same result,
+    * window-based plan): LAG-built grams, FNV boundary bits
+    * (Dedup.FnvWordSql — the hashFeatures precedent), exclusive
+    * prefix-sum chunk ids, ordered string_agg reassembly. */
+  val cdcChunksSql: String =
+    s"""WITH wst AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |toks AS (
+       |  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS i
+       |  FROM wst),
+       |g AS (
+       |  SELECT doc_id, i, tok,
+       |    CASE WHEN i >= 4 THEN
+       |      LAG(tok, 3) OVER dw || ' ' || LAG(tok, 2) OVER dw || ' ' ||
+       |      LAG(tok, 1) OVER dw || ' ' || tok END AS w
+       |  FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY i)),
+       |gb AS (
+       |  SELECT doc_id, i, tok,
+       |    CASE WHEN w IS NULL THEN 0
+       |         WHEN ${Dedup.FnvWordSql} % 16 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM g),
+       |ck AS (
+       |  SELECT doc_id, i, tok,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+       |  FROM gb),
+       |chunks AS (
+       |  SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY i) AS ctext,
+       |    COUNT(*) AS n_words
+       |  FROM ck GROUP BY doc_id, chunk)
+       |SELECT SUBSTR(md5(ctext), 1, 16) AS fp,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(MAX(n_words) AS INT) AS n_words
+       |FROM chunks WHERE n_words >= 4 GROUP BY fp
+       |ORDER BY n_occurrences DESC, fp LIMIT 20""".stripMargin
+
   /** `text_hashfeatures` — the hashing-trick featurizer: every token
     * maps to one of `k` buckets via FNV-1a (low log₂k bits ≡ unsigned
     * mod for a power-of-two k), and the corpus feature profile is the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.HashFunctions._
 import graft.functions.HashUtil
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 class PipelineOpsSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -292,5 +292,108 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("dedup_exact keeps one survivor per distinct text") {
     val n = Tables.documents(spark, sf).count()
     assert(Dedup.exact(spark, sf).count() == n) // testdata has no exact dups
+  }
+
+  test("semanticKFor: k=8 at every gated size; cluster population bounded past them") {
+    for (n <- Seq(100L, 500L, 2000L))
+      assert(Similarity.semanticKFor(n) == 8, s"gated n=$n must stay k=8")
+    for (n <- Seq(2001L, 4000L, 10000L, 25000L, 100000L, 2000000L)) {
+      val k = Similarity.semanticKFor(n)
+      val pop = n.toDouble / k
+      assert(pop >= 124.0 && pop <= 250.0,
+        s"n=$n k=$k population $pop outside [124, 250] — the pair space " +
+          "would grow superlinearly (too big) or the clusters degenerate (too small)")
+      assert((k & (k - 1)) == 0, s"k=$k must stay a power of two")
+    }
+  }
+
+  test("dedup_semantic: parity with an in-memory cluster-local argmax") {
+    val assign = Similarity.kmeansAssign(spark, sf, 8, 2)
+      .select("vec_id", "c", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // the same left-to-right double fold as dotD / the cosOf oracle
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val best = assign.flatMap { case (id, c, e) =>
+      val mates = assign.filter(m => m._2 == c && m._1 < id)
+      if (mates.isEmpty) None
+      else {
+        val n2 = dot(e, e)
+        val (mid, cos) = mates.map { case (m, _, me) =>
+          (m, dot(e, me) / math.sqrt(dot(me, me) * n2)) }
+          .minBy { case (m, cs) => (-cs, m) }
+        Some((id, c, mid, cos))
+      }
+    }
+    val expected = best.sortBy { case (id, _, _, cos) => (-cos, id) }.take(50)
+      .map { case (id, c, mid, cos) => (id, c, mid, cos, cos >= 0.45) }.toSeq
+    val got = Similarity.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("sample_cluster_balanced: exact per-cluster quotas of the md5-smallest ids") {
+    val assign = Similarity.kmeansAssign(spark, sf, 8, 2)
+      .select("vec_id", "c").collect().map(r => (r.getLong(0), r.getInt(1)))
+    def hex(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = assign.groupBy(_._2).toSeq.flatMap { case (c, members) =>
+      members.map(_._1).sortBy(id => (hex(id), id)).take(25)
+        .zipWithIndex.map { case (id, i) => (c, i + 1, id) }
+    }.sortBy { case (c, rk, _) => (c, rk) }
+    val got = Similarity.sampleClusterBalanced(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  test("text_cdc_chunks: parity with an in-memory rolling-hash chunker") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunkRows = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1) // keep trailing empties, like Spark split
+      val bpos = (3 until ws.length).filter { i =>
+        val gram = ws.slice(i - 3, i + 1).mkString(" ")
+        (HashUtil.fnv1a64(gram.getBytes("UTF-8")) & 15L) == 0L
+      }
+      val starts = 0 +: bpos.map(_ + 1)
+      val ends = bpos :+ (ws.length - 1)
+      starts.zip(ends).collect { case (st, en) if st <= en =>
+        (id, ws.slice(st, en + 1).mkString(" "), en - st + 1)
+      }
+    }
+    def md5hex16(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+    val expected = chunkRows.filter(_._3 >= 4)
+      .map { case (id, ctext, nw) => (id, md5hex16(ctext), nw) }
+      .groupBy(_._2).toSeq
+      .map { case (fp, rs) =>
+        (fp, rs.map(_._1).distinct.length.toLong, rs.length.toLong, rs.map(_._3).max) }
+      .sortBy { case (fp, _, occ, _) => (-occ, fp) }
+      .take(20)
+    val got = TextAnalysis.cdcChunks(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("text_cdc_chunks: shifted shared spans chunk identically (the CDC property)") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_prop").toString
+    import spark.implicits._
+    val span = (1 to 200).map(i => s"shared$i").mkString(" ")
+    val doc1 = s"alpha beta $span omega"
+    val doc2 = s"completely different and longer prefix tokens here $span trailer"
+    Seq((1L, doc1, "en", "a", doc1.length.toLong),
+        (2L, doc2, "en", "b", doc2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.cdcChunks(spark, dir).collect()
+    assert(rows.exists(r => r.getLong(1) == 2L),
+      "a shifted shared span must produce at least one byte-identical " +
+        "chunk in both documents — content-defined boundaries resynchronize")
   }
 }
