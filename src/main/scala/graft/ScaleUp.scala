@@ -54,7 +54,11 @@ object ScaleUp {
     // windows over orders, which the amplifier grows.
     "q3_join_agg", "q36_skew_join", "q11_running_sum", "q33_grouping_sets",
     "q24_asof_join", "stream_windowed_agg", "etl_cast",
-    "pack_sequences", "corpus_mix")
+    "pack_sequences", "corpus_mix",
+    // late-r8: the cluster-consumers (semanticKFor's adaptive k only
+    // engages past the gated 2000 vectors — the sweep is the first
+    // place the rule actually fires) and the zero-shuffle chunker
+    "dedup_semantic", "sample_cluster_balanced", "text_cdc_chunks")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

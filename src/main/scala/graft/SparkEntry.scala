@@ -17,6 +17,7 @@ object SparkEntry {
     "dedup_bloom" -> ((s, d) => Dedup.bloomDedup(s, d)),
     "dedup_corpus_near" -> ((s, d) => Dedup.dedupCorpusNear(s, d)),
     "sample_importance" -> ((s, d) => Curation.sampleImportance(s, d)),
+    "sample_temperature" -> ((s, d) => Curation.sampleTemperature(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "dedup_bloom" -> Dedup.bloomDedupSql,
     "dedup_corpus_near" -> Dedup.dedupCorpusNearSql,
     "sample_importance" -> Curation.sampleImportanceSql,
+    "sample_temperature" -> Curation.sampleTemperatureSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_fuzzy" -> Dedup.fuzzySql,

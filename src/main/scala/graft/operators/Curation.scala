@@ -63,6 +63,73 @@ object Curation {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  /** `sample_temperature` — temperature-scaled language sampling (the
+    * mBERT/XLM-R multilingual data schedule): per-language quotas
+    * ∝ n_lang^τ with τ = 0.5, smoothing the head language's dominance
+    * toward the tail (en holds 41% of this corpus but √-weights to
+    * ~30% of the budget), then the quota filled by the deterministic
+    * md5 content-hash rank ([[sampleRank]] idiom). The quota split is
+    * the largest-remainder (Hamilton) apportionment computed ENTIRELY
+    * in integer arithmetic — weights quantised as floor(√n·1e9)
+    * BIGINT, integer-div base shares, remainder ranking — so both
+    * engines agree bit-for-bit with no cross-engine float summation
+    * anywhere (the davg9 lesson applied to apportionment).
+    *
+    * 100 TB: the allocation table is ≤ |langs| rows (two tiny
+    * broadcast aggregates + one bounded unpartitioned window over
+    * |langs| rows — same class as the other documented bounded driver
+    * tables); selection is sample_stratified's one shuffle on the
+    * stratum key with a per-stratum rank window. */
+  def sampleTemperature(s: SparkSession, d: String, budget: Int = 200): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, least, row_number, sum => fsum}
+    val zt = documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("z", floor(sqrt(col("n").cast("double")) * 1e9).cast("long"))
+    val tot = zt.agg(fsum(col("z")).as("zsum"))
+    val a1 = zt.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n"),
+        expr(s"(CAST($budget AS BIGINT) * z) DIV zsum").as("base"),
+        expr(s"(CAST($budget AS BIGINT) * z) % zsum").as("rem"))
+    val tot2 = a1.agg((lit(budget.toLong) - fsum(col("base"))).as("leftover"))
+    // unpartitioned window: the frame is the ≤|langs|-row alloc table
+    val wRem = Window.orderBy(col("rem").desc, col("lang"))
+    val alloc = a1.crossJoin(broadcast(tot2))
+      .withColumn("extra",
+        when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+      .select(col("lang"), least(col("base") + col("extra"), col("n")).as("alloc"))
+    val wRank = Window.partitionBy(col("lang")).orderBy(sampleRank, col("doc_id"))
+    documents(s, d)
+      .withColumn("rk", row_number().over(wRank))
+      .join(broadcast(alloc), "lang")
+      .filter(col("rk") <= col("alloc"))
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sampleTemperatureSql: String =
+    """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |z AS (SELECT lang, n,
+      |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e9) AS BIGINT) AS z
+      |      FROM c),
+      |t AS (SELECT SUM(z) AS zsum FROM z),
+      |a1 AS (SELECT lang, n,
+      |         (CAST(200 AS BIGINT) * z) // zsum AS base,
+      |         (CAST(200 AS BIGINT) * z) % zsum AS rem
+      |       FROM z CROSS JOIN t),
+      |t2 AS (SELECT 200 - SUM(base) AS leftover FROM a1),
+      |al AS (SELECT lang,
+      |         LEAST(base + CASE WHEN ROW_NUMBER()
+      |             OVER (ORDER BY rem DESC, lang) <= leftover
+      |           THEN 1 ELSE 0 END, n) AS alloc
+      |       FROM a1 CROSS JOIN t2),
+      |rk AS (SELECT lang, doc_id,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |       FROM documents)
+      |SELECT r.lang, CAST(r.rk AS INT) AS rk, r.doc_id
+      |FROM rk r JOIN al USING (lang) WHERE r.rk <= al.alloc
+      |ORDER BY lang, rk""".stripMargin
+
   /** `sample_importance` — quality-weighted importance sampling, the
     * data-mixing primitive behind "sample better documents more
     * often" corpus recipes: each doc is kept with probability

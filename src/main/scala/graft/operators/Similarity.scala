@@ -879,11 +879,22 @@ object Similarity {
     * [125, 250] so the within-cluster pair space stays LINEAR in corpus
     * size (n²/k ≈ 125·n) — the published SemDeDup scale argument. Every
     * gated SF (500 / 500 / 2000 vectors) lands on k=8, so the fixed
-    * k=8 oracle replay is exact there; SimilaritySpec pins the rule
-    * across sizes. */
+    * k=8 oracle replay is exact there; PipelineOpsSpec pins the rule
+    * across sizes.
+    *
+    * The rule caps at k=4096 (centroid broadcast ≤ ~1 MB at d=64; the
+    * n×k assignment pass stays ≤ 4096 distance ops per vector): k ∝ n
+    * makes ASSIGNMENT itself O(n·k) = O(n²/pop), the known SemDeDup
+    * trade — measured here as 2.0×/2.8× wall for 10× data (×10 sweep,
+    * k 8→128), cheap at these scales but not free. Past the cap
+    * (n > ~1M vectors) cluster populations grow instead, and the
+    * within-cluster pair pass should reuse dedup_embedding's banded
+    * hyperplane candidates INSIDE each cluster — the already-codified
+    * candidates→confirm machinery — rather than growing k further. */
   private[graft] def semanticKFor(n: Long): Int =
     if (n <= 2000) 8
-    else 8 << math.ceil(math.log(n / 2000.0) / math.log(2.0)).toInt
+    else math.min(4096,
+      8 << math.ceil(math.log(n / 2000.0) / math.log(2.0)).toInt)
 
   /** `dedup_semantic` — SemDeDup (Abbas et al., arXiv:2303.09540)
     * re-expressed Spark-first: Lloyd-cluster the embedding corpus
@@ -902,10 +913,15 @@ object Similarity {
     * linearly, not quadratically; the shuffle carries (id, vector,
     * norm) once, never the O(n²) pair space. */
   def semanticDedup(s: SparkSession, d: String,
-      tau: Double = 0.45, topN: Int = 50): DataFrame = {
-    val n = graft.Tables.footerRowCount(s, d, "embeddings")
-    val k = semanticKFor(n)
-    System.err.println(s"[graft] dedup_semantic adaptive k=$k (n=$n)")
+      tau: Double = 0.45, topN: Int = 50, kOverride: Int = -1): DataFrame = {
+    // kOverride > 0 forces a cluster count for A/B specs (the
+    // minhashLsh bandRows precedent); production always self-tunes
+    val k = if (kOverride > 0) kOverride else {
+      val n = graft.Tables.footerRowCount(s, d, "embeddings")
+      val kk = semanticKFor(n)
+      System.err.println(s"[graft] dedup_semantic adaptive k=$kk (n=$n)")
+      kk
+    }
     val a = kmeansAssign(s, d, k, 2)
       .select(col("vec_id"), col("embedding"), col("c"),
         norm2(col("embedding")).as("n2"))
@@ -954,10 +970,14 @@ object Similarity {
     * the rank window never sees more than one cluster, and k grows
     * with corpus size ([[semanticKFor]]) so per-cluster populations —
     * and the window state — stay bounded. */
-  def sampleClusterBalanced(s: SparkSession, d: String, m: Int = 25): DataFrame = {
-    val n = graft.Tables.footerRowCount(s, d, "embeddings")
-    val k = semanticKFor(n)
-    System.err.println(s"[graft] sample_cluster_balanced adaptive k=$k (n=$n)")
+  def sampleClusterBalanced(s: SparkSession, d: String, m: Int = 25,
+      kOverride: Int = -1): DataFrame = {
+    val k = if (kOverride > 0) kOverride else {
+      val n = graft.Tables.footerRowCount(s, d, "embeddings")
+      val kk = semanticKFor(n)
+      System.err.println(s"[graft] sample_cluster_balanced adaptive k=$kk (n=$n)")
+      kk
+    }
     val w = Window.partitionBy(col("c"))
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
     kmeansAssign(s, d, k, 2)

@@ -23,6 +23,37 @@ class CurationSpec extends AnyFunSuite {
       "growing n must only add rows, never swap them (stable ranking)")
   }
 
+  test("sample_temperature: Hamilton apportionment parity and √-smoothing") {
+    val rows = Curation.sampleTemperature(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val counts = Tables.documents(spark, sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // in-memory largest-remainder replay in the same integer domain
+    val z = counts.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e9).toLong).toMap
+    val zsum = z.values.sum
+    val base = z.view.mapValues(v => 200L * v / zsum).toMap
+    val rem = z.map { case (l, v) => l -> (200L * v % zsum) }
+    val leftover = (200L - base.values.sum).toInt
+    val extras = rem.toSeq.sortBy { case (l, r) => (-r, l) }
+      .take(leftover).map(_._1).toSet
+    val alloc = counts.keys.map { l =>
+      l -> math.min(base(l) + (if (extras(l)) 1L else 0L), counts(l))
+    }.toMap
+    val perLang = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(perLang == alloc.filter(_._2 > 0),
+      "per-language sample sizes must equal the integer Hamilton quotas")
+    assert(rows.length == 200, "no cap binds here, so quotas sum to the budget")
+    // τ=0.5 smoothing: the head language's share drops below its
+    // proportional share, every smaller language's share rises above
+    val total = counts.values.sum.toDouble
+    val head = counts.maxBy(_._2)._1
+    assert(alloc(head).toDouble / 200 < counts(head) / total)
+    for ((l, n) <- counts if counts(l) < counts(head))
+      assert(alloc(l).toDouble / 200 > n / total,
+        s"tail language $l must be up-weighted by the temperature")
+  }
+
   test("sample_stratified fills exact per-language quotas") {
     val rows = Curation.sampleStratified(spark, sf, 10).collect()
     val perLang = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap

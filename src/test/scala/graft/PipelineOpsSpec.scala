@@ -297,7 +297,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("semanticKFor: k=8 at every gated size; cluster population bounded past them") {
     for (n <- Seq(100L, 500L, 2000L))
       assert(Similarity.semanticKFor(n) == 8, s"gated n=$n must stay k=8")
-    for (n <- Seq(2001L, 4000L, 10000L, 25000L, 100000L, 2000000L)) {
+    for (n <- Seq(2001L, 4000L, 10000L, 25000L, 100000L, 1000000L)) {
       val k = Similarity.semanticKFor(n)
       val pop = n.toDouble / k
       assert(pop >= 124.0 && pop <= 250.0,
@@ -305,13 +305,19 @@ class PipelineOpsSpec extends AnyFunSuite {
           "would grow superlinearly (too big) or the clusters degenerate (too small)")
       assert((k & (k - 1)) == 0, s"k=$k must stay a power of two")
     }
+    // past ~1M vectors the rule holds k at 4096 (bounded centroid
+    // broadcast / assignment cost) and populations grow instead —
+    // the documented trade; the in-cluster banded path is the remedy
+    for (n <- Seq(2000000L, 100000000L))
+      assert(Similarity.semanticKFor(n) == 4096, s"cap must hold at n=$n")
   }
 
-  test("dedup_semantic: parity with an in-memory cluster-local argmax") {
-    val assign = Similarity.kmeansAssign(spark, sf, 8, 2)
+  // shared by the k=8 (gated) and k=16 (first adaptive step) parity
+  // runs: the same left-to-right double fold as dotD / the cosOf oracle
+  private def semanticExpected(k: Int): Seq[(Long, Int, Long, Double, Boolean)] = {
+    val assign = Similarity.kmeansAssign(spark, sf, k, 2)
       .select("vec_id", "c", "embedding").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    // the same left-to-right double fold as dotD / the cosOf oracle
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
@@ -328,12 +334,25 @@ class PipelineOpsSpec extends AnyFunSuite {
         Some((id, c, mid, cos))
       }
     }
-    val expected = best.sortBy { case (id, _, _, cos) => (-cos, id) }.take(50)
+    best.sortBy { case (id, _, _, cos) => (-cos, id) }.take(50)
       .map { case (id, c, mid, cos) => (id, c, mid, cos, cos >= 0.45) }.toSeq
+  }
+
+  test("dedup_semantic: parity with an in-memory cluster-local argmax") {
     val got = Similarity.semanticDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getDouble(3), r.getBoolean(4))).toSeq
-    assert(got == expected)
+    assert(got == semanticExpected(8))
+  }
+
+  test("dedup_semantic: parity holds at the first ADAPTIVE k (16), not just the gated 8") {
+    val got = Similarity.semanticDedup(spark, sf, kOverride = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(got == semanticExpected(16),
+      "the adaptive-k path must produce exactly the cluster-local argmax " +
+        "at a k the footer rule can emit — exactness past the gated sizes " +
+        "is recompute-pinned, not oracle-pinned (the ADVICE r7 pattern)")
   }
 
   test("sample_cluster_balanced: exact per-cluster quotas of the md5-smallest ids") {
