@@ -75,6 +75,14 @@ object Curation {
     * engines agree bit-for-bit with no cross-engine float summation
     * anywhere (the davg9 lesson applied to apportionment).
     *
+    * A quota is capped at its stratum's size and the surplus is NOT
+    * redistributed: when smoothing asks for more docs than a language
+    * has, the sample simply comes back under budget (loud in the row
+    * count, pinned in CurationSpec) — silently refilling from other
+    * languages would defeat the temperature (it hands the head back
+    * exactly the share τ removed). No gated corpus caps (largest
+    * quota ~60 vs n ≥ 702).
+    *
     * 100 TB: the allocation table is ≤ |langs| rows (two tiny
     * broadcast aggregates + one bounded unpartitioned window over
     * |langs| rows — same class as the other documented bounded driver

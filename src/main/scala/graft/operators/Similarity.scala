@@ -817,13 +817,9 @@ object Similarity {
       cents = next
       releasePrev = rel
     }
-    assigned
+    assigned.drop("rn")
   }
 
-  /** The k-means pipeline as DuckDB SQL: seed → `iters` unrolled
-    * (assign → quantised-mean refine) rounds → final assignment →
-    * per-cluster stats. MATERIALIZED CTEs: each round's centroids are
-    * referenced twice and DuckDB inlines by default. */
   /** The k-means training + final-assignment pipeline as DuckDB CTEs
     * ending in `fin` (vec_id, embedding, c, cd2) — shared verbatim by
     * [[kmeansSql]], [[semanticDedupSql]] and [[sampleClusterBalancedSql]]
@@ -885,16 +881,23 @@ object Similarity {
     * The rule caps at k=4096 (centroid broadcast ≤ ~1 MB at d=64; the
     * n×k assignment pass stays ≤ 4096 distance ops per vector): k ∝ n
     * makes ASSIGNMENT itself O(n·k) = O(n²/pop), the known SemDeDup
-    * trade — measured here as 2.0×/2.8× wall for 10× data (×10 sweep,
-    * k 8→128), cheap at these scales but not free. Past the cap
+    * trade — measured at ×10 data as 2.04× (dedup_semantic) and 2.82×
+    * (sample_cluster_balanced) wall with k firing 8→128
+    * (scale_sweep_x10_r8.json), cheap at these scales but not free.
+    * Past the cap
     * (n > ~1M vectors) cluster populations grow instead, and the
     * within-cluster pair pass should reuse dedup_embedding's banded
     * hyperplane candidates INSIDE each cluster — the already-codified
     * candidates→confirm machinery — rather than growing k further. */
   private[graft] def semanticKFor(n: Long): Int =
     if (n <= 2000) 8
-    else math.min(4096,
-      8 << math.ceil(math.log(n / 2000.0) / math.log(2.0)).toInt)
+    else {
+      // clamp the exponent BEFORE shifting: 8 << 29 wraps Int negative
+      // (a corpus past ~2.7e11 vectors would otherwise seed ZERO
+      // centroids and silently return empty results)
+      val e = math.ceil(math.log(n / 2000.0) / math.log(2.0)).toInt
+      if (e >= 9) 4096 else 8 << e
+    }
 
   /** `dedup_semantic` — SemDeDup (Abbas et al., arXiv:2303.09540)
     * re-expressed Spark-first: Lloyd-cluster the embedding corpus

@@ -297,7 +297,7 @@ object TextAnalysis {
     documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("bpos", bpos)
-      .select(col("doc_id"), posexplode(chunkArr).as(Seq("chunk_idx", "ck")))
+      .select(col("doc_id"), explode(chunkArr).as("ck"))
       .select(col("doc_id"), fingerprint(col("ck.ctext")).as("fp"),
         col("ck.n_words").as("n_words"))
       // chunks narrower than the 4-word gram window never contained a

@@ -54,6 +54,30 @@ class CurationSpec extends AnyFunSuite {
         s"tail language $l must be up-weighted by the temperature")
   }
 
+  test("sample_temperature: a capped stratum under-fills the budget, never refills the head") {
+    val dir = java.nio.file.Files.createTempDirectory("temp_cap").toString
+    import spark.implicits._
+    // one 4-doc tail language against a 996-doc head: sqrt smoothing
+    // asks the tail for far more than it has, so its quota caps at 4
+    // and the sample comes back under budget by design
+    val docs = (0L until 996L).map(i => (i, s"doc $i", "en", "s", 5L)) ++
+      (996L until 1000L).map(i => (i, s"doc $i", "zz", "s", 5L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = Curation.sampleTemperature(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val perLang = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perLang("zz") == 4, "the capped stratum contributes all it has")
+    // head gets exactly its own (uncapped) Hamilton quota — the
+    // tail's surplus is dropped, not handed back to the head
+    val zEn = math.floor(math.sqrt(996.0) * 1e9).toLong
+    val zZz = math.floor(math.sqrt(4.0) * 1e9).toLong
+    val quotaEn = (200L * zEn / (zEn + zZz)).toInt // remainder goes to zz
+    assert(perLang("en") == quotaEn,
+      s"head must keep its own quota $quotaEn, got ${perLang("en")}")
+    assert(rows.length < 200, "the shortfall is loud in the row count")
+  }
+
   test("sample_stratified fills exact per-language quotas") {
     val rows = Curation.sampleStratified(spark, sf, 10).collect()
     val perLang = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
