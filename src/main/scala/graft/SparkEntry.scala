@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "embed_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "embed_outliers" -> ((s, d) => Similarity.outliers(s, d)),
+    "embed_quantize" -> ((s, d) => Similarity.quantize(s, d)),
     "embed_pca" -> ((s, d) => Similarity.pca(s, d)),
     "chunk_documents" -> ((s, d) => Corpus.chunks(s, d)),
     "pack_sequences" -> ((s, d) => Corpus.packSequences(s, d)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "embed_kmeans" -> Similarity.kmeansSql,
     "embed_outliers" -> Similarity.outliersSql,
+    "embed_quantize" -> Similarity.quantizeSql,
     "embed_pca" -> Similarity.pcaSql,
     "ann_range" -> Similarity.rangeSearchSql,
     "ann_whiten" -> Similarity.whitenSql,

@@ -1000,6 +1000,68 @@ object Similarity {
        |  FROM fin)
        |WHERE rk <= 25 ORDER BY cluster, rk""".stripMargin
 
+  // ---- embed_quantize: int8 scalar quantization audit -------------------
+
+  /** `embed_quantize` — per-dimension affine int8 quantization of the
+    * embedding corpus with a reconstruction-error audit: for every
+    * dimension, the [min, max] range, the 255-step affine code of each
+    * value (floor — no cross-engine rounding ties), the midpoint
+    * reconstruction, and the quantised-sum MSE. The scalar-quantization
+    * storage path every production vector store offers (4× smaller
+    * than float32 at ~1e-7 MSE here) — and the audit table that tells
+    * you whether int8 is safe for YOUR corpus before flipping it on.
+    *
+    * 100 TB: two narrow passes — a 64-row min/max aggregate broadcast
+    * back into the scan-side code/reconstruct projection, then a
+    * 64-group quantised-sum aggregate; the shuffle carries d partial
+    * rows per task, never vectors. Oracle-exact: min/max are
+    * order-independent, the code/reconstruct chain is one fixed IEEE
+    * expression sequence, and the MSE sum is floor-quantised at 1e-15
+    * into exact DECIMAL (the davg9 idiom at error magnitude). */
+  def quantize(s: SparkSession, d: String): DataFrame = {
+    val ex = embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("xd"))
+    val mm = ex.groupBy(col("dim"))
+      .agg(min(col("xd")).as("vmin"), max(col("xd")).as("vmax"))
+    val code = when(col("vmax") > col("vmin"),
+      least(lit(255.0),
+        floor((col("xd") - col("vmin")) * 255.0 / (col("vmax") - col("vmin")))))
+      .otherwise(0.0)
+    ex.join(broadcast(mm), "dim")
+      .withColumn("code", code)
+      .withColumn("xhat",
+        col("vmin") + (col("code") + 0.5) * (col("vmax") - col("vmin")) / 255.0)
+      .withColumn("se", (col("xd") - col("xhat")) * (col("xd") - col("xhat")))
+      .groupBy(col("dim"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(FLOOR(se * 1e15) AS DECIMAL(28,0))) AS DOUBLE)" +
+          " / 1e15 / COUNT(*)").as("mse"))
+      .orderBy(col("dim"))
+  }
+
+  val quantizeSql: String =
+    """WITH ex AS (
+      |  SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS xd
+      |  FROM (SELECT embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+      |        FROM embeddings)),
+      |mm AS (SELECT dim, MIN(xd) AS vmin, MAX(xd) AS vmax FROM ex GROUP BY dim),
+      |q AS (
+      |  SELECT e.dim, e.xd, m.vmin, m.vmax,
+      |    CASE WHEN m.vmax > m.vmin
+      |      THEN LEAST(255.0, FLOOR((e.xd - m.vmin) * 255.0 / (m.vmax - m.vmin)))
+      |      ELSE 0.0 END AS code
+      |  FROM ex e JOIN mm m USING (dim)),
+      |r AS (
+      |  SELECT dim, vmin, vmax, xd,
+      |    vmin + (code + 0.5) * (vmax - vmin) / 255.0 AS xhat
+      |  FROM q)
+      |SELECT dim, vmin, vmax, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(FLOOR((xd - xhat) * (xd - xhat) * 1e15) AS DECIMAL(28,0)))
+      |    AS DOUBLE) / 1e15 / COUNT(*) AS mse
+      |FROM r GROUP BY dim, vmin, vmax ORDER BY dim""".stripMargin
+
   // ---- embed_outliers: centroid-distance outlier scoring ----------------
 
   /** `embed_outliers` — embedding-space outlier detection for corpus

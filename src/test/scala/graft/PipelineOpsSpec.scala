@@ -289,6 +289,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), s"global exchange detected:\n$p")
   }
 
+  test("embed_quantize: recompute parity and the (scale/2)^2 error bound") {
+    val vecs = Tables.embeddings(spark, sf).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = vecs.head.length
+    val expected = (0 until d).map { dim =>
+      val xs = vecs.map(_(dim).toDouble)
+      val (vmin, vmax) = (xs.min, xs.max)
+      val ses = xs.map { x =>
+        val code = if (vmax > vmin)
+          math.min(255.0, math.floor((x - vmin) * 255.0 / (vmax - vmin)))
+        else 0.0
+        val xhat = vmin + (code + 0.5) * (vmax - vmin) / 255.0
+        (x - xhat) * (x - xhat)
+      }
+      val mse = ses.map(se => math.floor(se * 1e15).toLong).sum / 1e15 / xs.length
+      (dim.toLong, vmin, vmax, xs.length.toLong, mse)
+    }
+    val got = Similarity.quantize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // midpoint reconstruction keeps every element within half a step,
+    // so per-dim MSE is bounded by (range/255/2)^2
+    for ((dim, vmin, vmax, _, mse) <- got) {
+      val halfStep = (vmax - vmin) / 255.0 / 2.0
+      assert(mse <= halfStep * halfStep + 1e-12, s"dim $dim mse $mse above bound")
+    }
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val n = Tables.documents(spark, sf).count()
     assert(Dedup.exact(spark, sf).count() == n) // testdata has no exact dups
