@@ -43,6 +43,7 @@ object SparkEntry {
     "corpus_shard" -> ((s, d) => Corpus.corpusShard(s, d)),
     "corpus_token_budget" -> ((s, d) => Corpus.tokenBudget(s, d)),
     "corpus_domain_cap" -> ((s, d) => Corpus.domainCap(s, d)),
+    "corpus_epochs" -> ((s, d) => Corpus.corpusEpochs(s, d)),
     "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
@@ -126,6 +127,7 @@ object SparkEntry {
     "corpus_shard" -> Corpus.corpusShardSql,
     "corpus_token_budget" -> Corpus.tokenBudgetSql,
     "corpus_domain_cap" -> Corpus.domainCapSql,
+    "corpus_epochs" -> Corpus.corpusEpochsSql,
     "dedup_phrases" -> TextAnalysis.phrasesSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,

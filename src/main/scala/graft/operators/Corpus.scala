@@ -434,4 +434,80 @@ object Corpus {
       |  FROM documents)
       |WHERE rk <= 10
       |ORDER BY source, rk""".stripMargin
+
+  /** `corpus_epochs` — epoch-aware token budgeting: given a training
+    * budget of 2× the corpus (the up-sampling regime), split it across
+    * languages by τ=0.5 temperature weights (√-token shares, the
+    * sample_temperature schedule applied to TOKENS), then turn each
+    * language's target into a repeat plan — micro-epochs
+    * (1e6 × target ÷ tokens) capped at 4 epochs, the
+    * repeat-without-degradation bound from data-constrained scaling
+    * work (Muennighoff et al., arXiv:2305.16264), and the realized
+    * token count after the cap. The output is the mixture PLAN a
+    * trainer consumes; a capped language under-fills its target
+    * (realized < target) and the shortfall is visible, not refilled —
+    * the sample_temperature discipline.
+    *
+    * Integer-exact end-to-end: √-weights quantised as floor(√n·1e9)
+    * BIGINT, Hamilton-apportioned to EXACTLY 1e6 ppm, targets and
+    * epochs by integer division (safe to ~4.5e12 corpus tokens in
+    * 64-bit; past that the arithmetic needs DECIMAL). 100 TB: one
+    * token-count aggregate (|langs| rows) and two broadcast scalars —
+    * the plan itself never touches the data again. */
+  def corpusEpochs(s: SparkSession, d: String,
+      epochCapMicro: Long = 4000000L): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("lang"), size(words(col("text"))).cast("long").as("t"))
+      .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
+      .withColumn("z",
+        floor(sqrt(col("n_tokens").cast("double")) * 1e9).cast("long"))
+    val tot = tok.agg(sum(col("z")).as("zsum"), sum(col("n_tokens")).as("ntot"))
+    val a1 = tok.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"), col("ntot"),
+        expr("(1000000 * z) DIV zsum").as("wbase"),
+        expr("(1000000 * z) % zsum").as("wrem"))
+    val tot2 = a1.agg((lit(1000000L) - sum(col("wbase"))).as("leftover"))
+    // unpartitioned window over the ≤|langs|-row allocation table
+    val wRem = Window.orderBy(col("wrem").desc, col("lang"))
+    a1.crossJoin(broadcast(tot2))
+      .withColumn("w_ppm", col("wbase") +
+        when(row_number().over(wRem) <= col("leftover"), 1L).otherwise(0L))
+      .withColumn("target_tokens", expr("(2 * ntot * w_ppm) DIV 1000000"))
+      .withColumn("epochs_micro", least(lit(epochCapMicro),
+        expr("(1000000 * target_tokens) DIV n_tokens")))
+      .withColumn("realized_tokens", least(col("target_tokens"),
+        expr(s"(n_tokens * $epochCapMicro) DIV 1000000")))
+      .select(col("lang"), col("n_tokens"), col("w_ppm"),
+        col("target_tokens"), col("epochs_micro"), col("realized_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusEpochsSql: String =
+    """WITH tk AS (
+      |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |z AS (SELECT lang, n_tokens,
+      |        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS z
+      |      FROM tk),
+      |t AS (SELECT SUM(z) AS zsum, SUM(n_tokens) AS ntot FROM z),
+      |a1 AS (SELECT lang, n_tokens, ntot,
+      |         (1000000 * z) // zsum AS wbase,
+      |         (1000000 * z) % zsum AS wrem
+      |       FROM z CROSS JOIN t),
+      |t2 AS (SELECT 1000000 - SUM(wbase) AS leftover FROM a1),
+      |al AS (SELECT lang, n_tokens, ntot,
+      |         wbase + CASE WHEN ROW_NUMBER()
+      |             OVER (ORDER BY wrem DESC, lang) <= leftover
+      |           THEN 1 ELSE 0 END AS w_ppm
+      |       FROM a1 CROSS JOIN t2),
+      |tg AS (SELECT lang, n_tokens, w_ppm,
+      |         (2 * ntot * w_ppm) // 1000000 AS target_tokens
+      |       FROM al)
+      |SELECT lang, n_tokens, CAST(w_ppm AS BIGINT) AS w_ppm,
+      |  CAST(target_tokens AS BIGINT) AS target_tokens,
+      |  CAST(LEAST(4000000, (1000000 * target_tokens) // n_tokens) AS BIGINT)
+      |    AS epochs_micro,
+      |  CAST(LEAST(target_tokens, (n_tokens * 4000000) // 1000000) AS BIGINT)
+      |    AS realized_tokens
+      |FROM tg ORDER BY lang""".stripMargin
 }

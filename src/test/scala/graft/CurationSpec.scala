@@ -78,6 +78,48 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.length < 200, "the shortfall is loud in the row count")
   }
 
+  test("corpus_epochs: in-memory Hamilton replay; the 4-epoch cap fires on hard skew") {
+    // parity on the real corpus
+    val got = graft.operators.Corpus.corpusEpochs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("lang", "CAST(size(split(text, ' ')) AS LONG) AS t")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ntot = toks.values.sum
+    val z = toks.view.mapValues(n =>
+      math.floor(math.sqrt(n.toDouble) * 1e9).toLong).toMap
+    val zsum = z.values.sum
+    val wbase = z.view.mapValues(v => 1000000L * v / zsum).toMap
+    val wrem = z.map { case (l, v) => l -> (1000000L * v % zsum) }
+    val leftover = (1000000L - wbase.values.sum).toInt
+    val extras = wrem.toSeq.sortBy { case (l, r) => (-r, l) }
+      .take(leftover).map(_._1).toSet
+    val expected = toks.keys.toSeq.sorted.map { l =>
+      val w = wbase(l) + (if (extras(l)) 1L else 0L)
+      val target = 2L * ntot * w / 1000000L
+      val epochs = math.min(4000000L, 1000000L * target / toks(l))
+      val realized = math.min(target, toks(l) * 4000000L / 1000000L)
+      (l, toks(l), w, target, epochs, realized)
+    }
+    assert(got.toSeq == expected)
+    assert(got.map(_._3).sum == 1000000L, "ppm weights apportion exactly")
+    // hard skew: a 20-token language among 20000 tokens gets a √-smoothed
+    // target far past 4 epochs — the cap must bind and the shortfall show
+    val dir = java.nio.file.Files.createTempDirectory("epochs_cap").toString
+    import spark.implicits._
+    val big = (0L until 400L).map(i => (i, ("tok " * 49).trim, "en", "s", 5L))
+    val small = Seq((400L, ("tok " * 19).trim, "zz", "s", 5L))
+    (big ++ small).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val zzRow = graft.operators.Corpus.corpusEpochs(spark, dir).collect()
+      .find(_.getString(0) == "zz").get
+    assert(zzRow.getLong(4) == 4000000L, "cap must bind for the tiny language")
+    assert(zzRow.getLong(5) < zzRow.getLong(3),
+      "realized under target — the shortfall is visible, not refilled")
+  }
+
   test("sample_stratified fills exact per-language quotas") {
     val rows = Curation.sampleStratified(spark, sf, 10).collect()
     val perLang = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
