@@ -778,7 +778,93 @@ object EtlQueries {
        |ORDER BY c_custkey, version""".stripMargin
   }
 
+  /** `etl_forget` — right-to-erasure impact cascade (the GDPR
+    * "forget these subjects" audit): a subject list (customers with
+    * c_custkey % 10 = 3) propagates through the foreign-key graph —
+    * their customer rows, their orders, those orders' lineitems, and
+    * their event streams (events.user_id is a customer key) — and the
+    * output is the per-table erasure audit: rows dropped, rows kept,
+    * and an exact dropped-key checksum (the etl_merge key-sum idiom)
+    * that proves WHICH rows the cascade selected, not just how many.
+    * The physical rewrite itself is etl_merge's partition-scoped CoW;
+    * this operator is the cascade resolution + audit a deletion
+    * pipeline runs first (and re-runs after, expecting zeros).
+    *
+    * 100 TB: the subject list broadcasts; every cascade edge is a
+    * keys-only semi-join (orders→lineitem ships o_orderkey, nothing
+    * wider) with map-side-combined audit aggregates — no stage
+    * shuffles a fact row, only keys and 4 audit rows leave. */
+  def forget(s: SparkSession, d: String): DataFrame = {
+    val subjects = Tables.customer(s, d)
+      .filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("k"))
+    val orders = Tables.orders(s, d)
+    val dropOrders = orders.join(broadcast(subjects),
+      col("o_custkey") === col("k")).select(col("o_orderkey"))
+    def audit(tbl: String, df: DataFrame, dropped: Column, key: Column) =
+      df.agg(
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(dropped, 0L).otherwise(1L)).as("n_kept"),
+        coalesce(sum(when(dropped, key)), lit(0L)).as("dropped_key_sum"))
+        .select(lit(tbl).as("tbl"), col("n_dropped"), col("n_kept"),
+          col("dropped_key_sum"))
+    // membership flags via left joins against the (small) key sets so
+    // each table is ONE pass; the flag column is null ⇔ kept
+    val cust = Tables.customer(s, d)
+      .join(broadcast(subjects), col("c_custkey") === col("k"), "left")
+    val ord = orders
+      .join(broadcast(subjects), col("o_custkey") === col("k"), "left")
+    val li = Tables.lineitem(s, d)
+      .join(dropOrders.withColumnRenamed("o_orderkey", "dk"),
+        col("l_orderkey") === col("dk"), "left")
+    val ev = Tables.events(s, d)
+      .join(broadcast(subjects), col("user_id") === col("k"), "left")
+    audit("customer", cust, col("k").isNotNull, col("c_custkey"))
+      .unionByName(audit("orders", ord, col("k").isNotNull, col("o_orderkey")))
+      .unionByName(audit("lineitem", li, col("dk").isNotNull,
+        col("l_orderkey") * 8 + col("l_linenumber")))
+      .unionByName(audit("events", ev, col("k").isNotNull, col("event_id")))
+      .orderBy(col("tbl"))
+  }
+
+  val forgetSql: String =
+    """WITH subjects AS (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 10 = 3),
+      |do_ AS (
+      |  SELECT o_orderkey FROM orders JOIN subjects ON o_custkey = k),
+      |a_cust AS (
+      |  SELECT 'customer' AS tbl,
+      |    CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |    CAST(SUM(CASE WHEN k IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+      |    CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL THEN c_custkey END), 0) AS BIGINT)
+      |      AS dropped_key_sum
+      |  FROM customer LEFT JOIN subjects ON c_custkey = k),
+      |a_ord AS (
+      |  SELECT 'orders' AS tbl,
+      |    CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN k IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL THEN o_orderkey END), 0) AS BIGINT)
+      |  FROM orders LEFT JOIN subjects ON o_custkey = k),
+      |a_li AS (
+      |  SELECT 'lineitem' AS tbl,
+      |    CAST(SUM(CASE WHEN dk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN dk IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN dk IS NOT NULL
+      |      THEN l_orderkey * 8 + l_linenumber END), 0) AS BIGINT)
+      |  FROM lineitem LEFT JOIN (SELECT o_orderkey AS dk FROM do_) x
+      |    ON l_orderkey = dk),
+      |a_ev AS (
+      |  SELECT 'events' AS tbl,
+      |    CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN k IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN k IS NOT NULL THEN event_id END), 0) AS BIGINT)
+      |  FROM events LEFT JOIN subjects ON user_id = k)
+      |SELECT * FROM a_cust UNION ALL SELECT * FROM a_ord
+      |UNION ALL SELECT * FROM a_li UNION ALL SELECT * FROM a_ev
+      |ORDER BY tbl""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_forget" -> (forget _),
     "etl_scd2" -> (scd2 _),
     "etl_stats" -> (stats _),
     "etl_quarantine" -> (quarantine _),
@@ -794,6 +880,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_forget" -> forgetSql,
     "etl_scd2" -> scd2Sql,
     "etl_stats" -> statsSql,
     "etl_quarantine" -> quarantineSql,

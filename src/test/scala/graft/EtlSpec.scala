@@ -644,4 +644,35 @@ class EtlSpec extends AnyFunSuite {
     assert(Main.configPath(Array.empty).isLeft)
     assert(Main.configPath(Array("cfg.yml", "extra")).isLeft)
   }
+
+  test("etl_forget: audit matches an independently computed cascade") {
+    val got = graft.queries.EtlQueries.forget(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val subj = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(_.getLong(0)).filter(_ % 10 == 3).toSet
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropO = orders.filter(o => subj(o._2)).map(_._1).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val ev = Tables.events(spark, sf).select("event_id", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.customer(spark, sf).count()
+    assert(got("customer") ==
+      ((subj.size.toLong, nCust - subj.size, subj.sum)))
+    assert(got("orders") ==
+      ((dropO.size.toLong, orders.length - dropO.size,
+        orders.filter(o => subj(o._2)).map(_._1).sum)))
+    val dropLi = li.filter(l => dropO(l._1))
+    assert(got("lineitem") ==
+      ((dropLi.length.toLong, (li.length - dropLi.length).toLong,
+        dropLi.map(l => l._1 * 8 + l._2).sum)))
+    val dropEv = ev.filter(e => subj(e._2))
+    assert(got("events") ==
+      ((dropEv.length.toLong, (ev.length - dropEv.length).toLong,
+        dropEv.map(_._1).sum)))
+  }
 }
