@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_ivfpq" -> ((s, d) => graft.operators.AnnIndex.ivfpqQuery(s, d)),
     "ann_ivfpq_rerank" -> ((s, d) => graft.operators.AnnIndex.ivfpqRerankQuery(s, d)),
     "ann_range" -> ((s, d) => Similarity.rangeSearch(s, d)),
+    "ann_filtered" -> ((s, d) => Similarity.filteredSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
     "embed_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "embed_quantize" -> Similarity.quantizeSql,
     "embed_pca" -> Similarity.pcaSql,
     "ann_range" -> Similarity.rangeSearchSql,
+    "ann_filtered" -> Similarity.filteredSearchSql,
     "ann_whiten" -> Similarity.whitenSql,
     "ann_lsh" -> Similarity.lshSql,
     "ann_ivf" -> Similarity.ivfSql,

@@ -62,6 +62,39 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** `ann_filtered` — metadata-filtered vector search: exact top-10
+    * cosine neighbours of the query vector RESTRICTED to rows passing
+    * a metadata predicate (label % 2 = 0 — half the corpus), the
+    * filtered-search surface every production vector store exposes
+    * (FAISS IDSelector, the vector-DB `filter=` parameter). The
+    * predicate composes into the scan projection, so the scoring pass
+    * reads exactly the qualifying half — PushedFilters carries it to
+    * parquet. At scale the same predicate composes with IVF cell
+    * probing (score only qualifying codes in probed cells), with
+    * selectivity-aware nprobe widening as the standard refinement;
+    * the exact form here is the recall-1 baseline of that path. */
+  def filteredSearch(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"), norm2(col("embedding")).as("n2"))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    e.filter(col("vec_id") =!= queryId && col("label") % 2 === 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        (dotD(col("embedding"), col("q_emb")) /
+          sqrt(col("n2") * col("q_n2"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val filteredSearchSql: String =
+    s"""SELECT vec_id, label, ${cosOf("embedding", "q_emb")} AS cos
+       |FROM embeddings
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |WHERE vec_id <> 0 AND label % 2 = 0
+       |ORDER BY cos DESC, vec_id
+       |LIMIT 10""".stripMargin
+
   /** k-NN join: top-5 neighbours for each query in a fixed query set. */
   def topkJoin(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding"),

@@ -318,6 +318,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_filtered: parity with an in-memory filtered exact scan") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q = rows.find(_._1 == 0L).get._3
+    val qn2 = dot(q, q)
+    val expected = rows
+      .filter(r => r._1 != 0L && r._2 % 2 == 0)
+      .map { case (id, lb, e) =>
+        (id, lb, dot(e, q) / math.sqrt(dot(e, e) * qn2)) }
+      .sortBy { case (id, _, cos) => (-cos, id) }.take(10).toSeq
+    val got = Similarity.filteredSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got == expected)
+    assert(got.forall(_._2 % 2 == 0), "every hit passes the metadata filter")
+  }
+
   test("dedup_exact keeps one survivor per distinct text") {
     val n = Tables.documents(spark, sf).count()
     assert(Dedup.exact(spark, sf).count() == n) // testdata has no exact dups
