@@ -58,7 +58,11 @@ object ScaleUp {
     // late-r8: the cluster-consumers (semanticKFor's adaptive k only
     // engages past the gated 2000 vectors — the sweep is the first
     // place the rule actually fires) and the zero-shuffle chunker
-    "dedup_semantic", "sample_cluster_balanced", "text_cdc_chunks")
+    "dedup_semantic", "sample_cluster_balanced", "text_cdc_chunks",
+    // scan-heavy late-r8 reps: the per-dim quantization audit (pure
+    // two-pass scan+agg) and the FK-cascade audit (keys-only joins
+    // over THREE amplified fact tables at once)
+    "embed_quantize", "etl_forget")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every
