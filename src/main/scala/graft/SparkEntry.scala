@@ -83,6 +83,7 @@ object SparkEntry {
     "mm_schema" -> ((s, d) => graft.multimodal.Multimodal.featureTable(s, d)),
     "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
     "mm_transcode" -> ((s, d) => graft.multimodal.Multimodal.transcodeTable(s, d)),
+    "mm_similar" -> ((s, d) => graft.multimodal.Multimodal.similarTable(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.Streams.streamEnrich(s, d)),
     "stream_topk" -> ((s, d) => graft.streaming.Streams.streamTopK(s, d)),
@@ -165,6 +166,7 @@ object SparkEntry {
     "mm_schema" -> graft.multimodal.Multimodal.featureTableSql,
     "mm_frames" -> graft.multimodal.Multimodal.frameTableSql,
     "mm_transcode" -> graft.multimodal.Multimodal.transcodeTableSql,
+    "mm_similar" -> graft.multimodal.Multimodal.similarSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
     "stream_enrich" -> graft.streaming.Streams.streamEnrichSql,
     "stream_topk" -> graft.streaming.Streams.streamTopKSql,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -157,6 +157,61 @@ object Multimodal {
       |       / GREATEST(octet_length(encode(text)), 1)) * 1e6) AS BIGINT) AS f7_ppm
       |FROM documents
       |ORDER BY media_id""".stripMargin
+
+  /** `mm_similar` — payload similarity search through the stubbed
+    * decoder: every medium's 16-bin byte-histogram feature vector
+    * (FakeCodec.features — the stand-in for a real image/audio
+    * embedding), ppm-quantised (the featureTable idiom), scored by
+    * cosine against the query medium's vector, top-10 — the
+    * "find visually similar assets" near-dup path, composed from the
+    * SAME decode boundary as the other mm_* queries and the SAME
+    * cosine fold as the ann_* family (one shared oracle fragment).
+    *
+    * 100 TB: feature extraction is the narrow mapPartitions decode
+    * pass the mm family already pays; only (id, kind, 16-dim vector)
+    * rows leave it, the query vector broadcasts, and the scoring is
+    * a scan-side projection + top-k — payloads never shuffle. */
+  def similarTable(s: SparkSession, d: String,
+      queryId: Long = 0L, k: Int = 10): DataFrame = {
+    // left-to-right double fold — matches cosOf's list_reduce (its
+    // seedless reduce starts at the first product; 0.0 + x == x
+    // exactly for these non-negative histograms)
+    def dotD2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val f = extractFeatures(s, mediaTable(s, d)).toDF()
+      .select(col("media_id"), col("kind"),
+        transform(col("features"), v => floor(v * 1e6) / 1e6).as("v"))
+    val q = f.filter(col("media_id") === queryId).select(col("v").as("qv"))
+    f.filter(col("media_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("media_id"), col("kind"),
+        (dotD2(col("v"), col("qv")) /
+          sqrt(dotD2(col("v"), col("v")) * dotD2(col("qv"), col("qv"))))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("media_id"))
+      .limit(k)
+  }
+
+  /** The 16 histogram buckets recomputed from character codes (pure
+    * ASCII corpus — the featureTableSql contract), then the shared
+    * ann-family cosine fold over the quantised vectors. */
+  val similarSql: String = {
+    val buckets = (0 until 16).map(b =>
+      s"""CAST(FLOOR((len(list_filter(string_split(text, ''), c -> ord(c) % 16 = $b))
+         |      / GREATEST(octet_length(encode(text)), 1)) * 1e6) AS DOUBLE) / 1e6""".stripMargin)
+      .mkString(",\n    ")
+    s"""WITH feat AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |    [$buckets] AS v
+       |  FROM documents)
+       |SELECT f.media_id, f.kind,
+       |  ${graft.operators.Similarity.cosOf("f.v", "q.qv")} AS cos
+       |FROM feat f
+       |CROSS JOIN (SELECT v AS qv FROM feat WHERE media_id = 0) q
+       |WHERE f.media_id <> 0
+       |ORDER BY cos DESC, media_id LIMIT 10""".stripMargin
+  }
 
   /** Transcode surface: re-encode every payload through the stubbed
     * codec at a 64-byte budget and emit size + content hash of the

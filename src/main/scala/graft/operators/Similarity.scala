@@ -51,7 +51,7 @@ object Similarity {
   /** Shared with Dedup.embeddingPairsSql (the FnvWordSql precedent):
     * ONE definition of the cosine fold, so a cast/shape change can't
     * desynchronize the dedup oracle from the ann_* oracles. */
-  private[operators] def cosOf(a: String, b: String): String =
+  private[graft] def cosOf(a: String, b: String): String =
     cosSql.replace("%A%", a).replace("%B%", b)
 
   val bruteForceSql: String =

@@ -75,6 +75,30 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("mm_similar: parity with an in-memory FakeCodec cosine scan") {
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def vec(t: String): Array[Double] =
+      Multimodal.FakeCodec.features(t.getBytes("UTF-8"))
+        .map(f => math.floor(f * 1e6) / 1e6)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val q = vec(docs.find(_._1 == 0L).get._2)
+    val expected = docs.filter(_._1 != 0L)
+      .map { case (id, t) =>
+        val v = vec(t)
+        (id, dot(v, q) / math.sqrt(dot(v, v) * dot(q, q)))
+      }
+      .sortBy { case (id, cos) => (-cos, id) }.take(10).toSeq
+    val got = Multimodal.similarTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == expected)
+  }
+
   test("fnv64/simhash64/dot_product are SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
