@@ -60,8 +60,12 @@ object ScaleUp {
     // place the rule actually fires) and the zero-shuffle chunker
     "dedup_semantic", "sample_cluster_balanced", "text_cdc_chunks",
     // scan-heavy late-r8 reps: the per-dim quantization audit (pure
-    // two-pass scan+agg) and the FK-cascade audit (keys-only joins
-    // over THREE amplified fact tables at once)
+    // two-pass scan+agg) and the FK-cascade audit. Caveat on the
+    // latter's events edge: ampFacts offsets events.user_id per
+    // replica while customer copies verbatim, so replica events never
+    // match a subject — the measured ratio exercises the growing
+    // orders→lineitem cascade and the kept-side scans, NOT a growing
+    // events drop-set (review finding r8)
     "embed_quantize", "etl_forget")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):

@@ -173,21 +173,27 @@ object Multimodal {
     * a scan-side projection + top-k — payloads never shuffle. */
   def similarTable(s: SparkSession, d: String,
       queryId: Long = 0L, k: Int = 10): DataFrame = {
-    // left-to-right double fold — matches cosOf's list_reduce (its
-    // seedless reduce starts at the first product; 0.0 + x == x
-    // exactly for these non-negative histograms)
-    def dotD2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val f = extractFeatures(s, mediaTable(s, d)).toDF()
-      .select(col("media_id"), col("kind"),
-        transform(col("features"), v => floor(v * 1e6) / 1e6).as("v"))
-    val q = f.filter(col("media_id") === queryId).select(col("v").as("qv"))
-    f.filter(col("media_id") =!= queryId)
+    import graft.functions.VectorFunctions.dotD
+    // the native codegen'd dot (its dotDD arm handles array<double>;
+    // same left-to-right IEEE fold as cosOf's list_reduce — a seedless
+    // reduce starting at the first product, and 0.0 + x == x exactly
+    // for these non-negative histograms); norms precomputed once per
+    // row, the cosineToQuery n2/q_n2 idiom
+    def quantized(media: DataFrame): DataFrame =
+      extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("kind"),
+          transform(col("features"), v => floor(v * 1e6) / 1e6).as("v"))
+        .withColumn("n2", dotD(col("v"), col("v")))
+    // the id predicates sit BEFORE the opaque mapPartitions decode —
+    // a filter above extractFeatures cannot push through it, and the
+    // broadcast side would otherwise re-decode the whole corpus
+    // (review finding r8)
+    val q = quantized(mediaTable(s, d).filter(col("media_id") === queryId))
+      .select(col("v").as("qv"), col("n2").as("q_n2"))
+    quantized(mediaTable(s, d).filter(col("media_id") =!= queryId))
       .crossJoin(broadcast(q))
       .select(col("media_id"), col("kind"),
-        (dotD2(col("v"), col("qv")) /
-          sqrt(dotD2(col("v"), col("v")) * dotD2(col("qv"), col("qv"))))
-          .as("cos"))
+        (dotD(col("v"), col("qv")) / sqrt(col("n2") * col("q_n2"))).as("cos"))
       .orderBy(col("cos").desc, col("media_id"))
       .limit(k)
   }

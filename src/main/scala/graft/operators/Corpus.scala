@@ -448,10 +448,13 @@ object Corpus {
     * (realized < target) and the shortfall is visible, not refilled —
     * the sample_temperature discipline.
     *
-    * Integer-exact end-to-end: √-weights quantised as floor(√n·1e9)
-    * BIGINT, Hamilton-apportioned to EXACTLY 1e6 ppm, targets and
-    * epochs by integer division (safe to ~4.5e12 corpus tokens in
-    * 64-bit; past that the arithmetic needs DECIMAL). 100 TB: one
+    * Integer-exact end-to-end: √-weights quantised as floor(√n·1e6)
+    * BIGINT (1e6, not the sampling ops' 1e9: the ppm apportionment
+    * multiplies z by 1e6 again, and 1e9-scale weights overflow Long
+    * at ~8.5e7 tokens per language — review finding r8), Hamilton-
+    * apportioned to EXACTLY 1e6 ppm, targets and epochs by integer
+    * division (safe to ~4.5e12 corpus tokens / ~8.5e13 per-language
+    * in 64-bit; past that the arithmetic needs DECIMAL). 100 TB: one
     * token-count aggregate (|langs| rows) and two broadcast scalars —
     * the plan itself never touches the data again. */
   def corpusEpochs(s: SparkSession, d: String,
@@ -460,7 +463,7 @@ object Corpus {
       .select(col("lang"), size(words(col("text"))).cast("long").as("t"))
       .groupBy(col("lang")).agg(sum(col("t")).as("n_tokens"))
       .withColumn("z",
-        floor(sqrt(col("n_tokens").cast("double")) * 1e9).cast("long"))
+        floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
     val tot = tok.agg(sum(col("z")).as("zsum"), sum(col("n_tokens")).as("ntot"))
     val a1 = tok.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_tokens"), col("ntot"),
@@ -487,7 +490,7 @@ object Corpus {
       |  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY lang),
       |z AS (SELECT lang, n_tokens,
-      |        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT) AS z
+      |        CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS z
       |      FROM tk),
       |t AS (SELECT SUM(z) AS zsum, SUM(n_tokens) AS ntot FROM z),
       |a1 AS (SELECT lang, n_tokens, ntot,

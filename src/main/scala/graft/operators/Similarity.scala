@@ -22,15 +22,18 @@ object Similarity {
     * shared narrow scoring pass behind [[bruteForce]] (top-k) and
     * [[rangeSearch]] (radius): one broadcast of the single query row,
     * no shuffle of the corpus vectors. */
-  private def cosineToQuery(s: SparkSession, d: String, queryId: Long): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      norm2(col("embedding")).as("n2"))
+  private def cosineToQuery(s: SparkSession, d: String, queryId: Long,
+      extraCols: Seq[String] = Nil, pred: Column = lit(true)): DataFrame = {
+    val e = embeddings(s, d).select(
+      (col("vec_id") +: extraCols.map(col)) ++
+        Seq(col("embedding"), norm2(col("embedding")).as("n2")): _*)
     val q = e.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    e.filter(col("vec_id") =!= queryId)
+    e.filter(col("vec_id") =!= queryId && pred)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), (dotD(col("embedding"), col("q_emb")) /
-        sqrt(col("n2") * col("q_n2"))).as("cos"))
+      .select((col("vec_id") +: extraCols.map(col)) :+
+        (dotD(col("embedding"), col("q_emb")) /
+          sqrt(col("n2") * col("q_n2"))).as("cos"): _*)
   }
 
   /** Exact top-10 cosine neighbours of vector `queryId` (brute force). */
@@ -73,19 +76,11 @@ object Similarity {
     * probing (score only qualifying codes in probed cells), with
     * selectivity-aware nprobe widening as the standard refinement;
     * the exact form here is the recall-1 baseline of that path. */
-  def filteredSearch(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("label"),
-      col("embedding"), norm2(col("embedding")).as("n2"))
-    val q = e.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    e.filter(col("vec_id") =!= queryId && col("label") % 2 === 0)
-      .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"),
-        (dotD(col("embedding"), col("q_emb")) /
-          sqrt(col("n2") * col("q_n2"))).as("cos"))
+  def filteredSearch(s: SparkSession, d: String, queryId: Long = 0L): DataFrame =
+    cosineToQuery(s, d, queryId,
+      extraCols = Seq("label"), pred = col("label") % 2 === 0)
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
-  }
 
   val filteredSearchSql: String =
     s"""SELECT vec_id, label, ${cosOf("embedding", "q_emb")} AS cos

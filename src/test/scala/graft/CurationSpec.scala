@@ -89,7 +89,7 @@ class CurationSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     val ntot = toks.values.sum
     val z = toks.view.mapValues(n =>
-      math.floor(math.sqrt(n.toDouble) * 1e9).toLong).toMap
+      math.floor(math.sqrt(n.toDouble) * 1e6).toLong).toMap
     val zsum = z.values.sum
     val wbase = z.view.mapValues(v => 1000000L * v / zsum).toMap
     val wrem = z.map { case (l, v) => l -> (1000000L * v % zsum) }
