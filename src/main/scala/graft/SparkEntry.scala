@@ -24,6 +24,7 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.sampleClusterBalanced(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
+    "dedup_cdc" -> ((s, d) => TextAnalysis.cdcPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     "dedup_fuzzy" -> ((s, d) => Dedup.fuzzy(s, d)),
@@ -112,6 +113,7 @@ object SparkEntry {
     "dedup_semantic" -> Similarity.semanticDedupSql,
     "sample_cluster_balanced" -> Similarity.sampleClusterBalancedSql,
     "text_cdc_chunks" -> TextAnalysis.cdcChunksSql,
+    "dedup_cdc" -> TextAnalysis.cdcPairsSql,
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,

@@ -274,7 +274,13 @@ object TextAnalysis {
     * shuffle until the final constant-width (fp-keyed, top-20)
     * aggregation; no window over exploded tokens, no per-doc state
     * beyond the words array the other text ops already build. */
-  def cdcChunks(s: SparkSession, d: String, mask: Int = 15): DataFrame = {
+  /** The per-chunk table behind [[cdcChunks]] and [[cdcPairs]]: one
+    * row per chunk occurrence (doc_id, fp, n_words), computed entirely
+    * as per-document array expressions (zero shuffle). ONE definition
+    * of the boundary rule and reassembly, so the report and the
+    * pair-join consumer cannot drift (the kmeansAssign discipline). */
+  private[operators] def cdcChunkTable(s: SparkSession, d: String,
+      mask: Int = 15): DataFrame = {
     val ws = col("ws")
     // 0-based boundary positions: word i (i >= 3) ends its chunk when
     // FNV(words[i-3..i]) has the low bits clear; element_at is 1-based
@@ -300,6 +306,10 @@ object TextAnalysis {
       .select(col("doc_id"), explode(chunkArr).as("ck"))
       .select(col("doc_id"), fingerprint(col("ck.ctext")).as("fp"),
         col("ck.n_words").as("n_words"))
+  }
+
+  def cdcChunks(s: SparkSession, d: String, mask: Int = 15): DataFrame =
+    cdcChunkTable(s, d, mask)
       // chunks narrower than the 4-word gram window never contained a
       // boundary decision — they are stray tokens between two adjacent
       // cuts, and ranking them buries the real duplicated spans
@@ -310,13 +320,48 @@ object TextAnalysis {
         max(col("n_words")).as("n_words"))
       .orderBy(col("n_occurrences").desc, col("fp"))
       .limit(20)
+
+  /** `dedup_cdc` — document-level near-dup detection via shared CDC
+    * chunks, the reason content-defined chunking exists: two documents
+    * are near-dups when the fraction of their (≥ gram-width, distinct)
+    * chunk fingerprints in common reaches `tau` of the SMALLER
+    * document's chunk set (containment — catches a doc embedded in a
+    * longer one, the dedup_containment semantics at chunk granularity).
+    * Because boundaries are content-defined, shifted shared spans
+    * produce identical fingerprints, so the pair survives prefix
+    * edits that defeat fixed-width shingling at this granularity.
+    *
+    * 100 TB: the candidate join is keyed on the chunk fingerprint —
+    * only (fp, doc_id) pairs shuffle, and the ≥4-word filter is the
+    * hot-key guard (a stray single-token chunk shared by half the
+    * corpus would otherwise create a quadratic bucket — the df-cap
+    * lesson); sizes join is keys-only. Pair count is bounded by real
+    * shared content, not the corpus square. */
+  def cdcPairs(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
+    val ch = cdcChunkTable(s, d)
+      .filter(col("n_words") >= 4)
+      .select(col("doc_id"), col("fp")).distinct()
+    val sizes = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("nch"))
+    val shared = ch.as("a").join(ch.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "nch" -> "na")), "doc_a")
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "nch" -> "nb")), "doc_b")
+      .withColumn("score", col("shared") / least(col("na"), col("nb")))
+      .filter(col("score") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("score"))
+      .orderBy(col("score").desc, col("doc_a"), col("doc_b"))
   }
 
   /** The chunking replayed over an exploded token table (same result,
     * window-based plan): LAG-built grams, FNV boundary bits
     * (Dedup.FnvWordSql — the hashFeatures precedent), exclusive
-    * prefix-sum chunk ids, ordered string_agg reassembly. */
-  val cdcChunksSql: String =
+    * prefix-sum chunk ids, ordered string_agg reassembly. CTE chain
+    * ending in `chunks` (doc_id, chunk, ctext, n_words) — shared
+    * verbatim by [[cdcChunksSql]] and [[cdcPairsSql]]. */
+  private val CdcChunksCtes: String =
     s"""WITH wst AS (
        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |toks AS (
@@ -341,13 +386,34 @@ object TextAnalysis {
        |chunks AS (
        |  SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY i) AS ctext,
        |    COUNT(*) AS n_words
-       |  FROM ck GROUP BY doc_id, chunk)
+       |  FROM ck GROUP BY doc_id, chunk)""".stripMargin
+
+  val cdcChunksSql: String =
+    s"""$CdcChunksCtes
        |SELECT SUBSTR(md5(ctext), 1, 16) AS fp,
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
        |  CAST(MAX(n_words) AS INT) AS n_words
        |FROM chunks WHERE n_words >= 4 GROUP BY fp
        |ORDER BY n_occurrences DESC, fp LIMIT 20""".stripMargin
+
+  val cdcPairsSql: String =
+    s"""$CdcChunksCtes,
+       |chd AS (
+       |  SELECT DISTINCT doc_id, SUBSTR(md5(ctext), 1, 16) AS fp
+       |  FROM chunks WHERE n_words >= 4),
+       |sz AS (SELECT doc_id, COUNT(*) AS nch FROM chd GROUP BY doc_id),
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM chd a JOIN chd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       |  shared / LEAST(sa.nch, sb.nch) AS score
+       |FROM pr
+       |JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE shared / LEAST(sa.nch, sb.nch) >= 0.5
+       |ORDER BY score DESC, doc_a, doc_b""".stripMargin
 
   /** `text_hashfeatures` — the hashing-trick featurizer: every token
     * maps to one of `k` buckets via FNV-1a (low log₂k bits ≡ unsigned

@@ -421,10 +421,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("text_cdc_chunks: parity with an in-memory rolling-hash chunker") {
-    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
-    val chunkRows = docs.flatMap { case (id, text) =>
+  /** In-memory CDC chunker shared by the chunk-report and pair tests:
+    * (doc_id, chunk text, n_words) per occurrence. */
+  private def cdcChunkRows(docs: Array[(Long, String)]): Array[(Long, String, Int)] =
+    docs.flatMap { case (id, text) =>
       val ws = text.split(" ", -1) // keep trailing empties, like Spark split
       val bpos = (3 until ws.length).filter { i =>
         val gram = ws.slice(i - 3, i + 1).mkString(" ")
@@ -436,9 +436,15 @@ class PipelineOpsSpec extends AnyFunSuite {
         (id, ws.slice(st, en + 1).mkString(" "), en - st + 1)
       }
     }
-    def md5hex16(t: String): String =
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+
+  private def md5hex16(t: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+
+  test("text_cdc_chunks: parity with an in-memory rolling-hash chunker") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunkRows = cdcChunkRows(docs)
     val expected = chunkRows.filter(_._3 >= 4)
       .map { case (id, ctext, nw) => (id, md5hex16(ctext), nw) }
       .groupBy(_._2).toSeq
@@ -449,6 +455,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = TextAnalysis.cdcChunks(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
     assert(got == expected)
+  }
+
+  test("dedup_cdc: parity with an in-memory chunk-containment scan") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chd = cdcChunkRows(docs).filter(_._3 >= 4)
+      .map { case (id, ctext, _) => (id, md5hex16(ctext)) }.distinct
+    val sizes = chd.groupBy(_._1).view.mapValues(_.length).toMap
+    val pairOcc: Seq[(Long, Long)] = chd.groupBy(_._2).values.toSeq
+      .flatMap { occ =>
+        val ids: Seq[Long] = occ.map(_._1).distinct.sorted.toSeq
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }
+    val expected = pairOcc.groupBy(identity).view.mapValues(_.size).toSeq
+      .map { case ((a, b), shared) =>
+        (a, b, shared.toLong, shared.toDouble / math.min(sizes(a), sizes(b))) }
+      .filter(_._4 >= 0.5)
+      .sortBy { case (a, b, _, sc) => (-sc, a, b) }
+    val got = graft.operators.TextAnalysis.cdcPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("dedup_cdc: a shifted embedded span is caught at chunk granularity") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc_pair").toString
+    import spark.implicits._
+    val span = (1 to 200).map(i => s"shared$i").mkString(" ")
+    // doc 2 embeds doc 1's whole content behind a different prefix —
+    // containment of the SMALLER doc's chunks should fire
+    val doc1 = span
+    val doc2 = s"completely different and longer prefix tokens here $span"
+    Seq((1L, doc1, "en", "a", doc1.length.toLong),
+        (2L, doc2, "en", "b", doc2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis.cdcPairs(spark, dir).collect()
+    assert(rows.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L &&
+      r.getDouble(3) >= 0.5),
+      "the embedded doc's chunk set must be >= 50% contained in the host doc")
   }
 
   test("text_cdc_chunks: shifted shared spans chunk identically (the CDC property)") {
