@@ -66,7 +66,10 @@ object ScaleUp {
     // match a subject — the measured ratio exercises the growing
     // orders→lineitem cascade and the kept-side scans, NOT a growing
     // events drop-set (review finding r8)
-    "embed_quantize", "etl_forget")
+    "embed_quantize", "etl_forget",
+    // chunk-containment near-dup: the fp-keyed join is the dedup
+    // family's chunk-granularity scale path
+    "dedup_cdc")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every
