@@ -224,7 +224,11 @@ object Dedup {
       .filter(col("common") > 0)
   }
 
-  private def ngramPairsJoin(sh: DataFrame): DataFrame = {
+  /** Shared-key exact pair stage: self-join a (doc_id, sh) table on
+    * the key, count common keys per pair, attach both sizes — used by
+    * the shingle family here and by TextAnalysis.cdcPairs (chunk
+    * fingerprints as keys). ONE definition of the pair shape. */
+  private[operators] def ngramPairsJoin(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     sh.as("x")
       .join(sh.as("y"), col("x.sh") === col("y.sh") &&

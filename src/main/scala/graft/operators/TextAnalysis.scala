@@ -257,23 +257,13 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
-  // ---- text_cdc_chunks: content-defined chunking + duplicate chunks -----
+  // ---- text_cdc_chunks / dedup_cdc: content-defined chunking ------------
 
-  /** `text_cdc_chunks` — content-defined chunking: a document is cut
-    * where the FNV-1a hash of the rolling 4-word gram has its low 4
-    * bits zero (expected chunk ≈ 16 words), so chunk boundaries depend
-    * only on LOCAL content — two documents sharing a shifted span
-    * produce byte-identical chunks inside it, which fixed-width
-    * chunking never does (the rsync/LBFS boundary trick, the standard
-    * near-dup shingling alternative for code/doc corpora). Output is
-    * the top-20 most-duplicated chunks corpus-wide (fingerprint,
-    * document frequency, occurrences, width).
-    *
-    * 100 TB: boundaries, chunk assembly and fingerprints are all
-    * per-document array expressions inside the scan projection — ZERO
-    * shuffle until the final constant-width (fp-keyed, top-20)
-    * aggregation; no window over exploded tokens, no per-doc state
-    * beyond the words array the other text ops already build. */
+  /** Containment threshold for [[cdcPairs]] — interpolated into
+    * [[cdcPairsSql]] so the oracle cannot desynchronize from the
+    * Scala default (review finding r8). */
+  private[operators] val CdcPairTau = 0.5
+
   /** The per-chunk table behind [[cdcChunks]] and [[cdcPairs]]: one
     * row per chunk occurrence (doc_id, fp, n_words), computed entirely
     * as per-document array expressions (zero shuffle). ONE definition
@@ -308,6 +298,21 @@ object TextAnalysis {
         col("ck.n_words").as("n_words"))
   }
 
+  /** `text_cdc_chunks` — content-defined chunking: a document is cut
+    * where the FNV-1a hash of the rolling 4-word gram has its low 4
+    * bits zero (expected chunk ≈ 16 words), so chunk boundaries depend
+    * only on LOCAL content — two documents sharing a shifted span
+    * produce byte-identical chunks inside it, which fixed-width
+    * chunking never does (the rsync/LBFS boundary trick, the standard
+    * near-dup shingling alternative for code/doc corpora). Output is
+    * the top-20 most-duplicated chunks corpus-wide (fingerprint,
+    * document frequency, occurrences, width).
+    *
+    * 100 TB: boundaries, chunk assembly and fingerprints are all
+    * per-document array expressions inside the scan projection — ZERO
+    * shuffle until the final constant-width (fp-keyed, top-20)
+    * aggregation; no window over exploded tokens, no per-doc state
+    * beyond the words array the other text ops already build. */
   def cdcChunks(s: SparkSession, d: String, mask: Int = 15): DataFrame =
     cdcChunkTable(s, d, mask)
       // chunks narrower than the 4-word gram window never contained a
@@ -337,21 +342,19 @@ object TextAnalysis {
     * corpus would otherwise create a quadratic bucket — the df-cap
     * lesson); sizes join is keys-only. Pair count is bounded by real
     * shared content, not the corpus square. */
-  def cdcPairs(s: SparkSession, d: String, tau: Double = 0.5): DataFrame = {
-    val ch = cdcChunkTable(s, d)
+  def cdcPairs(s: SparkSession, d: String, tau: Double = CdcPairTau): DataFrame = {
+    // pinned: the chunking projection (per-gram FNV + per-chunk md5 —
+    // the heaviest per-row work here) feeds the sizes aggregate AND
+    // both self-join sides; without the pin it recomputes from the
+    // scan (review finding r8)
+    val ch = graft.Checkpoints.pin(cdcChunkTable(s, d)
       .filter(col("n_words") >= 4)
-      .select(col("doc_id"), col("fp")).distinct()
-    val sizes = ch.groupBy(col("doc_id")).agg(count(lit(1)).as("nch"))
-    val shared = ch.as("a").join(ch.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "nch" -> "na")), "doc_a")
-      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "nch" -> "nb")), "doc_b")
-      .withColumn("score", col("shared") / least(col("na"), col("nb")))
+      .select(col("doc_id"), col("fp").as("sh")).distinct())
+    // the shingle family's shared-key pair stage, keyed on chunk fps
+    Dedup.ngramPairsJoin(ch)
+      .withColumn("score", col("common") / least(col("n_a"), col("n_b")))
       .filter(col("score") >= tau)
-      .select(col("doc_a"), col("doc_b"), col("shared"), col("score"))
+      .select(col("doc_a"), col("doc_b"), col("common").as("shared"), col("score"))
       .orderBy(col("score").desc, col("doc_a"), col("doc_b"))
   }
 
@@ -412,7 +415,7 @@ object TextAnalysis {
        |FROM pr
        |JOIN sz sa ON doc_a = sa.doc_id
        |JOIN sz sb ON doc_b = sb.doc_id
-       |WHERE shared / LEAST(sa.nch, sb.nch) >= 0.5
+       |WHERE score >= $CdcPairTau
        |ORDER BY score DESC, doc_a, doc_b""".stripMargin
 
   /** `text_hashfeatures` — the hashing-trick featurizer: every token
