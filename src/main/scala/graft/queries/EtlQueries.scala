@@ -863,7 +863,43 @@ object EtlQueries {
       |UNION ALL SELECT * FROM a_li UNION ALL SELECT * FROM a_ev
       |ORDER BY tbl""".stripMargin
 
+  /** `etl_histogram` — equi-width column histogram, the ANALYZE
+    * extension the optimizer actually consumes for selectivity (where
+    * etl_stats gives min/max/ndv, the histogram gives the shape):
+    * l_extendedprice bucketed into 16 equal-width ranges with per-
+    * bucket row counts and ACTUAL within-bucket bounds. The entire
+    * bucketing runs in integer CENTS (the centsRepr idiom — exact for
+    * 2-decimal money) with integer range division, so there is no
+    * float edge anywhere for engines to disagree on.
+    *
+    * 100 TB: one min/max scalar broadcast into a scan-side bucket
+    * projection, then a 16-group map-side-combined aggregate — the
+    * shuffle carries ≤ 16 partial rows per task. */
+  def histogram(s: SparkSession, d: String, buckets: Int = 16): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("c"))
+    val mm = base.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
+    base.crossJoin(broadcast(mm))
+      .withColumn("bucket", expr(
+        s"CAST(LEAST($buckets - 1, ((c - cmin) * $buckets) DIV (cmax - cmin + 1)) AS INT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c")).as("lo_cents"), max(col("c")).as("hi_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramSql: String =
+    """WITH c AS (
+      |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+      |mm AS (SELECT MIN(c) AS cmin, MAX(c) AS cmax FROM c)
+      |SELECT CAST(LEAST(15, ((c - cmin) * 16) // (cmax - cmin + 1)) AS INT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(c) AS lo_cents, MAX(c) AS hi_cents
+      |FROM c CROSS JOIN mm
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
     "etl_forget" -> (forget _),
     "etl_scd2" -> (scd2 _),
     "etl_stats" -> (stats _),
@@ -880,6 +916,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_histogram" -> histogramSql,
     "etl_forget" -> forgetSql,
     "etl_scd2" -> scd2Sql,
     "etl_stats" -> statsSql,

@@ -645,6 +645,27 @@ class EtlSpec extends AnyFunSuite {
     assert(Main.configPath(Array("cfg.yml", "extra")).isLeft)
   }
 
+  test("etl_histogram: totality, monotone bounds, in-memory parity") {
+    val got = graft.queries.EtlQueries.histogram(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cents = Tables.lineitem(spark, sf).select("l_extendedprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100).toLong)
+    val (cmin, cmax) = (cents.min, cents.max)
+    val expected = cents
+      .map(c => math.min(15L, (c - cmin) * 16 / (cmax - cmin + 1)).toInt -> c)
+      .groupBy(_._1).toSeq
+      .map { case (b, cs) =>
+        (b, cs.length.toLong, cs.map(_._2).min, cs.map(_._2).max) }
+      .sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(got.map(_._2).sum == cents.length, "every row lands in a bucket")
+    // buckets are ordered and non-overlapping on their actual bounds
+    got.sliding(2).foreach {
+      case Array((_, _, _, hi), (_, _, lo, _)) => assert(hi < lo)
+      case _ =>
+    }
+  }
+
   test("etl_forget: audit matches an independently computed cascade") {
     val got = graft.queries.EtlQueries.forget(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
