@@ -60,12 +60,11 @@ object ScaleUp {
     // place the rule actually fires) and the zero-shuffle chunker
     "dedup_semantic", "sample_cluster_balanced", "text_cdc_chunks",
     // scan-heavy late-r8 reps: the per-dim quantization audit (pure
-    // two-pass scan+agg) and the FK-cascade audit. Caveat on the
-    // latter's events edge: ampFacts offsets events.user_id per
-    // replica while customer copies verbatim, so replica events never
-    // match a subject — the measured ratio exercises the growing
-    // orders→lineitem cascade and the kept-side scans, NOT a growing
-    // events drop-set (review finding r8)
+    // two-pass scan+agg) and the FK-cascade audit. Since r9 the
+    // latter's events edge is REAL at ×R: replica user_ids rotate
+    // through the customer key space (see amplify), so the subject
+    // drop-set over events grows with the corpus instead of staying
+    // base-sized (advice r8)
     "embed_quantize", "etl_forget",
     // chunk-containment near-dup: the fp-keyed join is the dedup
     // family's chunk-granularity scale path
@@ -74,9 +73,11 @@ object ScaleUp {
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every
     * ×R timing silently runs cross-corpus. v2: covers every amplified/
-    * copied table, not just the text/embedding corpora. */
+    * copied table, not just the text/embedding corpora. v3: events
+    * user_id rotation into the customer key space (advice r8) — the
+    * bump regenerates cached x5/x10 dirs built under the old offset. */
   private def baseKey(base: String): String =
-    "v2:" + Tables.All.map { n =>
+    "v3:" + Tables.All.map { n =>
       val f = new java.io.File(s"$base/$n.parquet")
       def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
       if (f.isDirectory)
@@ -143,9 +144,37 @@ object ScaleUp {
     ampFacts("orders", Tables.orders(spark, base),
       Map("o_orderkey" -> 100000000L), 32)
     // events read through Tables.events (ts normalized to TIMESTAMP µs
-    // whatever the generator wrote — the schema-drift guard)
-    ampFacts("events", Tables.events(spark, base),
-      Map("event_id" -> 100000000L, "user_id" -> 1000000L), 32)
+    // whatever the generator wrote — the schema-drift guard).
+    // Replica user_ids ROTATE through the real customer key space
+    // instead of escaping it (advice r8): the old +1e6-per-replica
+    // offset grew the user population but replica events never joined
+    // a customer, so customer-joining consumers (etl_forget's events
+    // drop-set, stream_enrich's match path) measured kept-side scans
+    // only. With (user_id + rep·span) mod nCust every replica event
+    // resolves to a REAL customer — subject drop-sets now grow with
+    // the corpus — while the active-user population still grows ×R
+    // (span = base user span keeps replica populations disjoint until
+    // they wrap at nCust). event_id keeps the plain uniqueness offset.
+    val custRow = spark.read.parquet(s"$base/customer.parquet")
+      .agg(min(col("c_custkey")), max(col("c_custkey")), count(lit(1))).head()
+    val (cMin, cMax, nCust) =
+      (custRow.getLong(0), custRow.getLong(1), custRow.getLong(2))
+    require(cMin == 0L && nCust == cMax + 1,
+      s"customer keys not 0-based contiguous (min=$cMin max=$cMax " +
+        s"n=$nCust) — the user_id rotation needs a dense key space")
+    val ev = Tables.events(spark, base)
+    val uSpan = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val evCols = ev.columns.map {
+      case "event_id" =>
+        (col("event_id") + col("rep").cast("long") * 100000000L).as("event_id")
+      case "user_id" =>
+        pmod(col("user_id") + col("rep").cast("long") * uSpan,
+          lit(nCust)).as("user_id")
+      case c => col(c)
+    }
+    ev.crossJoin(broadcast(reps)).select(evCols.toIndexedSeq: _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
       spark.read.parquet(s"$base/$n.parquet")
         .write.mode("overwrite").parquet(s"$out/$n.parquet")

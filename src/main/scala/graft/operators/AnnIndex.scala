@@ -338,7 +338,11 @@ object AnnIndex {
     * whole current source) and append degenerates to it. Every serving
     * query picks appended vectors up immediately: they are ordinary
     * rows of `codes/`, and the raw vectors for re-ranking are in the
-    * grown source table. */
+    * grown source table.
+    *
+    * Idempotent: re-submitting a batch (retry after a crash mid-append,
+    * or an at-least-once upstream) never lands duplicate code rows —
+    * the batch anti-joins the stored vec_ids first (advice r8). */
   def append(s: SparkSession, d: String, batch: DataFrame): String = {
     val dir = dirFor(d)
     if (!java.nio.file.Files.exists(marker(dir))) {
@@ -351,9 +355,23 @@ object AnnIndex {
     val cents = s.read.parquet(s"$dir/coarse")
     val cb = s.read.parquet(s"$dir/codebook")
     val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
-    val e = Similarity.normalizeVecs(
-      batch.select(col("vec_id"), col("embedding")))
-    val n = batch.count()
+    // Idempotency (advice r8): a retried append — a crash between the
+    // non-atomic codes write and the counter update, or a caller
+    // re-submitting a batch that already landed — must not duplicate
+    // (vec_id, codes) rows: duplicated candidates would occupy multiple
+    // top-k slots in ivfpq serving and displace true neighbors. The
+    // batch is anti-joined against the stored vec_ids first, so only
+    // genuinely-new vectors encode and the appended counter advances by
+    // what was actually written. Cost: one pass over codes/' vec_id
+    // column (8 bytes/vector, min/max-pruned parquet pages) — the
+    // shuffle carries batch-side ids only, never codes or vectors.
+    val fresh = graft.Checkpoints.pin(
+      batch.select(col("vec_id"), col("embedding"))
+        .join(s.read.parquet(s"$dir/codes").select(col("vec_id")),
+          Seq("vec_id"), "left_anti"))
+    val n = fresh.count()
+    if (n == 0) return dir
+    val e = Similarity.normalizeVecs(fresh)
     // batch-sized file count — an append must not litter codes/ with
     // shuffle.partitions near-empty files per call (review finding r8)
     val nFiles = math.max(1L, (n + 1999999L) / 2000000L).toInt

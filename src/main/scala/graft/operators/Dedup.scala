@@ -572,6 +572,15 @@ object Dedup {
     * candidate rate per pair falls as J_bg^r. */
   val MinhashBands = 16
 
+  /** The Jaccard margin the LSH-completeness claims are stated against
+    * (PipelineOpsSpec pins every true pair on the gated corpora at
+    * J ≥ 0.85) and the P(miss) budget every emittable (b, r) geometry
+    * must hold at that margin (ScaleJoinsSpec pins the analytic bound).
+    * One definition — the explicit-numHashes clamp, the band rule, and
+    * the runtime margin probe all reason against the same numbers. */
+  private[graft] val MarginJ = 0.85
+  private[graft] val MissBound = 1e-3
+
   /** Rows per band for a corpus of `n` docs — the minhash analog of
     * [[embeddingBitsFor]], codifying the ×5/×10 sweep finding (SURVEY
     * §6): at FIXED r=2 random band collisions grow ~n² and dominate
@@ -599,6 +608,20 @@ object Dedup {
     * geometry). */
   private[graft] def minhashBandsFor(rows: Int): Int =
     if (rows >= 8) 2 * MinhashBands else MinhashBands
+
+  /** Rows-per-band for an EXPLICIT hash budget: the largest divisor of
+    * `numHashes` at or under the self-tuned `tuned` whose geometry —
+    * b = numHashes/r bands, NOT minhashBandsFor(r) — still holds
+    * P(miss) ≤ [[MissBound]] at the [[MarginJ]] margin (advice r8:
+    * 32 hashes at r=4 is only 8 bands, miss ≈ 2.7e-3). Walking r down
+    * only ADDS recall (looser bands and more of them), so the first
+    * passing divisor is the most selective valid geometry. r=1 is the
+    * always-valid floor: numHashes ≥ 16 one-row bands miss ≤ 0.15^16. */
+  private[graft] def clampRowsFor(tuned: Int, numHashes: Int): Int =
+    (tuned to 1 by -1).find { x =>
+      numHashes % x == 0 &&
+        math.pow(1.0 - math.pow(MarginJ, x), (numHashes / x).toDouble) <= MissBound
+    }.getOrElse(1)
 
   /** Banded-minhash candidate pairs over a shingle table: per-doc
     * signatures of `numHashes` min-hashes, split into bands of
@@ -647,13 +670,17 @@ object Dedup {
       val n = graft.Tables.footerRowCount(s, d, "documents")
       val tuned = minhashBandRowsFor(n)
       // an EXPLICIT numHashes with self-tuned rows must stay valid on
-      // every corpus size: clamp the tuned r down to the largest even
+      // every corpus size: clamp the tuned r down to the largest
       // divisor of numHashes (review finding r8 — numHashes=32 with
-      // tuned r=6 would otherwise fail the divisibility require).
-      // Clamping down only ADDS recall (smaller r = looser bands).
-      val rr = if (numHashes > 0)
-        (tuned to 2 by -1).find(x => numHashes % x == 0).getOrElse(1)
-      else tuned
+      // tuned r=6 would otherwise fail the divisibility require) THAT
+      // ALSO keeps P(miss) at the spec margin under the 1e-3 bound
+      // (advice r8: with explicit hashes the band count is numHashes/r,
+      // not minhashBandsFor(r) — 32 hashes at r=4 is only 8 bands,
+      // miss ≈ 2.7e-3 at J=0.85, above the bound ScaleJoinsSpec pins
+      // for the self-tuned geometries). Clamping down only ADDS recall
+      // (smaller r = looser bands AND more of them), so the first
+      // divisor ≤ tuned that passes the bound is the cheapest valid r.
+      val rr = if (numHashes > 0) clampRowsFor(tuned, numHashes) else tuned
       System.err.println(s"[graft] dedup_minhash adaptive bandRows=$rr (n=$n)")
       rr
     }
@@ -735,7 +762,12 @@ object Dedup {
     * the margin pinned by the PipelineOpsSpec/ScaleJoinsSpec margin
     * specs (every true pair at J ≥ 0.85 → miss ≤ 7e-6 at the r=4
     * tuning point; the consumer threshold here is the same t=0.5 the
-    * margin is stated against — [[clusters]] inherits it). */
+    * margin is stated against — [[clusters]] inherits it). On corpora
+    * WITHOUT that margin the banded path under-captures pairs near t;
+    * the per-run margin probe below measures the confirmed-J
+    * distribution against the geometry's safe-J bound and warns when
+    * threshold-adjacent mass exists, so the recall condition is
+    * checked at runtime, never assumed (advice r8). */
   def jaccardPairsAbove(s: SparkSession, d: String, t: Double): DataFrame = {
     val sh = shingles(s, d)
     val (nUniverse, nDocs) = shStats(sh)
@@ -744,10 +776,38 @@ object Dedup {
         .filter(col("jaccard") >= t)
     else {
       val r = minhashBandRowsFor(nDocs)
+      val b = minhashBandsFor(r)
       System.err.println(
         s"[graft] jaccardPairsAbove banded scale path: bandRows=$r (nDocs=$nDocs)")
-      exactConfirm(minhashCandidates(sh, minhashBandsFor(r) * r, r), sh)
-        .filter(col("jaccard") >= t)
+      val confirmed = graft.Checkpoints.pin(
+        exactConfirm(minhashCandidates(sh, b * r, r), sh)
+          .filter(col("jaccard") >= t))
+      // Runtime margin probe (advice r8): completeness on this path is
+      // LSH-recall-conditional — P(miss | J) = (1-J^r)^b only drops
+      // under [[MissBound]] past a geometry-determined "safe" J, and a
+      // true pair sitting AT t=0.5 is missed ~36% of the time at the
+      // r=4/b=16 point. The missed pairs are unobservable, but the
+      // CONFIRMED J distribution is the direct evidence of whether this
+      // corpus puts pair mass near the threshold (where misses
+      // concentrate): measure it every run and warn, instead of
+      // assuming the gated corpora's J ≥ 0.85 margin transfers. The
+      // probe reads the pinned confirm output — one tiny aggregate,
+      // no extra pass over candidates.
+      val safeJ = math.pow(1.0 - math.pow(MissBound, 1.0 / b), 1.0 / r)
+      if (safeJ > t) {
+        val row = confirmed.agg(
+          count(when(col("jaccard") < safeJ, 1)).as("n_near"),
+          count(lit(1)).as("n_all")).head()
+        val (nNear, nAll) = (row.getLong(0), row.getLong(1))
+        if (nNear > 0)
+          System.err.println(
+            f"[graft] jaccardPairsAbove WARNING: $nNear of $nAll confirmed " +
+              f"pairs sit at J in [$t%.2f, $safeJ%.2f), under the banded " +
+              f"recall bound at (b=$b, r=$r) — near-threshold TRUE pairs " +
+              "are likely under-captured on this corpus; lower bandRows " +
+              "or treat the result as recall-conditional")
+      }
+      confirmed
     }
   }
 

@@ -870,14 +870,20 @@ object EtlQueries {
     * bucket row counts and ACTUAL within-bucket bounds. The entire
     * bucketing runs in integer CENTS (the centsRepr idiom — exact for
     * 2-decimal money) with integer range division, so there is no
-    * float edge anywhere for engines to disagree on.
+    * float edge anywhere for engines to disagree on. Cents come from
+    * ROUND(x*100), not FLOOR: a 2-decimal price stored as a double is
+    * the nearest IEEE neighbor of k/100, which can sit a hair BELOW the
+    * true rational (19.99*100 = 1998.9999…), and floor would then land
+    * on k-1 cents — off-by-one lo/hi bounds and bucket edges (advice
+    * r8). ROUND recovers the exact integer k on both engines (positive
+    * money, so half-up vs half-away never diverges).
     *
     * 100 TB: one min/max scalar broadcast into a scan-side bucket
     * projection, then a 16-group map-side-combined aggregate — the
     * shuffle carries ≤ 16 partial rows per task. */
   def histogram(s: SparkSession, d: String, buckets: Int = 16): DataFrame = {
     val base = Tables.lineitem(s, d)
-      .select(floor(col("l_extendedprice") * 100).cast("long").as("c"))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
     val mm = base.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"))
     base.crossJoin(broadcast(mm))
       .withColumn("bucket", expr(
@@ -890,7 +896,7 @@ object EtlQueries {
 
   val histogramSql: String =
     """WITH c AS (
-      |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+      |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
       |mm AS (SELECT MIN(c) AS cmin, MAX(c) AS cmax FROM c)
       |SELECT CAST(LEAST(15, ((c - cmin) * 16) // (cmax - cmin + 1)) AS INT) AS bucket,
       |  CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -136,6 +136,19 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.append(spark, d, batch)
       assert(codeMap() == full,
         "append-path codes/cells must be bit-identical to the full build's")
+      // idempotency (advice r8): re-submitting the SAME batch — the
+      // retry shape after a crash between the codes write and the
+      // counter update — must land zero duplicate rows and leave the
+      // appended counter where it was; duplicated (vec_id, codes) rows
+      // would occupy multiple top-k slots in ivfpq serving
+      val countedOnce = AnnIndex.appendedCount(dir)
+      AnnIndex.append(spark, d, batch)
+      // row COUNT, not just the map (a map would collapse duplicates)
+      assert(spark.read.parquet(s"$dir/codes").count() == full.size,
+        "a retried append must not duplicate code rows")
+      assert(codeMap() == full)
+      assert(AnnIndex.appendedCount(dir) == countedOnce,
+        "a retried append must not advance the appended counter")
       // the serving path reads appended rows as ordinary code rows
       assert(rowsOf(AnnIndex.ivfpqRerankQuery(spark, d)) == expectedServe)
       // 25% appended > the 20% StaleFraction → retraining is due...

@@ -648,8 +648,10 @@ class EtlSpec extends AnyFunSuite {
   test("etl_histogram: totality, monotone bounds, in-memory parity") {
     val got = graft.queries.EtlQueries.histogram(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // ROUND, not floor: 2-decimal money as a double sits a hair off
+    // k/100 and floor lands on k-1 cents (advice r8)
     val cents = Tables.lineitem(spark, sf).select("l_extendedprice").collect()
-      .map(r => math.floor(r.getDouble(0) * 100).toLong)
+      .map(r => math.round(r.getDouble(0) * 100))
     val (cmin, cmax) = (cents.min, cents.max)
     val expected = cents
       .map(c => math.min(15L, (c - cmin) * 16 / (cmax - cmin + 1)).toInt -> c)

@@ -64,6 +64,21 @@ class ScaleJoinsSpec extends AnyFunSuite {
       val miss = math.pow(1 - math.pow(0.85, r.toDouble), b.toDouble)
       assert(miss < 1e-3, f"geometry ${b}x$r: miss $miss%.2e at the J=0.85 margin")
     }
+    // EXPLICIT numHashes clamp (advice r8): the band count is then
+    // numHashes/r, not minhashBandsFor(r) — the clamp must walk r down
+    // until that geometry passes the same bound. 32 hashes: tuned r=4
+    // would give only 8 bands (miss ≈ 2.7e-3, OVER the bound) → r=2
+    // (16 bands, miss ≈ 1.2e-9); 96 hashes afford r=6 (16 bands).
+    assert(Dedup.clampRowsFor(4, 32) == 2)
+    assert(Dedup.clampRowsFor(2, 32) == 2)
+    assert(Dedup.clampRowsFor(6, 96) == 6)
+    // every emittable clamp output satisfies the bound by construction
+    for (tuned <- 1 to 10; nh <- Seq(16, 32, 64, 96, 128)) {
+      val r = Dedup.clampRowsFor(tuned, nh)
+      assert(nh % r == 0)
+      val miss = math.pow(1 - math.pow(0.85, r.toDouble), (nh / r).toDouble)
+      assert(miss <= 1e-3, f"clamp($tuned, $nh) -> $r: miss $miss%.2e")
+    }
   }
 
   test("dedup_embedding: no nested-loop over the full pair space") {
