@@ -41,6 +41,10 @@ object ScaleUp {
     "dedup_ngram_dfcap", "dedup_substring", "dedup_simhash",
     "dedup_embedding", "dedup_clusters", "dedup_corpus_near",
     "ann_bruteforce", "ann_index_build", "ann_ivfpq_rerank",
+    // r9 (verdict item 1): the batch k-NN pair — the index-served join
+    // vs its brute-force twin, so the sweep measures the sub-linear
+    // claim directly (same query set, same output shape)
+    "ann_topk_join", "ann_index_knn_join",
     // r8 (verdict item 6): representatives beyond the dedup/ANN
     // family, so the floor-amortization claim for the ~100 sub-0.3 s
     // queries rests on a measured ratio too — a broadcast-dim shuffle

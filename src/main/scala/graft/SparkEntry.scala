@@ -57,6 +57,7 @@ object SparkEntry {
     // oracles below still hash-match.
     "ann_index_build" -> ((s, d) => graft.operators.AnnIndex.stats(s, d)),
     "ann_index_query" -> ((s, d) => graft.operators.AnnIndex.ivfpqRerankQuery(s, d)),
+    "ann_index_knn_join" -> ((s, d) => graft.operators.AnnIndex.knnJoin(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.AnnIndex.pqQuery(s, d)),
     "ann_pq_rerank" -> ((s, d) => graft.operators.AnnIndex.pqRerankQuery(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.AnnIndex.ivfpqQuery(s, d)),
@@ -149,6 +150,7 @@ object SparkEntry {
     // the served query answers the SAME top-k as the inline pipeline,
     // so it shares ann_ivfpq_rerank's training-replay oracle verbatim
     "ann_index_query" -> Similarity.ivfpqRerankSql,
+    "ann_index_knn_join" -> graft.operators.AnnIndex.knnJoinSql,
     "ann_pq" -> Similarity.pqSql,
     "ann_pq_rerank" -> Similarity.pqRerankSql,
     "ann_ivfpq" -> Similarity.ivfpqSql,

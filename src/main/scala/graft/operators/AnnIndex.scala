@@ -464,6 +464,162 @@ object AnnIndex {
     Similarity.exactRerank(s, d, queryId, k,
       ivfpqQuery(s, d, queryId, k = c).select(col("vec_id")))
 
+  /** `ann_index_knn_join` — batch k-NN join SERVED from the persisted
+    * IVF-PQ index: the query-SET counterpart of [[ivfpqRerankQuery]],
+    * and the entry point every embedding-join/RAG pipeline actually
+    * hits (N queries at once, not one). Until r9 the only batch path
+    * was `ann_topk_join`'s block-partitioned brute-force — O(N·corpus)
+    * exact distances; this plan serves the same answer shape from the
+    * stored artifacts at O(N·(cells + m·ksub)) table math plus codes
+    * in probed cells only.
+    *
+    * Plan, per the stored artifacts (no retraining, nothing rebuilt):
+    *   1. coarse assign the query set: |Q| × (n/50) broadcast distance
+    *      pass → top-nprobe cells per query ((q_id, cell), tiny);
+    *   2. per-query ADC tables: |Q|·m·ksub rows from one broadcast
+    *      join of the query subvectors against the stored codebook;
+    *   3. candidates: stored codes equi-joined to the BROADCAST probe
+    *      cells on `cell` — only probed cells' codes are read (the
+    *      parquet scan prunes on the join side), and the shuffle
+    *      carries (q_id, vec_id, partial ADC sums), never vectors;
+    *   4. ADC top-`c` per query (window over the per-query candidate
+    *      set), then exact cosine re-rank of the |Q|·c survivors by id
+    *      lookup — the same broadcast point-fetch as [[Similarity
+    *      .exactRerank]], generalized over q_id.
+    *
+    * At 100 TB: queries, probe cells, ADC tables, and candidate ids
+    * are all broadcast-sized (|Q| rows × small constants); the only
+    * data-scale term is the probed-cells code scan, which is the same
+    * per-query cost as single-query serving — N queries share ONE scan
+    * instead of N. Recall equals single-query serving by construction
+    * (AnnIndexSpec pins batch == per-query loop, bit-exact).
+    *
+    * Output (q_id, vec_id, cos, rnk) — `ann_topk_join`'s shape, so the
+    * two are directly comparable; the oracle replays the stored-index
+    * pipeline (training CTEs shared with [[statsSql]]/ivfpq), exact
+    * because every stage is the same quantised expression sequence. */
+  def knnJoin(s: SparkSession, d: String, nq: Long = 5L, k: Int = 5,
+      c: Int = 50): DataFrame = {
+    import graft.functions.VectorFunctions.{dotD, norm2}
+    val cents = coarseDf(s, d)
+    val cb = codebookDf(s, d)
+    val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
+    val qs = Similarity.normalizedEmb(s, d).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcd2"), col("c_id"))
+    val qcells = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        Similarity.sqDiff(col("q_emb"), col("c_emb")).as("qcd2"))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= Nprobe)
+      .select(col("q_id"), col("c_id").as("probe_cell"))
+    val dt = Similarity.subvecsOf(
+        qs.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+        "embedding", M, subLen)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"),
+        Similarity.sqDiff(col("sv"), col("c_sv")).as("qd2"))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist2"), col("vec_id"))
+    val cands = codesDf(s, d)
+      .join(broadcast(qcells), col("cell") === col("probe_cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(dt), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(adcTotal)
+      .withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= c)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank: |Q|·c point fetches of raw vectors (broadcast id
+    // lookup into the corpus scan — never a scan per query), the
+    // identical cosine expression tree as bruteForce/exactRerank
+    val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding"), norm2(col("embedding")).as("n2"))
+    val qe = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.join(broadcast(cands), "vec_id")
+      .join(broadcast(qe), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (dotD(col("embedding"), col("q_emb")) /
+          sqrt(col("n2") * col("q_n2"))).as("cos"))
+      .withColumn("rnk", row_number().over(wK))
+      .filter(col("rnk") <= k)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The batch-serving pipeline replayed as DuckDB SQL: the SHARED
+    * training chain (normalize/cents0/codebook — one definition with
+    * statsSql and the pq/ivfpq oracles), then the multi-query stages:
+    * per-query probe cells, candidate encode, per-(query, candidate)
+    * ADC, top-c, exact re-rank. Exact for the same reason the
+    * single-query serving oracles are: every float op is a fixed
+    * quantised IEEE sequence present verbatim on both sides. */
+  val knnJoinSql: String = {
+    import Similarity.{PqCents0Cte, PqEnCte, PqTrainCtes, cosOf, d2Of}
+    s"WITH $PqEnCte,\n$PqCents0Cte,\n" +
+    s"""assigned AS (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT e.vec_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Of("e.embedding", "c.c_emb")}, c.c_id) AS rn
+       |    FROM en e CROSS JOIN cents0 c)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT q_id, c_id AS probe_cell FROM (
+       |    SELECT q.vec_id AS q_id, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${d2Of("q.embedding", "c.c_emb")}, c.c_id) AS rn
+       |    FROM en q CROSS JOIN cents0 c WHERE q.vec_id < 5)
+       |  WHERE rn <= $Nprobe),""".stripMargin +
+    s"\n$PqTrainCtes,\n" +
+    s"""cand AS (
+       |  SELECT q.q_id, a.vec_id FROM assigned a
+       |  JOIN qcells q ON a.cell = q.probe_cell
+       |  WHERE a.vec_id <> q.q_id),
+       |cvec AS (SELECT DISTINCT vec_id FROM cand),
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, v.sub, c.code,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+       |        ORDER BY ${d2Of("v.sv", "c.c_sv")}, c.code) AS rn
+       |    FROM sv v JOIN cvec USING (vec_id) JOIN cents c USING (sub))
+       |  WHERE rn = 1),
+       |dt AS (
+       |  SELECT q.vec_id AS q_id, q.sub, c.code, ${d2Of("q.sv", "c.c_sv")} AS qd2
+       |  FROM sv q JOIN cents c USING (sub) WHERE q.vec_id < 5),
+       |adcq AS (
+       |  SELECT cd.q_id, cd.vec_id,
+       |    CAST(SUM(CAST(FLOOR(dt.qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.vec_id
+       |  JOIN dt ON dt.q_id = cd.q_id AND dt.sub = co.sub AND dt.code = co.code
+       |  GROUP BY cd.q_id, cd.vec_id),
+       |candk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id
+       |        ORDER BY adc_dist2, vec_id) AS rn
+       |    FROM adcq)
+       |  WHERE rn <= 50),
+       |rer AS (
+       |  SELECT k.q_id, k.vec_id, ${cosOf("e.embedding", "q.embedding")} AS cos
+       |  FROM candk k
+       |  JOIN embeddings e ON e.vec_id = k.vec_id
+       |  JOIN embeddings q ON q.vec_id = k.q_id)
+       |SELECT q_id, vec_id, cos, rnk FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM rer)
+       |WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
   /** `ann_index_build` — force-rebuild the index and emit per-cell
     * stats from the artifacts just written: vectors per cell, an exact
     * checksum over every stored PQ code (so the oracle verifies the

@@ -208,6 +208,23 @@ class AnnIndexSpec extends AnyFunSuite {
     } finally rmr(tmp)
   }
 
+  test("ann_index_knn_join: batch serving is bit-identical to a per-query serving loop") {
+    // the batch path must be EXACTLY the single-query serving path
+    // vectorized over q_id — same probe cells, same ADC quantisation,
+    // same rerank expression — or its recall claims don't transfer
+    val batch = AnnIndex.knnJoin(spark, sf, nq = 5L, k = 5, c = 50)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    for (q <- 0L until 5L) {
+      val single = AnnIndex.ivfpqRerankQuery(spark, sf, queryId = q, k = 5, c = 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q) == single,
+        s"q=$q: batch ${batch(q)} != single-query serving $single")
+    }
+  }
+
   test("a missing completion marker forces a rebuild (no partial serving)") {
     val dir = AnnIndex.build(spark, sf)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
