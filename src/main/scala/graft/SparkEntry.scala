@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_index_build" -> ((s, d) => graft.operators.AnnIndex.stats(s, d)),
     "ann_index_query" -> ((s, d) => graft.operators.AnnIndex.ivfpqRerankQuery(s, d)),
     "ann_index_knn_join" -> ((s, d) => graft.operators.AnnIndex.knnJoin(s, d)),
+    "ann_forget" -> ((s, d) => graft.operators.AnnIndex.forgetAudit(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.AnnIndex.pqQuery(s, d)),
     "ann_pq_rerank" -> ((s, d) => graft.operators.AnnIndex.pqRerankQuery(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.AnnIndex.ivfpqQuery(s, d)),
@@ -151,6 +152,7 @@ object SparkEntry {
     // so it shares ann_ivfpq_rerank's training-replay oracle verbatim
     "ann_index_query" -> Similarity.ivfpqRerankSql,
     "ann_index_knn_join" -> graft.operators.AnnIndex.knnJoinSql,
+    "ann_forget" -> graft.operators.AnnIndex.forgetSql,
     "ann_pq" -> Similarity.pqSql,
     "ann_pq_rerank" -> Similarity.pqRerankSql,
     "ann_ivfpq" -> Similarity.ivfpqSql,

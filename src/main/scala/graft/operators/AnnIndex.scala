@@ -235,6 +235,8 @@ object AnnIndex {
     java.nio.file.Paths.get(dir, "_GRAFT_INDEX_APPENDED")
   private def baseMeta(dir: String) =
     java.nio.file.Paths.get(dir, "_GRAFT_INDEX_BASE")
+  private def deletedMeta(dir: String) =
+    java.nio.file.Paths.get(dir, "_GRAFT_INDEX_DELETED")
 
   private def metaLong(p: java.nio.file.Path): Long =
     if (java.nio.file.Files.exists(p))
@@ -245,19 +247,29 @@ object AnnIndex {
   private[graft] def appendedCount(dir: String): Long =
     metaLong(appendedMeta(dir))
 
-  /** True once appended/base exceeds [[StaleFraction]] — the signal to
-    * schedule a retraining [[build]] (which resets the counter). The
-    * pipeline decides WHEN; serving from a stale index stays correct
-    * (codes are exact nearest-code under the stored codebook), it is
-    * the approximation quality that decays. Pure meta-file reads —
-    * the base count is recorded at build time, so no count() job
-    * (review finding r8). */
-  def isStale(s: SparkSession, d: String): Boolean = {
-    val dir = dirFor(d)
-    val appended = appendedCount(dir)
-    appended > 0 && {
+  /** Count of vectors tombstoned since the last full build. */
+  private[graft] def deletedCount(dir: String): Long =
+    metaLong(deletedMeta(dir))
+
+  /** True once (appended + deleted)/base exceeds [[StaleFraction]] —
+    * the signal to schedule a retraining [[build]] (which resets both
+    * counters). Deletes count toward drift just like appends (r9 —
+    * the VERDICT erasure composition): tombstoned cells keep paying
+    * scan cost for rows that can never serve, and the trained
+    * centroids/codebook drift from the SURVIVING distribution exactly
+    * as they do when new vectors arrive. The pipeline decides WHEN;
+    * serving from a stale index stays correct (codes are exact
+    * nearest-code under the stored codebook, tombstones are exact),
+    * it is the approximation quality that decays. Pure meta-file
+    * reads — the base count is recorded at build time, so no count()
+    * job (review finding r8). */
+  def isStale(s: SparkSession, d: String): Boolean = isStaleAt(dirFor(d))
+
+  private[graft] def isStaleAt(dir: String): Boolean = {
+    val drifted = appendedCount(dir) + deletedCount(dir)
+    drifted > 0 && {
       val base = metaLong(baseMeta(dir))
-      base <= 0 || appended.toDouble / base > StaleFraction
+      base <= 0 || drifted.toDouble / base > StaleFraction
     }
   }
 
@@ -271,7 +283,11 @@ object AnnIndex {
     if (!rootF.isDirectory) return None
     rootF.listFiles
       .filter(x => x.isDirectory && x.getName != cur &&
-        new java.io.File(x, "_GRAFT_INDEX_OK").isFile)
+        new java.io.File(x, "_GRAFT_INDEX_OK").isFile &&
+        // erasure variants (ann_forget scratch indexes) are never an
+        // adoption base: carrying their tombstones into the main line
+        // would silently erase vectors nobody asked to forget (r9)
+        !new java.io.File(x, "_GRAFT_INDEX_VARIANT").isFile)
       .filter { x =>
         val meta = new java.io.File(x, "_GRAFT_INDEX_SOURCE")
         try meta.isFile && new String(
@@ -303,9 +319,16 @@ object AnnIndex {
           }
       }
     }
-    Seq("coarse", "codebook", "codes").foreach(sub =>
-      linkTree(new java.io.File(prev, sub), new java.io.File(dirF, sub)))
-    Seq("_GRAFT_INDEX_BASE", "_GRAFT_INDEX_APPENDED").foreach { m =>
+    // `deleted/` tombstones travel with the artifacts: an erasure must
+    // survive a fingerprint move (source growth) — a GDPR drop that
+    // silently resurrected on the next append would be a compliance
+    // bug, not a cache quirk (r9)
+    Seq("coarse", "codebook", "codes", "deleted")
+      .filter(sub => new java.io.File(prev, sub).isDirectory)
+      .foreach(sub =>
+        linkTree(new java.io.File(prev, sub), new java.io.File(dirF, sub)))
+    Seq("_GRAFT_INDEX_BASE", "_GRAFT_INDEX_APPENDED",
+        "_GRAFT_INDEX_DELETED").foreach { m =>
       val f = new java.io.File(prev, m)
       if (f.isFile)
         java.nio.file.Files.copy(f.toPath,
@@ -385,18 +408,188 @@ object AnnIndex {
     dir
   }
 
+  /** Right-to-erasure eviction — the derived-artifact leg of the
+    * etl_forget cascade (r9): tombstone `ids` in the stored index so
+    * every serving entry point (pq / ivfpq / rerank / batch k-NN join
+    * — all read codes through [[codesAt]]) provably excludes them,
+    * effective immediately and surviving fingerprint moves
+    * ([[adoptArtifacts]] carries `deleted/`). Tombstones, not a cell
+    * rewrite: an erasure request is ids-sized, the codes table is
+    * corpus-sized — the rewrite belongs in the next retraining
+    * [[build]], which starts from the (already-cascaded) source table
+    * and resets the counters. Deletes count toward [[isStale]] like
+    * appends, so heavy erasure schedules that retrain.
+    *
+    * Idempotent (the append discipline): only ids actually present in
+    * the stored codes and not already tombstoned are written or
+    * counted, so retries and overlapping erasure batches can't inflate
+    * the staleness counter. Erasure is terminal until retrain:
+    * [[append]] anti-joins the RAW codes (tombstoned rows included),
+    * so a "re-add" of an erased id is a no-op, never a resurrection.
+    * Returns the count of newly tombstoned vectors. */
+  def delete(s: SparkSession, d: String, ids: DataFrame): Long =
+    deleteAt(s, ensure(s, d), ids)
+
+  private[graft] def deleteAt(s: SparkSession, dir: String,
+      ids: DataFrame): Long = {
+    val tomb = s"$dir/deleted"
+    var fresh = ids.select(col("vec_id")).distinct()
+      .join(s.read.parquet(s"$dir/codes").select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+    if (new java.io.File(tomb).isDirectory)
+      fresh = fresh.join(s.read.parquet(tomb), Seq("vec_id"), "left_anti")
+    val pinned = graft.Checkpoints.pin(fresh)
+    val n = pinned.count()
+    if (n > 0) {
+      // ids-only payload: one small file per erasure batch, not
+      // shuffle.partitions near-empty ones (the append sizing rule)
+      pinned.coalesce(1).write.mode("append").parquet(tomb)
+      java.nio.file.Files.writeString(deletedMeta(dir),
+        (deletedCount(dir) + n).toString): Unit
+      if (isStaleAt(dir))
+        System.err.println(s"[graft] ann index $dir exceeded drift " +
+          s"fraction $StaleFraction after delete: schedule a retraining build")
+    }
+    n
+  }
+
+  /** A scratch COPY of `d`'s index under `<fingerprint>_<name>`,
+    * recreated fresh per call (hardlink adoption — O(files), no
+    * retraining, no byte copies on one volume) and marked
+    * `_GRAFT_INDEX_VARIANT` so [[priorDirFor]] never adopts it into
+    * the main line. The isolation layer for [[forgetAudit]]: the gated
+    * erasure audit must not mutate the shared index the other gated
+    * queries serve from. build()'s source-keyed prune removes variants
+    * alongside their superseded mainline dirs. */
+  private[graft] def variant(s: SparkSession, d: String, name: String): String = {
+    val main = ensure(s, d)
+    val vdir = s"${main}_$name"
+    adoptArtifacts(new java.io.File(main), vdir)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(vdir, "_GRAFT_INDEX_VARIANT")): Unit
+    vdir
+  }
+
+  /** `ann_forget` — the erasure audit (VERDICT r8 #3): compose
+    * etl_forget's right-to-erasure semantics with the persisted ANN
+    * index. The erasure set is a 10% bulk GDPR drop chosen to
+    * PROVABLY displace served results: every vec_id sharing the
+    * pre-erasure top-1 neighbor's residue class mod 10 (data-derived,
+    * so the audit is never vacuous on any corpus — the strongest
+    * neighbor itself is always erased). Tombstones land in a scratch
+    * [[variant]] of the stored index, then the full production path
+    * (probe cells → ADC → exact rerank) serves from it. The hash gate
+    * proves the served top-k excludes every erased id; `newly_promoted`
+    * marks results that hold a slot ONLY because an erased vector
+    * vacated it — the audit column a compliance review actually reads.
+    * (If the class hits the %50≡0 centroid sample, the trained coarse
+    * centroids stay — erasure removes SERVABLE rows, not trained
+    * artifacts, the FAISS remove_ids semantics; the next retraining
+    * build starts from the cascaded source.)
+    *
+    * At 100 TB: the variant is hardlink adoption + an ids-only
+    * tombstone write; serving cost is identical to ann_index_query
+    * (the pre-erasure top-k read here is k driver rows, bounded by the
+    * serve limit). A real pipeline calls [[delete]] on the main index
+    * instead — the variant isolation exists because THIS run's sibling
+    * queries must keep serving the unerased corpus. */
+  def forgetAudit(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val pre = ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k)
+      .collect().map(_.getLong(0)).toSeq
+    val residue = pre.head % 10
+    val vdir = variant(s, d, "forget")
+    val erased = graft.Tables.embeddings(s, d)
+      .select(col("vec_id")).filter(col("vec_id") % 10 === residue)
+    deleteAt(s, vdir, erased)
+    val post = ivfpqRerankQueryAt(s, d, vdir, queryId, k)
+    // k rows past this point: the global rank window is bounded by the
+    // serve limit, not data size
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    post.withColumn("rnk", row_number().over(w))
+      .select(col("vec_id"), col("cos"), col("rnk"),
+        (!col("vec_id").isin(pre: _*)).as("newly_promoted"))
+      .orderBy(col("rnk"))
+  }
+
+  /** The erasure audit replayed as DuckDB SQL: the SHARED ivfpq serve
+    * chain (Similarity.ivfpqCtes — one definition with the
+    * ann_ivfpq(_rerank) oracles) ranked twice from the same per-vector
+    * ADC table: unfiltered (`pre`, the pre-erasure top-k) and with the
+    * erasure predicate applied before the top-50 cut (`post` —
+    * exactly where the Spark side's tombstone anti-join sits, BEFORE
+    * candidate selection, so vacated slots refill from the next-best
+    * ADC candidates on both engines). Exact for the same reason every
+    * PQ-family oracle is: one quantised IEEE expression sequence,
+    * present verbatim on both sides. */
+  val forgetSql: String = {
+    import Similarity.{cosOf, ivfpqCtes}
+    s"""$ivfpqCtes,
+       |cand50_pre AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT 50),
+       |pre AS (
+       |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
+       |  FROM embeddings e JOIN cand50_pre USING (vec_id)
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |res AS (SELECT vec_id % 10 AS r FROM pre ORDER BY cos DESC, vec_id LIMIT 1),
+       |cand50_post AS (
+       |  SELECT vec_id FROM adcq WHERE vec_id % 10 <> (SELECT r FROM res)
+       |  ORDER BY adc_dist2, vec_id LIMIT 50),
+       |post AS (
+       |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
+       |  FROM embeddings e JOIN cand50_post USING (vec_id)
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |ranked AS (
+       |  SELECT vec_id, cos,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM post)
+       |SELECT r.vec_id, r.cos, CAST(r.rnk AS INT) AS rnk,
+       |  (p.vec_id IS NULL) AS newly_promoted
+       |FROM ranked r LEFT JOIN pre p ON r.vec_id = p.vec_id
+       |ORDER BY rnk""".stripMargin
+  }
+
   private def coarseDf(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${ensure(s, d)}/coarse")
+    coarseAt(s, ensure(s, d))
   private def codebookDf(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${ensure(s, d)}/codebook")
+    codebookAt(s, ensure(s, d))
   private def codesDf(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"${ensure(s, d)}/codes")
+    codesAt(s, ensure(s, d))
+
+  // dir-addressed artifact readers: the serving stages are shared
+  // between the MAIN fingerprint dir and erasure variants (r9), so
+  // every reader takes the resolved dir, and the `d`-keyed wrappers
+  // above stay the public convenience.
+  private def coarseAt(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/coarse")
+  private def codebookAt(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/codebook")
+
+  /** Stored codes with erasure tombstones applied: every serving entry
+    * point (pq / ivfpq / rerank / batch k-NN join) reads codes through
+    * here, so a [[delete]] is honored by ALL of them at once — an
+    * erased vector can never occupy a candidate slot again. The
+    * tombstone set is an anti-join on vec_id (ids only — at 100 TB it
+    * is a bloom-filterable broadcast, never a codes rewrite on the
+    * serve path); a dir with no deletions skips the join entirely
+    * (driver-side existence check, zero plan change). */
+  private def codesAt(s: SparkSession, dir: String): DataFrame = {
+    val codes = s.read.parquet(s"$dir/codes")
+    if (new java.io.File(s"$dir/deleted").isDirectory)
+      codes.join(s.read.parquet(s"$dir/deleted"), Seq("vec_id"), "left_anti")
+    else codes
+  }
 
   /** ADC distance table (sub, code, qd2) for the query vector against
     * the STORED codebook — the only per-query "training"-shaped work
     * left, and it is m×ksub = 256 rows from one vector. */
-  private def distTable(s: SparkSession, d: String, queryId: Long): DataFrame = {
-    val cb = codebookDf(s, d)
+  private def distTable(s: SparkSession, d: String, queryId: Long): DataFrame =
+    distTableAt(s, d, ensure(s, d), queryId)
+
+  private def distTableAt(s: SparkSession, d: String, dir: String,
+      queryId: Long): DataFrame = {
+    val cb = codebookAt(s, dir)
     val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
     val q = Similarity.normalizedEmb(s, d).filter(col("vec_id") === queryId)
     Similarity.subvecsOf(q, "embedding", M, subLen)
@@ -427,20 +620,24 @@ object AnnIndex {
     * stored (vec_id, cell) assignment, then ADC over stored codes —
     * bit-identical to [[Similarity.ivfpq]]. */
   def ivfpqQuery(s: SparkSession, d: String, queryId: Long = 0L,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    ivfpqQueryAt(s, d, ensure(s, d), queryId, k)
+
+  private[graft] def ivfpqQueryAt(s: SparkSession, d: String, dir: String,
+      queryId: Long, k: Int): DataFrame = {
     val qCells = Similarity.normalizedEmb(s, d)
       .filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
-      .crossJoin(broadcast(coarseDf(s, d)))
+      .crossJoin(broadcast(coarseAt(s, dir)))
       .select(col("c_id"), Similarity.sqDiff(col("q_emb"), col("c_emb")).as("qcd2"))
       .orderBy(col("qcd2"), col("c_id"))
       .limit(Nprobe)
       .select(col("c_id").as("probe_cell"))
-    codesDf(s, d).join(broadcast(qCells), col("cell") === col("probe_cell"))
+    codesAt(s, dir).join(broadcast(qCells), col("cell") === col("probe_cell"))
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))
-      .join(broadcast(distTable(s, d, queryId)), Seq("sub", "code"))
+      .join(broadcast(distTableAt(s, d, dir, queryId)), Seq("sub", "code"))
       .groupBy(col("vec_id"), col("cell"))
       .agg(adcTotal)
       .orderBy(col("adc_dist2"), col("vec_id"))
@@ -461,8 +658,12 @@ object AnnIndex {
     * [[Similarity.ivfpqRerank]]; oracle reuses ivfpqRerankSql. */
   def ivfpqRerankQuery(s: SparkSession, d: String, queryId: Long = 0L,
       k: Int = 10, c: Int = 50): DataFrame =
+    ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k, c)
+
+  private[graft] def ivfpqRerankQueryAt(s: SparkSession, d: String,
+      dir: String, queryId: Long, k: Int, c: Int = 50): DataFrame =
     Similarity.exactRerank(s, d, queryId, k,
-      ivfpqQuery(s, d, queryId, k = c).select(col("vec_id")))
+      ivfpqQueryAt(s, d, dir, queryId, k = c).select(col("vec_id")))
 
   /** `ann_index_knn_join` — batch k-NN join SERVED from the persisted
     * IVF-PQ index: the query-SET counterpart of [[ivfpqRerankQuery]],

@@ -996,6 +996,31 @@ object Dedup {
   private[graft] def embeddingBitsFor(n: Long): Int =
     math.max(4, math.ceil(math.log(n / 125.0) / math.log(2)).toInt)
 
+  /** Banded hyperplane signatures: every input row exploded to `bands`
+    * rows of (input columns minus `embedding`) + (band, sig), where sig
+    * is the `bits`-bit sign pattern of the row's embedding against that
+    * band's deterministic hyperplanes ([[mixedPlane]]). The candidate
+    * stage shared by [[embeddingPairs]] (corpus-wide near-dup) and
+    * [[Similarity.semanticDedup]]'s past-cap in-cluster path — factored
+    * so the two can't drift. The embedding column is dropped BEFORE the
+    * explode: only (ids, band, sig) ever shuffles, never ×bands copies
+    * of the vectors. */
+  private[operators] def hyperplaneBanded(df: DataFrame, bits: Int,
+      bands: Int, dim: Int): DataFrame = {
+    val keep = df.columns.filter(_ != "embedding").map(col).toSeq
+    val planes: Seq[Seq[Double]] =
+      (0 until bands * bits).map(p => mixedPlane(p, dim).toSeq)
+    // typedLit → ONE literal node for the whole plane matrix (a
+    // lit-per-element array would be a 16k-node expression tree)
+    val projs = transform(typedLit(planes), p => dotD(col("embedding"), p))
+    val sig = transform(sequence(lit(0), lit(bands - 1)), bb =>
+      (0 until bits).map(i =>
+        when(element_at(col("projs"), bb * bits + i + 1) >= 0, 1 << i)
+          .otherwise(0)).reduce(_ + _))
+    df.select(keep :+ projs.as("projs"): _*)
+      .select(keep :+ posexplode(sig).as(Seq("band", "sig")): _*)
+  }
+
   def embeddingPairs(s: SparkSession, d: String, bits: Int = -1,
       bands: Int = 64, dim: Int = 64): DataFrame = {
     val e = graft.Tables.embeddings(s, d).select(col("vec_id"),
@@ -1015,17 +1040,8 @@ object Dedup {
         System.err.println(s"[graft] dedup_embedding adaptive bits=$b (n=$n)")
         b
       }
-    val planes: Seq[Seq[Double]] =
-      (0 until bands * useBits).map(p => mixedPlane(p, dim).toSeq)
-    // typedLit → ONE literal node for the whole plane matrix (a
-    // lit-per-element array would be a 16k-node expression tree)
-    val projs = transform(typedLit(planes), p => dotD(col("embedding"), p))
-    val sig = transform(sequence(lit(0), lit(bands - 1)), bb =>
-      (0 until useBits).map(i =>
-        when(element_at(col("projs"), bb * useBits + i + 1) >= 0, 1 << i)
-          .otherwise(0)).reduce(_ + _))
-    val banded = e.select(col("vec_id"), projs.as("projs"))
-      .select(col("vec_id"), posexplode(sig).as(Seq("band", "sig")))
+    val banded = hyperplaneBanded(
+      e.select(col("vec_id"), col("embedding")), useBits, bands, dim)
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

@@ -720,7 +720,7 @@ object Similarity {
     * vectors) prune to the query's 2 probe cells, then the exact
     * [[pqSql]] codebook CTEs rank only the candidates. Shared by
     * [[ivfpqSql]] and [[ivfpqRerankSql]]. */
-  private val ivfpqCtes: String = {
+  private[operators] val ivfpqCtes: String = {
     val nprobe = 2
     s"WITH $PqEnCte,\n$PqCents0Cte,\n" +
     s"""assigned AS (
@@ -913,10 +913,13 @@ object Similarity {
     * (sample_cluster_balanced) wall with k firing 8→128
     * (scale_sweep_x10_r8.json), cheap at these scales but not free.
     * Past the cap
-    * (n > ~1M vectors) cluster populations grow instead, and the
-    * within-cluster pair pass should reuse dedup_embedding's banded
-    * hyperplane candidates INSIDE each cluster — the already-codified
-    * candidates→confirm machinery — rather than growing k further. */
+    * (n > ~1M vectors) cluster populations grow instead, and
+    * [[semanticDedup]] switches its PAIR stage to dedup_embedding's
+    * banded hyperplane candidates INSIDE each cluster (the
+    * candidates→confirm machinery, bits re-anchored on the cluster
+    * population) rather than growing k further — implemented r9,
+    * A/B-pinned identical to the exact pass in PipelineOpsSpec and
+    * measured in the ×10 sweep. */
   private[graft] def semanticKFor(n: Long): Int =
     if (n <= 2000) 8
     else {
@@ -944,24 +947,67 @@ object Similarity {
     * linearly, not quadratically; the shuffle carries (id, vector,
     * norm) once, never the O(n²) pair space. */
   def semanticDedup(s: SparkSession, d: String,
-      tau: Double = 0.45, topN: Int = 50, kOverride: Int = -1): DataFrame = {
+      tau: Double = 0.45, topN: Int = 50, kOverride: Int = -1,
+      forceBanded: Boolean = false): DataFrame = {
     // kOverride > 0 forces a cluster count for A/B specs (the
     // minhashLsh bandRows precedent); production always self-tunes
+    val nOpt = if (kOverride > 0 && !forceBanded) None
+      else Some(graft.Tables.footerRowCount(s, d, "embeddings"))
     val k = if (kOverride > 0) kOverride else {
-      val n = graft.Tables.footerRowCount(s, d, "embeddings")
-      val kk = semanticKFor(n)
-      System.err.println(s"[graft] dedup_semantic adaptive k=$kk (n=$n)")
+      val kk = semanticKFor(nOpt.get)
+      System.err.println(s"[graft] dedup_semantic adaptive k=$kk (n=${nOpt.get})")
       kk
     }
+    // past-cap trigger: semanticKFor stopped growing k (4096) and the
+    // expected cluster population left the [125, 250] design band, so
+    // the exact in-cluster self-join is no longer ~125·n pairs. Switch
+    // the PAIR stage to banded-hyperplane candidates INSIDE each
+    // cluster (dedup_embedding's candidates→confirm machinery, scoped
+    // by the cluster key) — pair work returns to ~occupancy·n while
+    // assignment stays at the capped k. Never fires at a gated SF
+    // (k=8 there); forceBanded exists for the A/B spec + sweep.
+    val banded = forceBanded ||
+      nOpt.exists(n => k >= 4096 && n / k > 250)
     val a = kmeansAssign(s, d, k, 2)
       .select(col("vec_id"), col("embedding"), col("c"),
         norm2(col("embedding")).as("n2"))
-    val pairs = a.as("x").join(a.as("y"),
-        col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("y.vec_id").as("vec_id"), col("y.c").as("cluster"),
-        col("x.vec_id").as("mate"),
-        (dotD(col("x.embedding"), col("y.embedding")) /
-          sqrt(col("x.n2") * col("y.n2"))).as("cos"))
+    val pairs = if (!banded) {
+      a.as("x").join(a.as("y"),
+          col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("y.vec_id").as("vec_id"), col("y.c").as("cluster"),
+          col("x.vec_id").as("mate"),
+          (dotD(col("x.embedding"), col("y.embedding")) /
+            sqrt(col("x.n2") * col("y.n2"))).as("cos"))
+    } else {
+      // bits anchored on the expected CLUSTER population (the
+      // embeddingBitsFor occupancy-flat rule applied within a
+      // cluster): per-(cluster, band, sig) bucket occupancy stays at
+      // the measured ~125-vector level regardless of how far past the
+      // cap the corpus grows. Candidates shuffle only (ids, band,
+      // sig); the confirm joins vectors back by id and reuses the
+      // EXACT cosine expression tree of the exact path, so any pair
+      // the bands surface scores bit-identically.
+      val pop = math.max(1L, nOpt.get / k)
+      val bits = Dedup.embeddingBitsFor(pop)
+      System.err.println(
+        s"[graft] dedup_semantic banded in-cluster pairs: bits=$bits (pop=$pop)")
+      val sigs = Dedup.hyperplaneBanded(
+        a.select(col("vec_id"), col("c"), col("embedding")), bits, 64, 64)
+      val cands = sigs.as("x").join(sigs.as("y"),
+          col("x.c") === col("y.c") && col("x.band") === col("y.band") &&
+            col("x.sig") === col("y.sig") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("mate"), col("y.vec_id").as("vid"),
+          col("y.c").as("cluster"))
+        .distinct()
+      cands
+        .join(a.select(col("vec_id").as("mate"),
+          col("embedding").as("emb_x"), col("n2").as("n2_x")), "mate")
+        .join(a.select(col("vec_id").as("vid"),
+          col("embedding").as("emb_y"), col("n2").as("n2_y")), "vid")
+        .select(col("vid").as("vec_id"), col("cluster"), col("mate"),
+          (dotD(col("emb_x"), col("emb_y")) /
+            sqrt(col("n2_x") * col("n2_y"))).as("cos"))
+    }
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("mate"))
     pairs.withColumn("rn", row_number().over(w))

@@ -225,6 +225,69 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("delete: a tombstoned known neighbor vanishes from served top-k and its slot refills") {
+    import org.apache.spark.sql.functions._
+    val main = AnnIndex.ensure(spark, sf)
+    val pre = AnnIndex.ivfpqRerankQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val top1 = pre.head._1
+    val vdir = AnnIndex.variant(spark, sf, "spectest")
+    val n = AnnIndex.deleteAt(spark, vdir,
+      spark.range(1).select(lit(top1).as("vec_id")))
+    assert(n == 1L, "one indexed id must tombstone exactly once")
+    val post = AnnIndex.ivfpqRerankQueryAt(spark, sf, vdir, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(!post.map(_._1).contains(top1),
+      "the erased id must vanish from the served top-k")
+    assert(post.length == 10, "the vacated slot must refill from the next candidate")
+    // survivors keep their exact scores and relative order
+    assert(post.filter(p => pre.map(_._1).contains(p._1)) == pre.tail,
+      "surviving results must be the pre-erasure ranking minus the erased id")
+    // idempotent: the same id again, and a never-indexed id, count zero
+    assert(AnnIndex.deleteAt(spark, vdir,
+      spark.range(1).select(lit(top1).as("vec_id"))) == 0L)
+    assert(AnnIndex.deleteAt(spark, vdir,
+      spark.range(1).select(lit(-1L).as("vec_id"))) == 0L)
+    assert(AnnIndex.deletedCount(vdir) == 1L,
+      "retried/missing deletes must not inflate the drift counter")
+    // the MAIN index is untouched — variant isolation is the contract
+    assert(AnnIndex.ivfpqRerankQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == pre)
+    assert(AnnIndex.deletedCount(main) == 0L)
+  }
+
+  test("delete: drift past StaleFraction reports stale, like appends do") {
+    import org.apache.spark.sql.functions._
+    val vdir = AnnIndex.variant(spark, sf, "specstale")
+    val ids = Tables.embeddings(spark, sf).select(col("vec_id"))
+    val base = ids.count()
+    val cut = (base * AnnIndex.StaleFraction).toLong + 1
+    assert(!AnnIndex.isStaleAt(vdir))
+    AnnIndex.deleteAt(spark, vdir, ids.filter(col("vec_id") < cut))
+    assert(AnnIndex.isStaleAt(vdir),
+      s"deleting $cut of $base vectors must cross the ${AnnIndex.StaleFraction} drift gate")
+  }
+
+  test("ann_forget: served audit excludes every erased id; newly_promoted is exact") {
+    val pre = AnnIndex.ivfpqRerankQuery(spark, sf).collect().map(_.getLong(0))
+    val residue = pre.head % 10 // the data-derived erasure class
+    val audit = AnnIndex.forgetAudit(spark, sf).collect()
+    assert(audit.length == 10)
+    assert(audit.forall(_.getLong(0) % 10 != residue),
+      s"no erased id (vec_id % 10 == $residue) may appear in the served top-k")
+    assert(!audit.map(_.getLong(0)).contains(pre.head),
+      "the pre-erasure STRONGEST neighbor is in the erasure class by construction — it must vanish")
+    assert(audit.map(_.getInt(2)).toSeq == (1 to 10),
+      "ranks must be dense 1..k")
+    val preIds = pre.toSet
+    audit.foreach { r =>
+      assert(r.getBoolean(3) == !preIds.contains(r.getLong(0)),
+        s"newly_promoted must mark exactly the ids absent from the pre-erasure top-k: ${r.getLong(0)}")
+    }
+    assert(audit.exists(_.getBoolean(3)),
+      "erasing the top neighbor vacates at least one slot — someone must be newly promoted")
+  }
+
   test("a missing completion marker forces a rebuild (no partial serving)") {
     val dir = AnnIndex.build(spark, sf)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")

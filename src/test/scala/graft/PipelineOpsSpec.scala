@@ -406,6 +406,22 @@ class PipelineOpsSpec extends AnyFunSuite {
         "is recompute-pinned, not oracle-pinned (the ADVICE r7 pattern)")
   }
 
+  test("dedup_semantic: past-cap BANDED pair stage matches the exact in-cluster pass") {
+    // the A/B point the VERDICT asked for: force the banded path at the
+    // gated corpus/k and pin it row-identical to the exact self-join —
+    // recall of the in-cluster hyperplane candidates covers the full
+    // top-50 here (64 bands × occupancy-anchored bits), and the confirm
+    // reuses the exact cosine expression so surviving pairs can't drift
+    val banded = Similarity.semanticDedup(spark, sf, kOverride = 8,
+        forceBanded = true).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(banded == semanticExpected(8),
+      "banded in-cluster candidates must surface every exact top-50 pair " +
+        "at the A/B point — a miss here means the occupancy-anchored bits " +
+        "rule is too aggressive for the within-cluster cosine ceiling")
+  }
+
   test("sample_cluster_balanced: exact per-cluster quotas of the md5-smallest ids") {
     val assign = Similarity.kmeansAssign(spark, sf, 8, 2)
       .select("vec_id", "c").collect().map(r => (r.getLong(0), r.getInt(1)))
