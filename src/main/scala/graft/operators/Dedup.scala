@@ -1148,21 +1148,23 @@ object Dedup {
     * unique documents — the duplication that whole-doc Jaccard dilutes
     * below threshold.
     *
-    * Plan: one narrow pass explodes each doc into (start, md5(k-gram))
-    * — the gram STRING never leaves the map side, only its 16-byte
-    * hash; a hash aggregate finds grams spanning ≥2 distinct docs
-    * (partial-distinct map-side agg, same two-phase shape the engine
-    * gives COUNT(DISTINCT)); a shuffle join marks duplicated positions;
-    * per-doc interval union (sort by start inside the doc partition,
-    * gaps-and-islands with a running-max window — adjacency need not
-    * merge: islands are disjoint, so their lengths sum to the union
-    * exactly) yields covered token counts. At 100 TB every stage is
-    * either narrow or keyed on gram-hash/doc_id — no pairwise doc join
-    * anywhere, and the window runs inside doc partitions (bounded by
-    * doc length, not corpus size). Suffix-array dedup finds arbitrary-
-    * length spans; fixed-k gram coverage is the bounded-memory
-    * distributed approximation (any duplicated span ≥ k words is fully
-    * covered by its k-grams; spans < k are below the noise floor). */
+    * Plan: one narrow pass hashes each word once and explodes each doc
+    * into (start, xxhash64 of the k word-hashes) — no gram string is
+    * ever built, and only the 8-byte gram key leaves the map side; a
+    * min/max-over-h window finds grams spanning ≥2 distinct docs (one
+    * shuffle, one consumption of the position stream); per-doc interval
+    * union by incremental coverage (sort by start inside the doc
+    * partition, each interval contributes e − max(prev_max_end,
+    * start−1) clamped at 0, and the per-doc sum IS the union length —
+    * one running-max window, one co-partitioned groupBy). At 100 TB
+    * every stage is either narrow or keyed on gram-hash/doc_id — no
+    * pairwise doc join anywhere, and the window runs inside doc
+    * partitions (bounded by doc length, not corpus size). Suffix-array
+    * dedup finds arbitrary-length spans; fixed-k gram coverage is the
+    * bounded-memory distributed approximation (any duplicated span ≥ k
+    * words is fully covered by its k-grams; spans < k are below the
+    * noise floor). Stage costs measured in
+    * target/substring_profile.json ([[graft.SubstringProfile]], r9). */
   def substringCoverage(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
@@ -1175,37 +1177,48 @@ object Dedup {
     // one shuffle, and the checkpoint (which existed only because two
     // consumers defeated ReuseExchange) disappears.
     val wH = Window.partitionBy(col("h"))
-    // gram identity hash: xxhash64 (8-byte longs), not md5 (32-char
-    // strings) — h is never output, it only keys the ≥2-docs window,
-    // so the only requirement is injectivity-in-practice (same
-    // argument as the shingle joins; the oracle's md5 is equally
-    // opaque). 4× narrower shuffle for the corpus-wide gram pass.
+    // gram identity hash: xxhash64 over PRE-HASHED words (r9 shave —
+    // the SubstringProfile decomposition measured the narrow explode
+    // pass alone at 618 ms of the 1514 ms total, dominated by building
+    // a ~50-char joined string per gram). Each word hashes ONCE
+    // (n_words ops), then a gram keys as xxhash64 of its k word-hash
+    // longs — 64 fixed bytes mixed per gram, zero string allocation.
+    // h is never output, it only keys the ≥2-docs window, so the only
+    // requirement is injectivity-in-practice (same argument as the
+    // shingle joins; the oracle's md5-of-text is equally opaque, and
+    // the hash gate would catch a collision-induced dup-set drift).
+    val gramKey = (0 until k).map(j => s"element_at(whs, i + $j)").mkString(", ")
     val grams = documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= k)
+      .select(col("doc_id"), expr("transform(ws, w -> xxhash64(w))").as("whs"))
       .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ws) - ${k - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(ws, i, $k))))")))
-      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+        s"transform(sequence(1, size(whs) - ${k - 1}), " +
+          s"i -> xxhash64($gramKey))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("start"),
+        col("col").as("h"))
+    // interval union by INCREMENTAL coverage (r9 shave — replaces the
+    // gaps-and-islands flag window + (doc_id, isl) regroup, which the
+    // profile measured at 626 ms on 21.5k rows, pure machinery): with
+    // positions sorted per doc, each interval contributes
+    // max(0, e - max(prev_max_end, start-1)) and the per-doc sum IS
+    // the union length. One window (running max), then a groupBy on
+    // doc_id that REUSES the window's hash partitioning — no second
+    // window pass, no extra exchange.
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("start"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val islands = grams
+    val perDoc = grams
       .withColumn("dmin", min(col("doc_id")).over(wH))
       .withColumn("dmax", max(col("doc_id")).over(wH))
       .filter(col("dmin") =!= col("dmax"))
       .select(col("doc_id"), col("start"), (col("start") + (k - 1)).as("e"))
-      .withColumn("flag",
-        when(col("start") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1)
-          .otherwise(0))
-      .withColumn("isl", sum(col("flag")).over(wRun))
-      .groupBy(col("doc_id"), col("isl"))
-      .agg(min(col("start")).as("s0"), max(col("e")).as("e1"),
-        count(lit(1)).as("ng"))
-    val perDoc = islands.groupBy(col("doc_id"))
-      .agg(sum(col("e1") - col("s0") + 1).as("covered_words"),
-        sum(col("ng")).as("n_dup_grams"))
+      .withColumn("pm", coalesce(max(col("e")).over(wPrev), lit(0L)))
+      .select(col("doc_id"),
+        greatest(col("e") - greatest(col("pm"), col("start") - 1), lit(0L))
+          .as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cov")).as("covered_words"),
+        count(lit(1)).as("n_dup_grams"))
     docs.join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ws").cast("int").as("n_ws"),
         coalesce(col("n_dup_grams"), lit(0L)).cast("bigint").as("n_dup_grams"),
