@@ -72,7 +72,10 @@ object ScaleUp {
     "embed_quantize", "etl_forget",
     // chunk-containment near-dup: the fp-keyed join is the dedup
     // family's chunk-granularity scale path
-    "dedup_cdc")
+    "dedup_cdc",
+    // r9: corpus version diff — the fp-keyed full-outer join over the
+    // grown corpus (ids + 16-byte fps shuffle, never text)
+    "corpus_diff")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every
@@ -224,7 +227,10 @@ object ScaleUp {
     // default since r8) must AUTO-SELECT the measured remedy here.
     // Recall cost is checked directly: which fixed-r=2 pairs does the
     // auto-tuned config lose?
-    val bandAb = if (only.isEmpty) {
+    // SPARK_GRAFT_AB=1 forces the A/B block even under a SPARK_GRAFT_ONLY
+    // subset (r9): the full sweep can exceed a single driver window, so
+    // rows and A/Bs must be runnable in separate invocations
+    val bandAb = if (only.isEmpty || sys.env.contains("SPARK_GRAFT_AB")) {
       // bandRows > 0 forces the fixed legacy config (16×2 when
       // numHashes=32); bandRows = -1 exercises the production default
       def run(bandRows: Int): (Double, Set[(Long, Long)]) = {
@@ -277,8 +283,38 @@ object ScaleUp {
       val eLost = ep4 -- ep8
       System.err.println(f"[scale] embedding banding x$r: 4-bit $e4%.2fs, 8-bit $e8%.2fs, " +
         f"top-20 overlap ${(ep4 & ep8).size}/${ep4.size}")
+      // SemDeDup past-cap A/B (r9, verdict item 2): force the gated
+      // k=8 on the ×R corpus — cluster populations are R× the [125,
+      // 250] design band, exactly the past-cap regime the banded
+      // in-cluster path exists for — and run the exact in-cluster
+      // self-join vs the banded candidates on IDENTICAL clusters.
+      // Equality bar: the full ordered top-50 output.
+      def runSem(banded: Boolean): (Double, Seq[(Long, Long, Double)]) = {
+        def df() = graft.operators.Similarity.semanticDedup(spark, out,
+          kOverride = 8, forceBanded = banded)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          Checkpoints.sweeping(spark) {
+            df().write.format("noop").mode("overwrite").save()
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val t = math.min(once(), once())
+        val out50 = Checkpoints.sweeping(spark) {
+          df().collect()
+            .map(row => (row.getLong(0), row.getLong(2), row.getDouble(3)))
+            .toSeq
+        }
+        (t, out50)
+      }
+      val (semExactS, semExactRows) = runSem(banded = false)
+      val (semBandS, semBandRows) = runSem(banded = true)
+      val semEqual = semExactRows == semBandRows
+      System.err.println(f"[scale] semdedup past-cap x$r (k=8 forced): " +
+        f"exact $semExactS%.2fs, banded $semBandS%.2fs, top-50 equal $semEqual")
       f""","banding_x$r":{"r2_s":$t2%.3f,"r4_s":$t4%.3f,"r2_pairs":${p2.size},"r4_pairs":${p4.size},"lost":${lost.size}},""" +
-      f""""emb_banding_x$r":{"b4_s":$e4%.3f,"b8_s":$e8%.3f,"overlap":${(ep4 & ep8).size},"lost":${eLost.size}}"""
+      f""""emb_banding_x$r":{"b4_s":$e4%.3f,"b8_s":$e8%.3f,"overlap":${(ep4 & ep8).size},"lost":${eLost.size}},""" +
+      f""""sem_banded_x$r":{"exact_s":$semExactS%.3f,"banded_s":$semBandS%.3f,"top50_equal":$semEqual}"""
     } else ""
     val json = rows.map { case (q, (t1, tr)) =>
       f""""$q":{"x1":$t1%.3f,"x$r":$tr%.3f,"ratio":${tr / t1}%.2f}"""

@@ -59,6 +59,8 @@ object SparkEntry {
     "ann_index_query" -> ((s, d) => graft.operators.AnnIndex.ivfpqRerankQuery(s, d)),
     "ann_index_knn_join" -> ((s, d) => graft.operators.AnnIndex.knnJoin(s, d)),
     "ann_forget" -> ((s, d) => graft.operators.AnnIndex.forgetAudit(s, d)),
+    "ann_index_filtered" -> ((s, d) => graft.operators.AnnIndex.filteredIndexQuery(s, d)),
+    "dedup_forget" -> ((s, d) => Dedup.dedupForget(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.AnnIndex.pqQuery(s, d)),
     "ann_pq_rerank" -> ((s, d) => graft.operators.AnnIndex.pqRerankQuery(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.AnnIndex.ivfpqQuery(s, d)),
@@ -154,6 +156,8 @@ object SparkEntry {
     "ann_index_query" -> Similarity.ivfpqRerankSql,
     "ann_index_knn_join" -> graft.operators.AnnIndex.knnJoinSql,
     "ann_forget" -> graft.operators.AnnIndex.forgetSql,
+    "ann_index_filtered" -> graft.operators.AnnIndex.filteredIndexSql,
+    "dedup_forget" -> Dedup.dedupForgetSql,
     "ann_pq" -> Similarity.pqSql,
     "ann_pq_rerank" -> Similarity.pqRerankSql,
     "ann_ivfpq" -> Similarity.ivfpqSql,

@@ -112,6 +112,36 @@ object Verify {
         System.err.println(s"[verify] ann recall probe failed: ${e.getMessage}")
       }
     }
+    // Batch-serving recall (r9): ann_index_knn_join's per-query top-5
+    // vs ann_topk_join's exact brute-force top-5 — the single-query
+    // probe above cannot see a batch-path recall regression (shared
+    // probe cells, per-query ADC tables), so the query-SET entry point
+    // gets its own measured number every run.
+    if (Seq("ann_index_knn_join", "ann_topk_join")
+        .forall(n => selected.contains(n) && !failed.contains(n))) {
+      try {
+        def perQ(name: String): Map[Long, Set[Long]] =
+          spark.read.parquet(s"$outDir/$name")
+            .select("q_id", "vec_id").collect()
+            .groupBy(_.getLong(0))
+            .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+        val exactQ = perQ("ann_topk_join")
+        val servedQ = perQ("ann_index_knn_join")
+        if (exactQ.nonEmpty && exactQ.keySet == servedQ.keySet) {
+          val per = exactQ.keys.toSeq.sorted.map { qid =>
+            qid -> (servedQ(qid).intersect(exactQ(qid)).size.toDouble /
+              math.max(exactQ(qid).size, 1))
+          }
+          val mean = per.map(_._2).sum / per.size
+          val body = per.map { case (qid, r) => f""""q$qid": $r%.2f""" }
+            .mkString("{", ", ", f""", "mean": $mean%.2f}""")
+          Files.writeString(Paths.get(s"$outDir/ann_batch_recall.json"), body)
+          System.err.println(s"[verify] batch knn-join recall@5 vs exact: $body")
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] batch recall probe failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -623,8 +623,15 @@ object AnnIndex {
       k: Int = 10): DataFrame =
     ivfpqQueryAt(s, d, ensure(s, d), queryId, k)
 
+  /** `idFilter` (r9): an optional (vec_id) frame intersected with the
+    * probed-cell candidates BEFORE the ADC ranking — the filtered-
+    * search serving shape (FAISS IDSelector): every one of the top-k
+    * slots is spent on a predicate-matching vector, instead of
+    * post-filtering a top-k that the predicate then starves. An
+    * equi-join on vec_id, so at 100 TB the filter co-shuffles ids
+    * only (AQE broadcasts it when the predicate is selective). */
   private[graft] def ivfpqQueryAt(s: SparkSession, d: String, dir: String,
-      queryId: Long, k: Int): DataFrame = {
+      queryId: Long, k: Int, idFilter: Option[DataFrame] = None): DataFrame = {
     val qCells = Similarity.normalizedEmb(s, d)
       .filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_emb"))
@@ -633,8 +640,10 @@ object AnnIndex {
       .orderBy(col("qcd2"), col("c_id"))
       .limit(Nprobe)
       .select(col("c_id").as("probe_cell"))
-    codesAt(s, dir).join(broadcast(qCells), col("cell") === col("probe_cell"))
+    val base = codesAt(s, dir)
+      .join(broadcast(qCells), col("cell") === col("probe_cell"))
       .filter(col("vec_id") =!= queryId)
+    idFilter.fold(base)(f => base.join(f, Seq("vec_id"), "left_semi"))
       .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "code")))
       .join(broadcast(distTableAt(s, d, dir, queryId)), Seq("sub", "code"))
@@ -664,6 +673,59 @@ object AnnIndex {
       dir: String, queryId: Long, k: Int, c: Int = 50): DataFrame =
     Similarity.exactRerank(s, d, queryId, k,
       ivfpqQueryAt(s, d, dir, queryId, k = c).select(col("vec_id")))
+
+  /** `ann_index_filtered` — metadata-filtered search SERVED from the
+    * persisted index (r9): `ann_filtered`'s predicate (label % 2 = 0)
+    * answered by the production path instead of an exact corpus scan —
+    * the single hottest vector-DB feature (every RAG query carries a
+    * tenant/source/date predicate). The predicate restricts the
+    * probed-cell candidate set BEFORE the ADC top-`c` cut (pre-filter,
+    * not post-filter: all `c` rerank slots go to matching vectors, so
+    * a selective predicate can't starve the top-k), then the exact
+    * rerank re-scores matching survivors only. Composes with erasure:
+    * candidates read through the tombstone anti-join like every other
+    * serving entry point.
+    *
+    * At 100 TB the filter is an ids-only semi-join against the
+    * predicate's id set (metadata lives in the source table, codes
+    * stay 8 bytes/vector); output (vec_id, label, cos) matches
+    * ann_filtered's shape so exact-scan and index-served answers are
+    * directly comparable. */
+  def filteredIndexQuery(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10, c: Int = 50): DataFrame = {
+    val dir = ensure(s, d)
+    val ids = graft.Tables.embeddings(s, d)
+      .filter(col("label") % 2 === 0).select(col("vec_id"))
+    val cand = ivfpqQueryAt(s, d, dir, queryId, c, Some(ids))
+      .select(col("vec_id"))
+    Similarity.exactRerank(s, d, queryId, k, cand)
+      .join(graft.Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+        "vec_id")
+      .select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Oracle: the SHARED ivfpq serve chain with the label predicate
+    * applied to the per-vector ADC table before the top-50 cut —
+    * identical set to the Spark side's pre-ADC semi-join, since
+    * per-vector ADC is independent of the filter. */
+  val filteredIndexSql: String = {
+    import Similarity.{cosOf, ivfpqCtes}
+    s"""$ivfpqCtes,
+       |cand50f AS (
+       |  SELECT a.vec_id FROM adcq a
+       |  JOIN embeddings em ON a.vec_id = em.vec_id
+       |  WHERE em.label % 2 = 0
+       |  ORDER BY a.adc_dist2, a.vec_id LIMIT 50),
+       |rr AS (
+       |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
+       |  FROM embeddings e JOIN cand50f USING (vec_id)
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY cos DESC, vec_id LIMIT 10)
+       |SELECT r.vec_id, em.label, r.cos
+       |FROM rr r JOIN embeddings em ON r.vec_id = em.vec_id
+       |ORDER BY r.cos DESC, r.vec_id""".stripMargin
+  }
 
   /** `ann_index_knn_join` — batch k-NN join SERVED from the persisted
     * IVF-PQ index: the query-SET counterpart of [[ivfpqRerankQuery]],

@@ -948,7 +948,7 @@ object Similarity {
     * norm) once, never the O(n²) pair space. */
   def semanticDedup(s: SparkSession, d: String,
       tau: Double = 0.45, topN: Int = 50, kOverride: Int = -1,
-      forceBanded: Boolean = false): DataFrame = {
+      forceBanded: Boolean = false, bandedBits: Int = -1): DataFrame = {
     // kOverride > 0 forces a cluster count for A/B specs (the
     // minhashLsh bandRows precedent); production always self-tunes
     val nOpt = if (kOverride > 0 && !forceBanded) None
@@ -979,16 +979,24 @@ object Similarity {
           (dotD(col("x.embedding"), col("y.embedding")) /
             sqrt(col("x.n2") * col("y.n2"))).as("cos"))
     } else {
-      // bits anchored on the expected CLUSTER population (the
-      // embeddingBitsFor occupancy-flat rule applied within a
-      // cluster): per-(cluster, band, sig) bucket occupancy stays at
-      // the measured ~125-vector level regardless of how far past the
-      // cap the corpus grows. Candidates shuffle only (ids, band,
-      // sig); the confirm joins vectors back by id and reuses the
-      // EXACT cosine expression tree of the exact path, so any pair
-      // the bands surface scores bit-identically.
+      // bits must clear log₂(bands)=6 with margin, NOT the corpus-wide
+      // occupancy anchor: candidate work relative to the exact
+      // in-cluster self-join is ~bands/2^bits (each band is an
+      // independent chance for a RANDOM in-cluster pair to collide,
+      // and in-cluster pairs are pre-correlated by the shared
+      // centroid), so the first ×5 A/B at the 4-bit occupancy anchor
+      // measured the banded path 2.7× SLOWER than exact (29.8 s vs
+      // 11.1 s, scale_sweep_x5_r9). bits = max(9,
+      // embeddingBitsFor(pop)) holds bands/2^bits ≤ 1/8 at any
+      // population while the 64 independent bands keep P(miss) for a
+      // production near-dup pair (cos ≥ 0.85, p = 1−θ/π ≈ 0.82 per
+      // plane) at (1−0.82⁹)⁶⁴ ≈ 1e-4. Candidates shuffle only (ids,
+      // band, sig); the confirm joins vectors back by id and reuses
+      // the EXACT cosine expression tree of the exact path, so any
+      // pair the bands surface scores bit-identically.
       val pop = math.max(1L, nOpt.get / k)
-      val bits = Dedup.embeddingBitsFor(pop)
+      val bits = if (bandedBits > 0) bandedBits
+        else math.max(9, Dedup.embeddingBitsFor(pop))
       System.err.println(
         s"[graft] dedup_semantic banded in-cluster pairs: bits=$bits (pop=$pop)")
       val sigs = Dedup.hyperplaneBanded(

@@ -288,6 +288,36 @@ class AnnIndexSpec extends AnyFunSuite {
       "erasing the top neighbor vacates at least one slot — someone must be newly promoted")
   }
 
+  test("ann_index_filtered: every slot matches the predicate; rerank parity with in-memory") {
+    import org.apache.spark.sql.functions._
+    val got = AnnIndex.filteredIndexQuery(spark, sf).collect()
+    assert(got.length == 10)
+    assert(got.forall(_.getInt(1) % 2 == 0),
+      "pre-filtering must spend every rerank slot on a matching vector")
+    // rerank parity: the served cosines must equal an in-memory exact
+    // rerank of the same candidate ids (the filter must not perturb
+    // the scoring expression)
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q = emb(0L)
+    got.foreach { r =>
+      val v = emb(r.getLong(0))
+      val cos = dot(v, q) / math.sqrt(dot(v, v) * dot(q, q))
+      assert(r.getDouble(2) == cos, s"cos drift for ${r.getLong(0)}")
+    }
+    // and the filtered result is NOT just the unfiltered one (the
+    // predicate must bite on this corpus, or the gate is vacuous)
+    val unf = AnnIndex.ivfpqRerankQuery(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got.map(_.getLong(0)).toSeq != unf,
+      "corpus sanity: the label predicate must change the served top-k")
+  }
+
   test("a missing completion marker forces a rebuild (no partial serving)") {
     val dir = AnnIndex.build(spark, sf)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
