@@ -61,6 +61,7 @@ object SparkEntry {
     "ann_forget" -> ((s, d) => graft.operators.AnnIndex.forgetAudit(s, d)),
     "ann_index_filtered" -> ((s, d) => graft.operators.AnnIndex.filteredIndexQuery(s, d)),
     "dedup_forget" -> ((s, d) => Dedup.dedupForget(s, d)),
+    "dedup_minhash_index" -> ((s, d) => graft.operators.MinhashIndex.incrementalNearDups(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.AnnIndex.pqQuery(s, d)),
     "ann_pq_rerank" -> ((s, d) => graft.operators.AnnIndex.pqRerankQuery(s, d)),
     "ann_ivfpq" -> ((s, d) => graft.operators.AnnIndex.ivfpqQuery(s, d)),
@@ -158,6 +159,7 @@ object SparkEntry {
     "ann_forget" -> graft.operators.AnnIndex.forgetSql,
     "ann_index_filtered" -> graft.operators.AnnIndex.filteredIndexSql,
     "dedup_forget" -> Dedup.dedupForgetSql,
+    "dedup_minhash_index" -> graft.operators.MinhashIndex.incrementalSql,
     "ann_pq" -> Similarity.pqSql,
     "ann_pq_rerank" -> Similarity.pqRerankSql,
     "ann_ivfpq" -> Similarity.ivfpqSql,

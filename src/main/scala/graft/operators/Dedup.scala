@@ -119,7 +119,7 @@ object Dedup {
     * cuts the self-join cost ~3×; counts are unchanged absent xxhash64
     * collisions (none among the ~10^3-10^6 distinct shingles here, and
     * a 128-bit upgrade is a one-line change at larger corpora). */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
@@ -229,7 +229,7 @@ object Dedup {
       |  FROM documents
       |  WHERE len(string_split(text, ' ')) >= 2)""".stripMargin
 
-  private val ShPairsCte: String =
+  private[operators] val ShPairsCte: String =
     s"""$ShCte,
       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
       |common AS (
@@ -681,7 +681,12 @@ object Dedup {
     * text, never the O(n²) pair space. Output (doc_a, doc_b) distinct,
     * localCheckpoint-pinned (it feeds multiple consumer joins; the
     * harness sweep frees it). */
-  private def minhashCandidates(sh: DataFrame, numHashes: Int,
+  /** Per-doc banded minhash signatures (doc_id, band, band_key): the
+    * candidate-generation key table. Factored out of
+    * [[minhashCandidates]] (r9) so [[MinhashIndex]] can PERSIST the
+    * stored-corpus side and probe an arriving batch against it with
+    * the identical banding expressions — one definition, no drift. */
+  private[operators] def bandedSigs(sh: DataFrame, numHashes: Int,
       bandRows: Int): DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes ($numHashes) must divide into bands of $bandRows rows — " +
@@ -694,10 +699,15 @@ object Dedup {
     val sig = sigs.select(col("doc_id"),
       array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     val nBands = numHashes / bandRows
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => xxhash64(b, slice(col("sig"), b * bandRows + lit(1), lit(bandRows))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+  }
+
+  private def minhashCandidates(sh: DataFrame, numHashes: Int,
+      bandRows: Int): DataFrame = {
+    val banded = bandedSigs(sh, numHashes, bandRows)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -762,7 +772,7 @@ object Dedup {
     * hundred bytes; otherwise falls back to set arrays. Identical
     * Jaccard values either way. `cands` must be cheap to re-evaluate
     * (checkpointed/materialized by the caller). */
-  private def exactConfirm(cands: DataFrame, sh: DataFrame): DataFrame = {
+  private[operators] def exactConfirm(cands: DataFrame, sh: DataFrame): DataFrame = {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     // Broadcast hints are gated on the candidate-doc count: an LSH

@@ -340,6 +340,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 % 2 == 0), "every hit passes the metadata filter")
   }
 
+  test("dedup_minhash_index: parity with exact batch-vs-stored Jaccard; index reused, append idempotent") {
+    import graft.operators.MinhashIndex
+    // in-memory exact ground truth: distinct word bigrams per doc,
+    // batch (doc_id%4==0) against stored, J >= 0.5
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shs(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 2) Set.empty
+      else ws.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> shs(t) }.toMap
+    val (batch, stored) = docs.map(_._1).partition(_ % 4 == 0)
+    val expected = (for {
+      b <- batch; c <- stored
+      inter = byDoc(b).intersect(byDoc(c)).size
+      if inter > 0
+      j = inter.toDouble / (byDoc(b).size + byDoc(c).size - inter)
+      if j >= 0.5
+    } yield (b, c, j)).sortBy(p => (p._1, p._2)).toSeq
+    val got = MinhashIndex.incrementalNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected,
+      "index-served candidates->confirm must equal the exact batch x stored pairs")
+    assert(got.nonEmpty, "the gated split must produce at least one near-dup pair")
+    // second invocation reuses the artifact (no rebuild): marker mtime fixed
+    val dir = MinhashIndex.ensure(spark, sf)
+    val m = new java.io.File(dir, "_GRAFT_MH_OK")
+    val t0 = m.lastModified()
+    MinhashIndex.incrementalNearDups(spark, sf).collect()
+    assert(m.lastModified() == t0, "a probe must never rebuild the index")
+    // append: accepted batch lands once; a retry adds zero rows
+    val bandsBefore = spark.read.parquet(s"$dir/bands").count()
+    val batchDocs = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+    val added = MinhashIndex.append(spark, sf, batchDocs)
+    assert(added == batch.length.toLong,
+      s"append must encode every new batch doc once ($added vs ${batch.length})")
+    val bandsAfter = spark.read.parquet(s"$dir/bands").count()
+    assert(bandsAfter > bandsBefore)
+    assert(MinhashIndex.append(spark, sf, batchDocs) == 0L,
+      "a retried append must add zero rows")
+    assert(spark.read.parquet(s"$dir/bands").count() == bandsAfter)
+    // the mutated dir must not poison LATER gated probes: drop dir AND
+    // memo so the next ensure() rebuilds the stored-only artifact
+    MinhashIndex.invalidate(dir)
+  }
+
   test("dedup_forget: promotes the next non-erased copy; parity with in-memory recompute") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
