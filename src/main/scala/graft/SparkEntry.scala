@@ -18,6 +18,7 @@ object SparkEntry {
     "dedup_corpus_near" -> ((s, d) => Dedup.dedupCorpusNear(s, d)),
     "sample_importance" -> ((s, d) => Curation.sampleImportance(s, d)),
     "sample_temperature" -> ((s, d) => Curation.sampleTemperature(s, d)),
+    "sample_dsir" -> ((s, d) => Curation.sampleDsir(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -60,6 +61,7 @@ object SparkEntry {
     "ann_index_knn_join" -> ((s, d) => graft.operators.AnnIndex.knnJoin(s, d)),
     "ann_forget" -> ((s, d) => graft.operators.AnnIndex.forgetAudit(s, d)),
     "ann_index_filtered" -> ((s, d) => graft.operators.AnnIndex.filteredIndexQuery(s, d)),
+    "ann_index_compact" -> ((s, d) => graft.operators.AnnIndex.compactAudit(s, d)),
     "dedup_forget" -> ((s, d) => Dedup.dedupForget(s, d)),
     "dedup_minhash_index" -> ((s, d) => graft.operators.MinhashIndex.incrementalNearDups(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.AnnIndex.pqQuery(s, d)),
@@ -111,6 +113,7 @@ object SparkEntry {
     "dedup_corpus_near" -> Dedup.dedupCorpusNearSql,
     "sample_importance" -> Curation.sampleImportanceSql,
     "sample_temperature" -> Curation.sampleTemperatureSql,
+    "sample_dsir" -> Curation.sampleDsirSql,
     "dedup_minhash" -> Dedup.minhashLshSql,
     "dedup_containment" -> Dedup.containmentSql,
     "dedup_fuzzy" -> Dedup.fuzzySql,
@@ -158,6 +161,7 @@ object SparkEntry {
     "ann_index_knn_join" -> graft.operators.AnnIndex.knnJoinSql,
     "ann_forget" -> graft.operators.AnnIndex.forgetSql,
     "ann_index_filtered" -> graft.operators.AnnIndex.filteredIndexSql,
+    "ann_index_compact" -> graft.operators.AnnIndex.compactSql,
     "dedup_forget" -> Dedup.dedupForgetSql,
     "dedup_minhash_index" -> graft.operators.MinhashIndex.incrementalSql,
     "ann_pq" -> Similarity.pqSql,

@@ -550,6 +550,117 @@ object AnnIndex {
        |ORDER BY rnk""".stripMargin
   }
 
+  /** Physical compaction — the maintenance step [[isStale]] schedules
+    * when retraining is NOT yet warranted but the index has accreted
+    * operational debt: tombstoned rows still occupying probed cells
+    * (every serve pays their scan + anti-join cost forever) and
+    * append-sized code files fragmenting `codes/` (footer listings
+    * grow per append batch). Compaction rewrites `codes/` WITHOUT the
+    * tombstoned rows into size-targeted files (the build sizing rule:
+    * ~2M rows per file), drops `deleted/`, folds appends into the base
+    * (base = surviving count, appended = deleted = 0) — so the drift
+    * clock restarts without retraining, the FAISS
+    * `remove_ids`-then-`merge` maintenance shape. Trained artifacts
+    * (coarse centroids, codebook) are untouched: served results are
+    * IDENTICAL before/after by construction (AnnIndexSpec pins it) —
+    * only the serve-path cost changes.
+    *
+    * Crash-safe the marker way: survivors land in a staging dir first,
+    * then the `_GRAFT_INDEX_OK` marker comes OFF for the swap and back
+    * on after — a kill mid-swap reads as "index absent" (ensure()
+    * rebuilds), never as a half-compacted index. At 100 TB the rewrite
+    * is one pass over codes (8-byte rows, no vectors, no shuffle
+    * beyond the repartition), strictly cheaper than the retraining
+    * build it defers.
+    *
+    * Erasure semantics after compaction match a retraining build's:
+    * the tombstones are CONSUMED (the rows are physically gone), so
+    * terminality transfers to the source-table cascade — etl_forget
+    * must have removed the erased rows upstream, exactly as it must
+    * before any [[build]] (which also re-encodes whatever the source
+    * still holds). Tombstone-stage terminality ([[append]]'s raw-codes
+    * anti-join) is the bridge that covers the window BETWEEN a delete
+    * and the next compact/build. Returns the surviving vector count. */
+  def compact(s: SparkSession, d: String): Long =
+    compactAt(s, ensure(s, d))
+
+  private[graft] def compactAt(s: SparkSession, dir: String): Long = {
+    // staging-first: every byte of the new codes table exists before
+    // the old one is touched, so the read side (codesAt) is never
+    // consulted after its files start moving
+    val survivors = graft.Checkpoints.pin(codesAt(s, dir))
+    val n = survivors.count()
+    val nFiles = math.max(1L, (n + 1999999L) / 2000000L).toInt
+    val staging = s"$dir/codes_compacting"
+    deleteRecursively(new java.io.File(staging))
+    survivors.repartition(nFiles).write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.deleteIfExists(marker(dir)): Unit
+    builtMemo.remove(dir)
+    deleteRecursively(new java.io.File(s"$dir/codes"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(s"$dir/codes")): Unit
+    deleteRecursively(new java.io.File(s"$dir/deleted"))
+    java.nio.file.Files.writeString(baseMeta(dir), n.toString): Unit
+    java.nio.file.Files.deleteIfExists(appendedMeta(dir)): Unit
+    java.nio.file.Files.deleteIfExists(deletedMeta(dir)): Unit
+    java.nio.file.Files.createFile(marker(dir)): Unit
+    builtMemo.add(dir)
+    n
+  }
+
+  /** `ann_index_compact` — the compaction audit: complete the index
+    * lifecycle (build → append → delete → COMPACT) as a gated query.
+    * A bulk erasure (vec_id % 10 = 3, ~10% — a fixed residue class,
+    * decoupled from [[forgetAudit]]'s data-derived one so both audits
+    * coexist on their own variants) is tombstoned into a scratch
+    * [[variant]], then [[compactAt]] physically rewrites it. The audit
+    * row reads the POST-compaction physical state: surviving codes
+    * count, zero tombstones remaining, drift clock reset
+    * (stale_after = false), and the top-1 served neighbor — proof the
+    * production path returns the same answer from the rewritten
+    * artifacts that the tombstone anti-join gave before them. */
+  def compactAudit(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
+    val vdir = variant(s, d, "compact")
+    val erased = deleteAt(s, vdir, graft.Tables.embeddings(s, d)
+      .select(col("vec_id")).filter(col("vec_id") % 10 === 3))
+    val survivors = compactAt(s, vdir)
+    ivfpqRerankQueryAt(s, d, vdir, queryId, k = 1).select(
+      lit(erased).as("erased"),
+      lit(isStaleAt(vdir)).as("stale_after"),
+      lit(deletedCount(vdir)).as("tombstones_remaining"),
+      col("cos").as("top1_cos"),
+      col("vec_id").as("top1_vec"),
+      lit(survivors).as("vecs_after"))
+  }
+
+  /** The compaction audit replayed as DuckDB SQL: counts from the
+    * erasure predicate, the physical invariants as the constants
+    * compaction guarantees (0 tombstones, drift clock reset), and the
+    * top-1 from the SHARED ivfpq serve chain with the predicate
+    * applied before the top-50 cut — the same candidate set whether
+    * the erased rows are anti-joined (pre-compaction) or physically
+    * absent (post), which is exactly the claim the audit gates. */
+  val compactSql: String = {
+    import Similarity.{cosOf, ivfpqCtes}
+    s"""$ivfpqCtes,
+       |cand50c AS (
+       |  SELECT vec_id FROM adcq WHERE vec_id % 10 <> 3
+       |  ORDER BY adc_dist2, vec_id LIMIT 50),
+       |t1 AS (
+       |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
+       |  FROM embeddings e JOIN cand50c USING (vec_id)
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY cos DESC, vec_id LIMIT 1)
+       |SELECT
+       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 3) AS erased,
+       |  false AS stale_after,
+       |  CAST(0 AS BIGINT) AS tombstones_remaining,
+       |  t1.cos AS top1_cos,
+       |  t1.vec_id AS top1_vec,
+       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 <> 3) AS vecs_after
+       |FROM t1""".stripMargin
+  }
+
   private def coarseDf(s: SparkSession, d: String): DataFrame =
     coarseAt(s, ensure(s, d))
   private def codebookDf(s: SparkSession, d: String): DataFrame =

@@ -178,6 +178,77 @@ object Curation {
       |ORDER BY doc_id""".stripMargin
   }
 
+  /** `sample_dsir` — Data Selection via Importance Resampling (Xie et
+    * al. 2023, arXiv:2302.03169, the DSIR recipe): pick raw-corpus
+    * documents whose hashed-feature profile matches a TARGET
+    * distribution — the standard move for skewing a web crawl toward
+    * a curated reference corpus. Feature space is the hashing-trick
+    * bucket ([[TextAnalysis.hashFeatures]]'s FNV low bits, k=64);
+    * target = the `lang = 'en'` slice of the corpus; per-bucket
+    * importance weight is the smoothed target/raw token-count ratio.
+    *
+    * Determinism over transcendentals (the BPE/LM-score discipline):
+    * DSIR's per-token log-likelihood ratio is replaced by its
+    * FIXED-POINT ratio, wb = ⌊1e6·(tcnt+1)/(rcnt+1)⌋ — integer DIV on
+    * exact counts, no ln() whose last-ulp differs per libm — and the
+    * per-doc score is the MEAN token weight (integer DIV again), which
+    * both removes doc-length bias and makes the skipped global
+    * normalization constants (N_target/N_raw) a rank-invariant common
+    * factor. Selection is the zero-temperature variant of DSIR's
+    * Gumbel-top-k: the top-n docs by score (deterministic tie-break),
+    * reproducible on any cluster layout and replayable in SQL.
+    *
+    * 100 TB: token explode + ONE 64-row weight table (broadcast back),
+    * one hash agg keyed on doc_id, one TakeOrderedAndProject for the
+    * cut — no doc×doc stage, no shuffle wider than (doc_id, sum). */
+  def sampleDsir(s: SparkSession, d: String, n: Int = 200, k: Int = 64): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.HashFunctions.fnv64(col("w"))
+          .bitwiseAND(lit((k - 1).toLong)).cast("int").as("bucket"))
+      .transform(df => graft.Checkpoints.pin(df))
+    val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("rcnt"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tcnt"))
+    // target ⊆ raw ⇒ tcnt ≤ rcnt ⇒ wb ∈ [0, 1e6]: a long sum over any
+    // realistic doc length can't overflow
+    val wts = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("(1000000 * (coalesce(tcnt, 0) + 1)) DIV (rcnt + 1)").as("wb"))
+    toks.join(broadcast(wts), "bucket")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(expr("sum(wb) DIV count(1)").as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), col("dsir_score"), col("lang"), col("source"))
+  }
+
+  /** The DSIR pipeline replayed in DuckDB: the FNV-1a HUGEINT chain
+    * ([[Dedup.FnvWordSql]], shared with hashfeatures/simhash), integer
+    * `//` for both fixed-point DIVs (floor == truncate on these
+    * non-negative counts), HUGEINT sums cast back to BIGINT. */
+  val sampleDsirSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |tb AS (SELECT doc_id, lang, source,
+       |         CAST(${Dedup.FnvWordSql} % 64 AS INT) AS bucket FROM toks),
+       |raw AS (SELECT bucket, COUNT(*) AS rcnt FROM tb GROUP BY bucket),
+       |tgt AS (SELECT bucket, COUNT(*) AS tcnt FROM tb WHERE lang = 'en' GROUP BY bucket),
+       |wts AS (
+       |  SELECT r.bucket,
+       |    (1000000 * (COALESCE(t.tcnt, 0) + 1)) // (r.rcnt + 1) AS wb
+       |  FROM raw r LEFT JOIN tgt t USING (bucket)),
+       |sc AS (
+       |  SELECT tb.doc_id, tb.lang, tb.source,
+       |    CAST(SUM(w2.wb) // COUNT(*) AS BIGINT) AS dsir_score
+       |  FROM tb JOIN wts w2 USING (bucket)
+       |  GROUP BY tb.doc_id, tb.lang, tb.source)
+       |SELECT doc_id, dsir_score, lang, source FROM sc
+       |ORDER BY dsir_score DESC, doc_id LIMIT 200""".stripMargin
+
   /** Intra-document repetition score (Gopher-style boilerplate
     * signal): fraction of word-bigram occurrences that are repeats of
     * an earlier bigram in the same doc. Counts are exact integers; the

@@ -318,6 +318,49 @@ class AnnIndexSpec extends AnyFunSuite {
       "corpus sanity: the label predicate must change the served top-k")
   }
 
+  test("ann_index_compact: physical purge preserves serving; tombstones and drift counters reset") {
+    import org.apache.spark.sql.functions._
+    // a tombstone-only twin of the audit's erasure: serving through the
+    // anti-join must equal serving from the physically rewritten codes
+    val tdir = AnnIndex.variant(spark, sf, "spectomb")
+    AnnIndex.deleteAt(spark, tdir, Tables.embeddings(spark, sf)
+      .select(col("vec_id")).filter(col("vec_id") % 10 === 3))
+    val tomb = AnnIndex.ivfpqRerankQueryAt(spark, sf, tdir, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val main = AnnIndex.ensure(spark, sf)
+    val total = Tables.embeddings(spark, sf).count()
+    val audit = AnnIndex.compactAudit(spark, sf).collect()
+    assert(audit.length == 1)
+    val r = audit.head
+    assert(r.getAs[Long]("erased") + r.getAs[Long]("vecs_after") == total,
+      "every vector is either erased or survives compaction")
+    assert(r.getAs[Long]("tombstones_remaining") == 0L)
+    assert(!r.getAs[Boolean]("stale_after"),
+      "compaction must reset the drift clock")
+    assert(r.getAs[Long]("top1_vec") % 10 != 3,
+      "the served top-1 must never be an erased id")
+
+    val cdir = s"${main}_compact"
+    val comp = AnnIndex.ivfpqRerankQueryAt(spark, sf, cdir, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(comp == tomb,
+      "physically rewritten codes must serve exactly what the tombstone anti-join served")
+    // post-compaction physical state: no tombstone dir, counters reset,
+    // base = surviving codes rows, marker back on
+    assert(!new java.io.File(s"$cdir/deleted").isDirectory)
+    assert(AnnIndex.deletedCount(cdir) == 0L)
+    assert(AnnIndex.appendedCount(cdir) == 0L)
+    assert(!AnnIndex.isStaleAt(cdir))
+    assert(spark.read.parquet(s"$cdir/codes").count() ==
+      r.getAs[Long]("vecs_after"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cdir, "_GRAFT_INDEX_OK")),
+      "the completion marker must come back after the swap")
+    // variant isolation: the MAIN index still holds the full corpus
+    assert(spark.read.parquet(s"$main/codes").count() == total)
+  }
+
   test("a missing completion marker forces a rebuild (no partial serving)") {
     val dir = AnnIndex.build(spark, sf)
     val marker = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HashUtil
 import graft.operators.{Curation, Similarity}
 
 class CurationSpec extends AnyFunSuite {
@@ -21,6 +22,36 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(small.subsetOf(big),
       "growing n must only add rows, never swap them (stable ranking)")
+  }
+
+  test("sample_dsir: parity with an independent in-memory FNV replay; target shift") {
+    val got = Curation.sampleDsir(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    // independent replay: HashUtil.fnv1a64 (the public-test-vector
+    // implementation), plain Scala maps — no Spark expressions reused
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def bucket(w: String): Int =
+      (HashUtil.fnv1a64(w.getBytes("UTF-8")) & 63L).toInt
+    val toks = docs.flatMap { case (id, text, lang, src) =>
+      text.split(" ", -1).map(w => (id, lang, src, bucket(w))) }
+    val raw = toks.groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val tgt = toks.filter(_._2 == "en").groupBy(_._4)
+      .view.mapValues(_.length.toLong).toMap
+    val wb = raw.map { case (b, r) =>
+      b -> (1000000L * (tgt.getOrElse(b, 0L) + 1L)) / (r + 1L) }
+    val scores = toks.groupBy(t => (t._1, t._2, t._3)).map { case (k, ts) =>
+      k -> ts.map(t => wb(t._4)).sum / ts.length }
+    val expect = scores.toSeq
+      .sortBy { case ((id, _, _), sc) => (-sc, id) }.take(200)
+      .map { case ((id, lang, src), sc) => (id, sc, lang, src) }
+    assert(got.toSeq == expect, "fixed-point DSIR scores must replay exactly")
+    // the point of DSIR: the selected set over-represents the target
+    val enAll = docs.count(_._3 == "en").toDouble / docs.length
+    val enSel = got.count(_._3 == "en").toDouble / got.length
+    assert(enSel > enAll,
+      f"selected en share $enSel%.2f must exceed corpus share $enAll%.2f")
   }
 
   test("sample_temperature: Hamilton apportionment parity and √-smoothing") {
