@@ -62,6 +62,7 @@ object SparkEntry {
     "ann_forget" -> ((s, d) => graft.operators.AnnIndex.forgetAudit(s, d)),
     "ann_index_filtered" -> ((s, d) => graft.operators.AnnIndex.filteredIndexQuery(s, d)),
     "ann_index_compact" -> ((s, d) => graft.operators.AnnIndex.compactAudit(s, d)),
+    "ann_hybrid" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "dedup_forget" -> ((s, d) => Dedup.dedupForget(s, d)),
     "dedup_minhash_index" -> ((s, d) => graft.operators.MinhashIndex.incrementalNearDups(s, d)),
     "ann_pq" -> ((s, d) => graft.operators.AnnIndex.pqQuery(s, d)),
@@ -93,6 +94,7 @@ object SparkEntry {
     "mm_frames" -> ((s, d) => graft.multimodal.Multimodal.frameTable(s, d)),
     "mm_transcode" -> ((s, d) => graft.multimodal.Multimodal.transcodeTable(s, d)),
     "mm_similar" -> ((s, d) => graft.multimodal.Multimodal.similarTable(s, d)),
+    "mm_quality" -> ((s, d) => graft.multimodal.Multimodal.qualityTable(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.Streams.streamEnrich(s, d)),
     "stream_topk" -> ((s, d) => graft.streaming.Streams.streamTopK(s, d)),
@@ -162,6 +164,7 @@ object SparkEntry {
     "ann_forget" -> graft.operators.AnnIndex.forgetSql,
     "ann_index_filtered" -> graft.operators.AnnIndex.filteredIndexSql,
     "ann_index_compact" -> graft.operators.AnnIndex.compactSql,
+    "ann_hybrid" -> Similarity.hybridRrfSql,
     "dedup_forget" -> Dedup.dedupForgetSql,
     "dedup_minhash_index" -> graft.operators.MinhashIndex.incrementalSql,
     "ann_pq" -> Similarity.pqSql,
@@ -185,6 +188,7 @@ object SparkEntry {
     "mm_frames" -> graft.multimodal.Multimodal.frameTableSql,
     "mm_transcode" -> graft.multimodal.Multimodal.transcodeTableSql,
     "mm_similar" -> graft.multimodal.Multimodal.similarSql,
+    "mm_quality" -> graft.multimodal.Multimodal.qualitySql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
     "stream_enrich" -> graft.streaming.Streams.streamEnrichSql,
     "stream_topk" -> graft.streaming.Streams.streamTopKSql,

@@ -28,16 +28,22 @@ object Multimodal {
       features: Array[Double])
   case class Frame(media_id: Long, frameIdx: Int, tsMs: Long,
       framePayload: Array[Byte])
+  case class MediaQualityRaw(media_id: Long, kind: String, width: Int,
+      height: Int, durationMs: Long, nBytes: Int, maxBucket: Int)
 
   /** Deterministic fake decode/encode boundary — the stub. */
   object FakeCodec {
-    /** "Decode + feature-extract": 16-bucket byte histogram, L1-normalized. */
-    def features(payload: Array[Byte]): Array[Double] = {
-      val h = new Array[Double](16)
+    /** "Decode": raw 16-bucket byte-class histogram counts. */
+    def histCounts(payload: Array[Byte]): Array[Int] = {
+      val h = new Array[Int](16)
       var i = 0
-      while (i < payload.length) { h((payload(i) & 0xff) % 16) += 1.0; i += 1 }
+      while (i < payload.length) { h((payload(i) & 0xff) % 16) += 1; i += 1 }
+      h
+    }
+    /** "Decode + feature-extract": the histogram, L1-normalized. */
+    def features(payload: Array[Byte]): Array[Double] = {
       val n = math.max(payload.length, 1).toDouble
-      h.map(_ / n)
+      histCounts(payload).map(_ / n)
     }
     /** "Resize/re-encode": size-capped byte slice standing in for a
       * real transcode. */
@@ -132,6 +138,76 @@ object Multimodal {
       |FROM documents
       |GROUP BY 1
       |ORDER BY keep_id""".stripMargin
+
+  /** `mm_quality` — the media curation gate (corpus_gate's multimodal
+    * twin): every asset gets a REASONS bitmask over metadata- and
+    * content-level checks, `pass` ⇔ no bit set. Checks, each the stub
+    * stand-in for a real perceptual filter:
+    *  - bit 0 `too_small`   — payload under 256 bytes (thumbnail-sized
+    *    asset; a real pipeline drops sub-resolution media);
+    *  - bit 1 `aspect`      — extreme aspect ratio (w > 2h or h > 2w),
+    *    metadata-only, the banner/sliver filter;
+    *  - bit 2 `low_diversity` — dominant byte-class share above 1/5
+    *    through the DECODED histogram (flat/monochrome stand-in). The
+    *    comparison is 5·max > n in exact integers — no share division
+    *    for engines to disagree on;
+    *  - bit 3 `over_long`   — declared duration above 4 s (the clip
+    *    length cap).
+    * All mask arithmetic is integer; the only decode is the same
+    * narrow mapPartitions pass the mm family already pays, emitting
+    * (id, kind, meta scalars, max bucket) — payloads never shuffle,
+    * and the mask itself is a codegen'd scan-side projection. At
+    * 100 TB this is a single narrow pass, like corpus_gate. */
+  def qualityTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = mediaTable(s, d).as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        val h = FakeCodec.histCounts(r.payload)
+        MediaQualityRaw(r.media_id, r.meta.kind, r.meta.width,
+          r.meta.height, r.meta.durationMs, r.payload.length, h.max)
+      }
+    }.toDF()
+    raw.select(col("media_id"), col("kind"),
+      col("nBytes").as("n_bytes"),
+      (when(col("nBytes") < 256, 1).otherwise(0)
+        + when(col("width") > col("height") * 2 ||
+            col("height") > col("width") * 2, 2).otherwise(0)
+        + when(col("maxBucket") * 5 > col("nBytes"), 4).otherwise(0)
+        + when(col("durationMs") > 4000, 8).otherwise(0))
+        .cast("int").as("reasons"))
+      .withColumn("pass", col("reasons") === 0)
+      .orderBy(col("media_id"))
+  }
+
+  /** The gate replayed from `documents`: metadata is the mediaTable
+    * doc_id formula, the decoded histogram is the char-class count
+    * (ASCII corpus — the featureTableSql contract), mask arithmetic
+    * identical integers. */
+  val qualitySql: String = {
+    val counts = (0 until 16).map(b =>
+      s"len(list_filter(string_split(text, ''), c -> ord(c) % 16 = $b))")
+      .mkString(",\n      ")
+    s"""WITH m AS (
+       |  SELECT doc_id, text, n_chars,
+       |    64 + (doc_id % 16) * 16 AS w,
+       |    64 + (doc_id % 9) * 16 AS h,
+       |    octet_length(encode(text)) AS nb,
+       |    GREATEST($counts) AS maxb
+       |  FROM documents)
+       |SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CAST(nb AS INT) AS n_bytes,
+       |  CAST((CASE WHEN nb < 256 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN w > 2 * h OR h > 2 * w THEN 2 ELSE 0 END)
+       |     + (CASE WHEN 5 * maxb > nb THEN 4 ELSE 0 END)
+       |     + (CASE WHEN n_chars * 10 > 4000 THEN 8 ELSE 0 END) AS INT) AS reasons,
+       |  ((CASE WHEN nb < 256 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN w > 2 * h OR h > 2 * w THEN 2 ELSE 0 END)
+       |     + (CASE WHEN 5 * maxb > nb THEN 4 ELSE 0 END)
+       |     + (CASE WHEN n_chars * 10 > 4000 THEN 8 ELSE 0 END)) = 0 AS "pass"
+       |FROM m
+       |ORDER BY media_id""".stripMargin
+  }
 
   /** Per-media features through the stubbed decoder. Feature values are
     * emitted as floor(1e6·f) micro-units: the histogram ratio k/n is an

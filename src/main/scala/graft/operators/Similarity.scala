@@ -120,6 +120,110 @@ object Similarity {
        |WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** `ann_hybrid` — hybrid lexical+vector retrieval with
+    * reciprocal-rank fusion (Cormack et al., SIGIR'09), the standard
+    * RAG serving move: a BM25-ish keyword leg and a dense-cosine leg
+    * each produce a bounded top-`kLeg` ranking, fused by
+    * Σ 1/(60+rank). The corpus pairs `documents.doc_id` with its
+    * embedding row `embeddings.vec_id` (ids align by construction);
+    * the query is document 0 on both legs.
+    *
+    * Determinism discipline: the lexical weight is the log-free linear
+    * idf ([[TextAnalysis.tfidf]]'s rule) in FIXED POINT —
+    * ⌊1e6·N/df⌋ per distinct shared term, integer-summed — and the
+    * RRF constant-60 fold is ⌊1e9/(60+rank)⌋, so fusion never touches
+    * a double and both engines agree bit-exactly. Ranks, not raw
+    * scores, cross the fusion boundary — RRF's whole point — which
+    * also makes the fused order invariant to any monotone rescaling
+    * of either leg.
+    *
+    * 100 TB: the lexical leg is an inverted-index PROBE, not a scan
+    * rank — the query's term-weight table (≤ |query terms| rows) is
+    * broadcast and joined against the token postings, so work is
+    * ∝ postings of the query's terms; the vector leg is the narrow
+    * cosine pass (at scale: the IVF-PQ serve path — same ranks in).
+    * Both legs cut to kLeg rows BEFORE fusion, so the full-outer
+    * fusion join touches ≤ 2·kLeg rows regardless of corpus size. */
+  def hybridRrf(s: SparkSession, d: String, queryId: Long = 0L,
+      kLeg: Int = 50, n: Int = 10): DataFrame = {
+    import graft.Tables.documents
+    import graft.functions.TextFunctions.words
+    val tok = graft.Checkpoints.pin(documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(words(col("text")))).as("w")))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val qw = tok.filter(col("doc_id") === queryId).select(col("w"))
+    val dfw = tok.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val wts = dfw.join(broadcast(qw), "w")
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), expr("(1000000 * n_docs) DIV df").as("idf"))
+    val lexTop = tok.filter(col("doc_id") =!= queryId)
+      .join(broadcast(wts), "w")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("idf")).as("lex_score"))
+      .orderBy(col("lex_score").desc, col("doc_id"))
+      .limit(kLeg)
+    // row_number over an unpartitioned window is single-partition by
+    // design — it only ever sees the kLeg rows the limit kept
+    val lexR = lexTop.withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("lex_score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val vecR = cosineToQuery(s, d, queryId)
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(kLeg)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("vec_rank"))
+    lexR.join(vecR, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        expr("""CAST(coalesce(1000000000 DIV (60 + lex_rank), 0)
+                   + coalesce(1000000000 DIV (60 + vec_rank), 0) AS BIGINT)""")
+          .as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(n)
+  }
+
+  /** The fusion replayed in DuckDB: list_distinct ≡ array_distinct for
+    * the per-doc term sets, `//` for both fixed-point DIVs, QUALIFY
+    * for the leg cuts, explicit COALESCE on the full-outer key. */
+  val hybridRrfSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |qw AS (SELECT w FROM tok WHERE doc_id = 0),
+       |dfw AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+       |wts AS (
+       |  SELECT d2.w, (1000000 * nd.n_docs) // d2.df AS idf
+       |  FROM dfw d2 JOIN qw USING (w) CROSS JOIN nd),
+       |lex AS (
+       |  SELECT t.doc_id, CAST(SUM(w2.idf) AS BIGINT) AS lex_score
+       |  FROM tok t JOIN wts w2 USING (w)
+       |  WHERE t.doc_id <> 0 GROUP BY t.doc_id),
+       |lexr AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS INT)
+       |      AS lex_rank
+       |  FROM lex QUALIFY lex_rank <= 50),
+       |vec AS (
+       |  SELECT vec_id AS doc_id, ${cosOf("embedding", "q_emb")} AS cos
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |  WHERE vec_id <> 0),
+       |vecr AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
+       |      AS vec_rank
+       |  FROM vec QUALIFY vec_rank <= 50)
+       |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |  CAST(COALESCE(1000000000 // (60 + l.lex_rank), 0)
+       |     + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS BIGINT) AS rrf,
+       |  l.lex_rank, v.vec_rank
+       |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+       |ORDER BY rrf DESC, doc_id
+       |LIMIT 10""".stripMargin
+
   /** Per-dimension corpus statistics (count / mean / mean-square) — the
     * normalization-stats pass an embedding pipeline runs before
     * whitening or scaling. posexplode → 64-group hash agg: the shuffle

@@ -586,7 +586,54 @@ object Analytics4 {
       |ORDER BY n_pair DESC, part_a, part_b
       |LIMIT 200""".stripMargin
 
+  // ---- q54: event-type transition matrix -------------------------------
+  /** Per-user event-path transitions (the Markov-edge / Sankey-diagram
+    * primitive behind "where do users go next" product analytics):
+    * consecutive event pairs inside each user's time-ordered stream,
+    * counted per (src, dst) with the conditional transition share
+    * P(dst | src), top 20 edges by count. The ordering key is
+    * (ts, event_id) so simultaneous events break ties
+    * deterministically on both engines.
+    *
+    * 100 TB: ONE shuffle on user_id for the lead() window (the same
+    * partitioning sessionization already pays — at scale these share a
+    * stage), then the transition stream collapses in a map-side
+    * combined aggregate to at most |event_type|² rows; the per-src
+    * totals frame is |event_type| rows and broadcasts into the share
+    * join. The share is exact-integer counts with ONE double division,
+    * bit-identical across engines. */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .select(col("event_type").as("src"), col("dst"))
+    val bySrc = tr.groupBy(col("src")).agg(count(lit(1)).as("n_src"))
+    tr.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .join(broadcast(bySrc), "src")
+      .select(col("src"), col("dst"), col("n"),
+        (col("n").cast("double") / col("n_src")).as("p"))
+      .orderBy(col("n").desc, col("src"), col("dst"))
+      .limit(20)
+  }
+
+  val q54Sql: String =
+    """WITH tr AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |e AS (SELECT src, dst FROM tr WHERE dst IS NOT NULL),
+      |by_src AS (SELECT src, COUNT(*) AS n_src FROM e GROUP BY 1)
+      |SELECT e.src, e.dst, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(b.n_src) AS p
+      |FROM e JOIN by_src b ON e.src = b.src
+      |GROUP BY e.src, e.dst
+      |ORDER BY n DESC, e.src, e.dst
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_transitions" -> (q54 _),
     "q53_market_basket" -> (q53 _),
     "q52_retention" -> (q52 _),
     "q51_funnel" -> (q51 _),
@@ -602,6 +649,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q54_transitions" -> q54Sql,
     "q53_market_basket" -> q53Sql,
     "q52_retention" -> q52Sql,
     "q51_funnel" -> q51Sql,

@@ -904,7 +904,57 @@ object EtlQueries {
       |FROM c CROSS JOIN mm
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** `etl_compact` — small-files compaction as a GATED audit, the
+    * warehouse twin of `ann_index_compact` (one lifecycle discipline,
+    * two artifact kinds): a deliberately fragmented copy of a table
+    * slice (64 round-robin files — the shape streaming ingest leaves
+    * behind) is physically rewritten by [[graft.sinks.ParquetSink
+    * .compact]] and the audit row proves the rewrite preserved the
+    * data. Integrity is count + order-invariant XOR fingerprint
+    * (bit_xor of per-row xxhash64 — associative/commutative, so it is
+    * partitioning-independent and can't overflow, unlike a SUM under
+    * ANSI) compared before/after on the SAME engine; the oracle gates
+    * the row count from the source predicate and the physical
+    * constants the compaction contract fixes (64 in, 1 out at an
+    * unbounded byte target).
+    *
+    * 100 TB: compaction is one narrow job per leaf prefix — read the
+    * snapshotted file list, one round-robin shuffle of the data bytes,
+    * write ceil(bytes/target) files; the move-in-then-delete ordering
+    * keeps concurrent readers duplicate-transient, never lossy
+    * (ParquetSink.compact's documented semantics). The audit's extra
+    * passes are two footer-cheap scans of the slice. */
+  def compactAudit(s: SparkSession, d: String): DataFrame = {
+    val frag = s"${scratchDir("compactq", d, "orders")}/frag"
+    val src = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    def state(t: DataFrame): DataFrame = t.agg(count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(o_orderkey, o_custkey, o_totalprice))"),
+        lit(0L)).as("xh"))
+    val pre = state(s.read.parquet(frag)).head()
+    val (preN, preH) = (pre.getLong(0), pre.getLong(1))
+    val (fb, fa) = graft.sinks.ParquetSink.compact(s, frag,
+      targetBytes = Long.MaxValue / 4)
+    // the post-state stays LAZY: the gated row is derived from a real
+    // scan of the compacted artifact, not from driver-cached numbers
+    state(s.read.parquet(frag)).select(
+      lit(fb.toLong).as("files_before"),
+      lit(fa.toLong).as("files_after"),
+      col("n").as("n_rows"),
+      (col("n") === lit(preN) && col("xh") === lit(preH)).as("content_ok"))
+  }
+
+  val compactAuditSql: String =
+    """SELECT CAST(64 AS BIGINT) AS files_before,
+      |  CAST(1 AS BIGINT) AS files_after,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE o_orderkey % 4 = 0) AS n_rows,
+      |  true AS content_ok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_compact" -> (compactAudit _),
     "etl_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
     "etl_forget" -> (forget _),
     "etl_scd2" -> (scd2 _),
@@ -922,6 +972,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_compact" -> compactAuditSql,
     "etl_histogram" -> histogramSql,
     "etl_forget" -> forgetSql,
     "etl_scd2" -> scd2Sql,

@@ -211,6 +211,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.take(4).forall(_._4 > 1.0))
   }
 
+  test("q54 transitions equal a sequential per-user path replay") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val edges = evs.groupBy(_._1).values.toSeq.flatMap { es =>
+      val path = es.sortBy(e => (e._4, e._2)).map(_._3)
+      path.zip(path.drop(1))
+    }
+    val bySrc = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val expected = edges.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n, n.toDouble / bySrc(a)) }
+      .sortBy { case (a, b, n, _) => (-n, a, b) }
+      .take(20)
+    val got = queries.Analytics4.q54(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected)
+    // P(dst|src) is a conditional distribution: every share in (0, 1]
+    assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+  }
+
   test("q24 as-of join: clicked_at is never after the purchase") {
     import org.apache.spark.sql.functions._
     val bad = queries.Analytics2.q24(spark, sf)

@@ -639,6 +639,33 @@ class EtlSpec extends AnyFunSuite {
     assert(after.except(li).isEmpty && li.except(after).isEmpty)
   }
 
+  test("etl_compact audit: content preserved, re-run idempotent, hive layout refused") {
+    import org.apache.spark.sql.functions.col
+    val got = graft.queries.EtlQueries.compactAudit(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("files_before") == 64L)
+    assert(r.getAs[Long]("files_after") == 1L)
+    assert(r.getAs[Boolean]("content_ok"),
+      "count + XOR fingerprint must survive the physical rewrite")
+    val expectRows = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 4 === 0).count()
+    assert(r.getAs[Long]("n_rows") == expectRows)
+    // the audit re-fragments each run, so a second invocation must
+    // reproduce the identical row (the operator is idempotent)
+    assert(graft.queries.EtlQueries.compactAudit(spark, sf).collect()
+      .toSeq == got.toSeq)
+    // hive-partitioned layouts are refused, preserving pruning
+    val hdir = tmpDir("compact_hive") + "/t"
+    Tables.orders(spark, sf).limit(10)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.partitionBy("o_orderstatus").parquet(hdir)
+    val ex = intercept[IllegalArgumentException] {
+      graft.sinks.ParquetSink.compact(spark, hdir)
+    }
+    assert(ex.getMessage.contains("hive-partitioned"))
+  }
+
   test("CLI arg contract: exactly one arg = the config yaml path") {
     assert(Main.configPath(Array("cfg.yml")) == Right("cfg.yml"))
     assert(Main.configPath(Array.empty).isLeft)

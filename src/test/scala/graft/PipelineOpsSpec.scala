@@ -340,6 +340,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 % 2 == 0), "every hit passes the metadata filter")
   }
 
+  test("ann_hybrid: RRF parity with an in-memory two-leg replay") {
+    // lexical leg: distinct-word sets (split keeps empties, like Spark's)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSet))
+    val nDocs = docs.length.toLong
+    val dfw = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    val qws = docs.find(_._1 == 0L).get._2
+    val idf = qws.map(w => w -> 1000000L * nDocs / dfw(w)).toMap
+    val lexRank = docs.filter(_._1 != 0L)
+      .map { case (id, ws) => id -> ws.intersect(qws).toSeq.map(idf).sum }
+      .filter(_._2 > 0L).sortBy { case (id, sc) => (-sc, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // vector leg: exact cosine to vec 0
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val q = vecs.find(_._1 == 0L).get._2
+    val qn2 = dot(q, q)
+    val vecRank = vecs.filter(_._1 != 0L)
+      .map { case (id, e) => id -> dot(e, q) / math.sqrt(dot(e, e) * qn2) }
+      .sortBy { case (id, cos) => (-cos, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val expected = (lexRank.keySet ++ vecRank.keySet).toSeq
+      .map { id =>
+        val rrf = lexRank.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L) +
+          vecRank.get(id).map(r => 1000000000L / (60 + r)).getOrElse(0L)
+        (id, rrf, lexRank.get(id), vecRank.get(id))
+      }
+      .sortBy { case (id, rrf, _, _) => (-rrf, id) }.take(10)
+    val got = Similarity.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSeq
+    assert(got == expected, "fixed-point RRF fusion must replay exactly")
+    assert(got.forall { case (_, _, l, v) =>
+      l.forall(r => r >= 1 && r <= 50) && v.forall(r => r >= 1 && r <= 50) &&
+        (l.nonEmpty || v.nonEmpty) },
+      "every fused row carries at least one in-bounds leg rank")
+  }
+
   test("dedup_minhash_index: parity with exact batch-vs-stored Jaccard; index reused, append idempotent") {
     import graft.operators.MinhashIndex
     // in-memory exact ground truth: distinct word bigrams per doc,

@@ -99,6 +99,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("mm_quality: mask parity with an in-memory FakeCodec replay; every check fires") {
+    import graft.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.map { case (id, t, nChars) =>
+      val bytes = t.getBytes("UTF-8")
+      val (w, h) = (64 + (id % 16) * 16, 64 + (id % 9) * 16)
+      val maxB = Multimodal.FakeCodec.histCounts(bytes).max
+      val reasons = (if (bytes.length < 256) 1 else 0) +
+        (if (w > 2 * h || h > 2 * w) 2 else 0) +
+        (if (5L * maxB > bytes.length) 4 else 0) +
+        (if (nChars * 10 > 4000) 8 else 0)
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      (id, kind, bytes.length, reasons, reasons == 0)
+    }.sortBy(_._1).toSeq
+    val got = Multimodal.qualityTable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getBoolean(4))).toSeq
+    assert(got == expected, "quality mask must replay exactly")
+    for (bit <- Seq(1, 2, 4, 8))
+      assert(got.exists(r => (r._4 & bit) != 0),
+        s"check bit $bit never fires — the gate would rubber-stamp")
+    assert(got.exists(_._5), "some assets must pass")
+  }
+
   test("fnv64/simhash64/dot_product are SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
