@@ -75,7 +75,15 @@ object ScaleUp {
     "dedup_cdc",
     // r9: corpus version diff — the fp-keyed full-outer join over the
     // grown corpus (ids + 16-byte fps shuffle, never text)
-    "corpus_diff")
+    "corpus_diff",
+    // late-r9: the RRF hybrid (lexical postings grow with the corpus;
+    // the fused join stays ≤100 rows — the sweep checks the probe leg
+    // stays scan-bound), the DSIR selector (token explode + 64-row
+    // broadcast: expected ~flat), the media gate and transition
+    // matrix (narrow passes), and both physical compactions (cost ∝
+    // rewritten bytes — the maintenance-beats-retraining claim)
+    "ann_hybrid", "sample_dsir", "mm_quality", "q54_transitions",
+    "etl_compact", "ann_index_compact")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every
