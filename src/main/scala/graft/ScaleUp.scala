@@ -83,7 +83,11 @@ object ScaleUp {
     // matrix (narrow passes), and both physical compactions (cost ∝
     // rewritten bytes — the maintenance-beats-retraining claim)
     "ann_hybrid", "sample_dsir", "mm_quality", "q54_transitions",
-    "etl_compact", "ann_index_compact")
+    "etl_compact", "ann_index_compact",
+    // r9: the exact graph op — at ×R the footer gate flips the
+    // adjacency broadcast to the shuffle fallback, so the sweep
+    // exercises the degraded path
+    "graph_triangles")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_mix" -> ((s, d) => Corpus.corpusMix(s, d)),
     "corpus_diff" -> ((s, d) => Corpus.corpusDiff(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
+    "graph_triangles" -> ((s, d) => graft.operators.GraphOps.triangles(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "text_repetition" -> ((s, d) => Curation.repetition(s, d)),
@@ -178,6 +179,7 @@ object SparkEntry {
     "corpus_mix" -> Corpus.corpusMixSql,
     "corpus_diff" -> Corpus.corpusDiffSql,
     "graph_pagerank" -> graft.operators.GraphOps.pagerankSql,
+    "graph_triangles" -> graft.operators.GraphOps.trianglesSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "text_repetition" -> Curation.repetitionSql,

@@ -121,6 +121,112 @@ object GraphOps {
         col("rank"))
   }
 
+  /** `graph_triangles` — per-node triangle counts over the co-purchase
+    * graph (parts sharing an order), top 20 parts by triangle
+    * participation: the community-density / clustering-coefficient
+    * numerator, and the classic MapReduce graph benchmark
+    * (Suri & Vassilvitskii, WWW'11).
+    *
+    * Scale design — DEGREE ORIENTATION, the standard distributed
+    * remedy: each undirected edge is directed from its
+    * (degree, id)-smaller endpoint to the larger, which makes the
+    * orientation a total order, so every triangle is enumerated
+    * EXACTLY once (at its smallest vertex) and each node's oriented
+    * out-degree is O(√E) on heavy-tailed graphs — the wedge join's
+    * fan-out Σ out-deg² collapses from the hub-quadratic worst case
+    * to near-linear. Wedges co-partition on the pivot node (one
+    * shuffle of (src, dst, deg) ints), the closing-edge join keys on
+    * the (v, w) pair — ids only, never adjacency lists; the degree
+    * table is |V| rows and broadcasts. The oracle replays the
+    * orientation-free id-ordered enumeration — the triangle SET is
+    * orientation-invariant, so per-node counts agree exactly.
+    *
+    * At 100 TB: all exact integer counting, three narrow shuffles
+    * (pair distinct, wedge pivot, closing pair) — the orientation is
+    * what keeps the wedge stage from exploding on hub nodes. */
+  def triangles(s: SparkSession, d: String, n: Int = 20): DataFrame = {
+    val b = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    // pinned: the pair-distinct is the heavy stage and e feeds BOTH the
+    // degree table and the edge list — unpinned it would recompute per
+    // consumer (measured 6.9 s → 3.0 s at sf0.1 for pin + broadcasts)
+    val e = graft.Checkpoints.pin(
+      b.as("x").join(b.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("c")).distinct())
+    // |V| ≤ |part| → the degree table always broadcasts
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    val withDeg = e
+      .join(broadcast(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("dg", "da")), "a")
+      .join(broadcast(deg.withColumnRenamed("node", "c")
+        .withColumnRenamed("dg", "dc")), "c")
+    val aFirst = col("da") < col("dc") ||
+      (col("da") === col("dc") && col("a") < col("c"))
+    // NOT pinned: o is a broadcast-join + projection over the pinned e
+    // — recomputing it per consumer is two narrow passes, cheaper than
+    // a second checkpoint action
+    val o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("c")).as("src"),
+      when(aFirst, col("c")).otherwise(col("a")).as("dst"))
+    // edge-parallel INTERSECTION instead of a wedge join: the wedge
+    // stream is Σ out-deg² rows (72M at sf0.1 — measured 6.9-9.1 s
+    // however its joins are hinted), but the same triangles fall out of
+    // |N⁺(u) ∩ N⁺(v)| per edge with NOTHING materialized beyond the
+    // |E| result rows: each triangle x<y<z (orientation order) is
+    // found exactly once, at its (x,y) edge, with z in the
+    // intersection. array_intersect runs inside whole-stage codegen,
+    // so the Σ od² work happens in a tight loop, not as join rows
+    // (measured 6.9 s → 1.9 s at sf0.1). The adjacency table is |V|
+    // rows / |E| total longs and broadcasts under the footer gate
+    // (pairs per order ≤ C(7,2)=21 ⇒ |E| ≤ 21·|orders| — the pagerank
+    // discipline); past the cap it degrades to two shuffle joins of
+    // |E| rows each, still never the wedge stream.
+    val edgeBound = 21L * graft.Tables.footerRowCount(s, d, "orders")
+    val hint: DataFrame => DataFrame =
+      if (edgeBound <= 4000000L) broadcast else identity
+    val adj = o.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    val closed = o.select(col("src").as("u"), col("dst").as("v"))
+      .join(hint(adj.select(col("src").as("u"), col("nb").as("nu"))), "u")
+      // left: a dst with no out-edges has no adjacency row
+      .join(hint(adj.select(col("src").as("v"), col("nb").as("nv"))),
+        Seq("v"), "left")
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>"))).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // attribution: each triangle (u, v, w∈ws) increments all three
+    // nodes — u and v once per w, every w once; 3·#triangles rows total
+    closed.select(explode(concat(col("ws"),
+        array_repeat(col("u"), size(col("ws"))),
+        array_repeat(col("v"), size(col("ws"))))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("part"))
+      .limit(n)
+  }
+
+  val trianglesSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS c
+      |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p),
+      |tri AS (
+      |  SELECT e1.a AS u, e1.c AS v, e2.c AS w
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.c
+      |  JOIN e e3 ON e3.a = e1.a AND e3.c = e2.c),
+      |n AS (
+      |  SELECT u AS part FROM tri
+      |  UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri)
+      |SELECT part, CAST(COUNT(*) AS BIGINT) AS n_tri
+      |FROM n GROUP BY part
+      |ORDER BY n_tri DESC, part
+      |LIMIT 20""".stripMargin
+
   val pagerankSql: String = {
     val pre =
       """WITH li AS (SELECT l_partkey*2 AS p, l_suppkey*2+1 AS sup FROM lineitem),

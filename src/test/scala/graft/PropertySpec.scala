@@ -86,6 +86,34 @@ class PropertySpec extends AnyFunSuite {
       s"expected supplier-dominated head, got ${got.take(5)}")
   }
 
+  test("graph_triangles matches an id-ordered in-memory enumeration") {
+    import SparkTestSession._
+    // the Spark side enumerates via DEGREE orientation; the replay uses
+    // plain id order — the triangle set is orientation-invariant, so
+    // agreement here proves the oriented enumeration is exactly-once
+    val b = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = b.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val triNodes = adj.toSeq.flatMap { case (u, vs) =>
+      for {
+        i <- vs.indices; j <- i + 1 until vs.length
+        if edges.contains((vs(i), vs(j)))
+      } yield Seq(u, vs(i), vs(j))
+    }.flatten
+    val expected = triNodes.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = graft.operators.GraphOps.triangles(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected)
+    assert(got.head._2 >= got.last._2 && got.forall(_._2 > 0))
+  }
+
   test("fnv1a64 is deterministic and sensitive to any byte change") {
     check(Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
       Gen.choose(0, 1000)) { (bytes: List[Byte], at: Int) =>
