@@ -47,6 +47,7 @@ object SparkEntry {
     "corpus_domain_cap" -> ((s, d) => Corpus.domainCap(s, d)),
     "corpus_epochs" -> ((s, d) => Corpus.corpusEpochs(s, d)),
     "dedup_phrases" -> ((s, d) => TextAnalysis.phrases(s, d)),
+    "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "corpus_domain_cap" -> Corpus.domainCapSql,
     "corpus_epochs" -> Corpus.corpusEpochsSql,
     "dedup_phrases" -> TextAnalysis.phrasesSql,
+    "text_boilerplate" -> TextAnalysis.boilerplateScrubSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,

@@ -246,6 +246,74 @@ object TextAnalysis {
       |ORDER BY n_occurrences DESC, phrase
       |LIMIT 20""".stripMargin
 
+  /** C4-style boilerplate REMOVAL — the consumer of [[phrases]]'s
+    * mining (Raffel et al., JMLR'20 §2.2 deduplicate the C4 corpus at
+    * the span level): every word position covered by an occurrence of
+    * a 5-gram that appears in >= `minDf` DISTINCT documents is
+    * dropped, and each document is re-emitted scrubbed (doc_id,
+    * n_tokens, n_removed, scrubbed). Near-dup documents collapse to
+    * empty strings; unique prose survives untouched.
+    *
+    * Scale shape (100 TB): two linear passes over the token stream.
+    * Pass 1 aggregates document frequency over (phrase, doc_id) —
+    * Spark's single-distinct rewrite makes the partial dedup map-side,
+    * so only distinct (phrase, doc_id) pairs shuffle. The hot set is
+    * the df >= minDf tail of a Zipf distribution — tiny — so the
+    * pass-2 join is an AQE broadcast (not forced: past ~100M hot
+    * phrases it degrades to a shuffle join and still never widens the
+    * row). Covered positions are collect_set-ed per doc (bounded by
+    * doc length) and the rebuild is a lambda `filter` over the token
+    * array INSIDE the scan projection — the document's tokens never
+    * leave their row, there is no word-level reassembly shuffle.
+    */
+  def boilerplateScrub(s: SparkSession, d: String, n: Int = 5, minDf: Int = 3): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), words(col("text")).as("ws"))
+    val grams = docs.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => struct(i.as("i"), concat_ws(" ",
+          (0 until n).map(j => element_at(col("ws"), i + j)): _*).as("phrase"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.i").as("i"), col("g.phrase").as("phrase"))
+    val hot = grams.groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("phrase"))
+    val covered = grams.join(hot, "phrase")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        when(col("cov").isNull, concat_ws(" ", col("ws")))
+          .otherwise(concat_ws(" ", filter(col("ws"),
+            (w, idx) => !array_contains(col("cov"), idx + 1)))).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateScrubSql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS phrase
+      |  FROM (SELECT doc_id, ws, UNNEST(generate_series(1, len(ws) - 4)) AS i
+      |        FROM ws WHERE len(ws) >= 5)),
+      |hot AS (SELECT phrase
+      |        FROM (SELECT phrase, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY phrase)
+      |        WHERE df >= 3),
+      |cov AS (SELECT DISTINCT g.doc_id, g.i + o.o AS p
+      |        FROM g JOIN hot h USING (phrase)
+      |        CROSS JOIN (SELECT UNNEST(generate_series(0, 4)) AS o) o),
+      |tok AS (SELECT doc_id, UNNEST(ws) AS w, UNNEST(generate_series(1, len(ws))) AS p FROM ws)
+      |SELECT t.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(c.p) AS BIGINT) AS n_removed,
+      |  COALESCE(string_agg(CASE WHEN c.p IS NULL THEN t.w END, ' ' ORDER BY t.p), '') AS scrubbed
+      |FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Content fingerprints (md5-derived 64-bit hex). */
   def fingerprints(s: SparkSession, d: String): DataFrame =
     documents(s, d)

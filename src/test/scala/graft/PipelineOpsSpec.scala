@@ -672,4 +672,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a shifted shared span must produce at least one byte-identical " +
         "chunk in both documents — content-defined boundaries resynchronize")
   }
+
+  test("text_boilerplate: parity with an in-memory C4-style span scrub") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.toSeq.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      (0 to ws.length - 5).map(i => (id, i, ws.slice(i, i + 5).mkString(" ")))
+    }
+    val df = grams.map { case (id, _, p) => (p, id) }.distinct
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val hot = df.filter(_._2 >= 3).keySet
+    val covByDoc = grams.filter(g => hot(g._3))
+      .flatMap { case (id, i, _) => (i until i + 5).map(p => (id, p)) }
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = docs.toSeq.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val cov = covByDoc.getOrElse(id, Set.empty[Int])
+      val kept = ws.zipWithIndex.collect { case (w, i) if !cov(i) => w }
+      (id, ws.length.toLong, cov.size.toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    assert(expected.exists(_._3 > 0),
+      "fixture must exercise removal — near-dup docs share hot 5-grams")
+    val got = TextAnalysis.boilerplateScrub(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+  }
 }
