@@ -83,6 +83,7 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),
     "dedup_incremental" -> ((s, d) => Corpus.incremental(s, d)),
     "corpus_mix" -> ((s, d) => Corpus.corpusMix(s, d)),
+    "corpus_interleave" -> ((s, d) => Corpus.corpusInterleave(s, d)),
     "corpus_diff" -> ((s, d) => Corpus.corpusDiff(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.operators.GraphOps.triangles(s, d)),
@@ -179,6 +180,7 @@ object SparkEntry {
     "dedup_decontaminate" -> Corpus.decontaminateSql,
     "dedup_incremental" -> Corpus.incrementalSql,
     "corpus_mix" -> Corpus.corpusMixSql,
+    "corpus_interleave" -> Corpus.corpusInterleaveSql,
     "corpus_diff" -> Corpus.corpusDiffSql,
     "graph_pagerank" -> graft.operators.GraphOps.pagerankSql,
     "graph_triangles" -> graft.operators.GraphOps.trianglesSql,

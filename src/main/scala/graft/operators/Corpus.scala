@@ -297,6 +297,58 @@ object Corpus {
 
   // -------------------------------------------------------------- source mix
 
+  /** `corpus_interleave` — deterministic source-proportional TRAINING
+    * ORDER: corpus_mix decides HOW MANY docs each source contributes;
+    * this decides WHEN they are seen. Each source's docs are spread
+    * uniformly over the global order (fractional-position round-robin —
+    * the curriculum primitive behind "consume sources at fixed rates,
+    * not in blocks", cf. the data-ordering discussion in GPT-3/Pile-era
+    * training setups). The doc ranked rk of cnt in its source gets the
+    * integer midpoint key ((2·rk − 1) · 2^19) div cnt — exact integer
+    * arithmetic, no doubles cross the engine boundary; within-source
+    * order is the same hash-smallest-first rank corpus_mix uses.
+    *
+    * 100 TB: the rank/count windows partition by source (one shuffle on
+    * the source key, no global sort of the corpus); the global order is
+    * realized only for the k-row prefix via TakeOrdered, and the final
+    * row_number runs over those k rows. Past cnt > 2^20 per source,
+    * midpoint keys coalesce and the (source, src_rank) tie-break
+    * degrades the interleave granularity gracefully to ~cnt/2^20-doc
+    * micro-blocks while preserving per-source rank order.
+    */
+  def corpusInterleave(s: SparkSession, d: String, k: Int = 300): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(Curation.sampleRank, col("doc_id"))
+    val ordKey = Seq(col("k"), col("source"), col("src_rank"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("k", expr("((2 * src_rank - 1) * 524288) div cnt"))
+      .orderBy(ordKey: _*)
+      .limit(k)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(ordKey: _*)).cast("long"))
+      .select(col("pos"), col("doc_id"), col("source"), col("src_rank"))
+      .orderBy(col("pos"))
+  }
+
+  val corpusInterleaveSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS src_rank,
+      |    COUNT(*) OVER (PARTITION BY source) AS cnt
+      |  FROM documents),
+      |keyed AS (
+      |  SELECT doc_id, source, src_rank,
+      |    ((2 * src_rank - 1) * 524288) // cnt AS k
+      |  FROM ranked)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, source, src_rank) AS BIGINT) AS pos,
+      |  doc_id, source, src_rank
+      |FROM keyed
+      |ORDER BY pos
+      |LIMIT 300""".stripMargin
+
   /** `corpus_mix` — proportional source mixing: resample the gate-
     * passing corpus to a target size with per-source quotas
     * proportional to each source's passing count (the mixture-weights

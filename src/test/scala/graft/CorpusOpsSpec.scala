@@ -202,4 +202,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(rs.map(_._2).sorted.toSeq == (1 to rs.length))
     }
   }
+
+  test("corpus_interleave: parity with an in-memory fractional-position interleave") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(t: String): String = MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val keyed = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      val cnt = ds.length.toLong
+      ds.map(d => (d._1, md5hex(d._1.toString))).sortBy(x => (x._2, x._1))
+        .zipWithIndex.map { case ((id, _), i) =>
+          val rk = i + 1L
+          (((2 * rk - 1) * 524288L) / cnt, src, rk, id)
+        }
+    }
+    val expected = keyed.sortBy { case (key, src, rk, _) => (key, src, rk) }
+      .take(300).zipWithIndex
+      .map { case ((_, src, rk, id), i) => (i + 1L, id, src, rk) }
+    val got = Corpus.corpusInterleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // equal-size sources at sf0.001 => every prefix is balanced within 1
+    val counts = got.map(_._3).groupBy(identity).view.mapValues(_.size).values
+    assert(counts.max - counts.min <= 1,
+      "source-proportional pacing must keep per-source counts balanced")
+  }
 }
