@@ -645,4 +645,75 @@ object Corpus {
       |  CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
       |  CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------ dataset card
+
+  /** `corpus_card` — per-source dataset datasheet: the "Datasheets for
+    * Datasets" summary table every corpus release publishes — volume
+    * (docs, chars), language spread (distinct langs, dominant lang and
+    * its exact ppm share), and exact-duplicate pressure (docs whose
+    * content fingerprint repeats within the source). corpus_diff says
+    * what changed between releases; the card says what a release IS.
+    *
+    * 100 TB: three map-side-combined aggregates over the scan — the
+    * shuffles carry (source), (source, lang) and (source, 16-byte fp)
+    * keys, never text; every post-aggregation frame is O(sources) or
+    * O(sources·langs) and the final joins are broadcast-sized by
+    * construction. The dominant-lang pick is a per-source top-1
+    * window over the tiny (source, lang) frame with a (count desc,
+    * lang) total order, so ties are deterministic on both engines;
+    * the share is exact integer ppm (1e6·n DIV total — no doubles). */
+  def corpusCard(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val langCounts = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+    val wTop = Window.partitionBy(col("source"))
+      .orderBy(col("nl").desc, col("lang"))
+    val top = langCounts.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("nl"))
+    val dups = docs
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+        .as("n_dup_docs"))
+    base.join(top, "source").join(dups, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_langs"), col("top_lang"),
+        expr("1000000 * nl DIV n_docs").as("top_lang_ppm"),
+        col("n_dup_docs"))
+      .orderBy(col("source"))
+  }
+
+  val corpusCardSql: String =
+    """WITH base AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      |  FROM documents GROUP BY source),
+      |lc AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nl
+      |  FROM documents GROUP BY source, lang),
+      |top AS (
+      |  SELECT source, lang AS top_lang, nl FROM (
+      |    SELECT source, lang, nl,
+      |      ROW_NUMBER() OVER (PARTITION BY source
+      |        ORDER BY nl DESC, lang) AS rn
+      |    FROM lc) WHERE rn = 1),
+      |dups AS (
+      |  SELECT source,
+      |    CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+      |      AS n_dup_docs
+      |  FROM (SELECT source, md5(text) AS fp, COUNT(*) AS c
+      |        FROM documents GROUP BY source, md5(text))
+      |  GROUP BY source)
+      |SELECT b.source, n_docs, total_chars, n_langs, top_lang,
+      |  (1000000 * nl) // n_docs AS top_lang_ppm, n_dup_docs
+      |FROM base b JOIN top USING (source) JOIN dups USING (source)
+      |ORDER BY source""".stripMargin
 }

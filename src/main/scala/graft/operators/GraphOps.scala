@@ -208,6 +208,97 @@ object GraphOps {
       .limit(n)
   }
 
+  private val CcRounds = 8
+  private val StrongQty = 49
+
+  /** `graph_components` — connected components of the STRONG-edge
+    * part↔supplier graph (edges = distinct pairs carried by a
+    * l_quantity ≥ `StrongQty` lineitem): weak-edge pruning before
+    * clustering, the shape component analysis is actually used in
+    * (supplier communities, entity resolution after thresholding a
+    * similarity graph). The full graph is near-connected and says
+    * nothing; the strong subgraph fractures into real components.
+    *
+    * BOUNDED min-label propagation, `CcRounds` rounds exactly — no
+    * convergence detection, so the oracle replays the identical
+    * unrolled iterations and agrees whether or not the fixpoint was
+    * reached (on these graphs diameter ≪ 8, so labels ARE the true
+    * components; the bound is what makes the op a fixed-depth plan).
+    * This deliberately complements Dedup.connectedComponents (run-to-
+    * fixpoint, driver-side convergence agg per round): a fixed-round
+    * pass is the cheaper contract when the diameter is known small,
+    * and the one a SQL engine can replay.
+    *
+    * Scale: per round ONE shuffle of (dst, label) longs grouped by
+    * node — adjacency never moves; edges are pre-partitioned on dst
+    * once (the pagerank discipline) so every round's groupBy is
+    * exchange-free on the edge side, and the label frame broadcasts
+    * under the same footer-bound gate. Output is the component census
+    * (top 20 by size), not the labeling — bounded either way. */
+  def components(s: SparkSession, d: String, n: Int = 20): DataFrame = {
+    val li = lineitem(s, d).filter(col("l_quantity") >= StrongQty).select(
+      (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+    val pairs = li.distinct()
+    val (edges, _) = graft.Checkpoints.tracked(
+      pairs.select(col("p").as("src"), col("sup").as("dst"))
+        .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
+        .repartition(col("dst")))
+    val nodeBound = graft.Tables.footerRowCount(s, d, "part") +
+      graft.Tables.footerRowCount(s, d, "supplier")
+    val labelHint: DataFrame => DataFrame =
+      if (nodeBound <= 5000000L) broadcast else identity
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var releasePrev: () => Unit = () => ()
+    for (i <- 1 to CcRounds) {
+      val msgs = edges
+        .join(labelHint(labels.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), col("label"))
+      labels = labels.union(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+      if (i % 4 == 0 && i != CcRounds) {
+        val (cp, rel) = graft.Checkpoints.tracked(labels)
+        releasePrev()
+        labels = cp
+        releasePrev = rel
+      }
+    }
+    labels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") % 2 === 0, 1L).otherwise(0L)).as("n_parts"),
+        sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
+      .orderBy(col("n_nodes").desc, col("label"))
+      .limit(n)
+      .select(expr("label DIV 2").as("root_key"),
+        col("n_nodes"), col("n_parts"), col("n_suppliers"))
+  }
+
+  val componentsSql: String = {
+    val pre =
+      s"""WITH li AS (SELECT l_partkey*2 AS p, l_suppkey*2+1 AS sup
+         |           FROM lineitem WHERE l_quantity >= $StrongQty),
+         |edges AS (SELECT DISTINCT p AS src, sup AS dst FROM li
+         |          UNION SELECT DISTINCT sup AS src, p AS dst FROM li),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)""".stripMargin
+    val steps = (1 to CcRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, MIN(label) AS label FROM (
+         |    SELECT node, label FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, r.label
+         |    FROM edges e JOIN l${i - 1} r ON e.src = r.node)
+         |  GROUP BY node)""".stripMargin
+    }
+    s"""$pre,
+       |${steps.mkString(",\n")}
+       |SELECT label // 2 AS root_key, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
+       |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
+       |FROM l$CcRounds GROUP BY label
+       |ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin
+  }
+
   val trianglesSql: String =
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS (

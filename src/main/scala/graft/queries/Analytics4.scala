@@ -632,7 +632,127 @@ object Analytics4 {
       |ORDER BY n DESC, e.src, e.dst
       |LIMIT 20""".stripMargin
 
+  // ---- q55: peak concurrency (sweep line) ------------------------------
+  /** Max concurrent activity per event type — each event opens a
+    * half-open 5-minute interval [ts, ts+300 s) and the peak is the
+    * high-water mark of the +1/−1 sweep line, the classic
+    * interval-overlap counting shape (concurrent sessions, license
+    * seats, connection pools). Half-open semantics: an interval ending
+    * at t does not overlap one starting at t, so the −1 sorts BEFORE
+    * the +1 at equal instants (delta ascending); event_id completes a
+    * deterministic total order. The peak itself is order-invariant
+    * within a same-(t, delta) run — all deltas share a sign, so only
+    * the run's endpoint matters — but the pinned order means both
+    * engines walk identical prefixes.
+    *
+    * 100 TB: ONE shuffle keyed by event_type for the running-sum
+    * window; the sweep stream is 2 rows per event of three ints —
+    * never the payload. The per-type partition serializes a type's
+    * sweep on one task by design (a running max is sequential);
+    * at extreme per-type volume the remedy is pack_sequences' two-phase
+    * chunked prefix sum (per-chunk partials, then a broadcast offset
+    * join), which composes here because max(prefix) distributes over
+    * chunk maxima. */
+  def q55(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      unix_micros(col("ts")).as("t0"), col("event_id"))
+    val pts = ev.select(col("event_type"), col("t0").as("t"),
+        lit(1).as("delta"), col("event_id"))
+      .unionAll(ev.select(col("event_type"),
+        (col("t0") + lit(300000000L)).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"), col("delta"), col("event_id"))
+    pts.withColumn("conc", sum(col("delta")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("conc")).as("peak"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val q55Sql: String =
+    """WITH ev AS (SELECT event_type, epoch_us(ts) AS t0, event_id FROM events),
+      |pts AS (
+      |  SELECT event_type, t0 AS t, 1 AS delta, event_id FROM ev
+      |  UNION ALL
+      |  SELECT event_type, t0 + 300000000, -1, event_id FROM ev),
+      |run AS (
+      |  SELECT event_type, delta,
+      |    SUM(delta) OVER (PARTITION BY event_type
+      |      ORDER BY t, delta, event_id) AS conc
+      |  FROM pts)
+      |SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak,
+      |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+      |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q56: RFM segmentation ------------------------------------------
+  /** RFM customer segmentation — the classic marketing cube: per
+    * customer, Recency (days since last order, against the dataset's
+    * own max date so the query is reproducible), Frequency (order
+    * count) and Monetary (exact cents), each cut into quartiles, then
+    * the 4×4×4 segment census. Quartiles use ntile(4) under a total
+    * order (metric, custkey) so tie placement is identical on both
+    * engines; monetary accumulates as ROUND-cents BIGINT (the
+    * etl_histogram rule — floor(·100) is off-by-one on IEEE prices).
+    *
+    * Scale: the windows run over the CUSTOMER DIMENSION (post-
+    * aggregation — one row per customer), not facts; the three global
+    * ntile sorts are single-partition by nature. At a 1e9-customer
+    * scale the remedy is q35's two-phase quantile bucketing (exact
+    * boundary ranks computed distributively, then a broadcast range
+    * join); ntile is kept here because the oracle demands identical
+    * tie SPLITTING, which boundary bucketing intentionally relaxes. */
+  def q56(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val cust = o.groupBy(col("o_custkey")).agg(
+      max(col("o_orderdate")).as("last_dt"),
+      count(lit(1)).as("f"),
+      expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").as("m_cents"))
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor_dt"))
+    val rfm = cust.crossJoin(broadcast(anchor)).select(
+      col("o_custkey"),
+      datediff(col("anchor_dt").cast("date"), col("last_dt").cast("date"))
+        .as("r_days"),
+      col("f"), col("m_cents"))
+    val wr = Window.orderBy(col("r_days"), col("o_custkey"))
+    val wf = Window.orderBy(col("f").desc, col("o_custkey"))
+    val wm = Window.orderBy(col("m_cents").desc, col("o_custkey"))
+    rfm.select(col("o_custkey"),
+        ntile(4).over(wr).as("r_q"),
+        ntile(4).over(wf).as("f_q"),
+        ntile(4).over(wm).as("m_q"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        min(col("o_custkey")).as("sample_cust"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  val q56Sql: String =
+    """WITH cust AS (
+      |  SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+      |    CAST(COUNT(*) AS BIGINT) AS f,
+      |    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m_cents
+      |  FROM orders GROUP BY o_custkey),
+      |anchor AS (SELECT MAX(o_orderdate) AS anchor_dt FROM orders),
+      |rfm AS (
+      |  SELECT o_custkey,
+      |    date_diff('day', CAST(last_dt AS DATE), CAST(anchor_dt AS DATE)) AS r_days,
+      |    f, m_cents
+      |  FROM cust CROSS JOIN anchor),
+      |q AS (
+      |  SELECT o_custkey,
+      |    CAST(NTILE(4) OVER (ORDER BY r_days, o_custkey) AS INTEGER) AS r_q,
+      |    CAST(NTILE(4) OVER (ORDER BY f DESC, o_custkey) AS INTEGER) AS f_q,
+      |    CAST(NTILE(4) OVER (ORDER BY m_cents DESC, o_custkey) AS INTEGER) AS m_q
+      |  FROM rfm)
+      |SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  MIN(o_custkey) AS sample_cust
+      |FROM q GROUP BY r_q, f_q, m_q
+      |ORDER BY r_q, f_q, m_q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_concurrency" -> (q55 _),
+    "q56_rfm" -> (q56 _),
     "q54_transitions" -> (q54 _),
     "q53_market_basket" -> (q53 _),
     "q52_retention" -> (q52 _),
@@ -649,6 +769,8 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q55_concurrency" -> q55Sql,
+    "q56_rfm" -> q56Sql,
     "q54_transitions" -> q54Sql,
     "q53_market_basket" -> q53Sql,
     "q52_retention" -> q52Sql,

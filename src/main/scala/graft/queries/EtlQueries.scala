@@ -953,7 +953,161 @@ object EtlQueries {
       |   WHERE o_orderkey % 4 = 0) AS n_rows,
       |  true AS content_ok""".stripMargin
 
+  /** `etl_checks` — declarative data-quality constraint suite (the
+    * Deequ/Great-Expectations shape): domain, range, positivity,
+    * uniqueness and referential-integrity rules evaluated in bulk,
+    * one audit row per rule with exact violation counts and a pass
+    * verdict. NULL discipline: every rule is a "passes" predicate and
+    * a NULL predicate is a violation (COALESCE(pred, false)) — a null
+    * price must fail "price > 0", not silently skip it.
+    *
+    * Plan shape: ONE conditional-aggregate pass per table evaluates
+    * all of that table's row-local rules simultaneously (map-side
+    * combined, 1 row leaves each scan — the etl_forget audit idiom);
+    * table row totals come from parquet FOOTERS (no extra job).
+    * Uniqueness is the one rule that needs a shuffle (two-phase
+    * count-distinct on the key column only) and referential integrity
+    * is a keys-only anti-join per FK edge — at 100 TB nothing wider
+    * than a key column ever moves, and the whole suite is 2 scans +
+    * 2 key joins regardless of how many row-local rules are added. */
+  def checks(s: SparkSession, d: String): DataFrame = {
+    import graft.Tables.footerRowCount
+    def viol(pass: Column): Column =
+      sum(when(coalesce(pass, lit(false)), 0L).otherwise(1L))
+    val li = Tables.lineitem(s, d).agg(
+      viol(col("l_quantity").between(1, 50)).as("v_qty"),
+      viol(col("l_extendedprice") > 0).as("v_price"),
+      viol(col("l_discount") >= 0 && col("l_discount") < 1).as("v_disc"),
+      viol(col("l_returnflag").isin("A", "N", "R")).as("v_flag"))
+      .withColumn("n", lit(footerRowCount(s, d, "lineitem")))
+      .selectExpr("""stack(4,
+        'quantity_in_1_50',    n, v_qty,
+        'price_positive',      n, v_price,
+        'discount_in_0_1',     n, v_disc,
+        'returnflag_domain',   n, v_flag) AS (check_name, n_rows, n_violations)""")
+      .withColumn("tbl", lit("lineitem"))
+    val ord = Tables.orders(s, d).agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+      viol(col("o_totalprice") > 0).as("v_price"),
+      viol(col("o_orderstatus").isin("O", "F", "P")).as("v_status"))
+      .withColumn("n", lit(footerRowCount(s, d, "orders")))
+      .selectExpr("""stack(3,
+        'orderkey_unique',     n, v_uniq,
+        'totalprice_positive', n, v_price,
+        'orderstatus_domain',  n, v_status) AS (check_name, n_rows, n_violations)""")
+      .withColumn("tbl", lit("orders"))
+    def fkOrphans(name: String, tbl: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame =
+      fact.select(col(fk))
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"),
+          lit(footerRowCount(s, d, tbl)).as("n_rows"),
+          col("n_violations"), lit(tbl).as("tbl"))
+    val fks =
+      fkOrphans("orderkey_fk", "lineitem", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(fkOrphans("custkey_fk", "orders", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"))
+    li.unionByName(ord).unionByName(fks)
+      .select(col("tbl"), col("check_name"), col("n_rows"),
+        col("n_violations"), (col("n_violations") === 0).as("passed"))
+      .orderBy(col("tbl"), col("check_name"))
+  }
+
+  val checksSql: String =
+    """WITH li AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 50, false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice > 0, false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount < 1, false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(l_returnflag IN ('A','N','R'), false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+      |  FROM lineitem),
+      |ord AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+      |    CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), false)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_status
+      |  FROM orders),
+      |fk1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM lineitem l
+      |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderkey IS NULL),
+      |fk2 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+      |  LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL),
+      |rows_ AS (
+      |  SELECT 'lineitem' AS tbl, 'quantity_in_1_50' AS check_name,
+      |    n AS n_rows, v_qty AS n_violations FROM li
+      |  UNION ALL SELECT 'lineitem', 'price_positive', n, v_price FROM li
+      |  UNION ALL SELECT 'lineitem', 'discount_in_0_1', n, v_disc FROM li
+      |  UNION ALL SELECT 'lineitem', 'returnflag_domain', n, v_flag FROM li
+      |  UNION ALL SELECT 'orders', 'orderkey_unique', n, v_uniq FROM ord
+      |  UNION ALL SELECT 'orders', 'totalprice_positive', n, v_price FROM ord
+      |  UNION ALL SELECT 'orders', 'orderstatus_domain', n, v_status FROM ord
+      |  UNION ALL SELECT 'lineitem', 'orderkey_fk',
+      |    (SELECT n FROM li), v FROM fk1
+      |  UNION ALL SELECT 'orders', 'custkey_fk',
+      |    (SELECT n FROM ord), v FROM fk2)
+      |SELECT tbl, check_name, n_rows, n_violations,
+      |  n_violations = 0 AS passed
+      |FROM rows_ ORDER BY tbl, check_name""".stripMargin
+
+  /** `etl_retention` — TTL retention-policy sweep (the data-lifecycle
+    * twin of etl_forget: time-based instead of subject-based): events
+    * older than a 30-day window behind the dataset's own high
+    * watermark are marked expired, per event_type, with exact
+    * expired-key checksums proving WHICH rows the policy selected and
+    * the oldest surviving day proving the window held. The physical
+    * delete is etl_merge's partition-scoped CoW / etl_compact's
+    * rewrite; this is the policy resolution + audit a retention job
+    * runs first and re-runs after, expecting zero expired.
+    *
+    * 100 TB: the cutoff is a 1-row broadcast; the sweep is ONE
+    * map-side-combined pass over events (keys and day-grains only —
+    * in a date-partitioned warehouse the `< cutoff` predicate prunes
+    * to expired partitions and the audit reads footers, the same
+    * degenerate-to-metadata behavior etl_partition_prune pins). */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val cut = ev.agg(date_sub(max(col("ts")).cast("date"), 30).as("cutoff"))
+    val expired = col("ts").cast("date") < col("cutoff")
+    ev.crossJoin(broadcast(cut))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(expired, 1L).otherwise(0L)).as("n_expired"),
+        sum(when(expired, 0L).otherwise(1L)).as("n_kept"),
+        coalesce(sum(when(expired, col("event_id"))), lit(0L))
+          .as("expired_key_sum"),
+        date_format(min(when(!expired, col("ts").cast("date"))), "yyyy-MM-dd")
+          .as("oldest_kept_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val retentionSql: String =
+    """WITH cut AS (SELECT CAST(MAX(ts) AS DATE) - 30 AS cutoff FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < cutoff THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_expired,
+      |  CAST(SUM(CASE WHEN CAST(ts AS DATE) < cutoff THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(COALESCE(SUM(CASE WHEN CAST(ts AS DATE) < cutoff
+      |    THEN event_id END), 0) AS BIGINT) AS expired_key_sum,
+      |  strftime(MIN(CASE WHEN CAST(ts AS DATE) >= cutoff
+      |    THEN CAST(ts AS DATE) END), '%Y-%m-%d') AS oldest_kept_day
+      |FROM events CROSS JOIN cut
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_checks" -> (checks _),
+    "etl_retention" -> (retention _),
     "etl_compact" -> (compactAudit _),
     "etl_histogram" -> ((s: SparkSession, d: String) => histogram(s, d)),
     "etl_forget" -> (forget _),
@@ -972,6 +1126,8 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_checks" -> checksSql,
+    "etl_retention" -> retentionSql,
     "etl_compact" -> compactAuditSql,
     "etl_histogram" -> histogramSql,
     "etl_forget" -> forgetSql,
