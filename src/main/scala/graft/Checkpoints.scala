@@ -56,6 +56,25 @@ object Checkpoints {
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
   }
 
+  /** [[tracked]] with NO audit passthrough — for iterative loops whose
+    * per-round plan references its predecessor more than once (the
+    * pointer-jump self-join in [[operators.GraphOps.components]]:
+    * labels_prev appears 4× per round, so un-truncated lineage grows
+    * 4^rounds and the driver OOMs ANALYZING the plan long before any
+    * work runs — observed under PlanAudit at 16 rounds). The loop's
+    * interior is repetitive by construction; auditing through one
+    * window between checkpoints (the passthrough-able [[tracked]]
+    * frames feeding the loop stay transparent) shows everything the
+    * remaining rounds would. */
+  def trackedAlways[T](ds: Dataset[T]): (Dataset[T], () => Unit) = {
+    val sc = ds.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = ds.localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet -- before
+    (cp, () => added.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+  }
+
   /** Run `action` and release every RDD it left persisted — the
     * harness-side sweep. Safe because graft has no cross-query
     * memoized DataFrames: every query invocation constructs (and pins)

@@ -87,7 +87,15 @@ object ScaleUp {
     // r9: the exact graph op — at ×R the footer gate flips the
     // adjacency broadcast to the shuffle fallback, so the sweep
     // exercises the degraded path
-    "graph_triangles")
+    "graph_triangles",
+    // late-r9 second block: the sweep-line window (events grow ×R),
+    // the customer-dimension quartile windows over a ×R fact scan,
+    // the bulk constraint suite (2 scans + 2 key joins regardless of
+    // rule count), the TTL policy sweep, bounded-round CC with jump
+    // (×R lineitems densify the strong graph — saturating distinct
+    // pairs, fixed 16 rounds), and the per-source datasheet
+    "q55_concurrency", "q56_rfm", "etl_checks", "etl_retention",
+    "graph_components", "corpus_card")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

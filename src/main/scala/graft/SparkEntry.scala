@@ -87,6 +87,8 @@ object SparkEntry {
     "corpus_diff" -> ((s, d) => Corpus.corpusDiff(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.operators.GraphOps.triangles(s, d)),
+    "graph_components" -> ((s, d) => graft.operators.GraphOps.components(s, d)),
+    "corpus_card" -> ((s, d) => Corpus.corpusCard(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "text_repetition" -> ((s, d) => Curation.repetition(s, d)),
@@ -184,6 +186,8 @@ object SparkEntry {
     "corpus_diff" -> Corpus.corpusDiffSql,
     "graph_pagerank" -> graft.operators.GraphOps.pagerankSql,
     "graph_triangles" -> graft.operators.GraphOps.trianglesSql,
+    "graph_components" -> graft.operators.GraphOps.componentsSql,
+    "corpus_card" -> Corpus.corpusCardSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "text_repetition" -> Curation.repetitionSql,

@@ -54,7 +54,10 @@ object AnnIndex {
     * defaults so the stored index answers the same queries. */
   val M = 16
   val Ksub = 16
-  val Nprobe = 2
+  /** Shared with the inline pipelines — serving must answer the exact
+    * same top-k (see [[Similarity.Nprobe]] for the measured recall
+    * rationale behind the value). */
+  val Nprobe: Int = Similarity.Nprobe
   private val FormatVersion = 1
 
   private def root: String =
@@ -525,7 +528,7 @@ object AnnIndex {
   val forgetSql: String = {
     import Similarity.{cosOf, ivfpqCtes}
     s"""$ivfpqCtes,
-       |cand50_pre AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT 50),
+       |cand50_pre AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT ${Similarity.RerankC}),
        |pre AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50_pre USING (vec_id)
@@ -534,7 +537,7 @@ object AnnIndex {
        |res AS (SELECT vec_id % 10 AS r FROM pre ORDER BY cos DESC, vec_id LIMIT 1),
        |cand50_post AS (
        |  SELECT vec_id FROM adcq WHERE vec_id % 10 <> (SELECT r FROM res)
-       |  ORDER BY adc_dist2, vec_id LIMIT 50),
+       |  ORDER BY adc_dist2, vec_id LIMIT ${Similarity.RerankC}),
        |post AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50_post USING (vec_id)
@@ -645,7 +648,7 @@ object AnnIndex {
     s"""$ivfpqCtes,
        |cand50c AS (
        |  SELECT vec_id FROM adcq WHERE vec_id % 10 <> 3
-       |  ORDER BY adc_dist2, vec_id LIMIT 50),
+       |  ORDER BY adc_dist2, vec_id LIMIT ${Similarity.RerankC}),
        |t1 AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50c USING (vec_id)
@@ -768,7 +771,7 @@ object AnnIndex {
     * re-rank ([[Similarity.exactRerank]] — same expression as the
     * exact baseline, candidates fetched by id, never a scan). */
   def pqRerankQuery(s: SparkSession, d: String, queryId: Long = 0L,
-      k: Int = 10, c: Int = 50): DataFrame =
+      k: Int = 10, c: Int = Similarity.RerankC): DataFrame =
     Similarity.exactRerank(s, d, queryId, k,
       pqQuery(s, d, queryId, k = c).select(col("vec_id")))
 
@@ -777,11 +780,11 @@ object AnnIndex {
     * ADC-rank, exact re-rank of the top-c. Same top-k as the inline
     * [[Similarity.ivfpqRerank]]; oracle reuses ivfpqRerankSql. */
   def ivfpqRerankQuery(s: SparkSession, d: String, queryId: Long = 0L,
-      k: Int = 10, c: Int = 50): DataFrame =
+      k: Int = 10, c: Int = Similarity.RerankC): DataFrame =
     ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k, c)
 
   private[graft] def ivfpqRerankQueryAt(s: SparkSession, d: String,
-      dir: String, queryId: Long, k: Int, c: Int = 50): DataFrame =
+      dir: String, queryId: Long, k: Int, c: Int = Similarity.RerankC): DataFrame =
     Similarity.exactRerank(s, d, queryId, k,
       ivfpqQueryAt(s, d, dir, queryId, k = c).select(col("vec_id")))
 
@@ -803,7 +806,7 @@ object AnnIndex {
     * ann_filtered's shape so exact-scan and index-served answers are
     * directly comparable. */
   def filteredIndexQuery(s: SparkSession, d: String, queryId: Long = 0L,
-      k: Int = 10, c: Int = 50): DataFrame = {
+      k: Int = 10, c: Int = Similarity.RerankC): DataFrame = {
     val dir = ensure(s, d)
     val ids = graft.Tables.embeddings(s, d)
       .filter(col("label") % 2 === 0).select(col("vec_id"))
@@ -827,7 +830,7 @@ object AnnIndex {
        |  SELECT a.vec_id FROM adcq a
        |  JOIN embeddings em ON a.vec_id = em.vec_id
        |  WHERE em.label % 2 = 0
-       |  ORDER BY a.adc_dist2, a.vec_id LIMIT 50),
+       |  ORDER BY a.adc_dist2, a.vec_id LIMIT ${Similarity.RerankC}),
        |rr AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50f USING (vec_id)
@@ -873,7 +876,7 @@ object AnnIndex {
     * pipeline (training CTEs shared with [[statsSql]]/ivfpq), exact
     * because every stage is the same quantised expression sequence. */
   def knnJoin(s: SparkSession, d: String, nq: Long = 5L, k: Int = 5,
-      c: Int = 50): DataFrame = {
+      c: Int = Similarity.RerankC): DataFrame = {
     import graft.functions.VectorFunctions.{dotD, norm2}
     val cents = coarseDf(s, d)
     val cb = codebookDf(s, d)
@@ -980,7 +983,7 @@ object AnnIndex {
        |      ROW_NUMBER() OVER (PARTITION BY q_id
        |        ORDER BY adc_dist2, vec_id) AS rn
        |    FROM adcq)
-       |  WHERE rn <= 50),
+       |  WHERE rn <= ${Similarity.RerankC}),
        |rer AS (
        |  SELECT k.q_id, k.vec_id, ${cosOf("e.embedding", "q.embedding")} AS cos
        |  FROM candk k

@@ -208,36 +208,46 @@ object GraphOps {
       .limit(n)
   }
 
-  private val CcRounds = 8
-  private val StrongQty = 49
+  private val CcRounds = 16
+  private val StrongQty = 50
 
   /** `graph_components` — connected components of the STRONG-edge
     * part↔supplier graph (edges = distinct pairs carried by a
-    * l_quantity ≥ `StrongQty` lineitem): weak-edge pruning before
-    * clustering, the shape component analysis is actually used in
-    * (supplier communities, entity resolution after thresholding a
-    * similarity graph). The full graph is near-connected and says
-    * nothing; the strong subgraph fractures into real components.
+    * max-quantity RETURNED lineitem, `l_quantity ≥ 50 ∧
+    * l_returnflag = 'R'`): weak-edge pruning before clustering, the
+    * shape component analysis is actually used in (supplier
+    * communities, entity resolution after thresholding a similarity
+    * graph). The full graph is near-connected and says nothing; the
+    * strong subgraph fractures into real components (7 / 59 / 586 at
+    * the three SFs — measured, and spec-pinned against union-find).
     *
-    * BOUNDED min-label propagation, `CcRounds` rounds exactly — no
-    * convergence detection, so the oracle replays the identical
-    * unrolled iterations and agrees whether or not the fixpoint was
-    * reached (on these graphs diameter ≪ 8, so labels ARE the true
-    * components; the bound is what makes the op a fixed-depth plan).
+    * BOUNDED min-label propagation WITH POINTER JUMPING, `CcRounds`
+    * rounds exactly — each round propagates the min label one hop
+    * (min over self + in-neighbors) and then shortcuts label chains
+    * (label ← label(label), the Shiloach-Vishkin halving step), which
+    * cuts rounds-to-fixpoint from ecc(min node) to well below it
+    * (measured 17 → 13 at sf0.1). No convergence detection: the
+    * oracle replays the identical unrolled rounds and agrees whether
+    * or not the fixpoint was reached; 16 rounds covers the measured
+    * 13-round fixpoint with margin, and the spec asserts the census
+    * EQUALS union-find truth, so under-merging cannot ship silently.
     * This deliberately complements Dedup.connectedComponents (run-to-
     * fixpoint, driver-side convergence agg per round): a fixed-round
-    * pass is the cheaper contract when the diameter is known small,
-    * and the one a SQL engine can replay.
+    * pass is the cheaper contract when the depth budget is known, and
+    * the one a SQL engine can replay.
     *
-    * Scale: per round ONE shuffle of (dst, label) longs grouped by
-    * node — adjacency never moves; edges are pre-partitioned on dst
-    * once (the pagerank discipline) so every round's groupBy is
-    * exchange-free on the edge side, and the label frame broadcasts
-    * under the same footer-bound gate. Output is the component census
-    * (top 20 by size), not the labeling — bounded either way. */
+    * Scale: per round one shuffle of (node, label) longs for the
+    * propagate groupBy plus one label-keyed self-join for the jump —
+    * adjacency never moves; edges are pre-partitioned on dst once
+    * (the pagerank discipline) so every round's edge side is
+    * exchange-free, and the label frame broadcasts under the same
+    * footer-bound gate. Output is the component census (top 20 by
+    * size), not the labeling — bounded either way. */
   def components(s: SparkSession, d: String, n: Int = 20): DataFrame = {
-    val li = lineitem(s, d).filter(col("l_quantity") >= StrongQty).select(
-      (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
+    val li = lineitem(s, d)
+      .filter(col("l_quantity") >= StrongQty && col("l_returnflag") === "R")
+      .select(
+        (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
     val pairs = li.distinct()
     val (edges, _) = graft.Checkpoints.tracked(
       pairs.select(col("p").as("src"), col("sup").as("dst"))
@@ -254,10 +264,20 @@ object GraphOps {
       val msgs = edges
         .join(labelHint(labels.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node"), col("label"))
-      labels = labels.union(msgs)
+      val prop = labels.union(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
+      // pointer jump: every label value is itself a node id present in
+      // prop (inductively: initials are node ids, min/jump preserve the
+      // value set), so the inner join keeps all |V| rows
+      labels = prop.as("a")
+        .join(labelHint(prop.as("b")), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
       if (i % 4 == 0 && i != CcRounds) {
-        val (cp, rel) = graft.Checkpoints.tracked(labels)
+        // trackedAlways, not tracked: the jump self-join references
+        // labels 4× per round, so lineage grows 4^rounds without
+        // truncation — under the audit passthrough the plan itself
+        // OOMs the driver (see Checkpoints.trackedAlways)
+        val (cp, rel) = graft.Checkpoints.trackedAlways(labels)
         releasePrev()
         labels = cp
         releasePrev = rel
@@ -270,29 +290,44 @@ object GraphOps {
         sum(when(col("node") % 2 === 1, 1L).otherwise(0L)).as("n_suppliers"))
       .orderBy(col("n_nodes").desc, col("label"))
       .limit(n)
-      .select(expr("label DIV 2").as("root_key"),
+      .select(
+        when(col("label") % 2 === 0, lit("part")).otherwise(lit("supplier"))
+          .as("root_kind"),
+        expr("label DIV 2").as("root_key"),
         col("n_nodes"), col("n_parts"), col("n_suppliers"))
   }
 
   val componentsSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references the prior
+    // CTE twice (propagate) and its own propagate CTE twice (jump) —
+    // left to inlining, 16 rounds expand the base scan ~2^16× and
+    // DuckDB dies on open file handles before it dies on work
     val pre =
-      s"""WITH li AS (SELECT l_partkey*2 AS p, l_suppkey*2+1 AS sup
-         |           FROM lineitem WHERE l_quantity >= $StrongQty),
-         |edges AS (SELECT DISTINCT p AS src, sup AS dst FROM li
-         |          UNION SELECT DISTINCT sup AS src, p AS dst FROM li),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)""".stripMargin
+      s"""WITH li AS MATERIALIZED (
+         |  SELECT l_partkey*2 AS p, l_suppkey*2+1 AS sup
+         |  FROM lineitem
+         |  WHERE l_quantity >= $StrongQty AND l_returnflag = 'R'),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT p AS src, sup AS dst FROM li
+         |  UNION SELECT DISTINCT sup AS src, p AS dst FROM li),
+         |l0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS node, src AS label FROM edges)""".stripMargin
     val steps = (1 to CcRounds).map { i =>
-      s"""l$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT node, MIN(label) AS label FROM (
          |    SELECT node, label FROM l${i - 1}
          |    UNION ALL
          |    SELECT e.dst AS node, r.label
          |    FROM edges e JOIN l${i - 1} r ON e.src = r.node)
-         |  GROUP BY node)""".stripMargin
+         |  GROUP BY node),
+         |l$i AS MATERIALIZED (
+         |  SELECT a.node, b.label FROM p$i a JOIN p$i b ON a.label = b.node)""".stripMargin
     }
     s"""$pre,
        |${steps.mkString(",\n")}
-       |SELECT label // 2 AS root_key, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |SELECT CASE WHEN label % 2 = 0 THEN 'part' ELSE 'supplier' END
+       |    AS root_kind,
+       |  label // 2 AS root_key, CAST(COUNT(*) AS BIGINT) AS n_nodes,
        |  CAST(SUM(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parts,
        |  CAST(SUM(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers
        |FROM l$CcRounds GROUP BY label

@@ -18,6 +18,31 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Probe-cell count for the IVF family (inline ivf/ivfpq AND the
+    * persisted-index serving paths, which must answer identically —
+    * AnnIndexSpec pins served == inline). nprobe is THE recall/cost
+    * knob of cell-partitioned ANN: measured on this corpus, the
+    * recall@5 CEILING (fraction of exact top-k landing in probed
+    * cells — ADC + exact rerank lose nothing further, the Verify
+    * probes showed measured recall == ceiling) moves 0.52 → 0.68 mean
+    * over the 5-query batch going 2 → 4, at 2× probed-cell code scan
+    * (cells ∝ n/50, so the scan stays a ~4·50/n fraction of the
+    * corpus at any scale). Lloyd-refining the coarse centroids was
+    * measured too (+0.0-0.12 at nprobe 4) and rejected: it buys less
+    * than the probe bump and costs a full-dim quantised-mean oracle
+    * replay. */
+  val Nprobe = 4
+
+  /** Exact-rerank shortlist depth for the *_rerank family and the
+    * index serving paths. Sized WITH Nprobe: widening the probe set
+    * 2 → 4 doubles the ADC candidate pool, and a fixed top-50 ADC
+    * shortlist then admits more ADC-favored impostors — measured
+    * single-query recall@10 DROPPED 0.80 → 0.70 on the nprobe bump
+    * alone; c = 100 restores the shortlist's share of the pool. The
+    * exact rerank stage costs c broadcast point-fetches per query, so
+    * doubling it is noise next to the probed-cell code scan. */
+  val RerankC = 100
+
   /** (vec_id, cos) of every OTHER vector vs the query vector — the
     * shared narrow scoring pass behind [[bruteForce]] (top-k) and
     * [[rangeSearch]] (radius): one broadcast of the single query row,
@@ -398,7 +423,7 @@ object Similarity {
     * both argmax tie-breaks are deterministic, so [[ivfSql]] replays
     * the whole plan. */
   def ivf(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = Nprobe): DataFrame = {
     // norms precomputed ONCE per vector/centroid: inlining cosine()
     // into the n×(n/50) assignment stage would re-fold each vector's
     // own norm per centroid (3× the flops of the dominant stage).
@@ -449,7 +474,7 @@ object Similarity {
        |    SELECT c.c_id, q.q_emb, ${cosOf("q.q_emb", "c.c_emb")} AS c_cos
        |    FROM (SELECT embedding AS q_emb FROM assigned WHERE vec_id = 0) q
        |    CROSS JOIN cents c)
-       |  ORDER BY c_cos DESC, c_id LIMIT 2)
+       |  ORDER BY c_cos DESC, c_id LIMIT $Nprobe)
        |SELECT a.vec_id, a.cell, ${cosOf("a.embedding", "q.q_emb")} AS cos
        |FROM assigned a JOIN qcells q ON a.cell = q.probe_cell AND a.vec_id <> 0
        |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
@@ -634,7 +659,7 @@ object Similarity {
     * (vec_id % 50), seeded codebook, floor-quantised Lloyd means and
     * ADC totals, float ops mirrored exactly in [[ivfpqSql]]. */
   def ivfpq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      nprobe: Int = 2, m: Int = 16, ksub: Int = 16): DataFrame = {
+      nprobe: Int = Nprobe, m: Int = 16, ksub: Int = 16): DataFrame = {
     val e = normalizedEmb(s, d)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
@@ -701,7 +726,7 @@ object Similarity {
     * ships codes only. Oracle replays the ADC CTE chain (shared
     * verbatim with [[pqSql]] via pqCtes) + the bruteForce cosine fold. */
   def pqRerank(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      c: Int = 50): DataFrame =
+      c: Int = RerankC): DataFrame =
     exactRerank(s, d, queryId, k, pq(s, d, queryId, k = c).select(col("vec_id")))
 
   /** `ann_ivfpq_rerank` — the COMPLETE production pipeline: IVF cells
@@ -712,7 +737,7 @@ object Similarity {
     * production trade-off the nprobe knob tunes. Oracle shares the
     * full IVF+PQ CTE chain with [[ivfpqSql]] (ivfpqCtes). */
   def ivfpqRerank(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
-      c: Int = 50): DataFrame =
+      c: Int = RerankC): DataFrame =
     exactRerank(s, d, queryId, k, ivfpq(s, d, queryId, k = c).select(col("vec_id")))
 
   /** Shared exact re-rank stage: score `cand` (a small vec_id list)
@@ -812,7 +837,7 @@ object Similarity {
 
   val pqRerankSql: String =
     s"""$pqCtes,
-       |cand AS (SELECT vec_id FROM adc ORDER BY adc_dist2, vec_id LIMIT 50)
+       |cand AS (SELECT vec_id FROM adc ORDER BY adc_dist2, vec_id LIMIT $RerankC)
        |SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |FROM embeddings e
        |JOIN cand USING (vec_id)
@@ -825,7 +850,7 @@ object Similarity {
     * [[pqSql]] codebook CTEs rank only the candidates. Shared by
     * [[ivfpqSql]] and [[ivfpqRerankSql]]. */
   private[operators] val ivfpqCtes: String = {
-    val nprobe = 2
+    val nprobe = Nprobe
     s"WITH $PqEnCte,\n$PqCents0Cte,\n" +
     s"""assigned AS (
        |  SELECT vec_id, embedding, c_id AS cell FROM (
@@ -869,7 +894,7 @@ object Similarity {
 
   val ivfpqRerankSql: String =
     s"""$ivfpqCtes,
-       |cand50 AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT 50)
+       |cand50 AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT $RerankC)
        |SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |FROM embeddings e
        |JOIN cand50 USING (vec_id)

@@ -233,6 +233,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall(r => r._4 > 0.0 && r._4 <= 1.0))
   }
 
+  test("q55 peak concurrency equals a sequential sweep-line replay") {
+    import org.apache.spark.sql.functions._
+    val evs = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).toSeq.map { case (tpe, es) =>
+      val pts = es.flatMap { case (_, t0, id) =>
+        Seq((t0, 1, id), (t0 + 300000000L, -1, id)) }
+        .sortBy { case (t, dlt, id) => (t, dlt, id) }
+      var cur = 0L; var peak = Long.MinValue
+      pts.foreach { p => cur += p._2; if (cur > peak) peak = cur }
+      (tpe, peak, es.length.toLong)
+    }.sortBy(_._1)
+    val got = queries.Analytics4.q55(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // peak is bounded by the type's event count and is at least 1
+    assert(got.forall(r => r._2 >= 1 && r._2 <= r._3))
+  }
+
+  test("q56 RFM census equals an in-memory quartile replay") {
+    import org.apache.spark.sql.functions._
+    val cust = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+      .groupBy(_._1).toSeq.map { case (ck, os) =>
+        (ck, os.map(_._2).max, os.length.toLong, os.map(_._3).sum)
+      }
+    val anchor = cust.map(_._2).max
+    // ntile(4): first (n mod 4) buckets get ceil(n/4) rows, rest floor
+    def ntile4[A](xs: Seq[A]): Map[A, Int] = {
+      val n = xs.length; val base = n / 4; val extra = n % 4
+      val bounds = (1 to 4).scanLeft(0) { (acc, b) =>
+        acc + base + (if (b <= extra) 1 else 0) }
+      xs.zipWithIndex.map { case (x, i) =>
+        x -> (bounds.indexWhere(_ > i))
+      }.toMap
+    }
+    val rq = ntile4(cust.sortBy { case (ck, last, _, _) =>
+      (java.time.temporal.ChronoUnit.DAYS.between(last, anchor), ck) }.map(_._1))
+    val fq = ntile4(cust.sortBy { case (ck, _, f, _) => (-f, ck) }.map(_._1))
+    val mq = ntile4(cust.sortBy { case (ck, _, _, m) => (-m, ck) }.map(_._1))
+    val expected = cust.map(c => (rq(c._1), fq(c._1), mq(c._1), c._1))
+      .groupBy(t => (t._1, t._2, t._3)).toSeq
+      .map { case ((r, f, m), cs) => (r, f, m, cs.size.toLong, cs.map(_._4).min) }
+      .sortBy(t => (t._1, t._2, t._3))
+    val got = queries.Analytics4.q56(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+    // every customer lands in exactly one segment
+    assert(got.map(_._4).sum == cust.length.toLong)
+  }
+
   test("q24 as-of join: clicked_at is never after the purchase") {
     import org.apache.spark.sql.functions._
     val bad = queries.Analytics2.q24(spark, sf)

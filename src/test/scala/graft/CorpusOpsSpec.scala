@@ -203,6 +203,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_card: parity with an in-memory datasheet recompute") {
+    val rows = Tables.documents(spark, sf)
+      .select("source", "lang", "n_chars", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val expected = rows.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val nDocs = ds.length.toLong
+      val langs = ds.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val (topLang, nl) = langs.sortBy { case (l, n) => (-n, l) }.head
+      val nDup = ds.groupBy(_._4).values
+        .collect { case g if g.size > 1 => g.size.toLong }.sum
+      (src, nDocs, ds.map(_._3).sum, langs.length.toLong, topLang,
+        1000000L * nl / nDocs, nDup)
+    }.sortBy(_._1)
+    val got = Corpus.corpusCard(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+    // the dominant-language share is a valid ppm and langs ≥ 1
+    assert(got.forall(c => c._6 > 0 && c._6 <= 1000000L && c._4 >= 1))
+  }
+
   test("corpus_interleave: parity with an in-memory fractional-position interleave") {
     val docs = Tables.documents(spark, sf).select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))

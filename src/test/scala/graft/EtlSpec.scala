@@ -725,4 +725,45 @@ class EtlSpec extends AnyFunSuite {
       ((dropEv.length.toLong, (ev.length - dropEv.length).toLong,
         dropEv.map(_._1).sum)))
   }
+
+  test("etl_checks: clean data passes all rules; injected violations count exactly") {
+    val clean = graft.queries.EtlQueries.checks(spark, sf).collect()
+    assert(clean.length == 9)
+    assert(clean.forall(_.getBoolean(4)), "testdata must pass every rule")
+
+    // synthetic warehouse with one violation of every kind, including a
+    // NULL predicate (which must COUNT as a violation, not skip)
+    val d = tmpDir("graft_checks")
+    import spark.implicits._
+    Seq(
+      (1L, Option(10.0), 5.0, 0.05, "N"),  // clean
+      (1L, Option(0.0), 5.0, 0.05, "A"),   // qty out of [1, 50]
+      (1L, Option(10.0), -1.0, 0.05, "R"), // non-positive price
+      (1L, Option(10.0), 5.0, 1.5, "N"),   // discount out of [0, 1)
+      (1L, Option(10.0), 5.0, 0.05, "X"),  // returnflag outside domain
+      (9L, Option.empty[Double], 5.0, 0.05, "N")) // NULL qty; orphan FK
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq(
+      (1L, 1L, "O", 10.0),
+      (1L, 1L, "F", 10.0),  // duplicate o_orderkey
+      (2L, 7L, "Z", -5.0))  // bad status + bad price + orphan custkey
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .write.parquet(s"$d/orders.parquet")
+    Seq(Tuple1(1L)).toDF("c_custkey").write.parquet(s"$d/customer.parquet")
+
+    val got = graft.queries.EtlQueries.checks(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(("lineitem", "quantity_in_1_50")) == ((6L, 2L, false))) // 0 + NULL
+    assert(got(("lineitem", "price_positive")) == ((6L, 1L, false)))
+    assert(got(("lineitem", "discount_in_0_1")) == ((6L, 1L, false)))
+    assert(got(("lineitem", "returnflag_domain")) == ((6L, 1L, false)))
+    assert(got(("lineitem", "orderkey_fk")) == ((6L, 1L, false)))
+    assert(got(("orders", "orderkey_unique")) == ((3L, 1L, false)))
+    assert(got(("orders", "totalprice_positive")) == ((3L, 1L, false)))
+    assert(got(("orders", "orderstatus_domain")) == ((3L, 1L, false)))
+    assert(got(("orders", "custkey_fk")) == ((3L, 1L, false)))
+  }
 }

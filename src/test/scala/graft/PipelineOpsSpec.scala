@@ -169,7 +169,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val approx = Similarity.ivf(spark, sf).collect().map(_.getDouble(2)).max
     assert(approx <= exact + 1e-12)
     assert(approx >= 0.5 * exact,
-      s"IVF nprobe=2 top cosine $approx too far below exact $exact")
+      s"IVF nprobe=${Similarity.Nprobe} top cosine $approx too far below exact $exact")
   }
 
   test("ann_ivfpq: every result sits in one of the query's probe cells (in-memory IVF replay)") {
@@ -189,7 +189,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     def cellOf(v: Array[Float]): Long =
       cents.map { case (cid, c) => (d2(v, c), cid) }.min._2
     val probes = cents.map { case (cid, c) => (d2(en(0L), c), cid) }
-      .sorted.take(2).map(_._2).toSet
+      .sorted.take(Similarity.Nprobe).map(_._2).toSet
     val got = Similarity.ivfpq(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.nonEmpty)

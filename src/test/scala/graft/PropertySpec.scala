@@ -114,6 +114,41 @@ class PropertySpec extends AnyFunSuite {
     assert(got.head._2 >= got.last._2 && got.forall(_._2 > 0))
   }
 
+  test("graph_components census equals union-find truth") {
+    import SparkTestSession._
+    // the Spark side runs 16 bounded propagate+jump rounds; agreement
+    // with run-to-completion union-find proves the round budget covers
+    // this graph's fixpoint (under-merging would inflate the census)
+    val strong = Tables.lineitem(spark, sf)
+      .filter("l_quantity >= 50 AND l_returnflag = 'R'")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)).distinct
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    strong.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = strong.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.groupBy(find).toSeq
+      .map { case (root, ns) =>
+        (if (root % 2 == 0) "part" else "supplier", root / 2,
+          ns.length.toLong, ns.count(_ % 2 == 0).toLong,
+          ns.count(_ % 2 == 1).toLong, root)
+      }
+      .sortBy { case (_, _, n, _, _, root) => (-n, root) }.take(20)
+      .map { case (kind, key, n, np, nsup, _) => (kind, key, n, np, nsup) }
+    val got = graft.operators.GraphOps.components(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // bipartite invariant: every component has both sides represented
+    assert(got.forall(c => c._3 == c._4 + c._5 && c._4 > 0 && c._5 > 0))
+  }
+
   test("fnv1a64 is deterministic and sensitive to any byte change") {
     check(Prop.forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)),
       Gen.choose(0, 1000)) { (bytes: List[Byte], at: Int) =>
