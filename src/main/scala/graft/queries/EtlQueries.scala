@@ -1105,7 +1105,99 @@ object EtlQueries {
       |FROM events CROSS JOIN cut
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- etl_bucket_join: co-located fact join over bucketed tables ------
+
+  /** One 8-bucket, per-bucket-sorted parquet table per (source state,
+    * process), registered in the session catalog as an external table.
+    * The `repartition(n, key)` BEFORE the bucketed write is load-
+    * bearing: repartition-by-expression and `bucketBy` share the same
+    * Murmur3 hash, so each write task holds exactly one bucket and
+    * emits exactly ONE file per bucket — and single-file buckets are
+    * the condition under which Spark trusts `sortBy` order at read
+    * time (per-FILE sort ≠ per-bucket sort when buckets fragment) and
+    * elides the SMJ's sort as well as its exchange. Table identity is
+    * (source mtime digest, dir hash, pid): a regenerated source gets a
+    * fresh table, two concurrent processes never race on one path, and
+    * a repeat call in the same session reuses the catalog entry. */
+  private def bucketedTable(s: SparkSession, d: String, table: String,
+      key: String, nBuckets: Int): String = {
+    val name = s"graft_bkt_${table}_${mtimeKey(d, table)}_" +
+      s"d${d.hashCode & Int.MaxValue}_p${ProcessHandle.current().pid()}"
+    if (!s.catalog.tableExists(name)) {
+      val dir = scratchDir(s"bkt$table", d, table)
+      val src = table match {
+        case "lineitem" => Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+        case _ => Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_orderpriority"))
+      }
+      src.repartition(nBuckets, col(key))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nBuckets, key).sortBy(key)
+        .option("path", dir).saveAsTable(name)
+    }
+    name
+  }
+
+  /** `etl_bucket_join` — the co-location discipline made physical:
+    * both fact tables land ONCE as Murmur3-hash-bucketed, per-bucket-
+    * sorted parquet on their join keys, and the returned-item revenue
+    * join then runs with NO exchange and NO sort under the sort-merge
+    * join — the scan itself delivers the partitioning and order the
+    * join requires. The gated row carries that physical claim as data:
+    * `colocated_ok` is computed by walking the compiled plan (zero
+    * ShuffleExchange and zero Sort strictly below the SortMergeJoin),
+    * so the oracle's literal `true` fails the hash the moment a
+    * regression re-introduces a shuffle. The aggregate after the join
+    * is exact ROUND-cents (the etl_histogram rule).
+    *
+    * 100 TB: THE pattern for repeated fact-fact joins — the shuffle is
+    * paid once at write time and amortized over every subsequent join,
+    * and each of the N buckets joins file-to-file (a 1000-executor
+    * cluster streams 2×N sorted files with no network phase at all).
+    * The merge hint pins SMJ so the demo can't silently degrade to a
+    * broadcast at test SF; at real scale neither side broadcasts and
+    * SMJ is what the planner picks anyway. Bucket count is the one
+    * knob: it must divide evenly into executor parallelism and bound
+    * per-bucket bytes under executor memory (8 here ∝ local[32]/4;
+    * at 100 TB think 2¹²-2¹⁴ buckets). */
+  def bucketJoin(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val li = s.table(bucketedTable(s, d, "lineitem", "l_orderkey", n))
+      .filter(col("l_returnflag") === "R")
+    val ord = s.table(bucketedTable(s, d, "orders", "o_orderkey", n))
+    val joined = li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    // physical audit on the COMPILED plan (pre-AQE — the bucketed
+    // no-exchange/no-sort decision is static): nothing below the SMJ
+    // may shuffle or sort
+    val smj = joined.queryExecution.sparkPlan.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    val ok = smj.exists(j => j.children.forall(c => c.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      case so: org.apache.spark.sql.execution.SortExec => so
+    }.isEmpty))
+    joined.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))")
+          .as("rev_cents"))
+      .select(col("o_orderpriority"), col("n_items"), col("rev_cents"),
+        lit(n).as("n_buckets"), lit(ok).as("colocated_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val bucketJoinSql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_cents,
+      |  CAST(8 AS INT) AS n_buckets, true AS colocated_ok
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_bucket_join" -> (bucketJoin _),
     "etl_checks" -> (checks _),
     "etl_retention" -> (retention _),
     "etl_compact" -> (compactAudit _),
@@ -1126,6 +1218,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_bucket_join" -> bucketJoinSql,
     "etl_checks" -> checksSql,
     "etl_retention" -> retentionSql,
     "etl_compact" -> compactAuditSql,

@@ -514,6 +514,49 @@ class EtlSpec extends AnyFunSuite {
       s"clustering failed: window intersects $touched of ${all.size} row groups")
   }
 
+  test("etl_bucket_join: zero-exchange zero-sort SMJ, values match raw join") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.EtlQueries.bucketJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the physical claim the gated row carries: plan-walk found an SMJ
+    // with nothing shuffling or sorting below it
+    assert(rows.forall(_.getBoolean(4)),
+      "bucketed join was not exchange- and sort-free")
+    // value parity against the same aggregate over the RAW tables
+    // (independent plan: plain shuffle join, no bucketing)
+    val raw = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") === "R")
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))").as("rev_cents"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == raw.toSeq)
+    // single-file buckets: the write discipline the sort elision rests
+    // on — exactly one data file per bucket in each table dir
+    val warehouse = new java.io.File(sys.props("java.io.tmpdir"))
+    val dirs = warehouse.listFiles
+      .filter(f => f.getName.startsWith("graft_bktlineitem_") ||
+        f.getName.startsWith("graft_bktorders_"))
+      .filter(_.getName.endsWith(s"_p${ProcessHandle.current().pid()}"))
+    assert(dirs.length == 2, s"expected 2 bucket table dirs, got ${dirs.toSeq}")
+    dirs.foreach { dir =>
+      val data = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(data.length == 8,
+        s"${dir.getName}: expected 8 single-file buckets, got ${data.length}")
+    }
+    // idempotent within a session: a second call serves from the
+    // catalog — no file in either table dir is rewritten
+    val before = dirs.flatMap(_.listFiles).map(f => f.getPath -> f.lastModified).toMap
+    graft.queries.EtlQueries.bucketJoin(spark, sf).collect()
+    val after = dirs.flatMap(_.listFiles).map(f => f.getPath -> f.lastModified).toMap
+    assert(before == after, "second call rewrote the bucketed tables")
+  }
+
   test("etl_stats: single scan, values agree with direct recomputation") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.EtlQueries.stats(spark, sf)
