@@ -95,7 +95,14 @@ object ScaleUp {
     // (×R lineitems densify the strong graph — saturating distinct
     // pairs, fixed 16 rounds), and the per-source datasheet
     "q55_concurrency", "q56_rfm", "etl_checks", "etl_retention",
-    "graph_components", "corpus_card")
+    "graph_components", "corpus_card",
+    // late-r9 third block: the bucketed co-located join (cost ∝ the
+    // one-time bucketed write + the exchange-free SMJ) and the exact
+    // mutual k-NN graph (×R crosses the 8192 broadcast cap, so the
+    // sweep runs the pinned shuffle_replicate_nl degraded path — n²
+    // pair work by definition; the measurement bounds the wall at the
+    // scale where the ANN escape hatch should take over)
+    "etl_bucket_join", "ann_knn_graph")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

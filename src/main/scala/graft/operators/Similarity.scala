@@ -145,6 +145,97 @@ object Similarity {
        |WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** The dot-product fold alone (the cosine's numerator), for oracles
+    * that pre-compute norms once per VECTOR instead of re-folding them
+    * per PAIR — same sequential left-to-right double fold as
+    * [[cosOf]]'s pieces, so cos = dot/sqrt(n2a·n2b) stays bit-identical
+    * to the one-shot form. */
+  private[graft] def dotSqlOf(a: String, b: String): String =
+    s"""list_reduce(list_transform(list_zip($a, $b),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+
+  /** Exact-path corpus cap for [[knnGraph]]: under it the corpus
+    * broadcasts to one side of the pair generation (no shuffle at
+    * all before the top-k partials); past it the pair stream comes
+    * from a partition-pairwise cartesian — memory-safe, still exact,
+    * O(n²) work by the DEFINITION of an exact k-NN graph. The ANN
+    * escape hatch past ~1M vectors is [[graft.operators.AnnIndex
+    * .knnJoin]] with the full corpus as the query set (IVF-PQ
+    * candidates, exact rerank — recall-conditional). */
+  val KnnGraphBroadcastCap = 8192L
+
+  /** `ann_knn_graph` — the mutual k-NN graph of the whole corpus
+    * (k = 4): edge (a, b) exists iff each vector is in the other's
+    * exact top-k by cosine (tie-break: smaller id). THE construction
+    * under SemDeDup-style semantic clustering, graph-based dedup and
+    * kNN-classification pipelines — mutuality is the standard noise
+    * filter (a hub that names b is not enough; b must name a back).
+    *
+    * Plan shape: the n² pair stream is aggregated by
+    * `collect_top_k(struct(cos, -id), k)` — a bounded-priority-queue
+    * aggregate with MAP-SIDE partials, so the exchange moves ≤ k rows
+    * per node while the quadratic work stays in the scan stage (the
+    * same reason q49 carries a KMV sketch instead of a distinct
+    * stream). Struct ordering does the tie-break structurally:
+    * max by (cos, -id) prefers the smaller id at equal cosine.
+    * Mutuality is one (≤ n·k)-row self equi-join. The broadcast/
+    * cartesian gate is [[KnnGraphBroadcastCap]].
+    *
+    * Oracle: DuckDB replays the identical dot/√(n2·n2) per pair with
+    * norms pre-folded once per vector (dotSqlOf), ranks with
+    * ROW_NUMBER, and joins mutuality — cosines cross the engines
+    * bit-exactly (the ann_topk_join precedent). */
+  def knnGraph(s: SparkSession, d: String, k: Int = 4,
+      capOverride: Long = KnnGraphBroadcastCap): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      norm2(col("embedding")).as("n2"))
+    val r = e.select(col("vec_id").as("dst"), col("embedding").as("r_emb"),
+      col("n2").as("r_n2"))
+    val nVecs = graft.Tables.footerRowCount(s, d, "embeddings")
+    // past the cap: shuffle_replicate_nl pins the partition-pairwise
+    // cartesian (a plain crossJoin would still broadcast-build the
+    // full corpus whenever stats sit under the broadcast threshold —
+    // exactly the OOM the cap exists to avoid)
+    val pairs = (if (nVecs <= capOverride) e.join(broadcast(r),
+        col("vec_id") =!= col("dst"))
+      else e.hint("shuffle_replicate_nl").crossJoin(r)
+        .filter(col("vec_id") =!= col("dst")))
+      .select(col("vec_id").as("src"), col("dst"),
+        (dotD(col("embedding"), col("r_emb")) /
+          sqrt(col("n2") * col("r_n2"))).as("cos"))
+    val topk = pairs
+      .groupBy(col("src"))
+      .agg(org.apache.spark.sql.graft.shim.collectTopK(
+        struct(col("cos"), (-col("dst")).as("nd")), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("t"))
+      .select(col("src"), (-col("t.nd")).as("dst"), col("t.cos").as("cos"))
+    topk.as("x")
+      .join(topk.select(col("src").as("dst"), col("dst").as("src")).as("y"),
+        Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"), col("cos"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val knnGraphSql: String =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding,
+       |    ${dotSqlOf("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    ${dotSqlOf("a.embedding", "b.embedding")} / SQRT(a.n2 * b.n2) AS cos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |k AS (
+       |  SELECT src, dst, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+       |  FROM p),
+       |e AS (SELECT src, dst, cos FROM k WHERE rnk <= 4)
+       |SELECT e1.src AS a, e1.dst AS b, e1.cos AS cos
+       |FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+       |WHERE e1.src < e1.dst
+       |ORDER BY a, b""".stripMargin
+
   /** `ann_hybrid` — hybrid lexical+vector retrieval with
     * reciprocal-rank fusion (Cormack et al., SIGIR'09), the standard
     * RAG serving move: a BM25-ish keyword leg and a dense-cosine leg

@@ -411,6 +411,44 @@ class CurationSpec extends AnyFunSuite {
       s"component order violated: var(p1)=${varOf(p1)} < var(p2)=${varOf(p2)}")
   }
 
+  test("ann_knn_graph: in-memory mutual-kNN parity; cartesian path identical") {
+    val k = 4
+    val got = Similarity.knnGraph(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // independent in-memory replay with the SAME sequential fold order
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) / math.sqrt(n2(a) * n2(b))
+    val topk: Map[Long, Set[Long]] = vecs.keys.map { src =>
+      src -> vecs.keys.filter(_ != src).toSeq
+        .sortBy(dst => (-cos(src, dst), dst)).take(k).toSet
+    }.toMap
+    val expect = (for {
+      a <- vecs.keys; b <- topk(a)
+      if a < b && topk(b).contains(a)
+    } yield (a, b, cos(a, b))).toSet
+    assert(got.toSet == expect, "mutual edge set (with bit-exact cosines) diverged")
+    assert(got.sortBy(e => (e._1, e._2)).toSeq == got.toSeq, "output unsorted")
+    // the pair stream must collapse through the bounded top-k aggregate,
+    // never a window over n² rows
+    val plan = Similarity.knnGraph(spark, sf, k).queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.replace("_", "").contains("collecttopk"),
+      s"expected CollectTopK aggregate:\n$plan")
+    assert(!plan.contains("Window"), "n2-pair window crept back in")
+    // past the broadcast cap the pair generation degrades to a
+    // partition-pairwise cartesian — same rows, memory-safe
+    val viaCartesian = Similarity.knnGraph(spark, sf, k, capOverride = 1L)
+    assert(viaCartesian.queryExecution.executedPlan.toString.contains("Cartesian"),
+      "cap override did not engage the cartesian path")
+    val got2 = viaCartesian.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got2.toSet == expect, "cartesian path diverged from broadcast path")
+  }
+
   test("ann_pq_rerank: equals exact re-ranking of ADC candidates, recall >= plain PQ") {
     val rr = Similarity.pqRerank(spark, sf).collect()
     assert(rr.length == 10)
