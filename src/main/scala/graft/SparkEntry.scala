@@ -90,6 +90,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => graft.operators.GraphOps.triangles(s, d)),
     "graph_components" -> ((s, d) => graft.operators.GraphOps.components(s, d)),
     "corpus_card" -> ((s, d) => Corpus.corpusCard(s, d)),
+    "sample_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
     "sample_stratified" -> ((s, d) => Curation.sampleStratified(s, d)),
     "text_repetition" -> ((s, d) => Curation.repetition(s, d)),
@@ -190,6 +191,7 @@ object SparkEntry {
     "graph_triangles" -> graft.operators.GraphOps.trianglesSql,
     "graph_components" -> graft.operators.GraphOps.componentsSql,
     "corpus_card" -> Corpus.corpusCardSql,
+    "sample_split" -> Curation.sampleSplitSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,
     "sample_stratified" -> Curation.sampleStratifiedSql,
     "text_repetition" -> Curation.repetitionSql,

@@ -42,6 +42,63 @@ object Curation {
       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  /** `sample_split` — deterministic leak-proof train/val/test
+    * assignment, the split discipline every dataset release needs:
+    * the split key is a hash of the CONTENT (md5 of text), not the id
+    * or a random draw, so (a) the split is reproducible on any
+    * cluster layout with no seed to lose, and (b) exact duplicates
+    * land in the SAME split structurally — the train/test
+    * contamination that id- or random-keyed splits ship silently is
+    * impossible by construction. Buckets are the first two hex chars
+    * (256 buckets, compared lexicographically — lowercase fixed-width
+    * hex orders identically as text on both engines): < 'f6' train
+    * (246/256 ≈ 96.1%), < 'fb' val (5/256 ≈ 2.0%), else test. The
+    * audit emits per-(split, source) volumes plus `n_straddle` — the
+    * count of fingerprints seen in more than one split — computed
+    * from the data (not asserted), so the oracle hash-checks the
+    * leak-proof property itself (any drift from 0 fails the gate).
+    *
+    * 100 TB: assignment is a pure narrow map (hash in the scan
+    * projection — no shuffle, no global state, no sampling pass);
+    * both audit aggregates are map-side combined over (split, source,
+    * fp)-sized rows, and the straddle frame is a 1-row broadcast. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
+    sampleSplitOf(documents(s, d))
+
+  def sampleSplitOf(docs: DataFrame): DataFrame = {
+    val fp = md5(col("text").cast("binary"))
+    val bucket = substring(fp, 1, 2)
+    val tagged = docs.select(
+      col("source"), col("n_chars"), fp.as("fp"),
+      when(bucket < "f6", "train")
+        .when(bucket < "fb", "val")
+        .otherwise("test").as("split"))
+    val straddle = tagged.groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_straddle"))
+    tagged.groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .crossJoin(broadcast(straddle))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val sampleSplitSql: String =
+    """WITH tagged AS (
+      |  SELECT source, n_chars, md5(text) AS fp,
+      |    CASE WHEN substring(md5(text), 1, 2) < 'f6' THEN 'train'
+      |         WHEN substring(md5(text), 1, 2) < 'fb' THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM documents),
+      |straddle AS (
+      |  SELECT CAST(COALESCE(SUM(CASE WHEN ns > 1 THEN 1 END), 0) AS BIGINT)
+      |    AS n_straddle
+      |  FROM (SELECT fp, COUNT(DISTINCT split) AS ns FROM tagged GROUP BY fp))
+      |SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars, n_straddle
+      |FROM tagged CROSS JOIN straddle
+      |GROUP BY split, source, n_straddle
+      |ORDER BY split, source""".stripMargin
+
   /** Exact per-stratum quotas: the k hash-smallest docs of every
     * language — the class-balancing primitive. One shuffle on the
     * stratum key; the rank window never sees more than one stratum. */

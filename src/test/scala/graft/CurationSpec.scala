@@ -15,6 +15,38 @@ class CurationSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, "hash-ranked sample must be reproducible")
   }
 
+  test("sample_split: in-memory replay parity; exact dups never straddle splits") {
+    val got = Curation.sampleSplit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // independent replay: same md5-prefix bucketing over collected rows
+    val docs = graft.Tables.documents(spark, sf)
+      .select("text", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def hex2(t: String): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      f"${dig(0) & 0xff}%02x"
+    }
+    def splitOf(t: String): String = {
+      val b = hex2(t)
+      if (b < "f6") "train" else if (b < "fb") "val" else "test"
+    }
+    val expect = docs.groupBy(d => (splitOf(d._1), d._2)).map { case ((sp, src), xs) =>
+      (sp, src, xs.length.toLong, xs.map(_._3).sum, 0L)
+    }.toSet
+    assert(got.toSet == expect, "per-(split, source) audit diverged from replay")
+    assert(got.forall(_._5 == 0L), "content-keyed split reported straddling dups")
+    // the leak-proof property is structural: planted exact duplicates
+    // of one text land in ONE split, and the straddle counter would
+    // catch an id-keyed regression (same text, different ids)
+    import spark.implicits._
+    val planted = Seq.tabulate(6)(i => (i.toLong, "same text body", "en", "webA", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val p = Curation.sampleSplitOf(planted).collect()
+    assert(p.length == 1 && p.head.getLong(2) == 6L && p.head.getLong(4) == 0L,
+      s"6 identical docs must land in one (split, source) row: ${p.toSeq}")
+  }
+
   test("sample growth is prefix-stable: top-50 is a subset of top-100") {
     val small = Curation.sampleUniformN(spark, sf, 50)
       .select("doc_id").collect().map(_.getLong(0)).toSet
