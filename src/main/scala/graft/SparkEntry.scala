@@ -75,6 +75,7 @@ object SparkEntry {
     "ann_filtered" -> ((s, d) => Similarity.filteredSearch(s, d)),
     "ann_whiten" -> ((s, d) => Similarity.whiten(s, d)),
     "ann_dim_stats" -> ((s, d) => Similarity.dimStats(s, d)),
+    "embed_drift" -> ((s, d) => Similarity.embedDrift(s, d)),
     "embed_kmeans" -> ((s, d) => Similarity.kmeans(s, d)),
     "embed_outliers" -> ((s, d) => Similarity.outliers(s, d)),
     "embed_quantize" -> ((s, d) => Similarity.quantize(s, d)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "ann_topk_join" -> Similarity.topkJoinSql,
     "ann_knn_graph" -> Similarity.knnGraphSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,
+    "embed_drift" -> Similarity.embedDriftSql,
     "embed_kmeans" -> Similarity.kmeansSql,
     "embed_outliers" -> Similarity.outliersSql,
     "embed_quantize" -> Similarity.quantizeSql,

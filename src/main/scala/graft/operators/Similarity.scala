@@ -372,6 +372,63 @@ object Similarity {
        |ORDER BY dim""".stripMargin
   }
 
+  /** `embed_drift` — per-dimension embedding distribution drift
+    * between two corpus versions, the release audit [[graft.operators
+    * .Corpus.corpusDiff]] runs on text re-expressed on vectors: a
+    * re-embedding model bump, a source-mix change or a silent
+    * truncation all surface as per-dim mean/second-moment shift
+    * before any downstream metric moves. Versions are derived with
+    * corpus_diff's membership rules (old: vec_id % 11 ≠ 0, new:
+    * vec_id % 17 ≠ 3) so the two audits describe the same release
+    * pair. Means are davg9 decimal folds (order-independent, the
+    * ann_dim_stats discipline), so the drift deltas are bit-identical
+    * across engines and partitionings.
+    *
+    * 100 TB: two narrow scans each collapsing to d rows via map-side
+    * combined per-dim aggregates; the version join is a d-row
+    * broadcast. Nothing vector-sized ever shuffles. */
+  def embedDrift(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.Frags.davg9
+    def stats(pred: Column, nm: String, mq: String, cn: String): DataFrame =
+      embeddings(s, d).filter(pred)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          col("x").cast("double").as("xd"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(cn),
+          expr(davg9("xd")).as(nm),
+          expr(davg9("xd * xd")).as(mq))
+    stats(col("vec_id") % 11 =!= 0, "mean_old", "msq_old", "n_old")
+      .join(broadcast(
+        stats(col("vec_id") % 17 =!= 3, "mean_new", "msq_new", "n_new")),
+        Seq("dim"))
+      .select(col("dim"), col("n_old"), col("n_new"),
+        col("mean_old"), col("mean_new"),
+        (col("mean_new") - col("mean_old")).as("mean_shift"),
+        (col("msq_new") - col("msq_old")).as("msq_shift"))
+      .orderBy(col("dim"))
+  }
+
+  val embedDriftSql: String = {
+    import graft.queries.Frags.davg9
+    val x = "CAST(embedding[i] AS DOUBLE)"
+    def cte(name: String, cond: String) =
+      s"""$name AS (
+         |  SELECT i - 1 AS dim, COUNT(*) AS n,
+         |    ${davg9(x)} AS mean, ${davg9(s"$x * $x")} AS msq
+         |  FROM (SELECT embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+         |        FROM embeddings WHERE $cond)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH ${cte("o", "vec_id % 11 <> 0")},
+       |${cte("nv", "vec_id % 17 <> 3")}
+       |SELECT o.dim AS dim, o.n AS n_old, nv.n AS n_new,
+       |  o.mean AS mean_old, nv.mean AS mean_new,
+       |  nv.mean - o.mean AS mean_shift,
+       |  nv.msq - o.msq AS msq_shift
+       |FROM o JOIN nv ON o.dim = nv.dim
+       |ORDER BY dim""".stripMargin
+  }
+
   /** Whitening pass — the consumer of [[dimStats]]: every component is
     * standardised by its per-dimension corpus mean/std ((x−μ)/σ, σ=0
     * dims → 0), and per-vector summaries are emitted. Per-vector sums

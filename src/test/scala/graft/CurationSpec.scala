@@ -443,6 +443,37 @@ class CurationSpec extends AnyFunSuite {
       s"component order violated: var(p1)=${varOf(p1)} < var(p2)=${varOf(p2)}")
   }
 
+  test("embed_drift: in-memory decimal-fold replay; version populations exact") {
+    val got = Similarity.embedDrift(spark, sf).collect()
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def stats(keep: Long => Boolean): Map[Int, (Long, Double, Double)] = {
+      val kept = vecs.filter(v => keep(v._1))
+      val dims = kept.head._2.indices
+      dims.map { i =>
+        val xs = kept.map(_._2(i).toDouble)
+        // the davg9 rule: exact integer sum of floor(x*1e9), two
+        // double divisions at the end
+        def d9(vals: Array[Double]) =
+          vals.map(x => BigInt(math.floor(x * 1e9).toLong)).sum.toDouble / 1e9 / vals.length
+        i -> ((xs.length.toLong, d9(xs), d9(xs.map(x => x * x))))
+      }.toMap
+    }
+    val o = stats(_ % 11 != 0)
+    val n = stats(_ % 17 != 3)
+    got.foreach { r =>
+      val dim = r.getLong(0).toInt
+      assert(r.getLong(1) == o(dim)._1 && r.getLong(2) == n(dim)._1,
+        s"dim $dim population diverged")
+      assert(r.getDouble(3) == o(dim)._2 && r.getDouble(4) == n(dim)._2,
+        s"dim $dim davg9 mean diverged")
+      assert(r.getDouble(5) == n(dim)._2 - o(dim)._2, s"dim $dim shift diverged")
+      assert(r.getDouble(6) == n(dim)._3 - o(dim)._3, s"dim $dim msq shift diverged")
+    }
+    assert(got.length == vecs.head._2.length, "one row per dimension")
+  }
+
   test("ann_knn_graph: in-memory mutual-kNN parity; cartesian path identical") {
     val k = 4
     val got = Similarity.knnGraph(spark, sf, k).collect()
