@@ -1196,7 +1196,73 @@ object EtlQueries {
       |WHERE l_returnflag = 'R'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- etl_skew_audit: join-key distribution audit ---------------------
+
+  /** `etl_skew_audit` — the measurement a skew remedy starts from:
+    * exact per-key cardinality of a join key (o_custkey), the
+    * top-10 heavy hitters with their exact ppm share, and the integer
+    * salt factor that would level each (ceil(cnt·n_keys/total) — how
+    * many salt replicas bring the key down to the mean). q36_skew_join
+    * IS the remedy; this is the audit that decides whether and how
+    * hard to apply it (salt_factor 1 everywhere → skip the salt, pay
+    * no replication). All columns are exact integers (ppm by integer
+    * division), so the audit is engine-portable with no float
+    * tie-break anywhere.
+    *
+    * 100 TB: phase 1 is one map-side-combined count per key (the only
+    * full-data shuffle, carrying (key, partial) pairs); the summary is
+    * a second tiny aggregate over the |keys|-row count frame,
+    * broadcast back into the top-10 rows. The top-10 cut is
+    * TakeOrdered — never a global sort. */
+  def skewAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(
+      sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    counts
+      .orderBy(col("cnt").desc, col("o_custkey"))
+      .limit(10)
+      .crossJoin(broadcast(summary))
+      .select(
+        row_number().over(Window.orderBy(col("cnt").desc, col("o_custkey")))
+          .as("rk"),
+        col("o_custkey"), col("cnt"),
+        // DIV, not `/`: Column./ is fractional division on both
+        // integral and double operands
+        expr("cnt * 1000000 DIV total_rows").as("share_ppm"),
+        // ceil(cnt·n_keys/total) in pure integer arithmetic
+        expr("(cnt * n_keys + total_rows - 1) DIV total_rows")
+          .as("salt_factor"),
+        col("total_rows"), col("n_keys"), col("max_cnt"))
+      .orderBy(col("rk"))
+  }
+
+  val skewAuditSql: String =
+    """WITH counts AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders GROUP BY o_custkey),
+      |summary AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+      |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      |  FROM counts),
+      |top AS (
+      |  SELECT o_custkey, cnt FROM counts
+      |  ORDER BY cnt DESC, o_custkey LIMIT 10)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, o_custkey) AS INT)
+      |    AS rk,
+      |  o_custkey, cnt,
+      |  cnt * 1000000 // total_rows AS share_ppm,
+      |  (cnt * n_keys + total_rows - 1) // total_rows AS salt_factor,
+      |  total_rows, n_keys, max_cnt
+      |FROM top CROSS JOIN summary
+      |ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_skew_audit" -> (skewAudit _),
     "etl_bucket_join" -> (bucketJoin _),
     "etl_checks" -> (checks _),
     "etl_retention" -> (retention _),
@@ -1218,6 +1284,7 @@ object EtlQueries {
     "etl_incremental" -> (incremental _))
 
   val oracles: Map[String, String] = Map(
+    "etl_skew_audit" -> skewAuditSql,
     "etl_bucket_join" -> bucketJoinSql,
     "etl_checks" -> checksSql,
     "etl_retention" -> retentionSql,

@@ -557,6 +557,28 @@ class EtlSpec extends AnyFunSuite {
     assert(before == after, "second call rewrote the bucketed tables")
   }
 
+  test("etl_skew_audit: in-memory replay of counts, shares and salt factors") {
+    val got = graft.queries.EtlQueries.skewAudit(spark, sf).collect()
+    assert(got.length == 10)
+    val counts = graft.Tables.orders(spark, sf)
+      .select("o_custkey").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val nKeys = counts.size.toLong
+    val top = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    got.zip(top).zipWithIndex.foreach { case ((r, (k, c)), i) =>
+      assert(r.getInt(0) == i + 1 && r.getLong(1) == k && r.getLong(2) == c,
+        s"rank ${i + 1} heavy hitter diverged")
+      assert(r.getLong(3) == c * 1000000L / total, "ppm share diverged")
+      assert(r.getLong(4) == (c * nKeys + total - 1) / total,
+        "salt factor diverged")
+      assert(r.getLong(5) == total && r.getLong(6) == nKeys)
+      assert(r.getLong(7) == counts.values.max)
+    }
+    // a leveled key needs no salt: factor 1 iff cnt <= mean(ceil)
+    assert(got.forall(_.getLong(4) >= 1L))
+  }
+
   test("etl_stats: single scan, values agree with direct recomputation") {
     import org.apache.spark.sql.functions._
     val df = graft.queries.EtlQueries.stats(spark, sf)
