@@ -272,19 +272,25 @@ object GraphOps {
       val jumped = prop.as("a")
         .join(labelHint(prop.as("b")), col("a.label") === col("b.node"))
         .select(col("a.node").as("node"), col("b.label").as("label"))
-      // trackedAlways EVERY round, for two reasons (both measured):
-      // lineage — each round references its predecessor 4× (union,
-      // msgs broadcast, both jump sides), so un-truncated plans grow
-      // 4^rounds and the audit passthrough OOMed the driver analyzing
-      // one; and EXECUTION — a broadcast build re-executes its whole
-      // subplan, so even a 4-round checkpoint cadence re-ran early
-      // rounds ~4^k times (Σ over the segment ≈ 85 subplan executions,
-      // 13.2 s wall at sf0.1 for a 3k-edge graph). Materializing the
-      // |V|-row label frame once per round cut it to 3.2 s, flat ×5.
-      val (cp, rel) = graft.Checkpoints.trackedAlways(jumped)
-      releasePrev()
-      labels = cp
-      releasePrev = rel
+      // trackedAlways EVERY round except the LAST, for two measured
+      // reasons: lineage — each round references its predecessor 4×
+      // (union, msgs broadcast, both jump sides), so un-truncated
+      // plans grow 4^rounds and the audit passthrough OOMed the driver
+      // analyzing one; and EXECUTION — a broadcast build re-executes
+      // its whole subplan, so even a 4-round checkpoint cadence re-ran
+      // early rounds ~4^k times (Σ over the segment ≈ 85 subplan
+      // executions, 13.2 s wall at sf0.1 for a 3k-edge graph).
+      // Materializing the |V|-row label frame once per round cut it to
+      // 3.9 s, flat ×5. The last round stays UNCHECKPOINTED so the
+      // returned frame keeps real scan lineage (PlanAuditSpec pins the
+      // whole surface as scan-resolvable); its 4 references re-execute
+      // one round over materialized inputs — bounded, not 4^k.
+      if (i != CcRounds) {
+        val (cp, rel) = graft.Checkpoints.trackedAlways(jumped)
+        releasePrev()
+        labels = cp
+        releasePrev = rel
+      } else labels = jumped
     }
     labels
       .groupBy(col("label"))

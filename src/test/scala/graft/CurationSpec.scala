@@ -517,8 +517,10 @@ class CurationSpec extends AnyFunSuite {
     assert(rr.length == 10)
     val cos = rr.map(_.getDouble(1))
     assert(cos.toSeq == cos.sortBy(-_).toSeq, "re-ranked output must descend by cosine")
-    // independent replay: exact top-10 within the ADC top-50 candidates
-    val cand = Similarity.pq(spark, sf, k = 50)
+    // independent replay: exact top-10 within the ADC top-c shortlist
+    // (RerankC, the shared constant — hardcoding its value here is how
+    // the r9 probe/rerank widening silently broke this spec)
+    val cand = Similarity.pq(spark, sf, k = Similarity.RerankC)
       .collect().map(_.getLong(0)).toSet
     val exactAll = Similarity.bruteForce(spark, sf, queryId = 0L)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -542,8 +544,9 @@ class CurationSpec extends AnyFunSuite {
     assert(rr.length == 10)
     val cos = rr.map(_.getDouble(1))
     assert(cos.toSeq == cos.sortBy(-_).toSeq)
-    // every result must come from the ADC candidate set (cell-bounded)
-    val cand = Similarity.ivfpq(spark, sf, k = 50)
+    // every result must come from the ADC candidate set (cell-bounded,
+    // RerankC deep — the shared constant, not a hardcoded depth)
+    val cand = Similarity.ivfpq(spark, sf, k = Similarity.RerankC)
       .collect().map(_.getLong(0)).toSet
     assert(rr.map(_.getLong(0)).forall(cand),
       "re-rank must only reorder ADC candidates, never add vectors")
