@@ -33,21 +33,30 @@ object StreamFloor {
     val tmp = java.nio.file.Files.createTempDirectory("graft_sfloor").toString
     writeTinyEvents(spark, tmp)
 
-    def time(d: String): Double = {
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)(d: String): Double = {
       val t0 = System.nanoTime()
       Checkpoints.sweeping(spark) {
-        streaming.Streams.intervalJoinLeft(spark, d)
-          .write.format("noop").mode("overwrite").save()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
       }
       (System.nanoTime() - t0) / 1e9
     }
+    val time = timed(streaming.Streams.intervalJoinLeft(_, _)) _
     // one unmeasured warmup of each shape (codegen + state-store class
     // loading), then min-of-3 — the Bench discipline
     time(tmp); time(sfDir)
     val floor = (1 to 3).map(_ => time(tmp)).min
     val full = (1 to 3).map(_ => time(sfDir)).min
     val share = floor / full
-    val line = f"""{"metric":"stream_floor","empty_replay_s":$floor%.3f,"full_sf01_s":$full%.3f,"floor_share":$share%.3f,"sf":"$sfDir"}"""
+    // same measurement for the flatMapGroupsWithState session-timeout
+    // topology (stream_session_timeout) — the other stateful shape on
+    // the weak list, adjudicated by the same floor evidence
+    val timeSt = timed(streaming.Streams.sessionTimeoutTable(_, _)) _
+    timeSt(tmp); timeSt(sfDir)
+    val stFloor = (1 to 3).map(_ => timeSt(tmp)).min
+    val stFull = (1 to 3).map(_ => timeSt(sfDir)).min
+    val line = f"""{"metric":"stream_floor","empty_replay_s":$floor%.3f,"full_sf01_s":$full%.3f,"floor_share":$share%.3f,""" +
+      f""""session_timeout_empty_s":$stFloor%.3f,"session_timeout_full_s":$stFull%.3f,"session_timeout_floor_share":${stFloor / stFull}%.3f,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/stream_floor.json"), line): Unit

