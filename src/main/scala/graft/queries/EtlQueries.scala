@@ -424,6 +424,125 @@ object EtlQueries {
     * file mtimes across a re-merge. */
   def mergeBase(d: String): String = scratchDir("merge", d, "orders")
 
+  /** `etl_time_travel` — manifest-based MVCC snapshots over the CoW
+    * lakehouse table: the "SELECT … AS OF version" primitive that
+    * etl_merge's dynamic partition overwrite destroys (the replaced
+    * partition's old files are gone after promote). Here a commit
+    * writes ONLY new files for the changed partitions plus a tiny
+    * manifest (one `pt → version-dir` line per partition, written
+    * LAST — the manifest IS the commit, so a crash mid-write leaves
+    * the previous version fully readable); a reader pins a version by
+    * resolving its manifest to a file list, never by directory
+    * convention. v1 therefore stays byte- and mtime-identical after
+    * v2 commits (EtlSpec pins both), history costs storage
+    * proportional to the CHANGED slice (2 of 8 partitions here), and
+    * dropping old versions is a manifest-driven vacuum
+    * (etl_retention's sweep shape over unreferenced files).
+    *
+    * The audit reads BOTH versions through the manifest resolver and
+    * reports per-version (rows, exact money total, key-set checksum,
+    * upserted-status count): v2 shows the merge applied, v1 proves the
+    * pre-merge state is still exactly reconstructable — n_x = 0
+    * because status 'X' exists only in the v2 upserts.
+    *
+    * 100 TB: the manifest is O(partition domain) driver-side text —
+    * at lake scale this becomes a parquet manifest-of-manifests
+    * (Iceberg's shape), but the invariants measured here are the ones
+    * that matter: commits never rewrite untouched data, readers never
+    * list directories, and version resolution costs one tiny
+    * sequential read regardless of table size. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = timeTravelBase(d)
+    val pt = pmod(col("o_orderkey"), lit(8)).cast("int")
+    if (!new java.io.File(s"$base/manifests/v2.txt").exists()) {
+      val orders = Tables.orders(s, d)
+      // v1 commit: the initial snapshot, one dir per partition
+      orders.filter(col("o_orderkey") % 7 =!= 6).withColumn("pt", pt)
+        .write.mode("overwrite").partitionBy("pt").parquet(s"$base/files/v1")
+      // v2 commit: the etl_merge change batch, CoW-rewriting ONLY the
+      // touched partitions into files/v2 — files/v1 is never reopened
+      // for write. The touched set comes from the data; the collect is
+      // bounded by the partition domain (8).
+      val changes = orders
+        .filter(pt.isin(2, 5) && col("o_orderkey") % 3 === 0)
+        .withColumn("op", when(col("o_orderkey") % 2 === 1, lit("D")).otherwise(lit("U")))
+        .withColumn("o_orderstatus",
+          when(col("op") === "U", lit("X")).otherwise(col("o_orderstatus")))
+      val touched = changes.select(pt.as("pt")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val v1Touched = s.read.parquet(touched.map(p => s"$base/files/v1/pt=$p"): _*)
+      val replacement = v1Touched
+        .join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionByName(changes.filter(col("op") === "U").drop("op"))
+        .withColumn("pt", pt)
+      replacement.write.mode("overwrite").partitionBy("pt").parquet(s"$base/files/v2")
+      writeManifest(base, 1, (0 to 7).map(p => p -> "v1"))
+      writeManifest(base, 2, (0 to 7).map(p => p -> (if (touched.contains(p)) "v2" else "v1")))
+    }
+    def asOf(v: Int): DataFrame =
+      s.read.parquet(readManifest(base, v).map { case (p, ver) => s"$base/files/$ver/pt=$p" }: _*)
+    Seq(1, 2).map { v =>
+      asOf(v).agg(
+        count(lit(1)).as("n"),
+        expr(Frags.dsum2("o_totalprice")).as("total"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L)).as("n_x"))
+        .select(lit(v.toLong).as("version"), col("n"), col("total"),
+          col("key_sum"), col("n_x"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** Time-travel scratch base, exposed so EtlSpec can pin v1 file
+    * mtimes across the v2 commit and drive the AS OF reader. */
+  def timeTravelBase(d: String): String = scratchDir("ttravel", d, "orders")
+
+  /** Resolve a version's file list from its manifest (the only way a
+    * reader maps version → files). Exposed for EtlSpec. */
+  def readManifest(base: String, v: Int): Seq[(Int, String)] = {
+    val src = scala.io.Source.fromFile(s"$base/manifests/v$v.txt", "UTF-8")
+    try src.getLines().map { line =>
+      val Array(p, ver) = line.split("\t"); (p.toInt, ver)
+    }.toList
+    finally src.close()
+  }
+
+  private def writeManifest(base: String, v: Int, entries: Seq[(Int, String)]): Unit = {
+    new java.io.File(s"$base/manifests").mkdirs()
+    val body = entries.sortBy(_._1).map { case (p, ver) => s"$p\t$ver" }.mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$base/manifests/v$v.txt"),
+      body.getBytes("UTF-8"))
+    ()
+  }
+
+  val timeTravelSql: String =
+    s"""WITH v1 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_orderkey % 7 <> 6),
+       |c AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'X' END AS o_orderstatus,
+       |    o_totalprice,
+       |    CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+       |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
+       |v2 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM v1
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+       |  UNION ALL
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM c WHERE op = 'U')
+       |SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Frags.dsum2("o_totalprice")} AS total,
+       |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS n_x
+       |FROM v1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  ${Frags.dsum2("o_totalprice")},
+       |  CAST(SUM(o_orderkey) AS BIGINT),
+       |  CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+       |FROM v2
+       |ORDER BY version""".stripMargin
+
   /** `etl_cluster` — data-layout clustering for scan pruning: lineitem
     * is rewritten range-partitioned AND sorted on `ship_date` (the
     * timestamp is normalised to DATE — Spark writes raw timestamps as
@@ -472,6 +591,106 @@ object EtlQueries {
        |FROM lineitem
        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
        |  AND CAST(l_shipdate AS DATE) <= DATE '1995-03-31'""".stripMargin
+
+  /** `etl_zorder` — MULTI-dimensional data-layout clustering: the
+    * Z-order (Morton) curve interleaves the bits of two quantised
+    * dimensions (ship date, part key) so that files sorted by the
+    * z-value are narrow in BOTH dimensions at once — the lever behind
+    * OPTIMIZE ZORDER in every lakehouse. etl_cluster's 1-D sort makes
+    * a date window cheap but leaves each file spanning the full key
+    * domain, so a 2-D predicate still reads every date-matching byte;
+    * here a (date-window AND key-range) query intersects only the
+    * files whose z-box covers both slices. EtlSpec measures the claim
+    * structurally: per-file (date × key) bounding boxes from the
+    * written layout — z-files have bounded area in BOTH dims and a
+    * minority intersect the query box, while the 1-D clustered copy's
+    * files span ~the whole key domain.
+    *
+    * The interleave is pure codegen arithmetic (shift/and/or over two
+    * 8-bit quantised ranks — no UDF), quantisation bounds are computed
+    * once at layout time and cached beside the data (a layout is
+    * useless without its bounds), and the audit filter carries LITERAL
+    * range predicates so both land in PushedFilters at the scan.
+    *
+    * 100 TB: z-ordering is THE answer when two query dimensions matter
+    * and directory partitioning can afford only one — the rewrite is a
+    * one-off repartitionByRange on the z-value (one shuffle), and scan
+    * cost for 2-D windows drops from O(window₁) to ~O(window₁×window₂)
+    * of the table, multiplicatively better as either selectivity
+    * tightens. More dims = interleave more ranks; the same expression
+    * shape holds. */
+  def zorder(s: SparkSession, d: String): DataFrame = {
+    val base = zorderBase(d)
+    val boundsFile = new java.io.File(s"$base/bounds.txt")
+    if (!boundsFile.exists()) {
+      val li = Tables.lineitem(s, d)
+        .withColumn("ship_date", col("l_shipdate").cast("date"))
+      // dim bounds: one setup-time 2-column scan, cached beside the
+      // layout (a z-layout is meaningless without its quantiser)
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("ship_date")).cast("string"), max(col("ship_date")).cast("string"))
+        .collect()(0)
+      val (pmin, pmax) = (b.getLong(0), b.getLong(1))
+      val (dminS, dmaxS) = (b.getString(2), b.getString(3))
+      val kSpan = math.max(1L, pmax - pmin)
+      val qk = expr(s"CAST((l_partkey - ${pmin}L) * 255 DIV ${kSpan}L AS INT)")
+      val qd = expr(s"CAST(DATEDIFF(ship_date, DATE'$dminS') * 255 " +
+        s"DIV GREATEST(1, DATEDIFF(DATE'$dmaxS', DATE'$dminS')) AS INT)")
+      // Morton interleave: date bits land on odd positions, key bits on
+      // even — 16 shift/mask terms OR-folded, all inside codegen
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(qd, i).bitwiseAND(lit(1)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(qk, i).bitwiseAND(lit(1)), 2 * i))
+      }.reduce(_ bitwiseOR _)
+      li.withColumn("z", z)
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(s"$base/zorder")
+      java.nio.file.Files.write(boundsFile.toPath,
+        s"$pmin\n$pmax".getBytes("UTF-8"))
+    }
+    val bounds = new String(
+      java.nio.file.Files.readAllBytes(boundsFile.toPath), "UTF-8").split("\n")
+    val (pmin, pmax) = (bounds(0).toLong, bounds(1).toLong)
+    // 2-D window: one month × the [40%, 55%] key slice — bounds are
+    // integer arithmetic over (min, max), so the oracle reproduces them
+    // exactly, and they inline as literals for parquet pushdown
+    val lo = pmin + (pmax - pmin) * 2 / 5
+    val hi = pmin + (pmax - pmin) * 11 / 20
+    s.read.parquet(s"$base/zorder")
+      .filter(col("ship_date") >= lit("1995-03-01").cast("date") &&
+        col("ship_date") <= lit("1995-03-31").cast("date") &&
+        col("l_partkey") >= lo && col("l_partkey") <= hi)
+      .agg(count(lit(1)).as("n_rows"),
+        expr(Frags.dsum6("l_quantity")).as("sum_qty"),
+        expr(Frags.dsum2("l_extendedprice")).as("sum_price"),
+        min(col("l_partkey")).as("pk_min"),
+        max(col("l_partkey")).as("pk_max"))
+      .select(col("n_rows"), col("sum_qty"), col("sum_price"),
+        col("pk_min"), col("pk_max"),
+        lit(lo).as("pk_lo"), lit(hi).as("pk_hi"))
+  }
+
+  /** Z-order scratch base, exposed for EtlSpec's per-file box audit. */
+  def zorderBase(d: String): String = scratchDir("zorder", d, "lineitem")
+
+  val zorderSql: String =
+    s"""WITH b AS (
+       |  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax FROM lineitem),
+       |r AS (
+       |  SELECT pmin + (pmax - pmin) * 2 // 5 AS lo,
+       |    pmin + (pmax - pmin) * 11 // 20 AS hi FROM b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${Frags.dsum6("l_quantity")} AS sum_qty,
+       |  ${Frags.dsum2("l_extendedprice")} AS sum_price,
+       |  CAST(MIN(l_partkey) AS BIGINT) AS pk_min,
+       |  CAST(MAX(l_partkey) AS BIGINT) AS pk_max,
+       |  (SELECT lo FROM r) AS pk_lo, (SELECT hi FROM r) AS pk_hi
+       |FROM lineitem
+       |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-03-01'
+       |  AND CAST(l_shipdate AS DATE) <= DATE '1995-03-31'
+       |  AND l_partkey >= (SELECT lo FROM r)
+       |  AND l_partkey <= (SELECT hi FROM r)""".stripMargin
 
   val mergeSql: String =
     s"""WITH c AS (
@@ -1273,7 +1492,9 @@ object EtlQueries {
     "etl_stats" -> (stats _),
     "etl_quarantine" -> (quarantine _),
     "etl_cluster" -> (cluster _),
+    "etl_zorder" -> (zorder _),
     "etl_merge" -> (merge _),
+    "etl_time_travel" -> (timeTravel _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
@@ -1295,7 +1516,9 @@ object EtlQueries {
     "etl_stats" -> statsSql,
     "etl_quarantine" -> quarantineSql,
     "etl_cluster" -> clusterSql,
+    "etl_zorder" -> zorderSql,
     "etl_merge" -> mergeSql,
+    "etl_time_travel" -> timeTravelSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,

@@ -81,6 +81,91 @@ class EtlSpec extends AnyFunSuite {
     assert(xRow.getLong(3) == upserted.sum, "X group keys != upserted keys")
   }
 
+  /** etl_zorder's structural claim: z-ordered files are narrow in BOTH
+    * clustered dimensions (bounded boxes), so a 2-D window intersects a
+    * minority of files — while the 1-D date-clustered layout
+    * (etl_cluster's copy) leaves every file spanning ~the full key
+    * domain, making the key predicate useless for file skipping. */
+  test("etl_zorder: per-file boxes bounded in both dims; 2-D window hits a minority") {
+    import org.apache.spark.sql.functions._
+    val E = graft.queries.EtlQueries
+    E.zorder(spark, sf).collect() // materializes the layout
+    E.cluster(spark, sf).collect() // materializes the 1-D comparison copy
+    def boxes(dir: String) =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("l_partkey")).as("kmin"), max(col("l_partkey")).as("kmax"),
+          min(col("ship_date").cast("string")).as("dmin"),
+          max(col("ship_date").cast("string")).as("dmax"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    val zb = boxes(E.zorderBase(sf) + "/zorder")
+    val cb = boxes(E.clusterBase(sf) + "/clustered")
+    assert(zb.length >= 8, s"z layout produced only ${zb.length} files")
+    val kLo = zb.map(_._1).min; val kHi = zb.map(_._2).max
+    val span = (kHi - kLo).toDouble
+    val qLo = kLo + (kHi - kLo) * 2 / 5
+    val qHi = kLo + (kHi - kLo) * 11 / 20
+    val (wLo, wHi) = ("1995-03-01", "1995-03-31")
+    def keySpan(b: (Long, Long, String, String)) = (b._2 - b._1) / span
+    def hitsDate(b: (Long, Long, String, String)) = b._3 <= wHi && b._4 >= wLo
+    def hits2d(b: (Long, Long, String, String)) =
+      hitsDate(b) && b._1 <= qHi && b._2 >= qLo
+    // 1-D layout: date-matching files span ~the whole key domain
+    val cbDate = cb.filter(hitsDate)
+    assert(cbDate.nonEmpty)
+    assert(cbDate.forall(keySpan(_) > 0.9),
+      s"1-D files unexpectedly key-narrow: ${cbDate.map(keySpan).mkString(",")}")
+    // z layout: median key span bounded (narrow in the SECOND dim too;
+    // boundary-straddling files may span wide — median, not max)
+    val zSpans = zb.map(keySpan).sorted
+    assert(zSpans(zb.length / 2) <= 0.6,
+      s"z files not key-narrow: median ${zSpans(zb.length / 2)}")
+    // and the 2-D window intersects a minority of z files
+    val frac = zb.count(hits2d).toDouble / zb.length
+    assert(frac <= 0.375, s"2-D window intersects $frac of z files")
+  }
+
+  /** Time travel's two contracts: (a) MVCC — after the v2 commit, AS OF
+    * v1 still reconstructs the pre-merge state exactly (checked against
+    * an independent recomputation from the source) and the v2 manifest
+    * SHARES v1's untouched partition files rather than copying them;
+    * (b) the manifest is the commit — deleting it makes the version
+    * unreadable until a rebuild, and the rebuild reproduces the audit
+    * bit-for-bit. */
+  test("etl_time_travel: AS OF v1 survives the v2 commit; manifests share untouched files") {
+    val E = graft.queries.EtlQueries
+    val audit = E.timeTravel(spark, sf).collect()
+    assert(audit.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val Array(v1Row, v2Row) = audit
+    // v1 recomputed independently of the version store
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    def changed(k: Long) = (k % 8 == 2 || k % 8 == 5) && k % 3 == 0
+    val upserted = keys.filter(k => changed(k) && k % 2 == 0)
+    val v1Keys = keys.filter(_ % 7 != 6)
+    assert(v1Row.getLong(1) == v1Keys.size, "v1 row count drifted")
+    assert(v1Row.getLong(3) == v1Keys.sum, "v1 key checksum drifted")
+    assert(v1Row.getLong(4) == 0, "status X leaked into the v1 snapshot")
+    val v2Keys = v1Keys.filterNot(changed) ++ upserted
+    assert(v2Row.getLong(1) == v2Keys.size, "v2 row count drifted")
+    assert(v2Row.getLong(4) == upserted.size, "v2 upsert count drifted")
+    // structural CoW: v2's manifest points untouched partitions at the
+    // v1 dirs (shared files, no copy), touched ones at v2
+    val base = E.timeTravelBase(sf)
+    val m2 = E.readManifest(base, 2).toMap
+    assert(Set(2, 5).forall(p => m2(p) == "v2"), s"touched partitions not rewritten: $m2")
+    assert((Set(0, 1, 3, 4, 6, 7)).forall(p => m2(p) == "v1"),
+      s"untouched partitions copied instead of shared: $m2")
+    assert(!new java.io.File(s"$base/files/v2/pt=0").exists,
+      "v2 wrote an untouched partition — commit is not CoW-scoped")
+    // manifest-is-the-commit: losing the v2 manifest forces a rebuild
+    // that reproduces the audit exactly
+    assert(new java.io.File(s"$base/manifests/v2.txt").delete())
+    val rebuilt = E.timeTravel(spark, sf).collect()
+    assert(rebuilt.toSeq == audit.toSeq, "rebuild after lost commit marker drifted")
+  }
+
   /** The 100 TB contract of partition-scoped CoW: a re-merge must leave
     * every file of every UNtouched partition byte-identical and
     * un-rewritten (pinned via path→(length, mtime)), while the touched
