@@ -764,7 +764,77 @@ object Analytics4 {
       |FROM q GROUP BY r_q, f_q, m_q
       |ORDER BY r_q, f_q, m_q""".stripMargin
 
+  // ---- q57: sketch-based join cardinality estimation -------------------
+  /** Estimate |events ⋈ orders ON user_id = o_custkey| — the optimizer
+    * statistic that picks join strategy and shuffle sizing BEFORE
+    * paying for the join — from a hash-threshold (bottom-p theta)
+    * sample of the key domain, reported beside the exact values so the
+    * audit shows its error. The join is genuinely many-to-many (events
+    * per user × orders per customer), the case where size estimation
+    * is hard and naive NDV math fails.
+    *
+    * Shape: per-key counts reduce each side to its key cardinality
+    * first (partial-aggregated — the only full-width work, and it is
+    * what ANALYZE computes anyway); the count frames then join
+    * co-partitioned on the key (no extra exchange after the groupBys)
+    * and ONE final aggregate produces all eight statistics. A key is
+    * sampled iff md5(key) < '20' — a fixed 1/8 hash threshold:
+    * deterministic, uniform over the key DOMAIN (heavy keys cannot
+    * bias inclusion, unlike row sampling), identical on both engines,
+    * so the sample itself replays in the oracle. Estimates are the
+    * sampled statistics × 8; join size = 8·Σ_{sampled k∈both}
+    * ce(k)·co(k), the unbiased Horvitz-Thompson estimator.
+    *
+    * 100 TB: the theta-sketch discipline — everything after the
+    * per-key counting moves sampled (key, count) pairs, 1/8 of the
+    * key domain; tighten p by widening the hex threshold (the
+    * one-pass shape is unchanged) and drop the exact columns, which
+    * exist here to make the estimator auditable. */
+  def q57(s: SparkSession, d: String): DataFrame = {
+    val ec = events(s, d).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("ce"))
+    val oc = orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("co"))
+    val j = ec.join(oc, Seq("k"), "full_outer")
+    val sampled = md5(col("k").cast("string")) < "20"
+    val both = col("ce").isNotNull && col("co").isNotNull
+    j.agg(
+      count(col("ce")).as("ndv_events_exact"),
+      (count(when(sampled, col("ce"))) * 8).as("ndv_events_est"),
+      count(col("co")).as("ndv_orders_exact"),
+      (count(when(sampled, col("co"))) * 8).as("ndv_orders_est"),
+      sum(when(both, 1L).otherwise(0L)).as("inter_exact"),
+      (sum(when(both && sampled, 1L).otherwise(0L)) * 8).as("inter_est"),
+      sum(when(both, col("ce") * col("co")).otherwise(0L)).as("join_exact"),
+      (sum(when(both && sampled, col("ce") * col("co")).otherwise(0L)) * 8)
+        .as("join_est"))
+  }
+
+  val q57Sql: String =
+    """WITH ec AS (
+      |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS ce
+      |  FROM events GROUP BY user_id),
+      |oc AS (
+      |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS co
+      |  FROM orders GROUP BY o_custkey),
+      |t AS (
+      |  SELECT COALESCE(ec.k, oc.k) AS k, ce, co,
+      |    md5(CAST(COALESCE(ec.k, oc.k) AS VARCHAR)) < '20' AS s,
+      |    (ce IS NOT NULL AND co IS NOT NULL) AS b
+      |  FROM ec FULL OUTER JOIN oc ON ec.k = oc.k)
+      |SELECT CAST(COUNT(ce) AS BIGINT) AS ndv_events_exact,
+      |  CAST(COUNT(CASE WHEN s THEN ce END) * 8 AS BIGINT) AS ndv_events_est,
+      |  CAST(COUNT(co) AS BIGINT) AS ndv_orders_exact,
+      |  CAST(COUNT(CASE WHEN s THEN co END) * 8 AS BIGINT) AS ndv_orders_est,
+      |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact,
+      |  CAST(SUM(CASE WHEN b AND s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS inter_est,
+      |  CAST(SUM(CASE WHEN b THEN ce * co ELSE 0 END) AS BIGINT) AS join_exact,
+      |  CAST(SUM(CASE WHEN b AND s THEN ce * co ELSE 0 END) * 8 AS BIGINT)
+      |    AS join_est
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_join_card" -> (q57 _),
     "q55_concurrency" -> (q55 _),
     "q56_rfm" -> (q56 _),
     "q54_transitions" -> (q54 _),
@@ -783,6 +853,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q57_join_card" -> q57Sql,
     "q55_concurrency" -> q55Sql,
     "q56_rfm" -> q56Sql,
     "q54_transitions" -> q54Sql,

@@ -211,6 +211,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.take(4).forall(_._4 > 1.0))
   }
 
+  test("q57 join-cardinality estimator equals a full in-memory replay") {
+    import org.apache.spark.sql.functions._
+    val ce = Tables.events(spark, sf).select("user_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val co = Tables.orders(spark, sf).select("o_custkey").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    def sampled(k: Long) =
+      graft.functions.KmvSketch.md5Hex(k.toString) < "20"
+    val common = ce.keySet intersect co.keySet
+    val expected = (
+      ce.size.toLong, 8L * ce.keys.count(sampled),
+      co.size.toLong, 8L * co.keys.count(sampled),
+      common.size.toLong, 8L * common.count(sampled),
+      common.toSeq.map(k => ce(k) * co(k)).sum,
+      8L * common.toSeq.filter(sampled).map(k => ce(k) * co(k)).sum)
+    val r = queries.Analytics4.q57(spark, sf).collect()(0)
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(got == expected)
+    // the construction must exercise the many-to-many case and a
+    // non-degenerate sample, or the estimator proves nothing
+    assert(got._7 > got._5, "join size must exceed key intersection")
+    assert(got._2 > 0 && got._4 > 0, "sample must be non-empty")
+  }
+
   test("q54 transitions equal a sequential per-user path replay") {
     import org.apache.spark.sql.functions._
     val evs = Tables.events(spark, sf)
