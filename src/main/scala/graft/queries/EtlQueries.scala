@@ -452,6 +452,24 @@ object EtlQueries {
     * list directories, and version resolution costs one tiny
     * sequential read regardless of table size. */
   def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = ensureTimeTravelVersions(s, d)
+    def asOf(v: Int): DataFrame =
+      s.read.parquet(readManifest(base, v).map { case (p, ver) => s"$base/files/$ver/pt=$p" }: _*)
+    Seq(1, 2).map { v =>
+      asOf(v).agg(
+        count(lit(1)).as("n"),
+        expr(Frags.dsum2("o_totalprice")).as("total"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L)).as("n_x"))
+        .select(lit(v.toLong).as("version"), col("n"), col("total"),
+          col("key_sum"), col("n_x"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** Build (once per source state) the two committed versions + their
+    * manifests; returns the store base. Shared by the AS OF audit and
+    * the change feed. */
+  private def ensureTimeTravelVersions(s: SparkSession, d: String): String = {
     val base = timeTravelBase(d)
     val pt = pmod(col("o_orderkey"), lit(8)).cast("int")
     if (!new java.io.File(s"$base/manifests/v2.txt").exists()) {
@@ -479,22 +497,98 @@ object EtlQueries {
       writeManifest(base, 1, (0 to 7).map(p => p -> "v1"))
       writeManifest(base, 2, (0 to 7).map(p => p -> (if (touched.contains(p)) "v2" else "v1")))
     }
-    def asOf(v: Int): DataFrame =
-      s.read.parquet(readManifest(base, v).map { case (p, ver) => s"$base/files/$ver/pt=$p" }: _*)
-    Seq(1, 2).map { v =>
-      asOf(v).agg(
-        count(lit(1)).as("n"),
-        expr(Frags.dsum2("o_totalprice")).as("total"),
-        sum(col("o_orderkey")).as("key_sum"),
-        sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L)).as("n_x"))
-        .select(lit(v.toLong).as("version"), col("n"), col("total"),
-          col("key_sum"), col("n_x"))
-    }.reduce(_.unionByName(_)).orderBy(col("version"))
+    base
   }
 
   /** Time-travel scratch base, exposed so EtlSpec can pin v1 file
     * mtimes across the v2 commit and drive the AS OF reader. */
   def timeTravelBase(d: String): String = scratchDir("ttravel", d, "orders")
+
+  /** `etl_changefeed` — row-level change data feed BETWEEN two
+    * time-travel versions (Delta's CDF / Iceberg's changelog scan):
+    * every key that was inserted, deleted, or updated from v1 to v2,
+    * with before/after images. The killer property of deriving CDC
+    * from manifest-based CoW: the manifests say exactly WHICH
+    * partitions differ (here pt ∈ {2, 5} of 8), so the diff reads and
+    * joins ONLY those partitions from each version — cost is
+    * proportional to the changed slice, not the table, at any scale.
+    * Shared (untouched) partitions are skipped by manifest equality
+    * without opening a single file.
+    *
+    * Update detection is fully general — every non-key column is
+    * compared with null-safe equality INSIDE the engine (no
+    * cross-engine value representation involved, so doubles and
+    * timestamps are safe) — and unchanged rows never reach the
+    * output. The feed is keyed and sorted, ready to drive
+    * stream_upsert's MERGE apply against a downstream replica.
+    *
+    * 100 TB: this is how lakehouse CDC avoids log-shipping — version
+    * diff = one co-partitioned full-outer join over the changed
+    * partitions only; output size ∝ the change batch. */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val base = ensureTimeTravelVersions(s, d)
+    val m1 = readManifest(base, 1).toMap
+    val m2 = readManifest(base, 2).toMap
+    // manifest diff: the only partitions the feed must read
+    val differing = m1.keys.filter(p => m1(p) != m2(p)).toSeq.sorted
+    def slice(m: Map[Int, String]) =
+      s.read.parquet(differing.map(p => s"$base/files/${m(p)}/pt=$p"): _*)
+    val v1 = slice(m1).select(col("o_orderkey").as("k1"),
+      col("o_orderstatus").as("status_before"), col("o_custkey").as("ck1"),
+      col("o_totalprice").as("tp1"), col("o_orderdate").as("dt1"),
+      col("o_orderpriority").as("pr1"))
+    val v2 = slice(m2).select(col("o_orderkey").as("k2"),
+      col("o_orderstatus").as("status_after"), col("o_custkey").as("ck2"),
+      col("o_totalprice").as("tp2"), col("o_orderdate").as("dt2"),
+      col("o_orderpriority").as("pr2"))
+    val j = v1.join(v2, col("k1") === col("k2"), "full_outer")
+    val changed = !(col("status_before") <=> col("status_after")) ||
+      !(col("ck1") <=> col("ck2")) || !(col("tp1") <=> col("tp2")) ||
+      !(col("dt1") <=> col("dt2")) || !(col("pr1") <=> col("pr2"))
+    j.select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+        when(col("k1").isNull, lit("I"))
+          .when(col("k2").isNull, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("status_before"), col("status_after"), changed.as("ch"))
+      .filter(col("ch"))
+      .drop("ch")
+      .orderBy(col("o_orderkey"))
+  }
+
+  val changeFeedSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 7 <> 6),
+      |c AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'X' END AS o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
+      |v1 AS (SELECT * FROM base WHERE o_orderkey % 8 IN (2, 5)),
+      |v2 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority
+      |  FROM c WHERE op = 'U')
+      |SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+      |  CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+      |       WHEN v2.o_orderkey IS NULL THEN 'D'
+      |       ELSE 'U' END AS op,
+      |  v1.o_orderstatus AS status_before,
+      |  v2.o_orderstatus AS status_after
+      |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+      |  OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+      |  OR v1.o_custkey IS DISTINCT FROM v2.o_custkey
+      |  OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+      |  OR v1.o_orderdate IS DISTINCT FROM v2.o_orderdate
+      |  OR v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Resolve a version's file list from its manifest (the only way a
     * reader maps version → files). Exposed for EtlSpec. */
@@ -1495,6 +1589,7 @@ object EtlQueries {
     "etl_zorder" -> (zorder _),
     "etl_merge" -> (merge _),
     "etl_time_travel" -> (timeTravel _),
+    "etl_changefeed" -> (changeFeed _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
@@ -1519,6 +1614,7 @@ object EtlQueries {
     "etl_zorder" -> zorderSql,
     "etl_merge" -> mergeSql,
     "etl_time_travel" -> timeTravelSql,
+    "etl_changefeed" -> changeFeedSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,

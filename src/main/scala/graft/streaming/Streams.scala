@@ -517,6 +517,129 @@ object Streams extends Serializable {
       |GROUP BY user_id, sess
       |ORDER BY user_id, start""".stripMargin
 
+  // ---- stream_anomaly: per-key event-rate anomaly flags ----------------
+
+  case class AEv(event_type: String, ts: Timestamp)
+  case class ADay(dayUs: Long, c: Long)
+  case class AnomState(open: Seq[ADay], n: Long, s: Long, q: Long)
+  case class AnomRow(event_type: String, window_start: Timestamp,
+      n_events: Long, n_prior: Long, anomaly: Boolean)
+
+  /** `stream_anomaly` — streaming rate-anomaly detection: per event
+    * type, each closed 1-day window's count is tested against the
+    * running mean/variance of all PRIOR closed windows of that key
+    * (flag iff n≥3 prior windows and |c−μ| > 2σ), the alerting
+    * primitive every ops pipeline runs on its event stream. One
+    * flatMapGroupsWithState keyed by event type does both jobs: open
+    * windows accumulate counts in state, and when the event-time
+    * watermark passes a window's end the window CLOSES — in event-time
+    * order, because the watermark is monotone — emitting its flag
+    * exactly once and folding its count into the running (n, Σc, Σc²).
+    *
+    * The z-test is INTEGER-exact: |c−μ| > 2σ ⟺ (c·n−s)² > 4(n·q−s²)
+    * with s = Σc, q = Σc² over prior windows — no floating point, so
+    * flags are bit-identical to the oracle's window-function replay
+    * regardless of batch boundaries. State per key is the open-window
+    * tail (bounded by watermark skew: ≤ 2 days) plus three counters;
+    * emitted days leave state immediately.
+    *
+    * 100 TB: keys partition the stream (shuffle on event_type), state
+    * is O(keys × watermark-skew windows) — independent of stream
+    * length; the counters never rescan history. The BIGINT test is
+    * exact while c·n < 2⁶³ (≈ 3e9 events/day × 3e9 days — beyond any
+    * real stream; past it, scale the counters to means). Watermark
+    * heartbeats close the tail windows on the bounded replay exactly
+    * as in stream_session_timeout. */
+  def streamAnomaly(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import s.implicits._
+    import java.nio.file.Files
+    val HbType = "heartbeat" // absent from events.event_type by construction
+    val maxTs = graft.Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    require(maxTs != null, "events table is empty: no heartbeat anchor")
+    val hbDir = Files.createTempDirectory("graft_hb_anom").toString
+    def landHeartbeat(idx: Int, plusDays: Int): Unit = {
+      val hbTs = new Timestamp(maxTs.getTime + plusDays * 86400000L)
+      Seq((-1L - idx, hbTs, -999999L, HbType, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(hbDir)
+    }
+    landHeartbeat(0, 1)
+    val hbSchema = s.read.parquet(hbDir).schema
+    val evs = eventStream(s, d, maxFilesPerTrigger)
+      .unionByName(s.readStream.schema(hbSchema).parquet(hbDir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")))
+      .withWatermark("ts", "1 hour")
+      .select(col("event_type"), col("ts")).as[AEv]
+    val DayUs = 86400000000L
+    def fn(key: String, it: Iterator[AEv],
+        state: GroupState[AnomState]): Iterator[AnomRow] = {
+      var st = state.getOption.getOrElse(AnomState(Nil, 0L, 0L, 0L))
+      if (!state.hasTimedOut) {
+        val m = collection.mutable.Map(st.open.map(dd => dd.dayUs -> dd.c).toSeq: _*)
+        it.foreach { e =>
+          val day = Math.floorDiv(tsUs(e.ts), DayUs) * DayUs
+          m(day) = m.getOrElse(day, 0L) + 1L
+        }
+        st = st.copy(open = m.toSeq.map { case (k, v) => ADay(k, v) })
+      }
+      // close every open window the watermark has passed, oldest first
+      val wmUs = state.getCurrentWatermarkMs() * 1000L
+      val (done, still) = st.open.partition(_.dayUs + DayUs <= wmUs)
+      var (n, sum, q) = (st.n, st.s, st.q)
+      val out = done.sortBy(_.dayUs).map { dd =>
+        val dev = dd.c * n - sum
+        val anom = n >= 3 && dev * dev > 4L * (n * q - sum * sum)
+        val row = AnomRow(key, usTs(dd.dayUs), dd.c, n, anom)
+        n += 1; sum += dd.c; q += dd.c * dd.c
+        row
+      }
+      state.update(AnomState(still, n, sum, q))
+      if (still.nonEmpty)
+        state.setTimeoutTimestamp(still.map(_.dayUs + DayUs).min / 1000L)
+      out.iterator
+    }
+    val flags = evs.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+    try {
+      val out = runToMemory(s, flags.toDF(), "graft_anom", "update",
+        afterFirstDrain = () => landHeartbeat(1, 2))
+      // the sentinel key's own windows, dropped post-materialization
+      // (an in-plan filter would push below the watermark node)
+      out.filter(col("event_type") =!= HbType)
+        .orderBy(col("event_type"), col("window_start"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(hbDir))
+    }
+  }
+
+  /** Every closed window flagged against prior-window running stats —
+    * the same integer z²-test as a batch window-function replay. */
+  val streamAnomalySql: String =
+    """WITH w AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, window_start, n_events,
+      |    CAST(COUNT(*) OVER pw AS BIGINT) AS n_prior,
+      |    CAST(COALESCE(SUM(n_events) OVER pw, 0) AS BIGINT) AS s,
+      |    CAST(COALESCE(SUM(n_events * n_events) OVER pw, 0) AS BIGINT) AS q
+      |  FROM w
+      |  WINDOW pw AS (PARTITION BY event_type ORDER BY window_start
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, window_start, n_events, n_prior,
+      |  (n_prior >= 3 AND
+      |   (n_events * n_prior - s) * (n_events * n_prior - s)
+      |     > 4 * (n_prior * q - s * s)) AS anomaly
+      |FROM r
+      |ORDER BY event_type, window_start""".stripMargin
+
   /** Streaming corpus curation, end to end: the documents table
     * replayed as a landing stream → quality gate (Curation.withReasons,
     * reasons == 0) → cross-batch exact dedup on (lang, content

@@ -207,6 +207,31 @@ class Analytics3Spec extends AnyFunSuite {
       s"cross-batch sessions diverge: split=${split.size} whole=${whole.size}")
   }
 
+  test("stream_anomaly: flags survive a time-split two-batch replay") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_split").toString
+    val sub = s"$dir/events.parquet"
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.5)"))
+      .head().getDouble(0).toLong
+    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(sub)
+    Thread.sleep(1100)
+    ev.filter(unix_micros(col("ts")) > mid)
+      .coalesce(1).write.mode("append").parquet(sub)
+    val split = graft.streaming.Streams
+      .streamAnomaly(spark, dir, maxFilesPerTrigger = Some(1))
+      .collect().map(_.toSeq).toSeq
+    val whole = graft.streaming.Streams.streamAnomaly(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(split == whole,
+      s"cross-batch anomaly flags diverge: split=${split.size} whole=${whole.size}")
+    // running stats must actually flag something and spare something,
+    // or the z-test proves nothing
+    val flags = whole.map(_.apply(4).asInstanceOf[Boolean])
+    assert(flags.contains(true) && flags.contains(false),
+      "degenerate flag distribution")
+  }
+
   test("stream_dedup output equals batch-distinct events") {
     val got = graft.streaming.Streams.streamDedup(spark, sf)
     val n = Tables.events(spark, sf).count()

@@ -166,6 +166,34 @@ class EtlSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == audit.toSeq, "rebuild after lost commit marker drifted")
   }
 
+  /** The change feed's membership rules, replayed independently from
+    * the raw key set: deletes are v1-members whose change op is D,
+    * updates are v1-members upserted to 'X', inserts are upserted keys
+    * outside the v1 slice — and before/after images carry the right
+    * statuses for each op. */
+  test("etl_changefeed: ops and images match an independent key replay") {
+    val E = graft.queries.EtlQueries
+    val feed = E.changeFeed(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    val orig = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def changed(k: Long) = (k % 8 == 2 || k % 8 == 5) && k % 3 == 0
+    val inV1 = orig.keySet.filter(_ % 7 != 6)
+    val expected = orig.keysIterator.collect {
+      case k if changed(k) && k % 2 == 1 && inV1(k) =>
+        (k, "D", Some(orig(k)), None)
+      case k if changed(k) && k % 2 == 0 && inV1(k) =>
+        (k, "U", Some(orig(k)), Some("X"))
+      case k if changed(k) && k % 2 == 0 && !inV1(k) =>
+        (k, "I", None, Some("X"))
+    }.toSeq.sortBy(_._1)
+    assert(feed.toSeq == expected)
+    assert(Set("D", "U", "I").subsetOf(feed.map(_._2).toSet),
+      "construction must exercise all three ops")
+  }
+
   /** The 100 TB contract of partition-scoped CoW: a re-merge must leave
     * every file of every UNtouched partition byte-identical and
     * un-rewritten (pinned via path→(length, mtime)), while the touched
