@@ -102,7 +102,20 @@ object ScaleUp {
     // sweep runs the pinned shuffle_replicate_nl degraded path — n²
     // pair work by definition; the measurement bounds the wall at the
     // scale where the ANN escape hatch should take over)
-    "etl_bucket_join", "ann_knn_graph")
+    "etl_bucket_join", "ann_knn_graph",
+    // r9 session 2: the MVCC commit+audit (cost ∝ table for v1 + the
+    // changed slice for v2), the manifest-scoped change feed (reads
+    // ONLY differing partitions — the ∝-changed-slice claim measured),
+    // the z-order rewrite + 2-D window (layout cost ∝ table, query ∝
+    // window), the theta-sketch join estimator (per-key count shuffle
+    // then 1/8-of-domain pairs), and the stateful anomaly replay
+    // (state ∝ keys × open windows, stream length only in the scan)
+    "etl_time_travel", "etl_changefeed", "etl_zorder",
+    "q57_join_card", "stream_anomaly",
+    // late-r9 session 2: the retention sweep (cost ∝ garbage) and the
+    // neighbor-overlap similarity (hub-array bound, same class as
+    // triangles)
+    "etl_vacuum", "graph_jaccard")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

@@ -89,6 +89,7 @@ object SparkEntry {
     "corpus_diff" -> ((s, d) => Corpus.corpusDiff(s, d)),
     "graph_pagerank" -> ((s, d) => graft.operators.GraphOps.pagerank(s, d)),
     "graph_triangles" -> ((s, d) => graft.operators.GraphOps.triangles(s, d)),
+    "graph_jaccard" -> ((s, d) => graft.operators.GraphOps.jaccard(s, d)),
     "graph_components" -> ((s, d) => graft.operators.GraphOps.components(s, d)),
     "corpus_card" -> ((s, d) => Corpus.corpusCard(s, d)),
     "sample_split" -> ((s, d) => Curation.sampleSplit(s, d)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "corpus_diff" -> Corpus.corpusDiffSql,
     "graph_pagerank" -> graft.operators.GraphOps.pagerankSql,
     "graph_triangles" -> graft.operators.GraphOps.trianglesSql,
+    "graph_jaccard" -> graft.operators.GraphOps.jaccardSql,
     "graph_components" -> graft.operators.GraphOps.componentsSql,
     "corpus_card" -> Corpus.corpusCardSql,
     "sample_split" -> Curation.sampleSplitSql,

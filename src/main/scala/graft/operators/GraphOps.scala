@@ -357,6 +357,77 @@ object GraphOps {
        |ORDER BY n_nodes DESC, label LIMIT 20""".stripMargin
   }
 
+  /** `graph_jaccard` — neighbor-overlap node similarity over the
+    * co-purchase graph (the link-prediction / "customers also bought"
+    * primitive): for every connected part pair, the Jaccard of their
+    * FULL neighbor sets, reported as an integer ppm so both engines
+    * agree bit-for-bit, top-20 by (similarity, pair). Same machinery
+    * class as [[triangles]] — ONE collect_set shuffle builds the
+    * undirected adjacency (set semantics absorb duplicate basket
+    * pairs), each undirected edge then surfaces once from the
+    * adjacency rows themselves (explode + v>u filter — no separate
+    * edge table), carries nu for free, and fetches nv through the
+    * footer-gated broadcast join. |N(u)∩N(v)| is an in-row
+    * array_intersect inside codegen, never a wedge join — the oracle
+    * REPLAYS the wedge join because SQL has no set column, which is
+    * exactly the shape this plan avoids at scale.
+    *
+    * Zero-overlap pairs are excluded (they cannot reach a top-20
+    * dominated by clique pairs, and the oracle's inner wedge join
+    * never sees them). 100 TB: cost = adjacency shuffle + Σ per-edge
+    * (|nu|+|nv|) intersect work; hub arrays are the scale bound, the
+    * same one every neighborhood-similarity system (e.g. LSH-based
+    * people-also-viewed) caps with degree truncation — compose with
+    * corpus_domain_cap-style top-k neighbor truncation past it. */
+  def jaccard(s: SparkSession, d: String, n: Int = 20): DataFrame = {
+    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
+    val adj = pairs.select(col("a").as("u"), col("c").as("v"))
+      .union(pairs.select(col("c").as("u"), col("a").as("v")))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_set(col("v"))).as("nb"))
+    val edgeBound = 21L * graft.Tables.footerRowCount(s, d, "orders")
+    val hint: DataFrame => DataFrame =
+      if (edgeBound <= 4000000L) broadcast else identity
+    adj.select(col("u").as("a"), explode(col("nb")).as("c"),
+        col("nb").as("na"))
+      .filter(col("c") > col("a")) // each undirected edge once
+      .join(hint(adj.select(col("u").as("c"), col("nb").as("nc"))), "c")
+      .select(col("a"), col("c"),
+        size(array_intersect(col("na"), col("nc"))).cast("bigint").as("common"),
+        (size(col("na")) + size(col("nc"))).cast("bigint").as("degsum"))
+      .filter(col("common") > 0)
+      .select(col("a"), col("c"), col("common"),
+        expr("CAST((1000000 * common) DIV (degsum - common) AS BIGINT)")
+          .as("jac_ppm"))
+      .orderBy(col("jac_ppm").desc, col("a"), col("c"))
+      .limit(n)
+  }
+
+  val jaccardSql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.p AS a, y.p AS c
+      |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p),
+      |ed AS (SELECT a AS u, c AS v FROM e UNION ALL SELECT c, a FROM e),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS dg FROM ed GROUP BY u),
+      |common AS (
+      |  SELECT e.a, e.c, CAST(COUNT(*) AS BIGINT) AS common
+      |  FROM e
+      |  JOIN ed n1 ON n1.u = e.a
+      |  JOIN ed n2 ON n2.u = e.c AND n2.v = n1.v
+      |  GROUP BY e.a, e.c)
+      |SELECT m.a, m.c, m.common,
+      |  (1000000 * m.common) // (da.dg + dc.dg - m.common) AS jac_ppm
+      |FROM common m
+      |JOIN deg da ON da.u = m.a
+      |JOIN deg dc ON dc.u = m.c
+      |ORDER BY jac_ppm DESC, m.a, m.c
+      |LIMIT 20""".stripMargin
+
   val trianglesSql: String =
     """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e AS (

@@ -468,9 +468,11 @@ object EtlQueries {
 
   /** Build (once per source state) the two committed versions + their
     * manifests; returns the store base. Shared by the AS OF audit and
-    * the change feed. */
-  private def ensureTimeTravelVersions(s: SparkSession, d: String): String = {
-    val base = timeTravelBase(d)
+    * the change feed; `prefix` isolates consumers that MUTATE the
+    * store (etl_vacuum) from the readers. */
+  private def ensureTimeTravelVersions(s: SparkSession, d: String,
+      prefix: String = "ttravel"): String = {
+    val base = scratchDir(prefix, d, "orders")
     val pt = pmod(col("o_orderkey"), lit(8)).cast("int")
     if (!new java.io.File(s"$base/manifests/v2.txt").exists()) {
       val orders = Tables.orders(s, d)
@@ -554,6 +556,96 @@ object EtlQueries {
       .drop("ch")
       .orderBy(col("o_orderkey"))
   }
+
+  /** `etl_vacuum` — manifest-driven retention sweep over the version
+    * store, closing the lakehouse lifecycle (commit → AS OF read →
+    * change feed → VACUUM): with a keep-latest-only policy, a file is
+    * garbage iff it is referenced by some dropped version's manifest
+    * and by NO retained one — pure manifest set algebra, no directory
+    * listing, no data scan to DECIDE (the scan here only sizes the
+    * audit). Shared partitions (untouched by v2) are referenced by
+    * both manifests and survive structurally; v1's rewritten
+    * partitions are swept physically, then the v1 manifest itself is
+    * dropped so no reader can resolve a half-present version.
+    *
+    * The audit reports, per swept partition, the rows reclaimed and
+    * the live (v2) rows remaining with their key checksum — computed
+    * AFTER the physical delete, so a sweep that touched live data
+    * would fail the oracle, not just a spec. Runs against its own
+    * store instance (`prefix = "vac"`), never the one
+    * etl_time_travel / etl_changefeed read. Re-runs are idempotent:
+    * the audit is persisted beside the store at sweep time and
+    * replayed from disk once the garbage is gone.
+    *
+    * 100 TB: vacuum cost ∝ dropped-version garbage, decision cost ∝
+    * manifest size — neither scans the table; this is exactly
+    * Delta/Iceberg VACUUM with expire-snapshots semantics. */
+  def vacuum(s: SparkSession, d: String): DataFrame = {
+    val base = ensureTimeTravelVersions(s, d, "vac")
+    val auditPath = s"$base/vacuum_audit"
+    if (!new java.io.File(s"$auditPath/_SUCCESS").exists()) {
+      val m1 = readManifest(base, 1)
+      val m2 = readManifest(base, 2).toSet
+      val swept = m1.filterNot(m2.contains) // (pt, ver) garbage set
+      val pt = pmod(col("o_orderkey"), lit(8)).cast("int")
+      // materialized BEFORE the delete (the plan is lazy; ≤ 8 rows —
+      // bounded by the partition domain)
+      val sweptCounts = s.read.parquet(
+          swept.map { case (p, ver) => s"$base/files/$ver/pt=$p" }: _*)
+        .groupBy(pt.as("pt")).agg(count(lit(1)).as("rows_swept"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val sweptRows = {
+        import s.implicits._
+        sweptCounts.toDF("pt", "rows_swept")
+      }
+      // physical delete, then size the LIVE side from what remains
+      val liveAfter = {
+        swept.foreach { case (p, ver) =>
+          deleteRecursively(new java.io.File(s"$base/files/$ver/pt=$p"))
+        }
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$base/manifests/v1.txt"))
+        val m2ByPt = m2.toMap
+        s.read.parquet(swept.map { case (p, _) =>
+            s"$base/files/${m2ByPt(p)}/pt=$p" }: _*)
+          .groupBy(pt.as("pt"))
+          .agg(count(lit(1)).as("rows_live"),
+            sum(col("o_orderkey")).as("key_sum_live"))
+      }
+      sweptRows.join(liveAfter, Seq("pt"))
+        .orderBy(col("pt"))
+        .write.mode("overwrite").parquet(auditPath)
+    }
+    s.read.parquet(auditPath).orderBy(col("pt"))
+  }
+
+  val vacuumSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 6),
+      |c AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
+      |touched AS (SELECT DISTINCT CAST(o_orderkey % 8 AS INT) AS pt FROM c),
+      |v2 AS (
+      |  SELECT o_orderkey FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+      |  UNION ALL
+      |  SELECT o_orderkey FROM c WHERE op = 'U'),
+      |swept AS (
+      |  SELECT CAST(o_orderkey % 8 AS INT) AS pt,
+      |    CAST(COUNT(*) AS BIGINT) AS rows_swept
+      |  FROM base WHERE CAST(o_orderkey % 8 AS INT) IN (SELECT pt FROM touched)
+      |  GROUP BY 1),
+      |live AS (
+      |  SELECT CAST(o_orderkey % 8 AS INT) AS pt,
+      |    CAST(COUNT(*) AS BIGINT) AS rows_live,
+      |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum_live
+      |  FROM v2 WHERE CAST(o_orderkey % 8 AS INT) IN (SELECT pt FROM touched)
+      |  GROUP BY 1)
+      |SELECT pt, rows_swept, rows_live, key_sum_live
+      |FROM swept JOIN live USING (pt)
+      |ORDER BY pt""".stripMargin
 
   val changeFeedSql: String =
     """WITH base AS (
@@ -1590,6 +1682,7 @@ object EtlQueries {
     "etl_merge" -> (merge _),
     "etl_time_travel" -> (timeTravel _),
     "etl_changefeed" -> (changeFeed _),
+    "etl_vacuum" -> (vacuum _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
@@ -1615,6 +1708,7 @@ object EtlQueries {
     "etl_merge" -> mergeSql,
     "etl_time_travel" -> timeTravelSql,
     "etl_changefeed" -> changeFeedSql,
+    "etl_vacuum" -> vacuumSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,

@@ -166,6 +166,43 @@ class EtlSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == audit.toSeq, "rebuild after lost commit marker drifted")
   }
 
+  /** Vacuum's physical contract: garbage dirs and the dropped
+    * version's manifest are really gone, shared files survive, the
+    * retained version reads back complete, and a re-run replays the
+    * persisted audit bit-for-bit. */
+  test("etl_vacuum: sweeps only dropped-version files; retained version intact") {
+    val E = graft.queries.EtlQueries
+    val audit = E.vacuum(spark, sf).collect()
+    val base = new java.io.File(sys.props("java.io.tmpdir")).listFiles
+      .filter(f => f.getName.startsWith("graft_vac_") && f.isDirectory)
+      .maxBy(_.lastModified).toString
+    assert(!new java.io.File(s"$base/manifests/v1.txt").exists,
+      "dropped version's manifest survived the sweep")
+    assert(!new java.io.File(s"$base/files/v1/pt=2").exists &&
+      !new java.io.File(s"$base/files/v1/pt=5").exists,
+      "garbage partition dirs survived the sweep")
+    assert(new java.io.File(s"$base/files/v1/pt=0").exists,
+      "a SHARED partition dir was swept — live data destroyed")
+    // retained version still resolves completely through its manifest
+    val m2 = E.readManifest(base, 2)
+    assert(m2.size == 8 && m2.forall { case (p, ver) =>
+      new java.io.File(s"$base/files/$ver/pt=$p").exists })
+    // audit replay is stable
+    assert(E.vacuum(spark, sf).collect().toSeq == audit.toSeq)
+    // and the audit itself matches an independent recomputation
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    def changed(k: Long) = (k % 8 == 2 || k % 8 == 5) && k % 3 == 0
+    val v1 = keys.filter(_ % 7 != 6)
+    val v2 = v1.filterNot(changed) ++ keys.filter(k => changed(k) && k % 2 == 0)
+    for (r <- audit) {
+      val p = r.getInt(0)
+      assert(r.getLong(1) == v1.count(_ % 8 == p), s"pt=$p rows_swept drifted")
+      assert(r.getLong(2) == v2.count(_ % 8 == p), s"pt=$p rows_live drifted")
+      assert(r.getLong(3) == v2.filter(_ % 8 == p).sum, s"pt=$p key_sum drifted")
+    }
+  }
+
   /** The change feed's membership rules, replayed independently from
     * the raw key set: deletes are v1-members whose change op is D,
     * updates are v1-members upserted to 'X', inserts are upserted keys

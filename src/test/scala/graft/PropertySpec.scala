@@ -114,6 +114,31 @@ class PropertySpec extends AnyFunSuite {
     assert(got.head._2 >= got.last._2 && got.forall(_._2 > 0))
   }
 
+  test("graph_jaccard matches an in-memory neighbor-set replay") {
+    import SparkTestSession._
+    val b = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = b.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val nb = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = edges.toSeq.map { case (a, c) =>
+      val common = (nb(a) intersect nb(c)).size.toLong
+      val ppm = if (common > 0)
+        1000000L * common / (nb(a).size + nb(c).size - common) else -1L
+      (a, c, common, ppm)
+    }.filter(_._3 > 0)
+      .sortBy { case (a, c, _, ppm) => (-ppm, a, c) }.take(20)
+    val got = graft.operators.GraphOps.jaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // clique pairs must dominate: top similarity well above zero
+    assert(got.head._4 > 100000, s"degenerate top similarity: ${got.head}")
+  }
+
   test("graph_components census equals union-find truth") {
     import SparkTestSession._
     // the Spark side runs 16 bounded propagate+jump rounds; agreement
