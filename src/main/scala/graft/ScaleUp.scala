@@ -115,7 +115,11 @@ object ScaleUp {
     // late-r9 session 2: the retention sweep (cost ∝ garbage) and the
     // neighbor-overlap similarity (hub-array bound, same class as
     // triangles)
-    "etl_vacuum", "graph_jaccard")
+    "etl_vacuum", "graph_jaccard",
+    // late-r9 session 2b: the sketch ANALYZE (one exchange of k×32 B
+    // partials per column — should be ~flat) and hard-negative mining
+    // (broadcast query set, one scan — ~linear in the corpus)
+    "etl_stats_approx", "sample_hard_negatives")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

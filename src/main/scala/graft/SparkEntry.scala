@@ -50,6 +50,7 @@ object SparkEntry {
     "text_boilerplate" -> ((s, d) => TextAnalysis.boilerplateScrub(s, d)),
     "ann_bruteforce" -> ((s, d) => Similarity.bruteForce(s, d)),
     "ann_topk_join" -> ((s, d) => Similarity.topkJoin(s, d)),
+    "sample_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     "ann_knn_graph" -> ((s, d) => Similarity.knnGraph(s, d)),
     "ann_lsh" -> ((s, d) => Similarity.lsh(s, d)),
     "ann_ivf" -> ((s, d) => Similarity.ivf(s, d)),
@@ -157,6 +158,7 @@ object SparkEntry {
     "text_boilerplate" -> TextAnalysis.boilerplateScrubSql,
     "ann_bruteforce" -> Similarity.bruteForceSql,
     "ann_topk_join" -> Similarity.topkJoinSql,
+    "sample_hard_negatives" -> Similarity.hardNegativesSql,
     "ann_knn_graph" -> Similarity.knnGraphSql,
     "ann_dim_stats" -> Similarity.dimStatsSql,
     "embed_drift" -> Similarity.embedDriftSql,

@@ -145,6 +145,70 @@ object Similarity {
        |WHERE rnk <= 5
        |ORDER BY q_id, rnk""".stripMargin
 
+  /** `sample_hard_negatives` — contrastive-training hard-negative
+    * mining: for each query vector, the k most-similar vectors with a
+    * DIFFERENT label (the negatives a contrastive loss learns most
+    * from), each reported with its margin against the query's hardest
+    * POSITIVE (max same-label cosine). margin ≥ 0 names a violation —
+    * a negative ranked above a true positive — exactly the pairs
+    * curriculum builders and re-labelling audits want first.
+    *
+    * Plan: the 8-query set broadcasts, ONE corpus scan scores both
+    * sides of the contrast (negatives via the label-≠ join, the
+    * per-query positive ceiling via a max over the label-= rows of
+    * the same scored frame), and the bounded top-k window runs per
+    * query. Both cosine folds and the margin subtraction are the
+    * shared exact double folds ([[cosOf]]), so the output is
+    * bit-identical cross-engine. At 100 TB the index-served twin is
+    * [[AnnIndex.knnJoin]] with a label filter on the candidate side
+    * (the ann_filtered composition); this exact form is its
+    * recall-1 baseline and the gate for it. */
+  def hardNegatives(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"), norm2(col("embedding")).as("n2"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("n2").as("q_n2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        (dotD(col("embedding"), col("q_emb")) /
+          sqrt(col("n2") * col("q_n2"))).as("cos"))
+    val posCeil = scored.filter(col("label") === col("q_label"))
+      .groupBy(col("q_id").as("pq_id"))
+      .agg(max(col("cos")).as("pos_max"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(broadcast(posCeil), col("q_id") === col("pq_id"))
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        col("label").as("neg_label"), col("cos"),
+        (col("cos") - col("pos_max")).as("margin"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |    e.vec_id AS vec_id, e.label AS label,
+       |    ${cosOf("e.embedding", "q.embedding")} AS cos
+       |  FROM embeddings e
+       |  JOIN embeddings q ON q.vec_id < 8 AND e.vec_id <> q.vec_id),
+       |pos AS (
+       |  SELECT q_id, MAX(cos) AS pos_max FROM scored
+       |  WHERE label = q_label GROUP BY q_id),
+       |neg AS (
+       |  SELECT q_id, vec_id, label, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, vec_id) AS INT) AS rnk
+       |  FROM scored WHERE label <> q_label)
+       |SELECT n.q_id, n.rnk, n.vec_id, n.label AS neg_label, n.cos,
+       |  n.cos - p.pos_max AS margin
+       |FROM neg n JOIN pos p USING (q_id)
+       |WHERE n.rnk <= 5
+       |ORDER BY n.q_id, n.rnk""".stripMargin
+
   /** The dot-product fold alone (the cosine's numerator), for oracles
     * that pre-compute norms once per VECTOR instead of re-folding them
     * per PAIR — same sequential left-to-right double fold as

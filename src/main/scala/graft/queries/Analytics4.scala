@@ -282,7 +282,9 @@ object Analytics4 {
   // six exchanges total) shipped the full value stream three times.
   // Groups with < k distinct values short-circuit to the exact count
   // (the sketch's capped cnt is exact below k).
-  private def kmvCol(sketch: Column, alias: String, k: Int): Column = {
+  // shared with EtlQueries.statsApprox (one definition of the estimate
+  // math, the ShPairsCte anti-drift discipline)
+  private[queries] def kmvCol(sketch: Column, alias: String, k: Int): Column = {
     val cnt = sketch.getField("cnt")
     val kth = sketch.getField("kth")
     when(cnt < k, cnt)

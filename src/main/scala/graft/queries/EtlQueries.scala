@@ -998,6 +998,86 @@ object EtlQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** `etl_stats_approx` — the 100 TB twin of [[stats]], closing that
+    * query's own named remedy ("at production scale swap the exact
+    * distinct for a sketch"): per-column NDV from the bounded
+    * [[graft.functions.KmvSketch]] aggregate instead of the exact
+    * (idx, value) groupBy. ONE scan, ONE exchange whose payload is
+    * ≤ k×32 B per (column × task) — a billion-row table ships ~7×256
+    * digests per task where the exact form ships every distinct value.
+    * Values hash through their CANONICAL string reprs (the [[stats]]
+    * repr rules: ints verbatim, money as floor-cents, dates as
+    * yyyy-MM-dd), so the estimate is a pure function of the logical
+    * column content, not its physical type, and the DuckDB oracle
+    * replays the k-smallest-md5 ranking bit-for-bit (the q49
+    * discipline — estimates are deterministic, not approximately
+    * compared). Exact row/null counts ride the same pass. */
+  def statsApprox(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KmvSketch.kmvSketch
+    val k = 1024 // ~3% expected NDV error; 32 KB of partial per column
+    val reprs: Seq[(String, Column)] = Seq(
+      "l_orderkey" -> col("l_orderkey").cast("bigint").cast("string"),
+      "l_linenumber" -> col("l_linenumber").cast("bigint").cast("string"),
+      "l_quantity" -> col("l_quantity").cast("bigint").cast("string"),
+      "l_extendedprice" ->
+        floor(col("l_extendedprice") * 100).cast("bigint").cast("string"),
+      "l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"),
+      "l_shipdate" -> date_format(
+        col("l_shipdate").cast("timestamp").cast("date"), "yyyy-MM-dd"))
+    // single-file inputs rebalance for map-side parallelism (the
+    // [[stats]] rule — few splits ⇒ small input ⇒ cheap shuffle)
+    val li0 = Tables.lineitem(s, d)
+    val li = if (li0.rdd.getNumPartitions < 16) li0.repartition(16) else li0
+    val pairs = li.select(posexplode(array(
+      reprs.map { case (_, c) => c }: _*)).as(Seq("idx", "v")))
+    val byCol = pairs.groupBy(col("idx")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      kmvSketch(col("v"), k).as("sk"))
+    def byIdx(f: Int => Column): Column =
+      reprs.indices.tail.foldLeft(f(0)) { (acc, i) =>
+        when(col("idx") === i, f(i)).otherwise(acc)
+      }
+    byCol.select(
+      byIdx(i => lit(reprs(i)._1)).as("col_name"),
+      col("n_rows"), col("n_nulls"),
+      Analytics4.kmvCol(col("sk"), "ndv_kmv", k))
+      .orderBy(col("col_name"))
+  }
+
+  val statsApproxSql: String = {
+    val k = 1024
+    val hexval =
+      """list_reduce(list_transform(string_split(substr(kth,1,15), ''),
+        |    c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, d) -> a*16 + d)""".stripMargin
+    def block(cn: String, repr: String): String =
+      s"""SELECT '$cn' AS col_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+         |  (SELECT CAST(COUNT(*) - COUNT($repr) AS BIGINT) FROM lineitem) AS n_nulls,
+         |  (SELECT CASE WHEN cnt < $k THEN cnt
+         |     ELSE CAST(FLOOR((${k - 1}.0) / ($hexval / 1152921504606846976.0)) AS BIGINT)
+         |   END
+         |   FROM (
+         |     SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         |       MAX(CASE WHEN rk = $k THEN h END) AS kth
+         |     FROM (
+         |       SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk
+         |       FROM (SELECT DISTINCT md5($repr) AS h FROM lineitem
+         |             WHERE $repr IS NOT NULL))
+         |     WHERE rk <= $k)) AS ndv_kmv""".stripMargin
+    Seq(
+      block("l_orderkey", "CAST(l_orderkey AS VARCHAR)"),
+      block("l_linenumber", "CAST(l_linenumber AS VARCHAR)"),
+      block("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+      block("l_extendedprice",
+        "CAST(CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS VARCHAR)"),
+      block("l_returnflag", "l_returnflag"),
+      block("l_linestatus", "l_linestatus"),
+      block("l_shipdate", "strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** `etl_quarantine` — validation routing, the standard ETL stage the
     * reference's converter errors hint at but never materialize: every
     * input row is checked against the rule set and ROUTED — clean rows
@@ -1676,6 +1756,7 @@ object EtlQueries {
     "etl_forget" -> (forget _),
     "etl_scd2" -> (scd2 _),
     "etl_stats" -> (stats _),
+    "etl_stats_approx" -> (statsApprox _),
     "etl_quarantine" -> (quarantine _),
     "etl_cluster" -> (cluster _),
     "etl_zorder" -> (zorder _),
@@ -1702,6 +1783,7 @@ object EtlQueries {
     "etl_forget" -> forgetSql,
     "etl_scd2" -> scd2Sql,
     "etl_stats" -> statsSql,
+    "etl_stats_approx" -> statsApproxSql,
     "etl_quarantine" -> quarantineSql,
     "etl_cluster" -> clusterSql,
     "etl_zorder" -> zorderSql,

@@ -512,6 +512,40 @@ class CurationSpec extends AnyFunSuite {
     assert(got2.toSet == expect, "cartesian path diverged from broadcast path")
   }
 
+  test("sample_hard_negatives: in-memory mining replay; margins name real violations") {
+    val k = 5
+    val got = Similarity.hardNegatives(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val vecs = rows.map(r => r._1 -> r._3).toMap
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i).toDouble * b(i).toDouble)
+    val n2 = vecs.map { case (id, v) => id -> dot(v, v) }
+    def cos(a: Long, b: Long): Double =
+      dot(vecs(a), vecs(b)) / math.sqrt(n2(a) * n2(b))
+    val expect = vecs.keys.filter(_ < 8).toSeq.sorted.flatMap { q =>
+      val others = vecs.keys.filter(_ != q).toSeq
+      val posMax = others.filter(labels(_) == labels(q))
+        .map(cos(q, _)).maxOption
+      posMax.toSeq.flatMap { pm =>
+        others.filter(labels(_) != labels(q))
+          .sortBy(v => (-cos(q, v), v)).take(k).zipWithIndex
+          .map { case (v, i) =>
+            (q, i + 1, v, labels(v), cos(q, v), cos(q, v) - pm) }
+      }
+    }
+    assert(got.toSeq == expect, "mining replay diverged")
+    // a useful miner must surface both violated and satisfied margins
+    // across the query set — all-one-sign means the construction is
+    // degenerate for curriculum purposes (soft check: at least the
+    // margins must not all be identical)
+    assert(got.map(_._6).distinct.length > 1, "degenerate margins")
+  }
+
   test("ann_pq_rerank: equals exact re-ranking of ADC candidates, recall >= plain PQ") {
     val rr = Similarity.pqRerank(spark, sf).collect()
     assert(rr.length == 10)

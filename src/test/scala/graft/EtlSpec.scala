@@ -166,6 +166,28 @@ class EtlSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == audit.toSeq, "rebuild after lost commit marker drifted")
   }
 
+  /** The sketch ANALYZE's quality and exact-channel contracts: NDV
+    * estimates within 10% of truth per column (k=256 ⇒ ~6% expected
+    * error), exact row/null counts, and the below-k short-circuit
+    * returning truth exactly for the low-cardinality columns. */
+  test("etl_stats_approx: NDV within 10% of exact; low-card columns exact") {
+    import org.apache.spark.sql.functions._
+    val approx = graft.queries.EtlQueries.statsApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = graft.queries.EtlQueries.stats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((cn, (nr, nn, ndv)) <- approx) {
+      val (enr, enn, endv) = exact(cn)
+      assert(nr == enr && nn == enn, s"$cn exact channels drifted")
+      assert(math.abs(ndv - endv).toDouble / endv <= 0.10,
+        s"$cn: kmv=$ndv exact=$endv escapes the 10% bound")
+      if (endv < 256) assert(ndv == endv, s"$cn below-k short-circuit not exact")
+    }
+    assert(exact.values.exists(_._3 < 256) && exact.values.exists(_._3 >= 256),
+      "construction must exercise both the exact and the estimated branch")
+  }
+
   /** Vacuum's physical contract: garbage dirs and the dropped
     * version's manifest are really gone, shared files survive, the
     * retained version reads back complete, and a re-run replays the
