@@ -113,10 +113,17 @@ case class KmvSketch(
 }
 
 object KmvSketch {
+  // MessageDigest is stateful but reset()s after digest(); one
+  // instance per task thread amortizes the per-call getInstance
+  // (provider lookup + allocation — measured ~25% of the whole
+  // etl_stats_approx sketch pass at 7 digests/row)
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Lowercase hex MD5 of the UTF-8 bytes — identical to SQL
     * `md5(CAST(v AS STRING))` on both Spark and DuckDB. */
   def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val d = md5Local.get().digest(s.getBytes("UTF-8"))
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < d.length) {
