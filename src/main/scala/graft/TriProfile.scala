@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
-/** Scratch per-stage decomposition of `graph_triangles` (r9 session
-  * tool, same discipline as [[SubstringProfile]]): stages mirror
-  * [[graft.operators.GraphOps.triangles]] so the best-of gap
-  * decomposes into pair-distinct / orientation / adjacency /
-  * intersection shares. */
+/** Per-stage decomposition of `graph_triangles` (r9 session tool,
+  * same discipline as [[SubstringProfile]]). NOTE: pairs_raw /
+  * pair_distinct time the SUPERSEDED r8 stages on purpose — this is
+  * the measurement that located the pair-distinct margin and
+  * motivated the r9 rewrite (commit "Shave graph_triangles"), kept
+  * for the record; `full_ms` times whatever
+  * [[graft.operators.GraphOps.triangles]] currently is, so the two
+  * no longer sum to the same plan. */
 object TriProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

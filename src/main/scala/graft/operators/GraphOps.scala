@@ -145,21 +145,7 @@ object GraphOps {
     * (pair distinct, wedge pivot, closing pair) — the orientation is
     * what keeps the wedge stage from exploding on hub nodes. */
   def triangles(s: SparkSession, d: String, n: Int = 20): DataFrame = {
-    // Pairs are generated NARROWLY inside each order's sorted part set
-    // (the q53_market_basket shape); both directions feed ONE
-    // collect_set groupBy that builds the full undirected adjacency —
-    // set semantics absorb duplicate pairs structurally, so the former
-    // pair-distinct exchange, the separate degree table and the second
-    // adjacency groupBy all collapse into this single shuffle
-    // (r9 profile: pair-distinct 1.0 s but the full query 3.6 s — the
-    // margin was exactly these extra pair-space exchanges; this form
-    // measured 3.6 → 1.9 s best-of at sf0.1).
-    val pairs = graft.Checkpoints.pin(
-      lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
-        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c")))
+    val pairs = graft.Checkpoints.pin(basketPairs(s, d))
     // Orientation needs only SOME strict total order on nodes —
     // degree ordering is the arboricity heuristic bounding Σ out-deg²,
     // and for that heuristic the multiplicity-WEIGHTED degree (raw
@@ -190,9 +176,7 @@ object GraphOps {
     // footer gate (pairs per order ≤ C(7,2)=21 ⇒ |E| ≤ 21·|orders| —
     // the pagerank discipline); past the cap the closing joins degrade
     // to shuffle joins of |E| rows each, still never the wedge stream.
-    val edgeBound = 21L * graft.Tables.footerRowCount(s, d, "orders")
-    val hint: DataFrame => DataFrame =
-      if (edgeBound <= 4000000L) broadcast else identity
+    val hint = adjacencyHint(s, d)
     val adjP = o.groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("np"))
     // edge-parallel INTERSECTION instead of a wedge join: the wedge
@@ -221,6 +205,30 @@ object GraphOps {
       .orderBy(col("n_tri").desc, col("part"))
       .limit(n)
   }
+
+  /** Unordered co-purchase part pairs (a < c), generated NARROWLY
+    * inside each order's sorted part set (the q53_market_basket
+    * shape). Duplicates across orders are INCLUDED — consumers absorb
+    * them in set-semantics aggregates (collect_set) instead of paying
+    * a corpus-wide pair-distinct exchange. ONE definition shared by
+    * [[triangles]] and [[jaccard]] so the slice/posexplode pair idiom
+    * and its off-by-ones cannot drift between them. */
+  private def basketPairs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
+
+  /** Broadcast-or-identity hint for the |V|-row adjacency frames of
+    * the co-purchase graph: under the footer gate (pairs per order ≤
+    * C(7,2)=21 ⇒ |E| ≤ 21·|orders| — the pagerank discipline) they
+    * broadcast; past it consumers degrade to |E|-row shuffle joins —
+    * still never a wedge stream. Shared by [[triangles]] / [[jaccard]]
+    * so the gate constant cannot drift. */
+  private def adjacencyHint(s: SparkSession, d: String): DataFrame => DataFrame =
+    if (21L * graft.Tables.footerRowCount(s, d, "orders") <= 4000000L)
+      broadcast else identity
 
   private val CcRounds = 16
   private val StrongQty = 50
@@ -380,18 +388,12 @@ object GraphOps {
     * people-also-viewed) caps with degree truncation — compose with
     * corpus_domain_cap-style top-k neighbor truncation past it. */
   def jaccard(s: SparkSession, d: String, n: Int = 20): DataFrame = {
-    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
-      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
+    val pairs = basketPairs(s, d)
     val adj = pairs.select(col("a").as("u"), col("c").as("v"))
       .union(pairs.select(col("c").as("u"), col("a").as("v")))
       .groupBy(col("u"))
       .agg(sort_array(collect_set(col("v"))).as("nb"))
-    val edgeBound = 21L * graft.Tables.footerRowCount(s, d, "orders")
-    val hint: DataFrame => DataFrame =
-      if (edgeBound <= 4000000L) broadcast else identity
+    val hint = adjacencyHint(s, d)
     adj.select(col("u").as("a"), explode(col("nb")).as("c"),
         col("nb").as("na"))
       .filter(col("c") > col("a")) // each undirected edge once

@@ -169,10 +169,16 @@ object Similarity {
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("embedding").as("q_emb"), col("n2").as("q_n2"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
-        (dotD(col("embedding"), col("q_emb")) /
-          sqrt(col("n2") * col("q_n2"))).as("cos"))
+    // pinned: scored feeds BOTH the positive-ceiling aggregate and the
+    // negatives window — their exchange children differ (filter on
+    // label= vs label≠), so ReuseExchange cannot merge them and an
+    // unpinned frame would scan + broadcast-join the corpus twice
+    // (review finding, this session)
+    val scored = graft.Checkpoints.pin(
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          (dotD(col("embedding"), col("q_emb")) /
+            sqrt(col("n2") * col("q_n2"))).as("cos")))
     val posCeil = scored.filter(col("label") === col("q_label"))
       .groupBy(col("q_id").as("pq_id"))
       .agg(max(col("cos")).as("pos_max"))

@@ -581,9 +581,17 @@ object EtlQueries {
     * manifest size — neither scans the table; this is exactly
     * Delta/Iceberg VACUUM with expire-snapshots semantics. */
   def vacuum(s: SparkSession, d: String): DataFrame = {
-    val base = ensureTimeTravelVersions(s, d, "vac")
+    var base = ensureTimeTravelVersions(s, d, "vac")
     val auditPath = s"$base/vacuum_audit"
     if (!new java.io.File(s"$auditPath/_SUCCESS").exists()) {
+      // crash-retry: a failure between the physical delete and the
+      // audit _SUCCESS leaves a half-swept store (v1 manifest gone, no
+      // audit). The garbage is unrecoverable by design — rebuild the
+      // store from source and sweep again.
+      if (!new java.io.File(s"$base/manifests/v1.txt").exists()) {
+        deleteRecursively(new java.io.File(base))
+        base = ensureTimeTravelVersions(s, d, "vac")
+      }
       val m1 = readManifest(base, 1)
       val m2 = readManifest(base, 2).toSet
       val swept = m1.filterNot(m2.contains) // (pt, ver) garbage set
@@ -618,6 +626,10 @@ object EtlQueries {
     }
     s.read.parquet(auditPath).orderBy(col("pt"))
   }
+
+  /** Vacuum's (isolated) store base, exposed so EtlSpec can assert the
+    * physical sweep without filesystem archaeology. */
+  def vacuumBase(d: String): String = scratchDir("vac", d, "orders")
 
   val vacuumSql: String =
     """WITH base AS (

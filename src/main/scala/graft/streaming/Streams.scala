@@ -521,7 +521,8 @@ object Streams extends Serializable {
 
   case class AEv(event_type: String, ts: Timestamp)
   case class ADay(dayUs: Long, c: Long)
-  case class AnomState(open: Seq[ADay], n: Long, s: Long, q: Long)
+  case class AnomState(open: Seq[ADay], n: Long, s: Long, q: Long,
+      maxFinalizedDayUs: Long)
   case class AnomRow(event_type: String, window_start: Timestamp,
       n_events: Long, n_prior: Long, anomaly: Boolean)
 
@@ -575,12 +576,18 @@ object Streams extends Serializable {
     val DayUs = 86400000000L
     def fn(key: String, it: Iterator[AEv],
         state: GroupState[AnomState]): Iterator[AnomRow] = {
-      var st = state.getOption.getOrElse(AnomState(Nil, 0L, 0L, 0L))
+      var st = state.getOption.getOrElse(AnomState(Nil, 0L, 0L, 0L, Long.MinValue))
       if (!state.hasTimedOut) {
         val m = collection.mutable.Map(st.open.map(dd => dd.dayUs -> dd.c).toSeq: _*)
         it.foreach { e =>
           val day = Math.floorDiv(tsUs(e.ts), DayUs) * DayUs
-          m(day) = m.getOrElse(day, 0L) + 1L
+          // drop rows later than an already-CLOSED window — the same
+          // semantics as Spark's built-in late-row drop for windowed
+          // aggregations; re-opening a finalized day would double-emit
+          // it (reachable only when the replay's file split is not
+          // time-ordered past the watermark delay)
+          if (day > st.maxFinalizedDayUs)
+            m(day) = m.getOrElse(day, 0L) + 1L
         }
         st = st.copy(open = m.toSeq.map { case (k, v) => ADay(k, v) })
       }
@@ -595,7 +602,8 @@ object Streams extends Serializable {
         n += 1; sum += dd.c; q += dd.c * dd.c
         row
       }
-      state.update(AnomState(still, n, sum, q))
+      val maxFin = (st.maxFinalizedDayUs +: done.map(_.dayUs)).max
+      state.update(AnomState(still, n, sum, q, maxFin))
       if (still.nonEmpty)
         state.setTimeoutTimestamp(still.map(_.dayUs + DayUs).min / 1000L)
       out.iterator

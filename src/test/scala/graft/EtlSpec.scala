@@ -167,7 +167,7 @@ class EtlSpec extends AnyFunSuite {
   }
 
   /** The sketch ANALYZE's quality and exact-channel contracts: NDV
-    * estimates within 10% of truth per column (k=256 ⇒ ~6% expected
+    * estimates within 10% of truth per column (k=1024 ⇒ ~3% expected
     * error), exact row/null counts, and the below-k short-circuit
     * returning truth exactly for the low-cardinality columns. */
   test("etl_stats_approx: NDV within 10% of exact; low-card columns exact") {
@@ -182,9 +182,9 @@ class EtlSpec extends AnyFunSuite {
       assert(nr == enr && nn == enn, s"$cn exact channels drifted")
       assert(math.abs(ndv - endv).toDouble / endv <= 0.10,
         s"$cn: kmv=$ndv exact=$endv escapes the 10% bound")
-      if (endv < 256) assert(ndv == endv, s"$cn below-k short-circuit not exact")
+      if (endv < 1024) assert(ndv == endv, s"$cn below-k short-circuit not exact")
     }
-    assert(exact.values.exists(_._3 < 256) && exact.values.exists(_._3 >= 256),
+    assert(exact.values.exists(_._3 < 1024) && exact.values.exists(_._3 >= 1024),
       "construction must exercise both the exact and the estimated branch")
   }
 
@@ -195,9 +195,7 @@ class EtlSpec extends AnyFunSuite {
   test("etl_vacuum: sweeps only dropped-version files; retained version intact") {
     val E = graft.queries.EtlQueries
     val audit = E.vacuum(spark, sf).collect()
-    val base = new java.io.File(sys.props("java.io.tmpdir")).listFiles
-      .filter(f => f.getName.startsWith("graft_vac_") && f.isDirectory)
-      .maxBy(_.lastModified).toString
+    val base = E.vacuumBase(sf)
     assert(!new java.io.File(s"$base/manifests/v1.txt").exists,
       "dropped version's manifest survived the sweep")
     assert(!new java.io.File(s"$base/files/v1/pt=2").exists &&
