@@ -145,7 +145,7 @@ object GraphOps {
     * (pair distinct, wedge pivot, closing pair) — the orientation is
     * what keeps the wedge stage from exploding on hub nodes. */
   def triangles(s: SparkSession, d: String, n: Int = 20): DataFrame = {
-    val pairs = graft.Checkpoints.pin(basketPairs(s, d))
+    val pairs = basketPairs(s, d)
     // Orientation needs only SOME strict total order on nodes —
     // degree ordering is the arboricity heuristic bounding Σ out-deg²,
     // and for that heuristic the multiplicity-WEIGHTED degree (raw
