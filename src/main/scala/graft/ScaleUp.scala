@@ -119,7 +119,10 @@ object ScaleUp {
     // late-r9 session 2b: the sketch ANALYZE (one exchange of k×32 B
     // partials per column — should be ~flat) and hard-negative mining
     // (broadcast query set, one scan — ~linear in the corpus)
-    "etl_stats_approx", "sample_hard_negatives")
+    "etl_stats_approx", "sample_hard_negatives",
+    // late-r9 session 2c: the A/V as-of alignment (one media_id
+    // shuffle of both tracks — expected ~linear)
+    "mm_asof_align")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

@@ -105,6 +105,7 @@ object SparkEntry {
     "mm_transcode" -> ((s, d) => graft.multimodal.Multimodal.transcodeTable(s, d)),
     "mm_similar" -> ((s, d) => graft.multimodal.Multimodal.similarTable(s, d)),
     "mm_quality" -> ((s, d) => graft.multimodal.Multimodal.qualityTable(s, d)),
+    "mm_asof_align" -> ((s, d) => graft.multimodal.Multimodal.avAlign(s, d)),
     "stream_windowed_agg" -> ((s, d) => graft.streaming.Streams.windowedAgg(s, d)),
     "stream_enrich" -> ((s, d) => graft.streaming.Streams.streamEnrich(s, d)),
     "stream_topk" -> ((s, d) => graft.streaming.Streams.streamTopK(s, d)),
@@ -210,6 +211,7 @@ object SparkEntry {
     "mm_transcode" -> graft.multimodal.Multimodal.transcodeTableSql,
     "mm_similar" -> graft.multimodal.Multimodal.similarSql,
     "mm_quality" -> graft.multimodal.Multimodal.qualitySql,
+    "mm_asof_align" -> graft.multimodal.Multimodal.avAlignSql,
     "stream_windowed_agg" -> graft.streaming.Streams.windowedAggSql,
     "stream_enrich" -> graft.streaming.Streams.streamEnrichSql,
     "stream_topk" -> graft.streaming.Streams.streamTopKSql,

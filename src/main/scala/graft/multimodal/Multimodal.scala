@@ -329,6 +329,78 @@ object Multimodal {
         length(col("framePayload")).as("frame_bytes"))
       .orderBy(col("media_id"), col("frameIdx"))
 
+  /** `mm_asof_align` — A/V synchronization audit: every sampled video
+    * frame is aligned to the LATEST audio chunk at or before it (the
+    * as-of join every multimodal training pipeline runs to pair visual
+    * tokens with their covering audio segment), and the per-media
+    * audit reports frame count, worst/total alignment lag and the
+    * misaligned-frame count (lag > 600 ms — more than an audio chunk
+    * away). Frames come through the stubbed decoder (real plumbing —
+    * only (id, ts) leaves the partition); the audio chunk track is
+    * plan-side from metadata (no decode needed for timestamps).
+    *
+    * The as-of is the DISTRIBUTED shape (the q24 idiom): one union of
+    * both tracks, ONE shuffle on media_id, and a running
+    * last-chunk-timestamp window — never a frames×chunks range join,
+    * which is quadratic per media. Chunks sort BEFORE frames at equal
+    * timestamps (isF tiebreak), so a frame landing exactly on a chunk
+    * boundary aligns to that chunk. All lags are exact integer ms. */
+  def avAlign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val media = mediaTable(s, d)
+    val frames = frameSample(s, media).toDF()
+      .select(col("media_id"), col("tsMs").as("ts"), lit(1).as("isF"))
+    val chunks = media.filter(col("meta.kind") === "video")
+      .select(col("media_id"), explode(expr(
+        "sequence(0, CAST(greatest(1, meta.durationMs DIV 700) AS INT) - 1)"))
+        .as("chunk_idx"))
+      .select(col("media_id"), (col("chunk_idx") * 700L).as("ts"),
+        lit(0).as("isF"))
+    val w = Window.partitionBy(col("media_id"))
+      .orderBy(col("ts"), col("isF"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames.unionByName(chunks)
+      .withColumn("asof_ts",
+        last(when(col("isF") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("isF") === 1)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(col("ts") - col("asof_ts")).as("max_lag_ms"),
+        sum(col("ts") - col("asof_ts")).as("total_lag_ms"),
+        sum(when(col("ts") - col("asof_ts") > 600, 1L).otherwise(0L))
+          .as("n_misaligned"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Both tracks are pure functions of (doc_id, n_chars), so the
+    * oracle regenerates them and replays the same running-last as-of. */
+  val avAlignSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, n_chars * 10 AS dur
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |f AS (
+      |  SELECT media_id, CAST(g.i * 500 AS BIGINT) AS ts, 1 AS isf
+      |  FROM v, LATERAL (SELECT unnest(generate_series(0,
+      |    GREATEST(1, dur // 500) - 1)) AS i) g),
+      |c AS (
+      |  SELECT media_id, CAST(g.j * 700 AS BIGINT) AS ts, 0 AS isf
+      |  FROM v, LATERAL (SELECT unnest(generate_series(0,
+      |    GREATEST(1, dur // 700) - 1)) AS j) g),
+      |a AS (
+      |  SELECT media_id, ts, isf,
+      |    LAST_VALUE(CASE WHEN isf = 0 THEN ts END IGNORE NULLS) OVER
+      |      (PARTITION BY media_id ORDER BY ts, isf
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ts
+      |  FROM (SELECT * FROM f UNION ALL SELECT * FROM c))
+      |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(MAX(ts - asof_ts) AS BIGINT) AS max_lag_ms,
+      |  CAST(SUM(ts - asof_ts) AS BIGINT) AS total_lag_ms,
+      |  CAST(SUM(CASE WHEN ts - asof_ts > 600 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_misaligned
+      |FROM a WHERE isf = 1
+      |GROUP BY media_id
+      |ORDER BY media_id""".stripMargin
+
   /** Frame count/size are pure functions of n_chars / byte length:
     * n = max(1, durationMs/500), frame i carries bytes [16i, 16i+64). */
   val frameTableSql: String =

@@ -126,6 +126,29 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(got.exists(_._5), "some assets must pass")
   }
 
+  test("mm_asof_align: per-media replay; boundary frames align to their own chunk") {
+    val got = Multimodal.avAlign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._1 % 3 == 2)
+    val expected = docs.map { case (id, nChars) =>
+      val dur = nChars * 10
+      val frames = (0L until math.max(1L, dur / 500)).map(_ * 500)
+      val chunkTs = (0L until math.max(1L, dur / 700)).map(_ * 700)
+      // as-of: latest chunk at or BEFORE the frame (boundary inclusive)
+      val lags = frames.map(f => f - chunkTs.filter(_ <= f).max)
+      (id, frames.size.toLong, lags.max, lags.sum,
+        lags.count(_ > 600).toLong)
+    }.sortBy(_._1).toSeq
+    assert(got.toSeq == expected)
+    // construction must exercise both aligned and misaligned frames,
+    // and at least one exact-boundary alignment (lag == 0 beyond idx 0)
+    assert(got.exists(_._5 > 0) && got.exists(_._3 <= 600),
+      "degenerate lag distribution")
+  }
+
   test("fnv64/simhash64/dot_product are SQL-callable after registration") {
     GraftFunctions.register(spark)
     val r = spark.sql(
