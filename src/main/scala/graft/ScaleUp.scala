@@ -121,8 +121,9 @@ object ScaleUp {
     // (broadcast query set, one scan — ~linear in the corpus)
     "etl_stats_approx", "sample_hard_negatives",
     // late-r9 session 2c: the A/V as-of alignment (one media_id
-    // shuffle of both tracks — expected ~linear)
-    "mm_asof_align")
+    // shuffle of both tracks — expected ~linear) and the exactly-once
+    // lakehouse sink (commit cost ∝ the batch)
+    "mm_asof_align", "stream_versioned_sink")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

@@ -648,6 +648,86 @@ object Streams extends Serializable {
       |FROM r
       |ORDER BY event_type, window_start""".stripMargin
 
+  // ---- stream_versioned_sink: exactly-once lakehouse ingestion ---------
+
+  /** `stream_versioned_sink` — streaming ingestion INTO the
+    * manifest-MVCC store (the etl_time_travel shape): each micro-batch
+    * is one commit — new files under `files/b<batchId>` plus a
+    * manifest listing every live file, written LAST so the manifest IS
+    * the commit. The sink is EXACTLY-ONCE by construction: a batch
+    * retry finds its version's manifest already present and skips
+    * (idempotent), a crash between files and manifest leaves the
+    * previous version fully readable and the retry overwrites the
+    * orphan files in place. This is the Delta/Iceberg streaming-sink
+    * discipline (idempotent foreachBatch commits keyed by batchId)
+    * composed with this repo's own version store — every committed
+    * version stays AS-OF-readable afterwards (spec drives a two-batch
+    * replay and reads both snapshots).
+    *
+    * The gated audit reads the LATEST committed snapshot through the
+    * manifest resolver and reports (rows, key checksum) — equal to the
+    * batch table iff no event was lost or duplicated across commits.
+    *
+    * 100 TB: commit cost ∝ the batch, manifest cost ∝ file count,
+    * and readers never list directories; the retry discipline is what
+    * makes `availableNow` backfills restartable mid-stream. */
+  def versionedSink(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      storeDir: Option[String] = None): DataFrame = {
+    val base = storeDir.getOrElse {
+      val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+      s"${sys.props("java.io.tmpdir")}/graft_vsink_${key}_p${ProcessHandle.current().pid()}"
+    }
+    new java.io.File(s"$base/manifests").mkdirs()
+    def manifestPath(v: Long) =
+      java.nio.file.Paths.get(s"$base/manifests/v$v.txt")
+    def readManifest(v: Long): Seq[String] = {
+      val src = scala.io.Source.fromFile(manifestPath(v).toFile, "UTF-8")
+      try src.getLines().toList finally src.close()
+    }
+    val q = eventStream(s, d, maxFilesPerTrigger)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val v = batchId + 1
+        // idempotent commit: the manifest's presence IS the marker
+        if (!java.nio.file.Files.exists(manifestPath(v))) {
+          val rel = s"files/b$batchId"
+          batch.write.mode("overwrite").parquet(s"$base/$rel")
+          val entries = (if (v == 1) Nil else readManifest(v - 1)) :+ rel
+          java.nio.file.Files.write(manifestPath(v),
+            entries.mkString("\n").getBytes("UTF-8"))
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    versionedSnapshot(s, base, latestVersion(base))
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("key_sum"))
+  }
+
+  /** Highest committed version in a versioned-sink store. */
+  def latestVersion(base: String): Long =
+    Option(new java.io.File(s"$base/manifests").listFiles).getOrElse(Array.empty)
+      .map(_.getName).collect { case n if n.startsWith("v") =>
+        n.stripPrefix("v").stripSuffix(".txt").toLong }
+      .maxOption.getOrElse(0L)
+
+  /** AS-OF read of a committed sink version through its manifest. */
+  def versionedSnapshot(s: SparkSession, base: String, v: Long): DataFrame = {
+    require(v >= 1, s"no committed version in $base")
+    val src = scala.io.Source.fromFile(s"$base/manifests/v$v.txt", "UTF-8")
+    val rels = try src.getLines().toList finally src.close()
+    s.read.parquet(rels.map(r => s"$base/$r"): _*)
+  }
+
+  /** Lossless ingestion: the latest snapshot carries exactly the batch
+    * table's rows. */
+  val versionedSinkSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(event_id) AS BIGINT) AS key_sum
+      |FROM events""".stripMargin
+
   /** Streaming corpus curation, end to end: the documents table
     * replayed as a landing stream → quality gate (Curation.withReasons,
     * reasons == 0) → cross-batch exact dedup on (lang, content

@@ -232,6 +232,41 @@ class Analytics3Spec extends AnyFunSuite {
       "degenerate flag distribution")
   }
 
+  test("stream_versioned_sink: two-batch commits stay AS-OF-readable; crash-retry exact") {
+    import org.apache.spark.sql.functions._
+    val S = graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsink_split").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_vsink_store").toString
+    val sub = s"$dir/events.parquet"
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.5)"))
+      .head().getDouble(0).toLong
+    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(sub)
+    Thread.sleep(1100)
+    ev.filter(unix_micros(col("ts")) > mid)
+      .coalesce(1).write.mode("append").parquet(sub)
+    def audit() = S.versionedSink(spark, dir,
+      maxFilesPerTrigger = Some(1), storeDir = Some(store)).collect()(0)
+    val first = audit()
+    assert(S.latestVersion(store) == 2, "two files must land as two commits")
+    assert(first.getLong(0) == ev.count())
+    // MVCC: v1 still reads back as exactly the first half
+    val firstHalf = ev.filter(unix_micros(col("ts")) <= mid)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val v1 = S.versionedSnapshot(spark, store, 1)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(v1 == firstHalf, "AS OF v1 drifted after the second commit")
+    // exactly-once: a full re-run commits nothing new and changes nothing
+    assert(audit() == first && S.latestVersion(store) == 2,
+      "re-run duplicated commits")
+    // crash between files and manifest: drop v2's manifest (the commit
+    // marker), leave the orphan files — the retry must re-commit and
+    // reproduce the audit bit-for-bit
+    assert(new java.io.File(s"$store/manifests/v2.txt").delete())
+    assert(audit() == first && S.latestVersion(store) == 2,
+      "crash-retry diverged")
+  }
+
   test("stream_dedup output equals batch-distinct events") {
     val got = graft.streaming.Streams.streamDedup(spark, sf)
     val n = Tables.events(spark, sf).count()
