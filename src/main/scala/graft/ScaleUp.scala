@@ -123,7 +123,10 @@ object ScaleUp {
     // late-r9 session 2c: the A/V as-of alignment (one media_id
     // shuffle of both tracks — expected ~linear) and the exactly-once
     // lakehouse sink (commit cost ∝ the batch)
-    "mm_asof_align", "stream_versioned_sink")
+    "mm_asof_align", "stream_versioned_sink",
+    // the IVM maintenance pass (delta scan reads only differing
+    // partitions - cost must track the changed slice)
+    "etl_matview")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

@@ -659,6 +659,89 @@ object EtlQueries {
       |FROM swept JOIN live USING (pt)
       |ORDER BY pt""".stripMargin
 
+  /** `etl_matview` — incremental view maintenance (IVM): a stored
+    * aggregate (orders count + exact cents revenue by status) is
+    * MAINTAINED from v1 to v2 by applying per-group deltas derived
+    * from the change feed, never recomputed from the table. Deletes
+    * subtract their group's contribution, inserts add, updates move
+    * contribution between the before- and after-groups — the
+    * Materialize/DBSP delta-algebra for a SUM/COUNT view, which is
+    * self-maintainable (no auxiliary state beyond the view itself).
+    * The delta scan reads ONLY the manifest-differing partitions
+    * (the changefeed discipline), so maintenance costs O(changes)
+    * where the naive refresh re-reads the whole table — THE reason
+    * warehouses ship IVM at 100 TB.
+    *
+    * Money rides exact ROUND-cents BIGINTs end to end (the
+    * etl_histogram IEEE rule), so "maintained view == recomputed
+    * view" is bit-equality, and the ORACLE is the full recompute over
+    * v2 — passing the gate proves the delta algebra loses nothing.
+    * Groups driven to zero rows are dropped (the D-only group case);
+    * groups born by updates ('X') appear — both paths exercised by
+    * construction. */
+  def matview(s: SparkSession, d: String): DataFrame = {
+    val base = ensureTimeTravelVersions(s, d)
+    val m1 = readManifest(base, 1).toMap
+    val m2 = readManifest(base, 2).toMap
+    val cents = round(col("o_totalprice") * 100).cast("bigint")
+    // the stored view: v1's aggregate (stands in for the persisted
+    // matview a warehouse would keep beside the table)
+    val mv1 = s.read.parquet(m1.toSeq.map { case (p, ver) =>
+        s"$base/files/$ver/pt=$p" }: _*)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("cents"))
+    // deltas from ONLY the differing partitions, via the same
+    // full-outer version diff the change feed runs
+    val differing = m1.keys.filter(p => m1(p) != m2(p)).toSeq.sorted
+    def slice(m: Map[Int, String]) =
+      s.read.parquet(differing.map(p => s"$base/files/${m(p)}/pt=$p"): _*)
+    val v1s = slice(m1).select(col("o_orderkey").as("k1"),
+      col("o_orderstatus").as("st1"), cents.as("c1"))
+    val v2s = slice(m2).select(col("o_orderkey").as("k2"),
+      col("o_orderstatus").as("st2"), cents.as("c2"))
+    val deltas = v1s.join(v2s, col("k1") === col("k2"), "full_outer")
+      .select(explode(array(
+        struct(col("st1").as("status"), lit(-1L).as("dn"), (-col("c1")).as("dc")),
+        struct(col("st2").as("status"), lit(1L).as("dn"), col("c2").as("dc"))))
+        .as("d"))
+      .select(col("d.*"))
+      // unmatched side of the diff contributes a null-status leg;
+      // unchanged rows contribute two legs that cancel in the group
+      // aggregate, so no change-detection filter is even needed
+      .filter(col("status").isNotNull)
+      .groupBy(col("status"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    mv1.join(deltas, Seq("status"), "full_outer")
+      .select(col("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents"))
+      .filter(col("n") > 0)
+      .orderBy(col("status"))
+  }
+
+  /** The oracle is the FULL RECOMPUTE over v2 — equality proves the
+    * incremental delta application loses nothing. */
+  val matviewSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 6),
+      |c AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'X' END AS o_orderstatus,
+      |    o_totalprice,
+      |    CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
+      |v2 AS (
+      |  SELECT o_orderstatus, o_totalprice FROM v1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice FROM c WHERE op = 'U')
+      |SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM v2 GROUP BY o_orderstatus
+      |HAVING COUNT(*) > 0
+      |ORDER BY status""".stripMargin
+
   val changeFeedSql: String =
     """WITH base AS (
       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -1782,6 +1865,7 @@ object EtlQueries {
     "etl_merge" -> (merge _),
     "etl_time_travel" -> (timeTravel _),
     "etl_changefeed" -> (changeFeed _),
+    "etl_matview" -> (matview _),
     "etl_vacuum" -> (vacuum _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
@@ -1809,6 +1893,7 @@ object EtlQueries {
     "etl_merge" -> mergeSql,
     "etl_time_travel" -> timeTravelSql,
     "etl_changefeed" -> changeFeedSql,
+    "etl_matview" -> matviewSql,
     "etl_vacuum" -> vacuumSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,

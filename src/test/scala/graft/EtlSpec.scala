@@ -223,6 +223,30 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  /** IVM's contract: the incrementally-maintained view equals a full
+    * recompute over the new version (Spark-side, independent of the
+    * DuckDB gate), and the construction exercises group birth (the
+    * 'X' group exists only after the update batch). */
+  test("etl_matview: maintained view equals full recompute; groups are born") {
+    import org.apache.spark.sql.functions._
+    val E = graft.queries.EtlQueries
+    val got = E.matview(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    def changed(k: Long) = (k % 8 == 2 || k % 8 == 5) && k % 3 == 0
+    val v2 = orders.filter { case (k, _, _) => k % 7 != 6 && !changed(k) } ++
+      orders.filter { case (k, _, _) => changed(k) && k % 2 == 0 }
+        .map { case (k, _, c) => (k, "X", c) }
+    val expected = v2.groupBy(_._2).map { case (st, rows) =>
+      (st, rows.size.toLong, rows.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == expected, "maintained view diverged from full recompute")
+    assert(got.exists(_._1 == "X"), "update-born group missing")
+  }
+
   /** The change feed's membership rules, replayed independently from
     * the raw key set: deletes are v1-members whose change op is D,
     * updates are v1-members upserted to 'X', inserts are upserted keys
