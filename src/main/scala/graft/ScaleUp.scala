@@ -126,7 +126,10 @@ object ScaleUp {
     "mm_asof_align", "stream_versioned_sink",
     // the IVM maintenance pass (delta scan reads only differing
     // partitions - cost must track the changed slice)
-    "etl_matview")
+    "etl_matview",
+    // WAP (audit reads the BATCH, publication is a manifest write)
+    // and the theta set algebra (one per-key agg + one row)
+    "etl_wap", "q58_set_sketch")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

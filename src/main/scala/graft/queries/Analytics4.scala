@@ -835,7 +835,68 @@ object Analytics4 {
       |    AS join_est
       |FROM t""".stripMargin
 
+  // ---- q58: sketch set algebra over customer activity sets -------------
+  /** Union / intersection / difference cardinalities of two customer
+    * activity sets (H1'95 vs H2'95 buyers) from ONE hash-threshold
+    * sample of the key domain — the theta-sketch set algebra every
+    * sketch warehouse (Druid/Pinot/DataSketches) ships for audience
+    * overlap, reported beside the exact values so the audit shows the
+    * error. The estimator is q57's discipline: a customer is sampled
+    * iff md5(custkey) < '20' (fixed 1/8, uniform over the DOMAIN —
+    * activity volume cannot bias inclusion), every set statistic is
+    * the sampled count × 8, and the sample replays bit-for-bit in the
+    * oracle.
+    *
+    * Shape: one per-customer aggregate (partial-agg'd shuffle of
+    * (key, 2 bools)) computes H1/H2 membership, one final row derives
+    * all ten statistics. At 100 TB drop the exact columns and push
+    * `md5(key) < '20'` INTO the scan — the shuffle then carries 1/8
+    * of the key domain and nothing else changes. */
+  def q58(s: SparkSession, d: String): DataFrame = {
+    val dt = col("o_orderdate").cast("date")
+    val flags = orders(s, d)
+      .select(col("o_custkey").as("k"),
+        (dt >= lit("1995-01-01").cast("date") &&
+          dt <= lit("1995-06-30").cast("date")).as("ia"),
+        (dt >= lit("1995-07-01").cast("date") &&
+          dt <= lit("1995-12-31").cast("date")).as("ib"))
+      .groupBy(col("k"))
+      .agg(max(col("ia")).as("a"), max(col("ib")).as("b"))
+    val sampled = md5(col("k").cast("string")) < "20"
+    def cnt(p: Column, alias: String) = Seq(
+      sum(when(p, 1L).otherwise(0L)).as(s"${alias}_exact"),
+      (sum(when(p && sampled, 1L).otherwise(0L)) * 8).as(s"${alias}_est"))
+    val aggs = cnt(col("a"), "a") ++ cnt(col("b"), "b") ++
+      cnt(col("a") || col("b"), "un") ++
+      cnt(col("a") && col("b"), "inter") ++
+      cnt(col("a") && !col("b"), "only_a")
+    flags.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val q58Sql: String =
+    """WITH flags AS (
+      |  SELECT o_custkey AS k,
+      |    MAX(CASE WHEN CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+      |      AND DATE '1995-06-30' THEN 1 ELSE 0 END) = 1 AS a,
+      |    MAX(CASE WHEN CAST(o_orderdate AS DATE) BETWEEN DATE '1995-07-01'
+      |      AND DATE '1995-12-31' THEN 1 ELSE 0 END) = 1 AS b,
+      |    md5(CAST(o_custkey AS VARCHAR)) < '20' AS s
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT
+      |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_exact,
+      |  CAST(SUM(CASE WHEN a AND s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS a_est,
+      |  CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_exact,
+      |  CAST(SUM(CASE WHEN b AND s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS b_est,
+      |  CAST(SUM(CASE WHEN a OR b THEN 1 ELSE 0 END) AS BIGINT) AS un_exact,
+      |  CAST(SUM(CASE WHEN (a OR b) AND s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS un_est,
+      |  CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS inter_exact,
+      |  CAST(SUM(CASE WHEN a AND b AND s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS inter_est,
+      |  CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS only_a_exact,
+      |  CAST(SUM(CASE WHEN a AND NOT b AND s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS only_a_est
+      |FROM flags""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_set_sketch" -> (q58 _),
     "q57_join_card" -> (q57 _),
     "q55_concurrency" -> (q55 _),
     "q56_rfm" -> (q56 _),
@@ -855,6 +916,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q58_set_sketch" -> q58Sql,
     "q57_join_card" -> q57Sql,
     "q55_concurrency" -> q55Sql,
     "q56_rfm" -> q56Sql,

@@ -631,6 +631,102 @@ object EtlQueries {
     * physical sweep without filesystem archaeology. */
   def vacuumBase(d: String): String = scratchDir("vac", d, "orders")
 
+  /** `etl_wap` — Write-Audit-Publish, the lakehouse ingestion
+    * discipline (Iceberg's WAP / Delta's constraint-gated commit):
+    * every candidate batch is STAGED outside the table, AUDITED
+    * against the constraint rules (null price, invalid status — the
+    * etl_quarantine rule set), and PUBLISHED (manifest gains the
+    * staged files) only when the audit is clean — a dirty batch never
+    * becomes visible to a single reader, and the staged files remain
+    * as the dead letter. Two candidate batches run in order: one with
+    * deterministically injected dirt (rejected — the store provably
+    * stays at its prior version) and the same batch un-dirtied
+    * (published). The audit row carries the store's visible row count
+    * AFTER each decision, so "rejection changed nothing" is part of
+    * the gate, not just a spec.
+    *
+    * 100 TB: WAP is why constraint checking costs one pass over the
+    * BATCH, never the table — audits read staging, publication is a
+    * manifest write, and rollback is "don't publish". Composes with
+    * etl_checks (the rule library) and the MVCC store (the manifest
+    * commit). Idempotent via the persisted audit. */
+  def wap(s: SparkSession, d: String): DataFrame = {
+    val base = scratchDir("wap", d, "orders")
+    val auditPath = s"$base/wap_audit"
+    if (!new java.io.File(s"$auditPath/_SUCCESS").exists()) {
+      val orders = Tables.orders(s, d)
+      val baseSlice = orders.filter(col("o_orderkey") % 7 =!= 6)
+      baseSlice.write.mode("overwrite").parquet(s"$base/files/base")
+      writeManifest(base, 1, Seq(0 -> "base"))
+      def candidate(inject: Boolean) = {
+        val b = orders.filter(col("o_orderkey") % 7 === 6)
+        if (!inject) b
+        else b
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 37 === 0, lit(null).cast("double"))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderstatus",
+            when(col("o_orderkey") % 41 === 0, lit("?"))
+              .otherwise(col("o_orderstatus")))
+      }
+      var entries = Seq(0 -> "base")
+      var version = 1
+      val rows = Seq("dirty" -> true, "clean" -> false).map { case (name, inject) =>
+        candidate(inject).write.mode("overwrite").parquet(s"$base/staging/$name")
+        // the AUDIT runs on the STAGED files — what would become visible
+        val staged = s.read.parquet(s"$base/staging/$name")
+        val Array(n, viol) = staged.agg(count(lit(1)),
+          sum(when(col("o_totalprice").isNull ||
+            !col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val published = viol == 0
+        if (published) {
+          // publish = move staged files into the table + commit manifest
+          require(new java.io.File(s"$base/staging/$name")
+            .renameTo(new java.io.File(s"$base/files/$name")), "publish rename failed")
+          entries = entries :+ (entries.size -> name)
+          version += 1
+          writeManifest(base, version, entries)
+        }
+        // visible state AFTER the decision, read through the manifest
+        val visible = s.read.parquet(
+          readManifest(base, version).map { case (_, dir) => s"$base/files/$dir" }: _*)
+          .count()
+        (name, n, viol, published, visible)
+      }
+      import s.implicits._
+      rows.toDF("batch", "n_rows", "n_viol", "published", "store_rows_after")
+        .orderBy(col("batch"))
+        .write.mode("overwrite").parquet(auditPath)
+    }
+    s.read.parquet(auditPath).orderBy(col("batch"))
+  }
+
+  /** WAP's (isolated) store base, exposed for EtlSpec (the vacuumBase
+    * discipline — no tmpdir archaeology in specs). */
+  def wapBase(d: String): String = scratchDir("wap", d, "orders")
+
+  val wapSql: String =
+    """WITH batch AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 6),
+      |v AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN o_orderkey % 37 = 0 OR o_orderkey % 41 = 0
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |  FROM batch),
+      |b AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS bn
+      |  FROM orders WHERE o_orderkey % 7 <> 6)
+      |SELECT 'clean' AS batch, n AS n_rows, CAST(0 AS BIGINT) AS n_viol,
+      |  TRUE AS published,
+      |  bn + n + CASE WHEN viol = 0 THEN n ELSE 0 END AS store_rows_after
+      |FROM v, b
+      |UNION ALL
+      |SELECT 'dirty', n, viol, viol = 0,
+      |  bn + CASE WHEN viol = 0 THEN n ELSE 0 END
+      |FROM v, b
+      |ORDER BY batch""".stripMargin
+
   val vacuumSql: String =
     """WITH base AS (
       |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 <> 6),
@@ -1866,6 +1962,7 @@ object EtlQueries {
     "etl_time_travel" -> (timeTravel _),
     "etl_changefeed" -> (changeFeed _),
     "etl_matview" -> (matview _),
+    "etl_wap" -> (wap _),
     "etl_vacuum" -> (vacuum _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
@@ -1894,6 +1991,7 @@ object EtlQueries {
     "etl_time_travel" -> timeTravelSql,
     "etl_changefeed" -> changeFeedSql,
     "etl_matview" -> matviewSql,
+    "etl_wap" -> wapSql,
     "etl_vacuum" -> vacuumSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,

@@ -211,6 +211,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.take(4).forall(_._4 > 1.0))
   }
 
+  test("q58 set-algebra sketch equals a full in-memory replay") {
+    import org.apache.spark.sql.functions._
+    val acts = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderdate").cast("date").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byCust = acts.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def sampled(k: Long) = graft.functions.KmvSketch.md5Hex(k.toString) < "20"
+    val flags = byCust.map { case (k, ds) =>
+      (k, ds.exists(d => d >= "1995-01-01" && d <= "1995-06-30"),
+        ds.exists(d => d >= "1995-07-01" && d <= "1995-12-31"))
+    }.toSeq
+    def pair(p: ((Long, Boolean, Boolean)) => Boolean) =
+      Seq(flags.count(p).toLong, 8L * flags.count(f => p(f) && sampled(f._1)))
+    val expected = (pair(_._2) ++ pair(_._3) ++ pair(f => f._2 || f._3) ++
+      pair(f => f._2 && f._3) ++ pair(f => f._2 && !f._3))
+    val r = queries.Analytics4.q58(spark, sf).collect()(0)
+    val got = (0 until 10).map(r.getLong)
+    assert(got == expected)
+    // the algebra must be non-degenerate: both sets populated, a real
+    // intersection and a real difference
+    assert(got(0) > 0 && got(2) > 0 && got(6) > 0 && got(8) > 0)
+  }
+
   test("q57 join-cardinality estimator equals a full in-memory replay") {
     import org.apache.spark.sql.functions._
     val ce = Tables.events(spark, sf).select("user_id").collect()

@@ -223,6 +223,36 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  /** WAP's physical contract: the rejected batch's files stay in
+    * staging (dead letter) and never enter a manifest, the published
+    * batch's files move into the table, the visible count tracks the
+    * decisions, and the audit replays idempotently. */
+  test("etl_wap: dirty stays staged and invisible; clean publishes; idempotent") {
+    val E = graft.queries.EtlQueries
+    val audit = E.wap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    val Array(clean, dirty) = audit
+    assert(dirty._3 > 0 && !dirty._4,
+      s"construction must inject real violations, got $dirty")
+    assert(clean._3 == 0 && clean._4)
+    assert(clean._5 == dirty._5 + clean._2,
+      "published batch must add exactly its rows to the visible store")
+    val base = E.wapBase(sf)
+    assert(new java.io.File(s"$base/staging/dirty").exists,
+      "rejected batch's dead-letter files are gone")
+    assert(!new java.io.File(s"$base/files/dirty").exists,
+      "rejected batch leaked into the table directory")
+    assert(new java.io.File(s"$base/files/clean").exists)
+    val manifests = E.readManifest(base, 2).map(_._2)
+    assert(manifests == Seq("base", "clean"),
+      s"published manifest must list base+clean only, got $manifests")
+    val replay = E.wap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    assert(replay.toSeq == audit.toSeq, "replay drifted")
+  }
+
   /** IVM's contract: the incrementally-maintained view equals a full
     * recompute over the new version (Spark-side, independent of the
     * DuckDB gate), and the construction exercises group birth (the
