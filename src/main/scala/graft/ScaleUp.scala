@@ -129,7 +129,10 @@ object ScaleUp {
     "etl_matview",
     // WAP (audit reads the BATCH, publication is a manifest write)
     // and the theta set algebra (one per-key agg + one row)
-    "etl_wap", "q58_set_sketch")
+    "etl_wap", "q58_set_sketch",
+    // partition evolution (manifest-level pruning - the evolved read
+    // must stay ~flat as the new batch grows)
+    "etl_partition_evolution")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

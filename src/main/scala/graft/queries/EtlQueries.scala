@@ -706,6 +706,96 @@ object EtlQueries {
     * discipline — no tmpdir archaeology in specs). */
   def wapBase(d: String): String = scratchDir("wap", d, "orders")
 
+  /** `etl_partition_evolution` — Iceberg's partition-spec evolution:
+    * the table's OLD data stays under its original scheme (pt =
+    * key % 8 — a key-hash layout) while NEW commits land under an
+    * evolved scheme (m = order month — the layout the actual query
+    * pattern wants), with NOTHING rewritten: the manifest records
+    * each file set's scheme + partition value, and the reader prunes
+    * EACH entry under its own scheme. The audit query (a Q1'95 date
+    * window) demonstrates exactly why evolution exists — the old
+    * key-hash dirs cannot prune a date predicate (all 8 read, filter
+    * applied in-plan as the residual), the evolved month dirs prune
+    * at the MANIFEST (only the 3 matching months of the new batch are
+    * opened) — and reports the dir-read counts beside the aggregate
+    * so the pruning is part of the gate, not a plan note.
+    *
+    * 100 TB: re-partitioning a petabyte table to fix a layout mistake
+    * is the rewrite nobody can afford; spec evolution makes the fix
+    * FORWARD-only (new data gets the good layout, old data ages out
+    * via retention) at zero rewrite cost — the manifest algebra here
+    * is the entire mechanism. */
+  def partitionEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = scratchDir("pevo", d, "orders")
+    val manifest = new java.io.File(s"$base/manifests/v2.txt")
+    if (!manifest.exists()) {
+      val orders = Tables.orders(s, d)
+      // v1: the historical data under the ORIGINAL key-hash scheme
+      orders.filter(col("o_orderkey") % 7 =!= 6)
+        .withColumn("pt", pmod(col("o_orderkey"), lit(8)).cast("int"))
+        .write.mode("overwrite").partitionBy("pt").parquet(s"$base/files/v1")
+      // v2 commit: NEW data under the EVOLVED month scheme — v1 files
+      // untouched
+      orders.filter(col("o_orderkey") % 7 === 6)
+        .withColumn("m", month(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("m").parquet(s"$base/files/v2")
+      val aEntries = (0 to 7).map(p => s"A\t$p\tfiles/v1/pt=$p")
+      val bMonths = Option(new java.io.File(s"$base/files/v2").listFiles)
+        .getOrElse(Array.empty).map(_.getName)
+        .collect { case n if n.startsWith("m=") => n.stripPrefix("m=").toInt }
+        .sorted
+      val bEntries = bMonths.map(m => s"B\t$m\tfiles/v2/m=$m")
+      new java.io.File(s"$base/manifests").mkdirs()
+      java.nio.file.Files.write(manifest.toPath,
+        (aEntries ++ bEntries).mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    val entries = {
+      val src = scala.io.Source.fromFile(manifest, "UTF-8")
+      try src.getLines().map { l =>
+        val Array(sc, v, dir) = l.split("\t"); (sc, v.toInt, dir)
+      }.toList
+      finally src.close()
+    }
+    val months = Set(1, 2, 3) // the Q1'95 window, month-level
+    // per-scheme manifest pruning: A entries can never satisfy a date
+    // predicate at the dir level (all read); B entries prune here
+    val aDirs = entries.filter(_._1 == "A").map(_._3)
+    val bAll = entries.filter(_._1 == "B")
+    val bDirs = bAll.filter(e => months.contains(e._2)).map(_._3)
+    val evolved = s.read.parquet((aDirs ++ bDirs).map(p => s"$base/$p"): _*)
+    evolved
+      // the residual predicate (exact dates) applies in-plan to all
+      // surviving rows — manifest pruning only DROPPED impossible dirs
+      .filter(col("o_orderdate").cast("date") >= lit("1995-01-01").cast("date") &&
+        col("o_orderdate").cast("date") <= lit("1995-03-31").cast("date"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"),
+        sum(col("o_orderkey")).as("key_sum"))
+      .select(col("n_rows"), col("cents"), col("key_sum"),
+        lit(aDirs.size.toLong).as("dirs_read_a"),
+        lit(bDirs.size.toLong).as("dirs_read_b"),
+        lit(bAll.size.toLong).as("dirs_total_b"))
+  }
+
+  /** Evolution store base, exposed for EtlSpec's zero-rewrite pin. */
+  def partitionEvolutionBase(d: String): String = scratchDir("pevo", d, "orders")
+
+  val partitionEvolutionSql: String =
+    """WITH newb AS (
+      |  SELECT MONTH(CAST(o_orderdate AS DATE)) AS m
+      |  FROM orders WHERE o_orderkey % 7 = 6)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(8 AS BIGINT) AS dirs_read_a,
+      |  (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) FROM newb
+      |   WHERE m IN (1, 2, 3)) AS dirs_read_b,
+      |  (SELECT CAST(COUNT(DISTINCT m) AS BIGINT) FROM newb) AS dirs_total_b
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      |  AND CAST(o_orderdate AS DATE) <= DATE '1995-03-31'""".stripMargin
+
   val wapSql: String =
     """WITH batch AS (
       |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 6),
@@ -1963,6 +2053,7 @@ object EtlQueries {
     "etl_changefeed" -> (changeFeed _),
     "etl_matview" -> (matview _),
     "etl_wap" -> (wap _),
+    "etl_partition_evolution" -> (partitionEvolution _),
     "etl_vacuum" -> (vacuum _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
@@ -1992,6 +2083,7 @@ object EtlQueries {
     "etl_changefeed" -> changeFeedSql,
     "etl_matview" -> matviewSql,
     "etl_wap" -> wapSql,
+    "etl_partition_evolution" -> partitionEvolutionSql,
     "etl_vacuum" -> vacuumSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,

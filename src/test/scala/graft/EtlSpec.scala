@@ -223,6 +223,42 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  /** Partition evolution's contracts: the evolved commit rewrites
+    * nothing (v1 files byte-identical), the manifest carries both
+    * schemes, dir-level pruning is real (B dirs outside the window
+    * are never in the read set), and the evolved read loses nothing
+    * vs a direct recomputation. */
+  test("etl_partition_evolution: zero rewrite, per-scheme pruning, lossless read") {
+    import org.apache.spark.sql.functions._
+    val E = graft.queries.EtlQueries
+    val r = E.partitionEvolution(spark, sf).collect()(0)
+    // lossless: equals a direct Q1'95 aggregate over the raw table
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderdate").cast("date").between("1995-01-01", "1995-03-31"))
+      .agg(count(lit(1)), sum(round(col("o_totalprice") * 100).cast("bigint")),
+        sum(col("o_orderkey"))).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (want.getLong(0), want.getLong(1), want.getLong(2)))
+    // pruning: every month of the new batch exists as a B dir, but the
+    // read set opened only the window's months
+    assert(r.getLong(4) < r.getLong(5),
+      s"B-dir pruning did not drop anything: read ${r.getLong(4)} of ${r.getLong(5)}")
+    assert(r.getLong(3) == 8, "key-hash dirs cannot prune a date window")
+    // zero rewrite: re-running evolves nothing and touches no v1 file
+    val base = E.partitionEvolutionBase(sf)
+    def v1State() = {
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).map(_.iterator.flatMap(walk)).getOrElse(Iterator.empty)
+        else Iterator.single(f)
+      walk(new java.io.File(s"$base/files/v1"))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val before = v1State()
+    assert(E.partitionEvolution(spark, sf).collect()(0) == r)
+    assert(v1State() == before, "v1 files were rewritten")
+  }
+
   /** WAP's physical contract: the rejected batch's files stay in
     * staging (dead letter) and never enter a manifest, the published
     * batch's files move into the table, the visible count tracks the
