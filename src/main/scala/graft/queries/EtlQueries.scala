@@ -606,13 +606,17 @@ object EtlQueries {
         import s.implicits._
         sweptCounts.toDF("pt", "rows_swept")
       }
-      // physical delete, then size the LIVE side from what remains
+      // physical delete, then size the LIVE side from what remains.
+      // The v1 manifest falls FIRST: it is the tombstone the crash-retry
+      // guard above checks, so a crash mid-sweep (some dirs gone) leaves
+      // a store the retry provably rebuilds instead of one whose guard
+      // still passes but whose swept paths 404 (r9 advice).
       val liveAfter = {
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$base/manifests/v1.txt"))
         swept.foreach { case (p, ver) =>
           deleteRecursively(new java.io.File(s"$base/files/$ver/pt=$p"))
         }
-        java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(s"$base/manifests/v1.txt"))
         val m2ByPt = m2.toMap
         s.read.parquet(swept.map { case (p, _) =>
             s"$base/files/${m2ByPt(p)}/pt=$p" }: _*)
@@ -681,9 +685,15 @@ object EtlQueries {
           .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
         val published = viol == 0
         if (published) {
-          // publish = move staged files into the table + commit manifest
+          // publish = move staged files into the table + commit manifest.
+          // A crash AFTER the rename but BEFORE the audit _SUCCESS leaves
+          // files/<name> already present on retry; the orphan is
+          // overwritten (versionedSink's discipline) so the retry cannot
+          // wedge on a rename into an existing dir (r9 advice).
+          val dest = new java.io.File(s"$base/files/$name")
+          if (dest.exists()) deleteRecursively(dest)
           require(new java.io.File(s"$base/staging/$name")
-            .renameTo(new java.io.File(s"$base/files/$name")), "publish rename failed")
+            .renameTo(dest), "publish rename failed")
           entries = entries :+ (entries.size -> name)
           version += 1
           writeManifest(base, version, entries)
@@ -976,9 +986,17 @@ object EtlQueries {
   private def writeManifest(base: String, v: Int, entries: Seq[(Int, String)]): Unit = {
     new java.io.File(s"$base/manifests").mkdirs()
     val body = entries.sortBy(_._1).map { case (p, ver) => s"$p\t$ver" }.mkString("\n")
-    java.nio.file.Files.write(
+    // temp-file + ATOMIC_MOVE: the manifest's EXISTENCE is both the
+    // commit marker and the rebuild gate, so its visibility must be
+    // all-or-nothing — an in-place write crashed mid-stream would leave
+    // a truncated v<N>.txt that readers parse as a corrupt commit
+    // instead of falling back to the previous version.
+    val tmp = java.nio.file.Paths.get(s"$base/manifests/v$v.txt.tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
       java.nio.file.Paths.get(s"$base/manifests/v$v.txt"),
-      body.getBytes("UTF-8"))
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 

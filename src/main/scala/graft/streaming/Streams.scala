@@ -675,8 +675,27 @@ object Streams extends Serializable {
       maxFilesPerTrigger: Option[Int] = None,
       storeDir: Option[String] = None): DataFrame = {
     val base = storeDir.getOrElse {
+      // keyed on (path, SOURCE FINGERPRINT, pid) — the scratchDir
+      // discipline: without the content key, regenerating the events
+      // data at the same path within one process leaves stale manifests
+      // whose batch ids match, so every commit skips as
+      // "already committed" and the audit reports the OLD data (r9
+      // advice). The fingerprint folds each file's (name, length,
+      // mtime), sorted, so a regenerated source lands in a fresh store.
       val key = d.replaceAll("[^a-zA-Z0-9]", "_")
-      s"${sys.props("java.io.tmpdir")}/graft_vsink_${key}_p${ProcessHandle.current().pid()}"
+      val srcRoot = new java.io.File(d, "events.parquet")
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).map(_.iterator.flatMap(walk)).getOrElse(Iterator.empty)
+        else Iterator.single(f)
+      val fp = walk(srcRoot)
+        .map(f => (srcRoot.toPath.relativize(f.toPath).toString, f)).toSeq
+        .sortBy(_._1)
+        .foldLeft(17L) { case (h, (rel, f)) =>
+          ((h * 1000003L + rel.hashCode) * 1000003L + f.length) *
+            1000003L + f.lastModified
+        } & Long.MaxValue
+      s"${sys.props("java.io.tmpdir")}/graft_vsink_${key}_${fp}_p${ProcessHandle.current().pid()}"
     }
     new java.io.File(s"$base/manifests").mkdirs()
     def manifestPath(v: Long) =
