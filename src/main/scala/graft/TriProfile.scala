@@ -4,13 +4,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
 /** Per-stage decomposition of `graph_triangles` (r9 session tool,
-  * same discipline as [[SubstringProfile]]). NOTE: pairs_raw /
-  * pair_distinct time the SUPERSEDED r8 stages on purpose — this is
-  * the measurement that located the pair-distinct margin and
-  * motivated the r9 rewrite (commit "Shave graph_triangles"), kept
-  * for the record; `full_ms` times whatever
-  * [[graft.operators.GraphOps.triangles]] currently is, so the two
-  * no longer sum to the same plan. */
+  * same discipline as [[SubstringProfile]]; rebuilt r10 for the
+  * pinned-oriented-adjacency plan). Each stage is timed as a noop
+  * action on the UNPINNED prefix plan, so deltas between rows are the
+  * marginal cost of the added stage; `full_ms` times whatever
+  * [[graft.operators.GraphOps.triangles]] currently is (pins
+  * included). */
 object TriProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -31,21 +30,45 @@ object TriProfile {
     graft.operators.GraphOps.triangles(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
-    def pairsRaw = graft.Tables.lineitem(spark, sfDir)
+    def pairs = graft.Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
       .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
       .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
-    def e = pairsRaw.distinct()
+    def deg = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+    def withDeg = pairs
+      .join(broadcast(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("dg", "da")), "a")
+      .join(broadcast(deg.withColumnRenamed("node", "c")
+        .withColumnRenamed("dg", "dc")), "c")
+    def aFirst = col("da") < col("dc") ||
+      (col("da") === col("dc") && col("a") < col("c"))
+    def o = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("c")).as("src"),
+      when(aFirst, col("c")).otherwise(col("a")).as("dst"))
+    def adjP = o.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("np"))
+    def closed = adjP.select(col("src").as("u"), explode(col("np")).as("v"),
+        col("np").as("nu"))
+      .join(broadcast(adjP.select(col("src").as("v"), col("np").as("nv"))),
+        Seq("v"), "left")
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>"))).as("ws"))
+      .filter(size(col("ws")) > 0)
 
-    val tPairsRaw = noop(pairsRaw)
-    val tDistinct = noop(e)
+    val tPairs = noop(pairs)
+    val tDeg = noop(deg)
+    val tAdj = noop(adjP)
+    val tClosed = noop(closed)
     val tFull = minOf(3)(ms(
       graft.operators.GraphOps.triangles(spark, sfDir)
         .write.format("noop").mode("overwrite").save()))
 
-    println(f"""{"pairs_raw_ms":$tPairsRaw%.0f,"pair_distinct_ms":$tDistinct%.0f,"full_ms":$tFull%.0f}""")
+    println(f"""{"pairs_ms":$tPairs%.0f,"deg_ms":$tDeg%.0f,"adj_ms":$tAdj%.0f,"closed_ms":$tClosed%.0f,"full_ms":$tFull%.0f}""")
     spark.stop()
   }
 }

@@ -159,9 +159,14 @@ object GraphOps {
     // this form measured 4.24 → 3.22 s min-of-3 at sf0.1 in a cleaner
     // canary window — ~9% canary-normalized, and one fewer pair-space
     // exchange at any scale.)
-    val deg = pairs.select(col("a").as("node"))
+    // deg feeds TWO broadcast exchanges (the a-side and c-side
+    // orientation joins) whose projections differ, so ReuseExchange
+    // never shares them and the |E|·2-row degree aggregate would run
+    // twice; one pin of the |V|-row result makes both broadcasts
+    // narrow reads of pinned blocks (the basketPairs discipline).
+    val deg = graft.Checkpoints.pin(pairs.select(col("a").as("node"))
       .union(pairs.select(col("c").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      .groupBy(col("node")).agg(count(lit(1)).as("dg")))
     val withDeg = pairs
       .join(broadcast(deg.withColumnRenamed("node", "a")
         .withColumnRenamed("dg", "da")), "a")
@@ -177,8 +182,11 @@ object GraphOps {
     // the pagerank discipline); past the cap the closing joins degrade
     // to shuffle joins of |E| rows each, still never the wedge stream.
     val hint = adjacencyHint(s, d)
-    val adjP = o.groupBy(col("src"))
-      .agg(sort_array(collect_set(col("dst"))).as("np"))
+    // adjP is consumed from BOTH sides of the closing join (the
+    // edge-explode stream and the broadcast right side); without a pin
+    // the orientation joins + adjacency shuffle execute twice.
+    val adjP = graft.Checkpoints.pin(o.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("np")))
     // edge-parallel INTERSECTION instead of a wedge join: the wedge
     // stream is Σ out-deg² rows (72M at sf0.1 — measured 6.9-9.1 s
     // however its joins are hinted), but the same triangles fall out of
@@ -193,7 +201,11 @@ object GraphOps {
       .join(hint(adjP.select(col("src").as("v"), col("np").as("nv"))),
         Seq("v"), "left")
       .select(col("u"), col("v"),
-        array_intersect(col("nu"),
+        // sorted_intersect ≡ array_intersect on these sorted distinct
+        // arrays (see SortedArrayExpressions) minus the per-edge
+        // OpenHashSet build — the closing stage was ~2.0 s of the
+        // 3.1 s query under array_intersect at sf0.1.
+        graft.functions.SortedArrayExpressions.sortedIntersect(col("nu"),
           coalesce(col("nv"), array().cast("array<bigint>"))).as("ws"))
       .filter(size(col("ws")) > 0)
     // attribution: each triangle (u, v, w∈ws) increments all three
@@ -378,17 +390,23 @@ object GraphOps {
     * corpus_domain_cap-style top-k neighbor truncation past it. */
   def jaccard(s: SparkSession, d: String, n: Int = 20): DataFrame = {
     val pairs = basketPairs(s, d)
-    val adj = pairs.select(col("a").as("u"), col("c").as("v"))
-      .union(pairs.select(col("c").as("u"), col("a").as("v")))
-      .groupBy(col("u"))
-      .agg(sort_array(collect_set(col("v"))).as("nb"))
+    // pinned: consumed from both sides of the closing join (explode
+    // stream + broadcast) — same discipline as triangles' adjP.
+    val adj = graft.Checkpoints.pin(
+      pairs.select(col("a").as("u"), col("c").as("v"))
+        .union(pairs.select(col("c").as("u"), col("a").as("v")))
+        .groupBy(col("u"))
+        .agg(sort_array(collect_set(col("v"))).as("nb")))
     val hint = adjacencyHint(s, d)
     adj.select(col("u").as("a"), explode(col("nb")).as("c"),
         col("nb").as("na"))
       .filter(col("c") > col("a")) // each undirected edge once
       .join(hint(adj.select(col("u").as("c"), col("nb").as("nc"))), "c")
       .select(col("a"), col("c"),
-        size(array_intersect(col("na"), col("nc"))).cast("bigint").as("common"),
+        // merge-walk count ≡ size(array_intersect) on sorted distinct
+        // arrays, minus the per-edge hashset (SortedArrayExpressions)
+        graft.functions.SortedArrayExpressions
+          .sortedIntersectCount(col("na"), col("nc")).as("common"),
         (size(col("na")) + size(col("nc"))).cast("bigint").as("degsum"))
       .filter(col("common") > 0)
       .select(col("a"), col("c"), col("common"),

@@ -244,4 +244,22 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  /** sorted_intersect / sorted_intersect_count must equal
+    * array_intersect semantics on the sorted-distinct inputs the
+    * adjacency idiom produces — the merge walk replacing the per-row
+    * hashset in graph_triangles / graph_jaccard (r10). */
+  test("sorted_intersect equals set intersection on sorted distinct arrays (property)") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val arr = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted))
+    check(Prop.forAll(arr, arr) { (a, b) =>
+      val ad = new GenericArrayData(a.toArray)
+      val bd = new GenericArrayData(b.toArray)
+      val expect = a.toSet.intersect(b.toSet).toArray.sorted
+      val got = graft.functions.SortedArrayUtil.intersectLL(ad, bd).toLongArray()
+      val gotN = graft.functions.SortedArrayUtil.intersectCountLL(ad, bd)
+      got.sameElements(expect) && gotN == expect.length
+    })
+  }
 }
