@@ -88,7 +88,7 @@ object AnnIndex {
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
-  private[operators] def dirFor(d: String): String = s"$root/${fingerprint(d)}"
+  private[graft] def dirFor(d: String): String = s"$root/${fingerprint(d)}"
   private def marker(dir: String) = java.nio.file.Paths.get(dir, "_GRAFT_INDEX_OK")
 
   /** In-session memo of completed builds: after the first ensure() the
@@ -473,6 +473,35 @@ object AnnIndex {
     vdir
   }
 
+  /** MEMOIZED variant preparation (r10, verdict item 3): the audit
+    * variants' mutation sequences are DETERMINISTIC given the source
+    * fingerprint (forget: residue derived from the stored index's
+    * top-1; compact: a fixed residue class), so rebuilding the scratch
+    * index on every invocation only re-derives the same bytes — the
+    * ensure() discipline applies. `prep` runs once per (fingerprint,
+    * name); its returned string is persisted in the READY marker and
+    * handed back verbatim on every later call, so audit columns
+    * computed during prep (erased/surviving counts) replay without
+    * re-mutating. Crash-safe the marker way: READY is written LAST, a
+    * kill mid-prep reads as "variant absent" and the next call
+    * re-adopts fresh (adoptArtifacts deletes partial state first). A
+    * source regeneration moves the fingerprint, hence the variant key
+    * — stale variants are pruned by build()'s source-keyed prune. */
+  private[graft] def preparedVariant(s: SparkSession, d: String, name: String)(
+      prep: String => String): (String, String) = {
+    val main = ensure(s, d)
+    val vdir = s"${main}_$name"
+    val ready = java.nio.file.Paths.get(vdir, "_GRAFT_VARIANT_READY")
+    if (java.nio.file.Files.exists(ready))
+      return (vdir, java.nio.file.Files.readString(ready))
+    adoptArtifacts(new java.io.File(main), vdir)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(vdir, "_GRAFT_INDEX_VARIANT")): Unit
+    val meta = prep(vdir)
+    java.nio.file.Files.writeString(ready, meta): Unit
+    (vdir, meta)
+  }
+
   /** `ann_forget` — the erasure audit (VERDICT r8 #3): compose
     * etl_forget's right-to-erasure semantics with the persisted ANN
     * index. The erasure set is a 10% bulk GDPR drop chosen to
@@ -501,10 +530,14 @@ object AnnIndex {
     val pre = ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k)
       .collect().map(_.getLong(0)).toSeq
     val residue = pre.head % 10
-    val vdir = variant(s, d, "forget")
-    val erased = graft.Tables.embeddings(s, d)
-      .select(col("vec_id")).filter(col("vec_id") % 10 === residue)
-    deleteAt(s, vdir, erased)
+    // memoized: the erasure set is a deterministic function of the
+    // stored index, so the tombstoned variant is prepared once per
+    // fingerprint and every later audit serves straight from it
+    val (vdir, _) = preparedVariant(s, d, "forget") { vd =>
+      val erased = graft.Tables.embeddings(s, d)
+        .select(col("vec_id")).filter(col("vec_id") % 10 === residue)
+      deleteAt(s, vd, erased).toString
+    }
     val post = ivfpqRerankQueryAt(s, d, vdir, queryId, k)
     // k rows past this point: the global rank window is bounded by the
     // serve limit, not data size
@@ -623,10 +656,16 @@ object AnnIndex {
     * production path returns the same answer from the rewritten
     * artifacts that the tombstone anti-join gave before them. */
   def compactAudit(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
-    val vdir = variant(s, d, "compact")
-    val erased = deleteAt(s, vdir, graft.Tables.embeddings(s, d)
-      .select(col("vec_id")).filter(col("vec_id") % 10 === 3))
-    val survivors = compactAt(s, vdir)
+    // memoized: the tombstone + rewrite sequence is deterministic per
+    // fingerprint; the audit counters computed during prep replay from
+    // the READY marker on later invocations (verdict r9 item 3)
+    val (vdir, meta) = preparedVariant(s, d, "compact") { vd =>
+      val erased = deleteAt(s, vd, graft.Tables.embeddings(s, d)
+        .select(col("vec_id")).filter(col("vec_id") % 10 === 3))
+      val survivors = compactAt(s, vd)
+      s"$erased $survivors"
+    }
+    val Array(erased, survivors) = meta.split(" ").map(_.toLong)
     ivfpqRerankQueryAt(s, d, vdir, queryId, k = 1).select(
       lit(erased).as("erased"),
       lit(isStaleAt(vdir)).as("stale_after"),

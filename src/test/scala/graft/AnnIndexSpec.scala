@@ -288,6 +288,25 @@ class AnnIndexSpec extends AnyFunSuite {
       "erasing the top neighbor vacates at least one slot — someone must be newly promoted")
   }
 
+  test("forget/compact audits memoize their variant: repeat invocations serve from the READY marker, same rows") {
+    val f1 = AnnIndex.forgetAudit(spark, sf).collect().toSeq
+    val fdir = java.nio.file.Paths.get(
+      AnnIndex.dirFor(sf) + "_forget", "_GRAFT_VARIANT_READY")
+    assert(java.nio.file.Files.exists(fdir), "forget prep must leave a READY marker")
+    val mtime1 = java.nio.file.Files.getLastModifiedTime(fdir)
+    val f2 = AnnIndex.forgetAudit(spark, sf).collect().toSeq
+    assert(f1 == f2, "memoized forget audit must be row-identical")
+    assert(java.nio.file.Files.getLastModifiedTime(fdir) == mtime1,
+      "second invocation must not re-prepare the variant")
+
+    val c1 = AnnIndex.compactAudit(spark, sf).collect().toSeq
+    val cready = java.nio.file.Paths.get(
+      AnnIndex.dirFor(sf) + "_compact", "_GRAFT_VARIANT_READY")
+    assert(java.nio.file.Files.exists(cready))
+    val c2 = AnnIndex.compactAudit(spark, sf).collect().toSeq
+    assert(c1 == c2, "memoized compact audit must replay identical counters and top-1")
+  }
+
   test("ann_index_filtered: every slot matches the predicate; rerank parity with in-memory") {
     import org.apache.spark.sql.functions._
     val got = AnnIndex.filteredIndexQuery(spark, sf).collect()
