@@ -83,7 +83,42 @@ object Checkpoints {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     try action
-    finally (sc.getPersistentRDDs.keySet -- before).foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    finally {
+      val keep = new scala.collection.mutable.HashSet[Int]
+      sharedRddIds.forEach(id => { keep.add(id); () })
+      (sc.getPersistentRDDs.keySet -- before -- keep).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
+  }
+
+  private val sharedPins =
+    new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
+  private val sharedRddIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** A SESSION-LIFETIME pin shared ACROSS queries, exempt from the
+    * harness sweep — for a frame two gated queries would otherwise each
+    * rebuild from the same scan (r10: the word-5-gram stream consumed
+    * by both dedup_phrases and text_boilerplate). Built once per `key`;
+    * the key MUST embed the dataset dir plus a source-content
+    * component (file lengths/mtimes) so a regeneration misses instead
+    * of serving stale rows — the scratchDir discipline. Use only for
+    * small frames (the pin never frees until session end); under the
+    * audit passthrough it degrades to the raw plan like [[pin]]. */
+  def pinShared(spark: SparkSession, key: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    if (passthrough) return build
+    val cached = sharedPins.get(key)
+    if (cached != null && (cached.sparkSession eq spark) &&
+        !spark.sparkContext.isStopped)
+      return cached.asInstanceOf[org.apache.spark.sql.DataFrame]
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = build.localCheckpoint()
+    (sc.getPersistentRDDs.keySet -- before).foreach(id => {
+      sharedRddIds.add(id); ()
+    })
+    sharedPins.put(key, cp)
+    cp
   }
 }

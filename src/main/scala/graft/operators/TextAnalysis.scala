@@ -224,15 +224,45 @@ object TextAnalysis {
     * before pairwise dedup sees them. Explode + count + TakeOrdered;
     * the phrase strings shuffle once as (phrase, partial-count). */
   def phrases(s: SparkSession, d: String, n: Int = 5, k: Int = 20): DataFrame =
-    documents(s, d)
-      .select(words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= n)
-      .select(explode(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(col("ws"), i + j)): _*)))
-        .as("phrase"))
+    gram5(s, d, n)
       .groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("phrase"))
       .limit(k)
+
+  /** The word n-gram stream SHARED by [[phrases]] and
+    * [[boilerplateScrub]] (r9 verdict item 4): one scan + split +
+    * explode builds (doc_id, position, xxhash64-of-words, phrase
+    * string) and pins it for the session — both gated queries were
+    * paying the same explode pass, and the harness sweep freed a
+    * per-query pin before the sibling ran. ~250k rows × ~70 B at
+    * sf0.1; the key folds in the documents file stats so a testdata
+    * regeneration misses (the scratchDir discipline). The hash is
+    * xxhash64 over the n word columns — EXACTLY the expression
+    * boilerplateScrub always used, so its oracle hashes are
+    * unchanged; phrases groups on the real string as before. */
+  private def gram5(s: SparkSession, d: String, n: Int): DataFrame = {
+    val src = new java.io.File(s"$d/documents.parquet")
+    def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
+    val srcKey =
+      if (src.isDirectory)
+        src.listFiles.filter(_.isFile).sortBy(_.getName).map(stat).mkString("|")
+      else stat(src)
+    graft.Checkpoints.pinShared(s, s"gram$n:$d:$srcKey") {
+      documents(s, d).select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => struct(i.as("i"),
+            xxhash64((0 until n).map(j => element_at(col("ws"), i + j)): _*)
+              .as("h"),
+            concat_ws(" ",
+              (0 until n).map(j => element_at(col("ws"), i + j)): _*)
+              .as("phrase"))))
+          .as("g"))
+        .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"),
+          col("g.phrase").as("phrase"))
+    }
+  }
 
   val phrasesSql: String =
     """SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
@@ -278,13 +308,9 @@ object TextAnalysis {
     // as a hash-gate mismatch, not ship silently. The pin stops
     // pass 2 from re-running the explode (rows are (id, i, h) —
     // ~5 MB at sf0.1).
-    val grams = graft.Checkpoints.pin(docs.filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), size(col("ws")) - (n - 1)),
-        i => struct(i.as("i"), xxhash64(
-          (0 until n).map(j => element_at(col("ws"), i + j)): _*).as("h"))))
-        .as("g"))
-      .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h")))
+    // the session-shared gram stream (see gram5) — the phrase column
+    // projects away narrowly off the pinned blocks
+    val grams = gram5(s, d, n).select(col("doc_id"), col("i"), col("h"))
     val hot = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
