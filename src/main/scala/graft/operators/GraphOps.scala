@@ -256,6 +256,12 @@ object GraphOps {
 
   private val StrongQty = 50
 
+  /** Past-gate neighbor-list truncation for [[jaccard]]: 1024 keeps
+    * every gated-SF degree intact (sf0.1 max degree is far below it)
+    * while bounding a hub row at 8 KiB of ids however large the
+    * corpus. Visible to specs via [[jaccard]]'s `forceCap` hook. */
+  private[graft] val JaccardDegreeCap = 1024
+
   /** `graph_components` — connected components of the STRONG-edge
     * part↔supplier graph (edges = distinct pairs carried by a
     * max-quantity RETURNED lineitem, `l_quantity ≥ 50 ∧
@@ -388,15 +394,42 @@ object GraphOps {
     * same one every neighborhood-similarity system (e.g. LSH-based
     * people-also-viewed) caps with degree truncation — compose with
     * corpus_domain_cap-style top-k neighbor truncation past it. */
-  def jaccard(s: SparkSession, d: String, n: Int = 20): DataFrame = {
+  def jaccard(s: SparkSession, d: String, n: Int = 20,
+      forceCap: Option[Int] = None): DataFrame = {
     val pairs = basketPairs(s, d)
+    // DEGREE-TRUNCATION CAP (r10, verdict item 5 — previously a named
+    // remedy only): past the same footer gate where the adjacency
+    // broadcast degrades, a hub node's full neighbor array is the
+    // scale bound (a 1e8-degree hub would build one giant row), so
+    // each node keeps only its JaccardDegreeCap STRONGEST neighbors —
+    // top-k by co-occurrence count (ties to the larger id via the
+    // struct ordering), the weighted truncation every production
+    // neighborhood-similarity system applies. collect_top_k keeps the
+    // partials bounded at k per (node × partition), so the hub row
+    // never materializes even transiently. Under the gate (all gated
+    // SFs) the exact full-set path runs unchanged; `forceCap` is the
+    // spec hook proving cap ≥ max-degree is a no-op and a tight cap
+    // actually truncates.
+    val capped: Option[Int] = forceCap.orElse(
+      if (21L * graft.Tables.footerRowCount(s, d, "orders") > 4000000L)
+        Some(JaccardDegreeCap)
+      else None)
+    val adjBase = pairs.select(col("a").as("u"), col("c").as("v"))
+      .union(pairs.select(col("c").as("u"), col("a").as("v")))
     // pinned: consumed from both sides of the closing join (explode
     // stream + broadcast) — same discipline as triangles' adjP.
-    val adj = graft.Checkpoints.pin(
-      pairs.select(col("a").as("u"), col("c").as("v"))
-        .union(pairs.select(col("c").as("u"), col("a").as("v")))
-        .groupBy(col("u"))
-        .agg(sort_array(collect_set(col("v"))).as("nb")))
+    val adj = graft.Checkpoints.pin(capped match {
+      case None =>
+        adjBase.groupBy(col("u"))
+          .agg(sort_array(collect_set(col("v"))).as("nb"))
+      case Some(k) =>
+        adjBase.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+          .groupBy(col("u"))
+          .agg(org.apache.spark.sql.graft.shim
+            .collectTopK(struct(col("w"), col("v")), k).as("tk"))
+          .select(col("u"),
+            sort_array(transform(col("tk"), x => x.getField("v"))).as("nb"))
+    })
     val hint = adjacencyHint(s, d)
     adj.select(col("u").as("a"), explode(col("nb")).as("c"),
         col("nb").as("na"))

@@ -139,6 +139,25 @@ class PropertySpec extends AnyFunSuite {
     assert(got.head._4 > 100000, s"degenerate top similarity: ${got.head}")
   }
 
+  test("graph_jaccard degree cap: cap >= max degree is a no-op; a tight cap truncates hubs") {
+    import SparkTestSession._
+    val exact = graft.operators.GraphOps.jaccard(spark, sf).collect().map(_.toSeq).toSeq
+    // the past-gate path with the production cap (far above any gated-SF
+    // degree) must reproduce the exact full-set results bit-for-bit
+    val cappedHigh = graft.operators.GraphOps
+      .jaccard(spark, sf, forceCap = Some(graft.operators.GraphOps.JaccardDegreeCap))
+      .collect().map(_.toSeq).toSeq
+    assert(cappedHigh == exact,
+      "cap above max degree must not change any jaccard row")
+    // a deliberately tiny cap must actually fire: neighbor sets shrink,
+    // so SOME reported denominator (degsum - common implied by ppm)
+    // differs from the exact run — proving the truncation path executes
+    val cappedTight = graft.operators.GraphOps
+      .jaccard(spark, sf, forceCap = Some(2)).collect().map(_.toSeq).toSeq
+    assert(cappedTight != exact,
+      "a cap of 2 must truncate hub neighborhoods and move the top-20")
+  }
+
   test("graph_components census equals union-find truth") {
     import SparkTestSession._
     // the Spark side runs 16 bounded propagate+jump rounds; agreement
