@@ -23,6 +23,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_semantic" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // the past-cap PRODUCTION path on a ×16 amplified corpus at
+    // production banding geometry, oracle-checked every round (r9
+    // verdict item 6): the oracle replays the EXACT in-cluster pair
+    // join over the same amplified relation, so the gate IS the
+    // banded path's result-identity claim
+    "dedup_semantic_banded" -> ((s, d) =>
+      Similarity.semanticDedupBandedAudit(s, d)),
     "sample_cluster_balanced" -> ((s, d) => Similarity.sampleClusterBalanced(s, d)),
     "text_cdc_chunks" -> ((s, d) => TextAnalysis.cdcChunks(s, d)),
     "dedup_cdc" -> ((s, d) => TextAnalysis.cdcPairs(s, d)),
@@ -135,6 +142,10 @@ object SparkEntry {
     "dedup_substring" -> Dedup.substringCoverageSql,
     "dedup_embedding" -> Dedup.embeddingPairsSql,
     "dedup_semantic" -> Similarity.semanticDedupSql,
+    // exact-pair replay on purpose: the banded path's contract is
+    // result-identity with the exact pass (its candidates are a
+    // superset of every top-50 pair or the hash gate fails)
+    "dedup_semantic_banded" -> Similarity.semanticDedupBandedSql,
     "sample_cluster_balanced" -> Similarity.sampleClusterBalancedSql,
     "text_cdc_chunks" -> TextAnalysis.cdcChunksSql,
     "dedup_cdc" -> TextAnalysis.cdcPairsSql,

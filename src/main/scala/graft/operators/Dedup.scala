@@ -1066,7 +1066,7 @@ object Dedup {
     * so the two can't drift. The embedding column is dropped BEFORE the
     * explode: only (ids, band, sig) ever shuffles, never ×bands copies
     * of the vectors. */
-  private[operators] def hyperplaneBanded(df: DataFrame, bits: Int,
+  private[graft] def hyperplaneBanded(df: DataFrame, bits: Int,
       bands: Int, dim: Int): DataFrame = {
     val keep = df.columns.filter(_ != "embedding").map(col).toSeq
     val planes: Seq[Seq[Double]] =
