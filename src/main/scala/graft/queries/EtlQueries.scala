@@ -1310,7 +1310,21 @@ object EtlQueries {
     * column content, not its physical type, and the DuckDB oracle
     * replays the k-smallest-md5 ranking bit-for-bit (the q49
     * discipline — estimates are deterministic, not approximately
-    * compared). Exact row/null counts ride the same pass. */
+    * compared). Exact row/null counts ride the same pass.
+    *
+    * Adjudicated residual (r10, [[graft.KmvProfile]] decomposition at
+    * sf0.1, min-of-5 one JVM): count-only floor 356 ms; + the 7-column
+    * decode (raw isNull sums, zero repr/sketch work) 953 ms; + repr
+    * expressions 1123 ms; full query 1210 ms. The sketch machinery is
+    * therefore ≤ ~260 ms of the total — the rest is the action floor
+    * plus a FORCED-SERIAL decode: the testdata file is ONE parquet row
+    * group (10.8 MB), and parquet cannot split below a row group, so
+    * no Spark plan parallelizes that scan (DuckDB reads the same row
+    * group with a faster native decoder — that differential, not the
+    * sketch, is the 2.4× ratio). The r10 digest-skip cache removed the
+    * duplicate-value md5s (1.56 → 1.23 s best-of); at any real layout
+    * (multi-row-group files) the decode parallelizes and the query
+    * rides the floor. */
   def statsApprox(s: SparkSession, d: String): DataFrame = {
     import graft.functions.KmvSketch.kmvSketch
     val k = 1024 // ~3% expected NDV error; 32 KB of partial per column
@@ -1336,9 +1350,17 @@ object EtlQueries {
     // (column × task). The residual over the action floor is the
     // per-value Java digest+TreeSet work a TypedImperativeAggregate
     // pays outside codegen — the price of an oracle-replayable hash.
+    // null counts check the RAW column, not the repr (r10, KmvProfile
+    // finding): every repr is null-preserving (casts, floor·100,
+    // date_format of a non-null date), so the two are equal — but
+    // evaluating the full cast/format chain per row just for isNull
+    // cost 0.62 s of the 1.33 s query even codegen'd (KmvProfile:
+    // count_only 358 ms / +codegen-repr-sums 982 / full 1332)
+    val rawCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate")
     val aggCols = Seq(count(lit(1)).as("n_rows_all")) ++
       reprs.zipWithIndex.flatMap { case ((_, c), i) =>
-        Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_$i"),
+        Seq(sum(when(col(rawCols(i)).isNull, 1L).otherwise(0L)).as(s"nn_$i"),
           kmvSketch(c, k).as(s"sk_$i"))
       }
     val one = li.agg(aggCols.head, aggCols.tail: _*)
