@@ -36,83 +36,56 @@ object GraphOps {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d).select(
       (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
-    // distinct BEFORE symmetrising (r7; was distinct over the doubled
-    // union): part/supplier node ids live in disjoint namespaces
-    // (even/odd), so the two symmetrised halves are disjoint by
-    // construction and the swap needs no second dedup — half the
-    // distinct's shuffle. Then pre-partition ONCE on dst, the
-    // per-iteration aggregation key: the checkpoint's LogicalRDD
-    // carries the partitioning, so every iteration's contribution
-    // groupBy(dst) runs EXCHANGE-FREE on the pinned edges (the rank
-    // side broadcasts; a BroadcastHashJoin preserves the streamed
-    // side's partitioning).
+    // distinct BEFORE symmetrising (r7): part/supplier ids live in
+    // disjoint even/odd namespaces, so the swapped half needs no
+    // second dedup — half the distinct's shuffle.
     val pairs = li.distinct()
-    val (edges, _) = graft.Checkpoints.tracked(
-      pairs.select(col("p").as("src"), col("sup").as("dst"))
-        .union(pairs.select(col("sup").as("src"), col("p").as("dst")))
-        .repartition(col("dst")))
-    // every node IS a src (edges are symmetrised), so the degree table
-    // doubles as the node list; pinned once, and deg rides along in
-    // the rank state so each iteration needs ONE join with the edges
-    // instead of separate rank and degree joins. groupBy(src) lands it
-    // hash-partitioned on node — co-partitioned with each iteration's
-    // contribs, so the rank update join is exchange-free too.
-    val (nd, _) = graft.Checkpoints.tracked(
-      edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("src", "node"))
-    // broadcast hint GATED on node count (the exactConfirm discipline,
-    // review finding r7): the rank state is O(V), and an unconditional
-    // broadcast collects every rank to the driver each round — fine
-    // for this graph (~21k nodes), a driver collapse on a billion-node
-    // one. Past the cap the iteration falls back to the shuffle join
-    // on src — the classic distributed-PageRank shape (one exchange of
-    // the edge stream per round, no driver round-trip). The gate reads
-    // an UPPER BOUND from parquet footers instead of running an extra
-    // count() job (r8 — verdict item 5): every node is a part or
-    // supplier key, so nodes ≤ |part| + |supplier|; over-counting can
-    // only flip broadcast → shuffle, the safe direction.
-    val nodeBound = graft.Tables.footerRowCount(s, d, "part") +
-      graft.Tables.footerRowCount(s, d, "supplier")
-    val rankHint: DataFrame => DataFrame =
-      if (nodeBound <= 5000000L) broadcast else identity
-    var ranks = nd.withColumn("rank", lit(1.0)) // (node, deg, rank)
-    var releasePrev: () => Unit = () => ()
-    for (i <- 1 to Iters) {
-      val contribs = edges
-        .join(rankHint(ranks.withColumnRenamed("node", "src")), "src")
-        // quantise BEFORE the sum: an exact integer sum is independent
-        // of partial-aggregation order, where a double sum is not
-        .select(col("dst").as("node"),
-          floor(col("rank") / col("deg") * 1e9).as("qc"))
-        .groupBy("node").agg(sum(col("qc")).as("qsum"))
-      ranks = nd
-        .join(contribs, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (floor((lit(1 - Damp) + lit(Damp) *
-            (coalesce(col("qsum"), lit(0L)) / 1e9)) * 1e9) / 1e9).as("rank"))
-      // checkpoint cadence 4: lineage truncation exists for LONG
-      // iteration runs (each checkpoint is an eager action costing the
-      // ~0.4 s per-action floor, §6); depth-4 subtrees plan fine, so
-      // at Iters=5 exactly ONE mid-run truncation fires and the final
-      // ranks stay lazy — the terminal orderBy action computes them
-      // (was cadence 2 + a forced final checkpoint: 3 materializations
-      // of pure floor cost; 3.6 s → 2.3 s warm at sf0.1, hash
-      // unchanged). At 100-iteration scale the same cadence bounds
-      // lineage depth at 4 while quartering the truncation actions.
-      if (i % 4 == 0 && i != Iters) {
-        val (cp, rel) = graft.Checkpoints.tracked(ranks)
-        releasePrev()
-        ranks = cp
-        releasePrev = rel
-      }
+    // GRAPH-NATIVE iteration (r10 — the graph_components precedent):
+    // the r9 Catalyst loop paid a planner+broadcast+action floor per
+    // round (~0.4 s × Iters sequential BHJ iterations — the whole 5.5×
+    // residual vs DuckDB was floors, not work). The SAME quantised
+    // algebra runs here as GraphX aggregateMessages rounds at RDD-job
+    // cost: messages are floor(rank/deg·1e9) INTEGERS merged by +, so
+    // partial-aggregation order cannot perturb them, and the rank
+    // update replays the oracle's expression verbatim — ranks are
+    // bit-identical to the Catalyst loop and the unrolled SQL replay
+    // (hash gate unchanged). At 100 TB this is the production
+    // distributed-PageRank shape: edges hash-partition once, each
+    // round exchanges one integer per (dst × partition) via GraphX's
+    // routing tables, ranks never pass through the driver (the old
+    // plan's broadcast collected O(V) ranks per round above the
+    // footer gate).
+    // (an A/B coalescing the graph to edges/250k partitions measured
+    // SLOWER — 2.4 vs 1.75 s best-of — the per-round message compute
+    // wants the cores more than the scheduler wants fewer tasks)
+    val edgeRdd = pairs.rdd.flatMap(r =>
+      Iterator((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val graph0 = org.apache.spark.graphx.Graph.fromEdgeTuples(edgeRdd, 1)
+    // every node IS a src (symmetrised), so out-degree ≥ 1 everywhere;
+    // vertex state = (deg, rank), rank0 = 1.0 (the oracle's r0)
+    var g = graph0.outerJoinVertices(graph0.outDegrees)(
+      (_, _, dOpt) => (dOpt.getOrElse(0), 1.0)).cache()
+    val base = 1 - Damp // Scala double 1-0.85, printed into the oracle
+    for (_ <- 1 to Iters) {
+      val msgs = g.aggregateMessages[Long](
+        ctx => ctx.sendToDst(math.floor(
+          ctx.srcAttr._2 / ctx.srcAttr._1.toDouble * 1e9).toLong),
+        _ + _)
+      // cache each round (the ConnectedComponents.run discipline):
+      // every round's vertices feed BOTH the next messages and the
+      // next join — uncached, the bifurcating lineage recomputes
+      // prior rounds ~2^Iters times at action
+      val prev = g
+      g = g.outerJoinVertices(msgs)((_, attr, qOpt) =>
+        (attr._1, math.floor((base + Damp *
+          (qOpt.getOrElse(0L) / 1e9)) * 1e9).toLong / 1e9)).cache()
+      g.vertices.foreachPartition(_ => ()) // materialize before release
+      prev.unpersist(blocking = false)
     }
-    // the returned plan is LAZY through the tail iterations, so the
-    // edges/deg checkpoints (and any mid-run rank truncation) are
-    // result-feeding — releasing them here would drop blocks the
-    // truncated lineage cannot recompute; the harness sweep frees
-    // them after the caller's action (Checkpoints policy note)
+    val ranks = s.createDataFrame(
+      g.vertices.map { case (node, (_, rank)) => (node, rank) })
+      .toDF("node", "rank")
     ranks
-      .drop("deg")
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
       .select(
