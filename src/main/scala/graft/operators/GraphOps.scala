@@ -33,13 +33,19 @@ object GraphOps {
     * `Iters` damped iterations (unnormalised Pregel-style update
     * r' = 0.15 + 0.85·Σ r/deg). Node ids: part → 2·key,
     * supplier → 2·key+1 (disjoint integer namespaces). */
-  def pagerank(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(
+  /** The file-scanning stage of [[pagerank]], factored so PlanAudit
+    * can audit its scan prune/pushdown: past the `.rdd` hop the
+    * iteration is RDD-native by design and carries no file scan.
+    * distinct BEFORE symmetrising (r7): part/supplier ids live in
+    * disjoint even/odd namespaces, so the swapped half needs no
+    * second dedup — half the distinct's shuffle. */
+  private[graft] def pagerankEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
       (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
-    // distinct BEFORE symmetrising (r7): part/supplier ids live in
-    // disjoint even/odd namespaces, so the swapped half needs no
-    // second dedup — half the distinct's shuffle.
-    val pairs = li.distinct()
+      .distinct()
+
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = pagerankEdges(s, d)
     // GRAPH-NATIVE iteration (r10 — the graph_components precedent):
     // the r9 Catalyst loop paid a planner+broadcast+action floor per
     // round (~0.4 s × Iters sequential BHJ iterations — the whole 5.5×
@@ -288,14 +294,20 @@ object GraphOps {
     * census stay DataFrame/Catalyst, so pushdown (the strong-edge
     * filter reaches the lineitem scan) and the bounded top-20 census
     * are unchanged. */
-  def components(s: SparkSession, d: String, n: Int = 20): DataFrame = {
-    val li = lineitem(s, d)
+  /** The file-scanning stage of [[components]], factored so PlanAudit
+    * can audit its scan prune/pushdown (the pagerankEdges discipline —
+    * past the `.rdd` hop the iteration is RDD-native and scan-free).
+    * distinct before the RDD hop: |E| duplicate pairs would otherwise
+    * replay as duplicate (identical) Pregel messages every round. */
+  private[graft] def componentsEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
       .filter(col("l_quantity") >= StrongQty && col("l_returnflag") === "R")
       .select(
         (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
-    // distinct before the RDD hop: |E| duplicate pairs would otherwise
-    // replay as duplicate (identical) Pregel messages every round
-    val pairs = li.distinct()
+      .distinct()
+
+  def components(s: SparkSession, d: String, n: Int = 20): DataFrame = {
+    val pairs = componentsEdges(s, d)
     val edgeRdd = pairs.rdd.map(r => (r.getLong(0), r.getLong(1)))
     // Graph.fromEdgeTuples hash-partitions edges and derives the
     // vertex RDD; ConnectedComponents.run iterates Pregel min-label to
