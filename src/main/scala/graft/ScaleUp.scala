@@ -132,7 +132,13 @@ object ScaleUp {
     "etl_wap", "q58_set_sketch",
     // partition evolution (manifest-level pruning - the evolved read
     // must stay ~flat as the new batch grows)
-    "etl_partition_evolution")
+    "etl_partition_evolution",
+    // r10: the GraphX-native pagerank (per-round RDD jobs — the
+    // floor-amortization claim measured) and the banded SemDeDup audit
+    // (its constant-size amp slice must keep the query ~flat at ×R —
+    // ampFactor shrinks as the base grows; the in-cluster banding at
+    // ×R population still lands bits=9)
+    "graph_pagerank", "dedup_semantic_banded")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every
