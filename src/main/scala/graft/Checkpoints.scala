@@ -76,16 +76,17 @@ object Checkpoints {
   }
 
   /** Run `action` and release every RDD it left persisted — the
-    * harness-side sweep. Safe because graft has no cross-query
-    * memoized DataFrames: every query invocation constructs (and pins)
-    * its own state. */
+    * harness-side sweep. Per-query pins are safe to free because every
+    * query invocation constructs (and pins) its own state; the ONE
+    * exception is [[pinShared]]'s cross-query memo, whose RDD ids are
+    * explicitly exempted below. */
   def sweeping[A](spark: SparkSession)(action: => A): A = {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     try action
     finally {
       val keep = new scala.collection.mutable.HashSet[Int]
-      sharedRddIds.forEach(id => { keep.add(id); () })
+      sharedIdsFor(sc).forEach(id => { keep.add(id); () })
       (sc.getPersistentRDDs.keySet -- before -- keep).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     }
@@ -93,8 +94,16 @@ object Checkpoints {
 
   private val sharedPins =
     new java.util.concurrent.ConcurrentHashMap[String, Dataset[_]]()
-  private val sharedRddIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // shared-pin RDD ids are scoped PER SparkContext (keyed by
+  // applicationId): RDD ids restart at 0 in a new context, so a flat
+  // set would exempt unrelated RDDs from a later session's sweep —
+  // silently re-creating the leak sweeping() exists to stop
+  private val sharedRddIds = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Set[Integer]]()
+  private def sharedIdsFor(sc: org.apache.spark.SparkContext)
+      : java.util.Set[Integer] =
+    sharedRddIds.computeIfAbsent(sc.applicationId,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]())
 
   /** A SESSION-LIFETIME pin shared ACROSS queries, exempt from the
     * harness sweep — for a frame two gated queries would otherwise each
@@ -115,8 +124,9 @@ object Checkpoints {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val cp = build.localCheckpoint()
+    val ids = sharedIdsFor(sc)
     (sc.getPersistentRDDs.keySet -- before).foreach(id => {
-      sharedRddIds.add(id); ()
+      ids.add(id); ()
     })
     sharedPins.put(key, cp)
     cp

@@ -8,8 +8,16 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graft.shim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** Two-pointer merge intersection over SORTED, DISTINCT `array<bigint>`
-  * columns. Semantically identical to `array_intersect(a, b)` when both
+/** Two-pointer merge intersection over SORTED, DISTINCT, NULL-FREE
+  * `array<bigint>` columns. PRECONDITION (not enforced per row — this
+  * is the hot loop): elements must be non-null; the type check cannot
+  * see it because the `coalesce(…, array().cast(…))` fallback
+  * type-unifies to containsNull=true, and a null slot would read
+  * through `getLong` as an arbitrary value instead of erroring. Every
+  * caller derives inputs from `sort_array(collect_set(…))`, which is
+  * null-free, distinct and sorted by construction.
+  *
+  * Semantically identical to `array_intersect(a, b)` when both
   * inputs are sorted and duplicate-free (the `sort_array(collect_set(…))`
   * adjacency idiom guarantees both): `array_intersect` preserves the
   * first argument's element order, which for a sorted input IS sorted

@@ -498,7 +498,13 @@ object AnnIndex {
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(vdir, "_GRAFT_INDEX_VARIANT")): Unit
     val meta = prep(vdir)
-    java.nio.file.Files.writeString(ready, meta): Unit
+    // tmp + ATOMIC_MOVE (the writeManifest discipline): the marker's
+    // EXISTENCE is the commit gate, so a torn write would wedge every
+    // later audit on a truncated payload with no re-prep path
+    val tmp = java.nio.file.Paths.get(vdir, "_GRAFT_VARIANT_READY.tmp")
+    java.nio.file.Files.writeString(tmp, meta): Unit
+    java.nio.file.Files.move(tmp, ready,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     (vdir, meta)
   }
 

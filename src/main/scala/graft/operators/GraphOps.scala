@@ -85,7 +85,12 @@ object GraphOps {
       g = g.outerJoinVertices(msgs)((_, attr, qOpt) =>
         (attr._1, math.floor((base + Damp *
           (qOpt.getOrElse(0L) / 1e9)) * 1e9).toLong / 1e9)).cache()
-      g.vertices.foreachPartition(_ => ()) // materialize before release
+      // materialize BOTH members before releasing the predecessor (the
+      // Pregel discipline): vertices alone would leave g's edge view
+      // first computed in the NEXT round's aggregateMessages — after
+      // prev's eviction — re-deriving the chain back to the scan
+      g.vertices.foreachPartition(_ => ())
+      g.edges.foreachPartition(_ => ())
       prev.unpersist(blocking = false)
     }
     val ranks = s.createDataFrame(

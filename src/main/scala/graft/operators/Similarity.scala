@@ -1418,11 +1418,7 @@ object Similarity {
     * rewrite. */
   private[graft] def ampEmbeddings(s: SparkSession, d: String, r: Int): String = {
     val src = new java.io.File(s"$d/embeddings.parquet")
-    def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
-    val srcKey =
-      if (src.isDirectory)
-        src.listFiles.filter(_.isFile).sortBy(_.getName).map(stat).mkString("|")
-      else stat(src)
+    val srcKey = graft.SourceKey.of(d, "embeddings") // shared fingerprint
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${src.getCanonicalPath}:$srcKey:x$r".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)

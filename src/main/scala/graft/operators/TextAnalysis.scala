@@ -241,12 +241,7 @@ object TextAnalysis {
     * boilerplateScrub always used, so its oracle hashes are
     * unchanged; phrases groups on the real string as before. */
   private def gram5(s: SparkSession, d: String, n: Int): DataFrame = {
-    val src = new java.io.File(s"$d/documents.parquet")
-    def stat(x: java.io.File) = s"${x.getName}:${x.length}:${x.lastModified}"
-    val srcKey =
-      if (src.isDirectory)
-        src.listFiles.filter(_.isFile).sortBy(_.getName).map(stat).mkString("|")
-      else stat(src)
+    val srcKey = graft.SourceKey.of(d, "documents") // shared fingerprint
     graft.Checkpoints.pinShared(s, s"gram$n:$d:$srcKey") {
       documents(s, d).select(col("doc_id"), words(col("text")).as("ws"))
         .filter(size(col("ws")) >= n)

@@ -194,26 +194,8 @@ object EtlQueries {
     * regeneration). Folding length+count in keeps the key honest when
     * mtime granularity (often 1 s) hides a same-tick regeneration or
     * the newest change sits in a nested file. */
-  private def mtimeKey(d: String, table: String): Long = {
-    def walk(f: java.io.File): Iterator[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles).map(_.iterator.flatMap(walk)).getOrElse(Iterator.empty)
-      else Iterator.single(f)
-    val root = new java.io.File(d, s"$table.parquet")
-    val rootPath = root.toPath
-    // (relative path, length, mtime), SORTED by path: File.listFiles
-    // order is unspecified, so an unsorted fold can change the key for
-    // an unchanged source (spurious rewrite) — and hashing only the
-    // leaf name would miss a part file moving between subdirectories.
-    walk(root).map(f => (rootPath.relativize(f.toPath).toString, f)).toSeq
-      .sortBy(_._1) // sort key IS the hashed key: one derivation, no drift
-      .foldLeft(17L) { case (h, (rel, f)) =>
-        var x = h
-        x = x * 1000003L + rel.hashCode
-        x = x * 1000003L + f.length
-        x * 1000003L + f.lastModified
-      } & Long.MaxValue // cache dirs are named with this key — keep it non-negative
-  }
+  private def mtimeKey(d: String, table: String): Long =
+    graft.SourceKey.of(d, table) // the shared fingerprint (SourceKey)
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory)

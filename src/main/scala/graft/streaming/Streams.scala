@@ -683,18 +683,7 @@ object Streams extends Serializable {
       // advice). The fingerprint folds each file's (name, length,
       // mtime), sorted, so a regenerated source lands in a fresh store.
       val key = d.replaceAll("[^a-zA-Z0-9]", "_")
-      val srcRoot = new java.io.File(d, "events.parquet")
-      def walk(f: java.io.File): Iterator[java.io.File] =
-        if (f.isDirectory)
-          Option(f.listFiles).map(_.iterator.flatMap(walk)).getOrElse(Iterator.empty)
-        else Iterator.single(f)
-      val fp = walk(srcRoot)
-        .map(f => (srcRoot.toPath.relativize(f.toPath).toString, f)).toSeq
-        .sortBy(_._1)
-        .foldLeft(17L) { case (h, (rel, f)) =>
-          ((h * 1000003L + rel.hashCode) * 1000003L + f.length) *
-            1000003L + f.lastModified
-        } & Long.MaxValue
+      val fp = graft.SourceKey.of(d, "events") // the shared fingerprint
       s"${sys.props("java.io.tmpdir")}/graft_vsink_${key}_${fp}_p${ProcessHandle.current().pid()}"
     }
     new java.io.File(s"$base/manifests").mkdirs()

@@ -160,9 +160,9 @@ class PropertySpec extends AnyFunSuite {
 
   test("graph_components census equals union-find truth") {
     import SparkTestSession._
-    // the Spark side runs 16 bounded propagate+jump rounds; agreement
-    // with run-to-completion union-find proves the round budget covers
-    // this graph's fixpoint (under-merging would inflate the census)
+    // the Spark side runs GraphX Pregel min-label to convergence
+    // (r10 — no round budget exists); agreement with run-to-completion
+    // union-find pins the census exactly
     val strong = Tables.lineitem(spark, sf)
       .filter("l_quantity >= 50 AND l_returnflag = 'R'")
       .select("l_partkey", "l_suppkey").collect()
