@@ -224,10 +224,45 @@ object TextAnalysis {
     * before pairwise dedup sees them. Explode + count + TakeOrdered;
     * the phrase strings shuffle once as (phrase, partial-count). */
   def phrases(s: SparkSession, d: String, n: Int = 5, k: Int = 20): DataFrame =
-    gram5(s, d, n)
+    gram5Shared(s, d, n)
+      .getOrElse(gramStream(s, d, n, withPhrase = true))
       .groupBy(col("phrase")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("phrase"))
       .limit(k)
+
+  /** One pass over the documents scan: (doc_id, position,
+    * xxhash64-of-the-n-words[, phrase string]). The hash is EXACTLY
+    * the expression boilerplateScrub always used, so its oracle
+    * hashes are unchanged; phrases groups on the real string. */
+  private def gramStream(s: SparkSession, d: String, n: Int,
+      withPhrase: Boolean): DataFrame = {
+    val fields = Seq(
+      Some((i: Column) => i.as("i")),
+      Some((i: Column) => xxhash64(
+        (0 until n).map(j => element_at(col("ws"), i + j)): _*).as("h")),
+      if (withPhrase) Some((i: Column) => concat_ws(" ",
+        (0 until n).map(j => element_at(col("ws"), i + j)): _*).as("phrase"))
+      else None).flatten
+    val outCols = col("doc_id") +: (
+      Seq("i", "h") ++ (if (withPhrase) Seq("phrase") else Nil))
+      .map(f => col(s"g.$f").as(f))
+    documents(s, d).select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => struct(fields.map(f => f(i)): _*)))
+        .as("g"))
+      .select(outCols: _*)
+  }
+
+  private[graft] def gramStreamForSpec(s: SparkSession, d: String, n: Int,
+      withPhrase: Boolean): DataFrame = gramStream(s, d, n, withPhrase)
+
+  /** Past-[[GramShareMaxDocs]] documents the stream is corpus-sized
+    * and a SESSION-lifetime pin would hold it in executor memory until
+    * shutdown — the exact accumulation Checkpoints.sweeping exists to
+    * stop. The share is a small-corpus optimization ONLY. */
+  private val GramShareMaxDocs = 1000000L
 
   /** The word n-gram stream SHARED by [[phrases]] and
     * [[boilerplateScrub]] (r9 verdict item 4): one scan + split +
@@ -236,28 +271,20 @@ object TextAnalysis {
     * paying the same explode pass, and the harness sweep freed a
     * per-query pin before the sibling ran. ~250k rows × ~70 B at
     * sf0.1; the key folds in the documents file stats so a testdata
-    * regeneration misses (the scratchDir discipline). The hash is
-    * xxhash64 over the n word columns — EXACTLY the expression
-    * boilerplateScrub always used, so its oracle hashes are
-    * unchanged; phrases groups on the real string as before. */
-  private def gram5(s: SparkSession, d: String, n: Int): DataFrame = {
-    val srcKey = graft.SourceKey.of(d, "documents") // shared fingerprint
-    graft.Checkpoints.pinShared(s, s"gram$n:$d:$srcKey") {
-      documents(s, d).select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= n)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => struct(i.as("i"),
-            xxhash64((0 until n).map(j => element_at(col("ws"), i + j)): _*)
-              .as("h"),
-            concat_ws(" ",
-              (0 until n).map(j => element_at(col("ws"), i + j)): _*)
-              .as("phrase"))))
-          .as("g"))
-        .select(col("doc_id"), col("g.i").as("i"), col("g.h").as("h"),
-          col("g.phrase").as("phrase"))
+    * regeneration misses (the scratchDir discipline). None past the
+    * footer gate (r10): callers fall back to their own per-query
+    * stream — boilerplate re-pins the hash-only projection per query,
+    * phrases streams unpinned — so nothing corpus-sized outlives a
+    * query at scale. */
+  private def gram5Shared(s: SparkSession, d: String, n: Int)
+      : Option[DataFrame] =
+    if (graft.Tables.footerRowCount(s, d, "documents") > GramShareMaxDocs)
+      None
+    else {
+      val srcKey = graft.SourceKey.of(d, "documents") // shared fingerprint
+      Some(graft.Checkpoints.pinShared(s, s"gram$n:$d:$srcKey")(
+        gramStream(s, d, n, withPhrase = true)))
     }
-  }
 
   val phrasesSql: String =
     """SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
@@ -303,9 +330,13 @@ object TextAnalysis {
     // as a hash-gate mismatch, not ship silently. The pin stops
     // pass 2 from re-running the explode (rows are (id, i, h) —
     // ~5 MB at sf0.1).
-    // the session-shared gram stream (see gram5) — the phrase column
-    // projects away narrowly off the pinned blocks
-    val grams = gram5(s, d, n).select(col("doc_id"), col("i"), col("h"))
+    // the session-shared gram stream when the corpus is small enough
+    // to hold (the phrase column projects away narrowly off the pinned
+    // blocks); past the share gate, the r9 hash-only form — a
+    // per-query pin the harness sweep frees after the action
+    val grams = gram5Shared(s, d, n)
+      .map(_.select(col("doc_id"), col("i"), col("h")))
+      .getOrElse(graft.Checkpoints.pin(gramStream(s, d, n, withPhrase = false)))
     val hot = grams.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)

@@ -264,6 +264,21 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("gram stream: past-gate hash-only fallback rows equal the shared stream's projection") {
+    import SparkTestSession._
+    // the share gate never fires at gated SFs, so the fallback path is
+    // pinned here directly: identical (doc_id, i, h) rows prove a
+    // corpus crossing GramShareMaxDocs changes memory policy, not
+    // results
+    val shared = graft.operators.TextAnalysis
+      .gramStreamForSpec(spark, sf, 5, withPhrase = true)
+      .select("doc_id", "i", "h").collect().map(_.toSeq).toSet
+    val fallback = graft.operators.TextAnalysis
+      .gramStreamForSpec(spark, sf, 5, withPhrase = false)
+      .collect().map(_.toSeq).toSet
+    assert(shared == fallback && shared.nonEmpty)
+  }
+
   /** sorted_intersect / sorted_intersect_count must equal
     * array_intersect semantics on the sorted-distinct inputs the
     * adjacency idiom produces — the merge walk replacing the per-row
