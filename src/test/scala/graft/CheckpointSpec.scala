@@ -31,6 +31,28 @@ class CheckpointSpec extends AnyFunSuite {
     assert(pinned == before)
   }
 
+  test("pinShared survives the sweep; per-query pins beside it are still freed") {
+    val before = pinned
+    var sharedDf: org.apache.spark.sql.DataFrame = null
+    Checkpoints.sweeping(spark) {
+      sharedDf = Checkpoints.pinShared(spark, "checkpointspec-shared-1") {
+        spark.range(50).toDF("id")
+      }
+      // a sibling per-query pin in the same swept action
+      spark.range(60).toDF("id").localCheckpoint().count(): Unit
+      assert(sharedDf.count() == 50)
+    }
+    // the shared pin's blocks remain (sweep-exempt) and still serve…
+    assert(pinned > before, "shared pin must survive the sweep")
+    assert(sharedDf.count() == 50)
+    // …and a second call memoizes instead of rebuilding
+    val p2 = pinned
+    val again = Checkpoints.pinShared(spark, "checkpointspec-shared-1") {
+      fail("memoized pinShared must not rebuild"); null
+    }
+    assert(again.count() == 50 && pinned == p2)
+  }
+
   /** The operators with iterative checkpoint loops, driven to a real
     * action under the harness sweep: each must come back to a flat
     * pinned count — repeated invocations (a bench session's cold+warm
