@@ -223,6 +223,62 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  /** The r9-advice crash-retry paths, SIMULATED (r10): a vacuum that
+    * died mid-sweep (audit absent, v1 manifest tombstoned, some swept
+    * AND some live dirs gone) must rebuild the store from source and
+    * produce the identical audit — the tombstone-first delete ordering
+    * is what makes the guard fire instead of the retry 404ing on
+    * swept paths. */
+  test("etl_vacuum crash-retry: a half-swept store rebuilds and re-audits identically") {
+    val E = graft.queries.EtlQueries
+    val audit = E.vacuum(spark, sf).collect().map(_.toSeq).toSeq
+    val base = E.vacuumBase(sf)
+    // simulate the mid-sweep crash: audit gone, v1.txt already gone
+    // (tombstone-first), and even a LIVE shared dir destroyed — the
+    // retry must not trust ANY of the half-swept physical state
+    def rm(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(walk)
+        f.delete(): Unit
+      }
+      walk(new java.io.File(p))
+    }
+    rm(s"$base/vacuum_audit")
+    rm(s"$base/files/v1/pt=0")
+    assert(!new java.io.File(s"$base/manifests/v1.txt").exists,
+      "construction drift: the completed sweep should have tombstoned v1")
+    val retry = E.vacuum(spark, sf).collect().map(_.toSeq).toSeq
+    assert(retry == audit, "crash-retry audit drifted from the original")
+    val m2 = E.readManifest(E.vacuumBase(sf), 2)
+    assert(m2.size == 8 && m2.forall { case (p, ver) =>
+      new java.io.File(s"${E.vacuumBase(sf)}/files/$ver/pt=$p").exists },
+      "retained version must resolve completely after the rebuild")
+  }
+
+  /** WAP retry after a crash between the publish rename and the audit
+    * _SUCCESS: files/clean already exists (the orphan), staging/clean
+    * does not. The retry must overwrite the orphan instead of wedging
+    * on renameTo into an existing dir, and replay the identical
+    * audit. */
+  test("etl_wap crash-retry: an orphan published dir is overwritten, not a wedge") {
+    val E = graft.queries.EtlQueries
+    val audit = E.wap(spark, sf).collect().map(_.toSeq).toSeq
+    val base = E.wapBase(sf)
+    def rm(p: String): Unit = {
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(walk)
+        f.delete(): Unit
+      }
+      walk(new java.io.File(p))
+    }
+    rm(s"$base/wap_audit")
+    assert(new java.io.File(s"$base/files/clean").exists &&
+      !new java.io.File(s"$base/staging/clean").exists,
+      "construction drift: post-publish state should be the orphan shape")
+    val retry = E.wap(spark, sf).collect().map(_.toSeq).toSeq
+    assert(retry == audit, "crash-retry audit drifted from the original")
+  }
+
   /** Partition evolution's contracts: the evolved commit rewrites
     * nothing (v1 files byte-identical), the manifest carries both
     * schemes, dir-level pruning is real (B dirs outside the window
