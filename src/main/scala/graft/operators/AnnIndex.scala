@@ -149,6 +149,11 @@ object AnnIndex {
     val dirF = new java.io.File(dir)
     if (dirF.exists()) { builtMemo.remove(dir); deleteRecursively(dirF) }
 
+    // (an r10 A/B fanning this scan to core count — the kmeansAssign
+    // remedy — measured NEUTRAL here, 3.30 vs 3.22 s best-of in the
+    // same window: build's cost is its training shuffles and three
+    // artifact writes, not the narrow encode, so the extra vector
+    // exchange buys nothing and the simpler plan stays)
     val e = Similarity.normalizedEmb(s, d)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
