@@ -44,7 +44,88 @@ object GraphOps {
       (col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("sup"))
       .distinct()
 
-  def pagerank(s: SparkSession, d: String): DataFrame = {
+  /** Gate + dispatch: the two iteration backends below compute the
+    * IDENTICAL quantised fixpoint (messages are floor-quantised Long
+    * sums — commutative/associative, so partitioning cannot perturb
+    * them), so the choice is pure cost. |E| ≤ |lineitem| (edges are
+    * distinct (part, supplier) pairs), read off the parquet footers on
+    * the driver — under the gate the whole graph is a few MB and the
+    * five rounds run as ONE job in a single task ([[pagerankLocal]]);
+    * past it (the ×10 sweep, and any real corpus) the GraphX
+    * aggregateMessages rounds take over ([[pagerankDistributed]]).
+    * Same twin-path discipline as [[adjacencyHint]] / dedup_semantic:
+    * the small-side plan never pays 10 sequential RDD-job floors for a
+    * sub-second graph, the big side never single-tasks. */
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    if (graft.Tables.footerRowCount(s, d, "lineitem") <= 4000000L)
+      pagerankLocal(s, d)
+    else pagerankDistributed(s, d)
+
+  /** Under-gate backend: shuffle the (distinct, already tiny) edge set
+    * to one task and run the five quantised rounds in flat arrays —
+    * one Spark job end to end (scan → partial-distinct → single merge
+    * task), zero per-round floors. The arithmetic is the verbatim
+    * expression sequence of [[pagerankDistributed]]'s vertex program
+    * (same constants, same floor/quantise order, Long message sums),
+    * so the ranks — and the oracle hash — are bit-identical;
+    * PropertySpec pins both backends against the same in-memory
+    * replay. */
+  private[graft] def pagerankLocal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = 1 - Damp
+    val ranks = pagerankEdges(s, d).as[(Long, Long)]
+      // coalesce (not repartition): folds the distinct's reduce side
+      // into the single task — no second exchange; map-side partial
+      // aggregation still dedupes at scan parallelism
+      .coalesce(1)
+      .mapPartitions { it =>
+        val pairs = it.toArray
+        val idx = new java.util.HashMap[Long, Integer]()
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def id(node: Long): Int = {
+          val got = idx.get(node)
+          if (got != null) got.intValue()
+          else { val i = ids.length; idx.put(node, i); ids += node; i }
+        }
+        val m = pairs.length * 2
+        val src = new Array[Int](m); val dst = new Array[Int](m)
+        var i = 0
+        while (i < pairs.length) {
+          val (p, sup) = pairs(i)
+          val pi = id(p); val si = id(sup)
+          src(2 * i) = pi; dst(2 * i) = si
+          src(2 * i + 1) = si; dst(2 * i + 1) = pi
+          i += 1
+        }
+        val n = ids.length
+        val deg = new Array[Int](n)
+        i = 0; while (i < m) { deg(src(i)) += 1; i += 1 }
+        val rank = Array.fill(n)(1.0)
+        val contrib = new Array[Long](n)
+        val q = new Array[Long](n)
+        var round = 0
+        while (round < Iters) {
+          var v = 0
+          while (v < n) {
+            contrib(v) = math.floor(rank(v) / deg(v).toDouble * 1e9).toLong
+            q(v) = 0L; v += 1
+          }
+          i = 0; while (i < m) { q(dst(i)) += contrib(src(i)); i += 1 }
+          v = 0
+          while (v < n) {
+            rank(v) =
+              math.floor((base + Damp * (q(v) / 1e9)) * 1e9).toLong / 1e9
+            v += 1
+          }
+          round += 1
+        }
+        ids.indices.iterator.map(v => (ids(v), rank(v)))
+      }.toDF("node", "rank")
+    topRanks(ranks)
+  }
+
+  /** Past-gate backend (the production shape at 100 TB). */
+  private[graft] def pagerankDistributed(s: SparkSession, d: String): DataFrame = {
     val pairs = pagerankEdges(s, d)
     // GRAPH-NATIVE iteration (r10 — the graph_components precedent):
     // the r9 Catalyst loop paid a planner+broadcast+action floor per
@@ -96,6 +177,13 @@ object GraphOps {
     val ranks = s.createDataFrame(
       g.vertices.map { case (node, (_, rank)) => (node, rank) })
       .toDF("node", "rank")
+    topRanks(ranks)
+  }
+
+  /** Shared tail of both pagerank backends — ONE definition of the
+    * ranking tiebreak and the node-id → (kind, key) decode, so the
+    * gated and past-gate plans cannot drift. */
+  private def topRanks(ranks: DataFrame): DataFrame =
     ranks
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
@@ -103,7 +191,6 @@ object GraphOps {
         when(col("node") % 2 === 0, "part").otherwise("supplier").as("kind"),
         expr("node DIV 2").as("key"),
         col("rank"))
-  }
 
   /** `graph_triangles` — per-node triangle counts over the co-purchase
     * graph (parts sharing an order), top 20 parts by triangle

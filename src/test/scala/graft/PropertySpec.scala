@@ -84,6 +84,11 @@ class PropertySpec extends AnyFunSuite {
     // high-degree suppliers must dominate the top of the ranking
     assert(got.take(5).forall(_._1 == "supplier"),
       s"expected supplier-dominated head, got ${got.take(5)}")
+    // BOTH backends must replay the identical quantised fixpoint —
+    // the footer gate is a pure cost decision, never a result one
+    val dist = graft.operators.GraphOps.pagerankDistributed(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(dist == expected, "distributed backend diverged from the replay")
   }
 
   test("graph_triangles matches an id-ordered in-memory enumeration") {
