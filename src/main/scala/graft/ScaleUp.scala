@@ -133,8 +133,10 @@ object ScaleUp {
     // partition evolution (manifest-level pruning - the evolved read
     // must stay ~flat as the new batch grows)
     "etl_partition_evolution",
-    // r10: the GraphX-native pagerank (per-round RDD jobs — the
-    // floor-amortization claim measured) and the banded SemDeDup audit
+    // r10: pagerank — at ×10 the 4M-row footer gate flips the
+    // single-task local iteration to the GraphX aggregateMessages
+    // backend, so the sweep measures the past-gate path (the
+    // graph_triangles discipline); and the banded SemDeDup audit
     // (its constant-size amp slice must keep the query ~flat at ×R —
     // ampFactor shrinks as the base grows; the in-cluster banding at
     // ×R population still lands bits=9)
