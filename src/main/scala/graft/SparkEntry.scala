@@ -72,6 +72,7 @@ object SparkEntry {
     "ann_forget" -> ((s, d) => graft.operators.AnnIndex.forgetAudit(s, d)),
     "ann_index_filtered" -> ((s, d) => graft.operators.AnnIndex.filteredIndexQuery(s, d)),
     "ann_index_compact" -> ((s, d) => graft.operators.AnnIndex.compactAudit(s, d)),
+    "ann_recall_audit" -> ((s, d) => graft.operators.AnnIndex.recallAudit(s, d)),
     "ann_hybrid" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "dedup_forget" -> ((s, d) => Dedup.dedupForget(s, d)),
     "dedup_minhash_index" -> ((s, d) => graft.operators.MinhashIndex.incrementalNearDups(s, d)),
@@ -192,6 +193,7 @@ object SparkEntry {
     "ann_forget" -> graft.operators.AnnIndex.forgetSql,
     "ann_index_filtered" -> graft.operators.AnnIndex.filteredIndexSql,
     "ann_index_compact" -> graft.operators.AnnIndex.compactSql,
+    "ann_recall_audit" -> graft.operators.AnnIndex.recallAuditSql,
     "ann_hybrid" -> Similarity.hybridRrfSql,
     "dedup_forget" -> Dedup.dedupForgetSql,
     "dedup_minhash_index" -> graft.operators.MinhashIndex.incrementalSql,

@@ -714,6 +714,73 @@ object AnnIndex {
        |FROM t1""".stripMargin
   }
 
+  /** `ann_recall_audit` — index-quality evaluation: the served top-k
+    * (probe cells → ADC top-`RerankC` → exact rerank, the production
+    * path) graded against the exact brute-force top-k for the standard
+    * query vector, one row per exact rank with a cumulative recall@r
+    * column. This is the recall report every vector store publishes
+    * (FAISS benchmarks, the ann-benchmarks harness): the number that
+    * decides whether nprobe/RerankC are sized right BEFORE a
+    * misconfigured index silently degrades retrieval.
+    *
+    * Exactness: both sides are already oracle-replayed plans
+    * (ann_bruteforce / ann_ivfpq_rerank share their scoring chains
+    * verbatim); the audit composes their RESULT SETS with integer rank
+    * arithmetic, so the only new math is hits/rank in one double
+    * division — bit-exact by construction.
+    *
+    * At 100 TB the exact side is the expensive leg (one corpus scan
+    * per audited query) — it runs on a SAMPLE of query ids in
+    * production, which composes here as a union over queryIds; the
+    * served leg stays index-cost. */
+  def recallAudit(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = Similarity.bruteForce(s, d, queryId)
+    val served = ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k)
+      .select(col("vec_id"), lit(true).as("hit"))
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    exact
+      .withColumn("rnk", row_number().over(w))
+      .join(served, Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(false)))
+      .withColumn("hits_at", sum(when(col("hit"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rnk"), col("vec_id"), col("cos"), col("hit"),
+        (col("hits_at").cast("double") / col("rnk")).as("recall_at"))
+      .orderBy(col("rnk"))
+  }
+
+  /** Oracle: the SHARED ivfpq serve chain (cand-RerankC → exact-cos
+    * top-k) as the served set, the brute-force chain as truth, graded
+    * with the same rank window. */
+  val recallAuditSql: String = {
+    import Similarity.{cosOf, ivfpqCtes}
+    s"""$ivfpqCtes,
+       |cand50 AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT ${Similarity.RerankC}),
+       |served AS (
+       |  SELECT e.vec_id FROM embeddings e
+       |  JOIN cand50 USING (vec_id)
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  ORDER BY ${cosOf("e.embedding", "q.q_emb")} DESC, e.vec_id LIMIT 10),
+       |exact AS (
+       |  SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |  WHERE vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |ranked AS (
+       |  SELECT vec_id, cos,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM exact)
+       |SELECT CAST(r.rnk AS INT) AS rnk, r.vec_id, r.cos,
+       |  (s.vec_id IS NOT NULL) AS hit,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY r.rnk) AS DOUBLE) / r.rnk AS recall_at
+       |FROM ranked r LEFT JOIN served s USING (vec_id)
+       |ORDER BY rnk""".stripMargin
+  }
+
   private def coarseDf(s: SparkSession, d: String): DataFrame =
     coarseAt(s, ensure(s, d))
   private def codebookDf(s: SparkSession, d: String): DataFrame =

@@ -895,7 +895,86 @@ object Analytics4 {
       |  CAST(SUM(CASE WHEN a AND NOT b AND s THEN 1 ELSE 0 END) * 8 AS BIGINT) AS only_a_est
       |FROM flags""".stripMargin
 
+  // ---- q59: per-group least-squares price ~ quantity fit ---------------
+  /** Ordinary-least-squares fit of extendedprice against quantity per
+    * returnflag (slope / intercept / correlation) — the regression-
+    * aggregate family (REGR_SLOPE / REGR_INTERCEPT / CORR) every
+    * warehouse ships for trend panels and anomaly baselines.
+    *
+    * Exactness discipline: the engines' native regr_* and corr aggregates
+    * accumulate DOUBLES in partition order, so their results drift
+    * across engines AND across Spark task orderings. Instead the six
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    * DECIMAL sums (the Frags discipline — quantity and price are
+    * 2-decimal money-class columns, products are exact decimals), and
+    * the closed-form fit is ONE identical double expression over them
+    * on both engines — bit-exact regardless of aggregation order.
+    *
+    * The product sums are FLOOR-quantised to WHOLE units before
+    * summing (davg9's no-ties discipline): a 4-decimal product sum
+    * crosses unscaled 2^53 already at sf0.1 (Σy² ≈ 7.1e16 tenths of a
+    * basis point), where DECIMAL→DOUBLE casting double-rounds in
+    * engines that divide a hugeint by 10^scale (observed: 1-ulp corr
+    * drift at sf0.001) — whereas the floored integer sums stay exactly
+    * double-representable through the ×10 sweep (Σy² ≈ 7.1e15 < 2^53)
+    * and their casts are exact everywhere. The ≤1-unit-per-row floor
+    * perturbs corr in the ~12th digit, identically on both engines.
+    *
+    * 100 TB: one partial-aggregated shuffle of 6 decimals per group —
+    * the cheapest possible regression at any scale (the sufficient-
+    * statistic decomposition IS the distributed-regression textbook
+    * shape; no second pass, no residual join). */
+  private val RegXY = Seq(
+    "CAST(l_quantity AS DECIMAL(12,2))" -> "sx",
+    "CAST(l_extendedprice AS DECIMAL(12,2))" -> "sy")
+  def q59(s: SparkSession, d: String): DataFrame = {
+    val Seq((x, _), (y, _)) = RegXY
+    val stats = lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"CAST(SUM($x) AS DOUBLE)").as("sx"),
+        expr(s"CAST(SUM($y) AS DOUBLE)").as("sy"),
+        expr(s"CAST(SUM(CAST(FLOOR($x * $y) AS DECIMAL(38,0))) AS DOUBLE)").as("sxy"),
+        expr(s"CAST(SUM(CAST(FLOOR($x * $x) AS DECIMAL(38,0))) AS DOUBLE)").as("sxx"),
+        expr(s"CAST(SUM(CAST(FLOOR($y * $y) AS DECIMAL(38,0))) AS DOUBLE)").as("syy"))
+      .withColumn("n", col("n_rows").cast("double"))
+    stats
+      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q59Sql: String = {
+    val Seq((x, _), (y, _)) = RegXY
+    s"""WITH stats AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM($x) AS DOUBLE) AS sx,
+       |    CAST(SUM($y) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(FLOOR($x * $y) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(FLOOR($x * $x) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(FLOOR($y * $y) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+       |  FROM lineitem GROUP BY l_returnflag),
+       |fit AS (
+       |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+       |  FROM stats)
+       |SELECT l_returnflag, n_rows, slope,
+       |  (sy - slope * sx) / n AS intercept,
+       |  (n * sxy - sx * sy) /
+       |    (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr
+       |FROM fit
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_regression" -> (q59 _),
     "q58_set_sketch" -> (q58 _),
     "q57_join_card" -> (q57 _),
     "q55_concurrency" -> (q55 _),
@@ -916,6 +995,7 @@ object Analytics4 {
     "q45_bloom_prefilter" -> (q45 _))
 
   val oracles: Map[String, String] = Map(
+    "q59_regression" -> q59Sql,
     "q58_set_sketch" -> q58Sql,
     "q57_join_card" -> q57Sql,
     "q55_concurrency" -> q55Sql,

@@ -617,6 +617,105 @@ object EtlQueries {
     * physical sweep without filesystem archaeology. */
   def vacuumBase(d: String): String = scratchDir("vac", d, "orders")
 
+  /** `etl_clone` — ZERO-COPY shallow clone + copy-on-write
+    * independence (Delta `CREATE TABLE ... SHALLOW CLONE`, Iceberg
+    * snapshot references): a new table is committed whose v1 manifest
+    * POINTS AT the source store's v2 data files — no data is read,
+    * copied, or rewritten at clone time; the commit is one manifest
+    * write however large the table. A mutation then lands on the
+    * CLONE (CoW-delete of the `o_orderkey % 5 = 0` rows of partition
+    * pt=3): only the touched partition is rewritten, into the clone's
+    * OWN files dir, and the clone's v2 manifest mixes 7 source-owned
+    * entries with 1 clone-owned one. The source store is never opened
+    * for write — the audit re-reads it through its own manifest AFTER
+    * the clone mutated, so "clone writes cannot reach the source" is
+    * part of the hash gate, not just a spec.
+    *
+    * The audit row: source rows/key-checksum (post-mutation read),
+    * clone rows at v1 (= source — the zero-copy read), shared vs
+    * copied manifest entries at v2 (7/1 — counted from the manifest,
+    * the zero-copy proof), and the clone's post-mutation rows +
+    * checksum (the CoW result).
+    *
+    * 100 TB: cloning a petabyte table costs one manifest write; a
+    * mutated clone pays only for what it touches. This is the
+    * dev/test-against-prod and experiment-branch primitive every
+    * lakehouse ships — and it falls out of the same manifest algebra
+    * as time travel (shared entries are refcounts; vacuum must check
+    * BOTH stores' manifests before sweeping, which is why production
+    * vacuums track clone references). Crash-safe the manifest way: the
+    * CoW files land before the v2 manifest (atomic move) commits them;
+    * a kill mid-write leaves v2 absent and the retry re-stages. */
+  def cloneAudit(s: SparkSession, d: String): DataFrame = {
+    val srcBase = ensureTimeTravelVersions(s, d) // read-only from here on
+    val cloneBase = scratchDir("clone", d, "orders")
+    val srcV2 = readManifest(srcBase, 2)
+    // clone commit: v1 entries are ABSOLUTE paths into the source
+    // store (readManifest's `ver` field carries them verbatim)
+    if (!new java.io.File(s"$cloneBase/manifests/v1.txt").exists())
+      writeManifest(cloneBase, 1,
+        srcV2.map { case (p, ver) => p -> s"$srcBase/files/$ver/pt=$p" })
+    val cloneV1 = readManifest(cloneBase, 1)
+    if (!new java.io.File(s"$cloneBase/manifests/v2.txt").exists()) {
+      // CoW mutation of pt=3 only: data first, manifest (= the commit
+      // marker, atomic move inside writeManifest) last
+      val owned = s"$cloneBase/files/v2/pt=3"
+      s.read.parquet(cloneV1.toMap.apply(3))
+        .filter(col("o_orderkey") % 5 =!= 0)
+        .write.mode("overwrite").parquet(owned)
+      writeManifest(cloneBase, 2,
+        cloneV1.map { case (p, path) => p -> (if (p == 3) owned else path) })
+    }
+    val cloneV2 = readManifest(cloneBase, 2)
+    val shared = cloneV2.count { case (_, path) => path.startsWith(srcBase) }
+    def readVia(entries: Seq[(Int, String)]) =
+      s.read.parquet(entries.map(_._2): _*)
+    val src = readVia(srcV2.map { case (p, ver) =>
+      p -> s"$srcBase/files/$ver/pt=$p" })
+      .agg(count(lit(1)).as("src_rows"),
+        sum(col("o_orderkey")).as("src_key_sum"))
+    val atClone = readVia(cloneV1).agg(count(lit(1)).as("clone_rows"))
+    val afterMut = readVia(cloneV2)
+      .agg(count(lit(1)).as("clone_rows_after"),
+        sum(col("o_orderkey")).as("clone_key_sum_after"))
+    src.crossJoin(atClone).crossJoin(afterMut)
+      .select(col("src_rows"), col("src_key_sum"), col("clone_rows"),
+        lit(shared.toLong).as("shared_parts"),
+        lit((cloneV2.size - shared).toLong).as("copied_parts"),
+        col("clone_rows_after"), col("clone_key_sum_after"))
+  }
+
+  /** Clone store base, exposed for EtlSpec's zero-copy audit (the
+    * files dir must hold ONLY the CoW partition). */
+  def cloneBase(d: String): String = scratchDir("clone", d, "orders")
+
+  /** Oracle: the source v2 derivation (timeTravelSql's CTEs) for the
+    * source-side and zero-copy-read columns, the manifest shape
+    * constants the clone guarantees (7 shared / 1 copied of 8), and
+    * the CoW-delete predicate replayed for the post-mutation state. */
+  val cloneSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 6),
+      |c AS (
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey FROM v1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+      |  UNION ALL
+      |  SELECT o_orderkey FROM c WHERE op = 'U'),
+      |mut AS (
+      |  SELECT o_orderkey FROM v2
+      |  WHERE NOT (o_orderkey % 8 = 3 AND o_orderkey % 5 = 0))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS src_rows,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM v2) AS src_key_sum,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS clone_rows,
+      |  CAST(7 AS BIGINT) AS shared_parts,
+      |  CAST(1 AS BIGINT) AS copied_parts,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM mut) AS clone_rows_after,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM mut) AS clone_key_sum_after""".stripMargin
+
   /** `etl_wap` — Write-Audit-Publish, the lakehouse ingestion
     * discipline (Iceberg's WAP / Delta's constraint-gated commit):
     * every candidate batch is STAGED outside the table, AUDITED
@@ -2077,6 +2176,7 @@ object EtlQueries {
     "etl_wap" -> (wap _),
     "etl_partition_evolution" -> (partitionEvolution _),
     "etl_vacuum" -> (vacuum _),
+    "etl_clone" -> (cloneAudit _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
@@ -2107,6 +2207,7 @@ object EtlQueries {
     "etl_wap" -> wapSql,
     "etl_partition_evolution" -> partitionEvolutionSql,
     "etl_vacuum" -> vacuumSql,
+    "etl_clone" -> cloneSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,

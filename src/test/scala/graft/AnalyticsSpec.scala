@@ -234,6 +234,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(0) > 0 && got(2) > 0 && got(6) > 0 && got(8) > 0)
   }
 
+  test("q59 regression fit equals an in-memory sufficient-statistic replay") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      // the quantised statistics: cents-exact inputs, floored products
+      def cents(v: Double) = math.round(v * 100) // 2-decimal money, exact
+      val n = rs.length.toDouble
+      val sx = rs.map(r => cents(r._2)).sum / 100.0
+      val sy = rs.map(r => cents(r._3)).sum / 100.0
+      def fl(a: Double, b: Double) =
+        java.math.BigDecimal.valueOf(cents(a), 2)
+          .multiply(java.math.BigDecimal.valueOf(cents(b), 2))
+          .setScale(0, java.math.RoundingMode.FLOOR).longValueExact()
+      val sxy = rs.map(r => fl(r._2, r._3)).sum.toDouble
+      val sxx = rs.map(r => fl(r._2, r._2)).sum.toDouble
+      val syy = rs.map(r => fl(r._3, r._3)).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val corr = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      (f, rs.length.toLong, slope, intercept, corr)
+    }
+    val got = queries.Analytics4.q59(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == expected)
+    // fit must be non-degenerate: every group has a real correlation
+    assert(got.forall { case (_, n, _, _, c) => n > 0 && math.abs(c) < 1 })
+  }
+
   test("q57 join-cardinality estimator equals a full in-memory replay") {
     import org.apache.spark.sql.functions._
     val ce = Tables.events(spark, sf).select("user_id").collect()

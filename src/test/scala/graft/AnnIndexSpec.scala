@@ -307,6 +307,26 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(c1 == c2, "memoized compact audit must replay identical counters and top-1")
   }
 
+  test("ann_recall_audit: rows are the exact top-k; recall column replays the served overlap") {
+    val exact = Similarity.bruteForce(spark, sf).collect().map(_.getLong(0)).toSeq
+    val served = AnnIndex.ivfpqRerankQuery(spark, sf).collect().map(_.getLong(0)).toSet
+    val audit = AnnIndex.recallAudit(spark, sf).collect()
+    assert(audit.length == 10)
+    assert(audit.map(_.getInt(0)).toSeq == (1 to 10), "ranks must be dense 1..k")
+    assert(audit.map(_.getLong(1)).toSeq == exact,
+      "audit rows must be the exact top-k in rank order")
+    var hits = 0
+    audit.foreach { r =>
+      val hit = served.contains(r.getLong(1))
+      assert(r.getBoolean(3) == hit,
+        s"hit flag must mark served membership for ${r.getLong(1)}")
+      if (hit) hits += 1
+      assert(r.getDouble(4) == hits.toDouble / r.getInt(0),
+        "recall_at must be the cumulative overlap fraction")
+    }
+    assert(hits > 0, "a non-degenerate index must recall at least one exact neighbor")
+  }
+
   test("ann_index_filtered: every slot matches the predicate; rerank parity with in-memory") {
     import org.apache.spark.sql.functions._
     val got = AnnIndex.filteredIndexQuery(spark, sf).collect()

@@ -223,6 +223,47 @@ class EtlSpec extends AnyFunSuite {
     }
   }
 
+  /** The shallow clone's physical contract: the clone commit writes
+    * ONE manifest and ZERO data files (every v1 entry resolves into
+    * the source store), the CoW mutation materializes exactly the
+    * touched partition under the clone's own root, the source store
+    * is byte-untouched across a re-run, and the audit replays
+    * identically. */
+  test("etl_clone: zero-copy commit, CoW writes only the touched partition, source untouched") {
+    val E = graft.queries.EtlQueries
+    val a1 = E.cloneAudit(spark, sf).collect()(0)
+    val base = E.cloneBase(sf)
+    val src = E.timeTravelBase(sf)
+    // v1 manifest: 8 entries, ALL resolving into the source store
+    val v1 = E.readManifest(base, 1)
+    assert(v1.size == 8 && v1.forall(_._2.startsWith(src)),
+      "a shallow clone's first manifest must reference only source files")
+    // the clone's files dir holds ONLY the CoW partition
+    def names(f: java.io.File) =
+      Option(f.listFiles).getOrElse(Array.empty).map(_.getName).toSeq.sorted
+    assert(names(new java.io.File(s"$base/files")) == Seq("v2"),
+      "clone commit must copy no data files")
+    assert(names(new java.io.File(s"$base/files/v2")) == Seq("pt=3"),
+      "CoW must rewrite exactly the touched partition")
+    // audit arithmetic: zero-copy read equals the source; 7 shared + 1
+    // copied entries; the delete really shrank the clone
+    assert(a1.getLong(2) == a1.getLong(0), "clone_rows must equal src_rows")
+    assert(a1.getLong(3) == 7 && a1.getLong(4) == 1)
+    assert(a1.getLong(5) < a1.getLong(0) && a1.getLong(6) < a1.getLong(1))
+    // source store byte-untouched by a replay; audit idempotent
+    def srcState(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(src)).map(f =>
+        (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val before = srcState()
+    val a2 = E.cloneAudit(spark, sf).collect()(0)
+    assert(a2.toSeq == a1.toSeq, "clone audit must replay identically")
+    assert(srcState() == before, "a clone replay must not touch the source store")
+  }
+
   /** The r9-advice crash-retry paths, SIMULATED (r10): a vacuum that
     * died mid-sweep (audit absent, v1 manifest tombstoned, some swept
     * AND some live dirs gone) must rebuild the store from source and
