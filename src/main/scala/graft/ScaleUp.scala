@@ -140,7 +140,16 @@ object ScaleUp {
     // (its constant-size amp slice must keep the query ~flat at ×R —
     // ampFactor shrinks as the base grows; the in-cluster banding at
     // ×R population still lands bits=9)
-    "graph_pagerank", "dedup_semantic_banded")
+    "graph_pagerank", "dedup_semantic_banded",
+    // late-r10: the zero-copy clone (commit cost ∝ manifest, CoW cost
+    // ∝ the touched partition — both must stay ~flat-to-linear while
+    // the table grows ×R) and the recall audit (the exact leg is the
+    // corpus scan, the served leg is index-cost — the sweep measures
+    // the scan-bound claim)
+    "etl_clone", "ann_recall_audit",
+    // late-r10: LP communities — the gate flips at ×10, so the sweep
+    // runs the distributed (dst, lab)-count argmax rounds
+    "graph_labelprop")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

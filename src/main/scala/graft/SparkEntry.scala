@@ -100,6 +100,7 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => graft.operators.GraphOps.triangles(s, d)),
     "graph_jaccard" -> ((s, d) => graft.operators.GraphOps.jaccard(s, d)),
     "graph_components" -> ((s, d) => graft.operators.GraphOps.components(s, d)),
+    "graph_labelprop" -> ((s, d) => graft.operators.GraphOps.labelProp(s, d)),
     "corpus_card" -> ((s, d) => Corpus.corpusCard(s, d)),
     "sample_split" -> ((s, d) => Curation.sampleSplit(s, d)),
     "sample_uniform_n" -> ((s, d) => Curation.sampleUniformN(s, d)),
@@ -212,6 +213,7 @@ object SparkEntry {
     "graph_triangles" -> graft.operators.GraphOps.trianglesSql,
     "graph_jaccard" -> graft.operators.GraphOps.jaccardSql,
     "graph_components" -> graft.operators.GraphOps.componentsSql,
+    "graph_labelprop" -> graft.operators.GraphOps.labelPropSql,
     "corpus_card" -> Corpus.corpusCardSql,
     "sample_split" -> Curation.sampleSplitSql,
     "sample_uniform_n" -> Curation.sampleUniformNSql,

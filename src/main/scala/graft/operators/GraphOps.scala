@@ -308,12 +308,32 @@ object GraphOps {
     * The pin is result-feeding — the harness sweep frees it after the
     * caller's action (Checkpoints policy). */
   private def basketPairs(s: SparkSession, d: String): DataFrame =
-    graft.Checkpoints.pin(
-      lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
-        .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c")))
+    // SESSION-SHARED under the adjacency footer gate (late r10, the
+    // gram5Shared discipline): triangles, jaccard AND labelprop all
+    // start from this stream, and a per-query pin made each of them
+    // rebuild the scan + per-order collect_set + explode (~1 s at
+    // sf0.1). One pinShared materialization (~20 MB at sf0.1, bounded
+    // by the same 4M-edge gate that bounds every adjacency broadcast)
+    // serves the whole session; the key folds in the lineitem file
+    // stats so a testdata regeneration misses. Past the gate the
+    // per-query pin returns — nothing corpus-sized outlives a query
+    // at scale.
+    if (21L * graft.Tables.footerRowCount(s, d, "orders") <= 4000000L)
+      graft.Checkpoints.pinShared(s,
+        s"basketpairs:$d:${graft.SourceKey.of(d, "lineitem")}")(
+        basketPairStream(s, d))
+    else graft.Checkpoints.pin(basketPairStream(s, d))
+
+  /** The raw (duplicate-carrying) pair stream behind [[basketPairs]],
+    * unpinned — for single-consumer callers ([[lpEdges]]) the pin's
+    * materialize-then-reread round trip is pure cost; they stream the
+    * explode straight into their first exchange instead. */
+  private def basketPairStream(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(posexplode(col("ps")).as(Seq("i", "a")), col("ps"))
+      .select(col("a"), explode(expr("slice(ps, i + 2, size(ps))")).as("c"))
 
   /** Broadcast-or-identity hint for the |V|-row adjacency frames of
     * the co-purchase graph: under the footer gate (pairs per order ≤
@@ -324,6 +344,204 @@ object GraphOps {
   private def adjacencyHint(s: SparkSession, d: String): DataFrame => DataFrame =
     if (21L * graft.Tables.footerRowCount(s, d, "orders") <= 4000000L)
       broadcast else identity
+
+  private val LpRounds = 4
+
+  /** `graph_labelprop` — synchronous label propagation over the
+    * co-purchase part graph (Raghavan et al., Phys. Rev. E'07), the
+    * cheap community-detection primitive that complements
+    * [[components]] (LP splits a connected graph into DENSE
+    * communities; components only finds disconnected ones) — the
+    * source-clustering / topic-grouping pass of a corpus pipeline.
+    * Labels init to the node id; each round every node adopts the MOST
+    * FREQUENT label among its (distinct-edge) neighbors, ties broken
+    * toward the smallest label; `LpRounds` fixed synchronous rounds
+    * (deterministic by construction — no async sweep order, no RNG),
+    * then the community census: top-20 labels by population.
+    *
+    * Twin-path like [[pagerank]]: under the co-purchase footer gate
+    * the distinct edge set coalesces to one task and the rounds run
+    * in flat arrays (one job); past it, [[labelPropDistributed]] runs
+    * each round as (dst, lab) count → argmax — two narrow integer
+    * shuffles per round, labels never leave the cluster, the LP shape
+    * MapReduce community detection has always used. Both backends
+    * compute the identical argmax (counts are exact ints; the
+    * tiebreak is a total order), so the census is bit-identical —
+    * the oracle unrolls the same rounds as CTEs. */
+  def labelProp(s: SparkSession, d: String): DataFrame =
+    if (21L * graft.Tables.footerRowCount(s, d, "orders") <= 4000000L)
+      labelPropLocal(s, d)
+    else labelPropDistributed(s, d)
+
+  /** Distinct undirected co-purchase edges (a < c) — [[basketPairs]]
+    * deduped, the one pair-space exchange LP pays (its mode counts
+    * are per-distinct-neighbor, so multiplicity must die before the
+    * rounds, unlike triangles' set-semantics consumers). */
+  private def lpEdges(s: SparkSession, d: String): DataFrame =
+    basketPairStream(s, d).distinct()
+
+  private[graft] def labelPropLocal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // the (session-shared) duplicate-carrying stream, ONE narrow
+    // exchange to a single task, dedupe in-task by PRIMITIVE packed
+    // sort: a DataFrame `.distinct().coalesce(1)` folds the
+    // distinct's reduce into one single-threaded hash aggregate
+    // (1.6 s at sf0.1), and a boxed HashSet dedupe measured 2.0 s for
+    // 1.2M adds — sorting a primitive long array costs ~0.1 s
+    val census = basketPairs(s, d).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        // (a << 32 | c) packing for ids < 2^32 (any gated corpus);
+        // wider ids dedupe through the boxed fallback set — correct
+        // at any id domain, just slower, and the distributed backend
+        // owns past-gate corpora anyway
+        var packed = new Array[Long](1 << 20); var pLen = 0
+        val wide = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+        it.foreach { case p @ (a, c) =>
+          if (a >= 0 && c >= 0 && a < (1L << 32) && c < (1L << 32)) {
+            if (pLen == packed.length)
+              packed = java.util.Arrays.copyOf(packed, packed.length << 1)
+            packed(pLen) = (a << 32) | c; pLen += 1
+          } else { wide += p; () }
+        }
+        java.util.Arrays.sort(packed, 0, pLen)
+        val idx = new java.util.HashMap[Long, Integer]()
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def id(node: Long): Int = {
+          val got = idx.get(node)
+          if (got != null) got.intValue()
+          else { val i = ids.length; idx.put(node, i); ids += node; i }
+        }
+        // unique count first (sorted adjacency dedup), then CSR fill
+        var uniq = 0
+        var i = 0
+        while (i < pLen) {
+          if (i == 0 || packed(i) != packed(i - 1)) uniq += 1
+          i += 1
+        }
+        val m = (uniq + wide.size) * 2
+        val src = new Array[Int](m); val dst = new Array[Int](m)
+        var e = 0
+        def edge(a: Long, c: Long): Unit = {
+          val ai = id(a); val ci = id(c)
+          src(2 * e) = ai; dst(2 * e) = ci
+          src(2 * e + 1) = ci; dst(2 * e + 1) = ai
+          e += 1
+        }
+        i = 0
+        while (i < pLen) {
+          if (i == 0 || packed(i) != packed(i - 1))
+            edge(packed(i) >>> 32, packed(i) & 0xFFFFFFFFL)
+          i += 1
+        }
+        wide.foreach { case (a, c) => edge(a, c) }
+        val n = ids.length
+        // CSR adjacency so each node's neighbor-mode count is one
+        // contiguous pass (deg, then prefix offsets, then fill)
+        val deg = new Array[Int](n)
+        i = 0; while (i < m) { deg(dst(i)) += 1; i += 1 }
+        val off = new Array[Int](n + 1)
+        i = 0; while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+        val nbr = new Array[Int](m); val fill = off.clone()
+        i = 0; while (i < m) { nbr(fill(dst(i))) = src(i); fill(dst(i)) += 1; i += 1 }
+        // labels are ALWAYS node ids, so they live as node indices and
+        // the per-node mode count is epoch-stamped int arrays — O(deg)
+        // per node, no hash maps, no per-node clears (a HashMap.clear
+        // scans its grown capacity for EVERY node: hub degrees made
+        // that quadratic — measured 3.5 s before this form)
+        var lab = Array.tabulate(n)(identity)
+        val cnt = new Array[Int](n)
+        val stamp = new Array[Int](n)
+        var epoch = 0
+        var round = 0
+        while (round < LpRounds) {
+          val next = new Array[Int](n)
+          var v = 0
+          while (v < n) {
+            epoch += 1
+            var j = off(v)
+            var bestLi = -1; var bestC = 0
+            while (j < off(v + 1)) {
+              val li = lab(nbr(j))
+              if (stamp(li) != epoch) { stamp(li) = epoch; cnt(li) = 0 }
+              cnt(li) += 1
+              val c = cnt(li)
+              // argmax with smallest-LABEL-VALUE tiebreak, online
+              if (c > bestC || (c == bestC && ids(li) < ids(bestLi))) {
+                bestC = c; bestLi = li
+              }
+              j += 1
+            }
+            next(v) = bestLi
+            v += 1
+          }
+          lab = next
+          round += 1
+        }
+        ids.indices.iterator.map(v => (ids(v), ids(lab(v))))
+      }.toDF("node", "lab")
+    lpCensus(census)
+  }
+
+  /** Past-gate backend: each round is one (dst, lab) integer-count
+    * shuffle plus a per-dst argmax — `max(struct(cnt, -lab))` encodes
+    * the highest-count-then-smallest-label total order as ONE
+    * partial-aggregable max, so rounds never widen beyond two longs a
+    * row. Rounds are lineage-truncated (Checkpoints.pin) like the old
+    * pagerank loop; per-round planner floors are the price of the
+    * past-gate regime only, where data dominates them. */
+  private[graft] def labelPropDistributed(s: SparkSession, d: String): DataFrame = {
+    val e0 = lpEdges(s, d)
+    val edges = graft.Checkpoints.pin(
+      e0.select(col("a").as("src"), col("c").as("dst"))
+        .unionByName(e0.select(col("c").as("src"), col("a").as("dst"))))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to LpRounds) {
+      // predecessor pins are freed by the harness sweep post-action
+      labels = graft.Checkpoints.pin(
+        edges.join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("dst").as("node"), (-col("m.nl")).as("lab")))
+    }
+    lpCensus(labels)
+  }
+
+  /** Shared census tail of both LP backends (ONE tiebreak
+    * definition, the topRanks discipline). */
+  private def lpCensus(labels: DataFrame): DataFrame =
+    labels.groupBy(col("lab"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("lab"))
+      .limit(20)
+
+  val labelPropSql: String = {
+    val pre =
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS c
+        |  FROM b x JOIN b y ON x.o = y.o AND x.p < y.p),
+        |e AS (SELECT a AS src, c AS dst FROM e0
+        |      UNION ALL SELECT c AS src, a AS dst FROM e0),
+        |r0 AS (SELECT DISTINCT src AS node, src AS lab FROM e)""".stripMargin
+    val steps = (1 to LpRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT dst AS node, lab FROM (
+         |    SELECT e.dst, r.lab, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, r.lab) AS rn
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |    GROUP BY e.dst, r.lab)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    s"""$pre,
+       |${steps.mkString(",\n")}
+       |SELECT lab, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM r$LpRounds GROUP BY lab
+       |ORDER BY n_nodes DESC, lab LIMIT 20""".stripMargin
+  }
 
   private val StrongQty = 50
 

@@ -91,6 +91,38 @@ class PropertySpec extends AnyFunSuite {
     assert(dist == expected, "distributed backend diverged from the replay")
   }
 
+  test("graph_labelprop census matches an in-memory synchronous LP replay; backends agree") {
+    import SparkTestSession._
+    val b = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val und = b.groupBy(_._1).values.flatMap { lines =>
+      val ps = lines.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val edges = und ++ und.map { case (a, c) => (c, a) }
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size).toMap
+        // most frequent neighbor label, ties toward the smallest
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expected = lab.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (l, n) => (-n, l) }.take(20)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = run(graft.operators.GraphOps.labelProp(spark, sf))
+    assert(got == expected)
+    // communities must be real: fewer labels than nodes, none trivial
+    assert(got.head._2 > 1, "LP must form at least one multi-node community")
+    val dist = run(graft.operators.GraphOps.labelPropDistributed(spark, sf))
+    assert(dist == expected, "distributed backend diverged from the replay")
+  }
+
   test("graph_triangles matches an id-ordered in-memory enumeration") {
     import SparkTestSession._
     // the Spark side enumerates via DEGREE orientation; the replay uses
