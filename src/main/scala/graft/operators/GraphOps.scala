@@ -390,7 +390,17 @@ object GraphOps {
     // 1.2M adds — sorting a primitive long array costs ~0.1 s
     val census = basketPairs(s, d).as[(Long, Long)]
       .repartition(1)
-      .mapPartitions { it =>
+      .mapPartitions(lpRoundsLocal)
+      .toDF("node", "lab")
+    lpCensus(census)
+  }
+
+  /** The single-task LP kernel behind [[labelPropLocal]], factored out
+    * so the spec can drive it directly (notably the wide-id fallback,
+    * which no gated corpus reaches): duplicate-carrying (a, c) pairs
+    * in, final (node, label) out. */
+  private[graft] def lpRoundsLocal(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
         // (a << 32 | c) packing for ids < 2^32 (any gated corpus);
         // wider ids dedupe through the boxed fallback set — correct
         // at any id domain, just slower, and the distributed backend
@@ -479,8 +489,6 @@ object GraphOps {
           round += 1
         }
         ids.indices.iterator.map(v => (ids(v), ids(lab(v))))
-      }.toDF("node", "lab")
-    lpCensus(census)
   }
 
   /** Past-gate backend: each round is one (dst, lab) integer-count

@@ -264,6 +264,24 @@ class EtlSpec extends AnyFunSuite {
     assert(srcState() == before, "a clone replay must not touch the source store")
   }
 
+  /** Clone crash-retry, SIMULATED: a kill between the CoW data write
+    * and the v2 manifest commit leaves v2 absent (the manifest IS the
+    * commit marker) — the retry must re-stage the partition and land
+    * the identical audit, never serve the orphan as committed. */
+  test("etl_clone crash-retry: orphan CoW files before the manifest commit are re-staged") {
+    val E = graft.queries.EtlQueries
+    val a1 = E.cloneAudit(spark, sf).collect()(0)
+    val base = E.cloneBase(sf)
+    // simulate the crash: v2 manifest gone, CoW files half-written
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/manifests/v2.txt"))
+    val owned = new java.io.File(s"$base/files/v2/pt=3")
+    owned.listFiles.filter(_.getName.endsWith(".parquet")).take(1)
+      .foreach(f => assert(f.delete(), s"could not truncate $f"))
+    val a2 = E.cloneAudit(spark, sf).collect()(0)
+    assert(a2.toSeq == a1.toSeq,
+      "retry must rewrite the orphan partition and replay the audit")
+  }
+
   /** The r9-advice crash-retry paths, SIMULATED (r10): a vacuum that
     * died mid-sweep (audit absent, v1 manifest tombstoned, some swept
     * AND some live dirs gone) must rebuild the store from source and

@@ -123,6 +123,27 @@ class PropertySpec extends AnyFunSuite {
     assert(dist == expected, "distributed backend diverged from the replay")
   }
 
+  test("lpRoundsLocal: wide-id fallback and duplicate edges match a naive replay") {
+    // ids beyond 2^32 take the boxed dedupe path no gated corpus
+    // reaches; duplicates must die whichever path they ride
+    val W = 1L << 40
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (W + 1, W + 2), (2L, W + 1),
+      (4L, 5L))
+    val pairs = und ++ und ++ Seq((1L, 2L)) // duplicates
+    val got = graft.operators.GraphOps.lpRoundsLocal(pairs.iterator)
+      .toSeq.sortBy(_._1)
+    val edges = und.toSet.flatMap((p: (Long, Long)) => Set(p, p.swap))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4) {
+      lab = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).view.mapValues(_.size).toMap
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lab.toSeq.sortBy(_._1))
+  }
+
   test("graph_triangles matches an id-ordered in-memory enumeration") {
     import SparkTestSession._
     // the Spark side enumerates via DEGREE orientation; the replay uses
