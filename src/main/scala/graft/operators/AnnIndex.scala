@@ -736,7 +736,9 @@ object AnnIndex {
   def recallAudit(s: SparkSession, d: String, queryId: Long = 0L,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exact = Similarity.bruteForce(s, d, queryId)
+    // BOTH legs honor k (review finding): the exact truth, the served
+    // set, and the recall_at denominator must describe the same depth
+    val exact = Similarity.bruteForce(s, d, queryId, k)
     val served = ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k)
       .select(col("vec_id"), lit(true).as("hit"))
     val w = Window.orderBy(col("cos").desc, col("vec_id"))
@@ -755,14 +757,11 @@ object AnnIndex {
     * top-k) as the served set, the brute-force chain as truth, graded
     * with the same rank window. */
   val recallAuditSql: String = {
-    import Similarity.{cosOf, ivfpqCtes}
+    import Similarity.{cosOf, ivfpqCtes, Cand50Cte, servedTopKSql}
     s"""$ivfpqCtes,
-       |cand50 AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT ${Similarity.RerankC}),
+       |$Cand50Cte,
        |served AS (
-       |  SELECT e.vec_id FROM embeddings e
-       |  JOIN cand50 USING (vec_id)
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
-       |  ORDER BY ${cosOf("e.embedding", "q.q_emb")} DESC, e.vec_id LIMIT 10),
+       |${servedTopKSql(10)}),
        |exact AS (
        |  SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
        |  FROM embeddings

@@ -26,6 +26,20 @@ import graft.Tables.lineitem
   */
 object GraphOps {
 
+  /** Long -> dense-int node interner shared by the single-task graph
+    * kernels (pagerankLocal, lpRoundsLocal) — ONE definition so a
+    * sizing or data-structure change cannot miss a copy (review
+    * finding). Instantiated INSIDE the task closure; never serialized. */
+  private final class NodeInterner {
+    private val idx = new java.util.HashMap[Long, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def id(node: Long): Int = {
+      val got = idx.get(node)
+      if (got != null) got.intValue()
+      else { val i = ids.length; idx.put(node, i); ids += node; i }
+    }
+  }
+
   private val Damp = 0.85
   private val Iters = 5
 
@@ -80,13 +94,8 @@ object GraphOps {
       .coalesce(1)
       .mapPartitions { it =>
         val pairs = it.toArray
-        val idx = new java.util.HashMap[Long, Integer]()
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        def id(node: Long): Int = {
-          val got = idx.get(node)
-          if (got != null) got.intValue()
-          else { val i = ids.length; idx.put(node, i); ids += node; i }
-        }
+        val interner = new NodeInterner
+        import interner.{id, ids}
         val m = pairs.length * 2
         val src = new Array[Int](m); val dst = new Array[Int](m)
         var i = 0
@@ -415,13 +424,8 @@ object GraphOps {
           } else { wide += p; () }
         }
         java.util.Arrays.sort(packed, 0, pLen)
-        val idx = new java.util.HashMap[Long, Integer]()
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        def id(node: Long): Int = {
-          val got = idx.get(node)
-          if (got != null) got.intValue()
-          else { val i = ids.length; idx.put(node, i); ids += node; i }
-        }
+        val interner = new NodeInterner
+        import interner.{id, ids}
         // unique count first (sorted adjacency dedup), then CSR fill
         var uniq = 0
         var i = 0
@@ -499,7 +503,11 @@ object GraphOps {
     * pagerank loop; per-round planner floors are the price of the
     * past-gate regime only, where data dominates them. */
   private[graft] def labelPropDistributed(s: SparkSession, d: String): DataFrame = {
-    val e0 = lpEdges(s, d)
+    // pin the distinct BEFORE the symmetrising union (review finding):
+    // both union branches reference it, and ReuseExchange dedups only
+    // the shuffle write — unpinned, the distinct's reduce-side
+    // aggregation over the full pair stream ran twice
+    val e0 = graft.Checkpoints.pin(lpEdges(s, d))
     val edges = graft.Checkpoints.pin(
       e0.select(col("a").as("src"), col("c").as("dst"))
         .unionByName(e0.select(col("c").as("src"), col("a").as("dst"))))

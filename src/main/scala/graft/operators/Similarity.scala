@@ -61,11 +61,12 @@ object Similarity {
           sqrt(col("n2") * col("q_n2"))).as("cos"): _*)
   }
 
-  /** Exact top-10 cosine neighbours of vector `queryId` (brute force). */
-  def bruteForce(s: SparkSession, d: String, queryId: Long = 0L): DataFrame =
+  /** Exact top-k cosine neighbours of vector `queryId` (brute force). */
+  def bruteForce(s: SparkSession, d: String, queryId: Long = 0L,
+      k: Int = 10): DataFrame =
     cosineToQuery(s, d, queryId)
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
 
   private val cosSql =
     """list_reduce(list_transform(list_zip(%A%, %B%),
@@ -1110,14 +1111,24 @@ object Similarity {
        |SELECT vec_id, cell, adc_dist2 FROM adcq
        |ORDER BY adc_dist2, vec_id LIMIT 10""".stripMargin
 
-  val ivfpqRerankSql: String =
-    s"""$ivfpqCtes,
-       |cand50 AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT $RerankC)
-       |SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
+  /** The ADC shortlist + exact-rerank serve chain as SQL fragments,
+    * shared by [[ivfpqRerankSql]] and AnnIndex.recallAuditSql (the
+    * ivfpqCtes/cosOf discipline: ONE definition, so a tiebreak or
+    * shortlist change cannot leave the recall audit grading a stale
+    * serve chain). */
+  private[operators] val Cand50Cte: String =
+    s"cand50 AS (SELECT vec_id FROM adcq ORDER BY adc_dist2, vec_id LIMIT $RerankC)"
+  private[operators] def servedTopKSql(k: Int): String =
+    s"""SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |FROM embeddings e
        |JOIN cand50 USING (vec_id)
        |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
-       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+
+  val ivfpqRerankSql: String =
+    s"""$ivfpqCtes,
+       |$Cand50Cte
+       |${servedTopKSql(10)}""".stripMargin
 
   // ---- embed_kmeans: whole-vector Lloyd clustering ----------------------
 

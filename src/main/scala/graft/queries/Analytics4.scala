@@ -924,11 +924,10 @@ object Analytics4 {
     * the cheapest possible regression at any scale (the sufficient-
     * statistic decomposition IS the distributed-regression textbook
     * shape; no second pass, no residual join). */
-  private val RegXY = Seq(
-    "CAST(l_quantity AS DECIMAL(12,2))" -> "sx",
-    "CAST(l_extendedprice AS DECIMAL(12,2))" -> "sy")
+  private val RegX = "CAST(l_quantity AS DECIMAL(12,2))"
+  private val RegY = "CAST(l_extendedprice AS DECIMAL(12,2))"
   def q59(s: SparkSession, d: String): DataFrame = {
-    val Seq((x, _), (y, _)) = RegXY
+    val (x, y) = (RegX, RegY)
     val stats = lineitem(s, d).groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
@@ -938,20 +937,28 @@ object Analytics4 {
         expr(s"CAST(SUM(CAST(FLOOR($x * $x) AS DECIMAL(38,0))) AS DOUBLE)").as("sxx"),
         expr(s"CAST(SUM(CAST(FLOOR($y * $y) AS DECIMAL(38,0))) AS DOUBLE)").as("syy"))
       .withColumn("n", col("n_rows").cast("double"))
-    stats
-      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) /
-        (col("n") * col("sxx") - col("sx") * col("sx")))
-      .select(col("l_returnflag"), col("n_rows"),
+    // degenerate (zero-variance) groups answer NULL on BOTH engines
+    // (review finding): the floor quantisation can push a constant
+    // column's n·Σx² - (Σx)² a hair NEGATIVE, where bare arithmetic
+    // diverges cross-engine (Spark non-ANSI divide-by-zero null vs
+    // DuckDB inf; sqrt of negative NaN) — undefined fits get an
+    // explicit, identical NULL instead
+    val fit = stats
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("slope", when(col("vx") > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")) / col("vx")))
+    fit.select(col("l_returnflag"), col("n_rows"),
         col("slope"),
         ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+        when(col("vx") > 0 && col("vy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("vx")) * sqrt(col("vy")))).as("corr"))
       .orderBy(col("l_returnflag"))
   }
 
   val q59Sql: String = {
-    val Seq((x, _), (y, _)) = RegXY
+    val (x, y) = (RegX, RegY)
     s"""WITH stats AS (
        |  SELECT l_returnflag,
        |    CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -962,13 +969,17 @@ object Analytics4 {
        |    CAST(SUM(CAST(FLOOR($x * $x) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
        |    CAST(SUM(CAST(FLOOR($y * $y) AS DECIMAL(38,0))) AS DOUBLE) AS syy
        |  FROM lineitem GROUP BY l_returnflag),
+       |v AS (
+       |  SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+       |  FROM stats),
        |fit AS (
-       |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
-       |  FROM stats)
+       |  SELECT *, CASE WHEN vx > 0
+       |    THEN (n * sxy - sx * sy) / vx END AS slope
+       |  FROM v)
        |SELECT l_returnflag, n_rows, slope,
        |  (sy - slope * sx) / n AS intercept,
-       |  (n * sxy - sx * sy) /
-       |    (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr
+       |  CASE WHEN vx > 0 AND vy > 0 THEN (n * sxy - sx * sy) /
+       |    (SQRT(vx) * SQRT(vy)) END AS corr
        |FROM fit
        |ORDER BY l_returnflag""".stripMargin
   }
