@@ -266,6 +266,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.forall { case (_, n, _, _, c) => n > 0 && math.abs(c) < 1 })
   }
 
+  test("q59 degenerate (zero-variance) groups answer NULL, never NaN or a zero-division") {
+    import org.apache.spark.sql.functions._
+    // a lineitem slice where one group's quantity is a CONSTANT
+    // fractional value: floor quantisation pushes n·Σx²-(Σx)² a hair
+    // negative, the exact case the variance guard exists for
+    val dir = java.nio.file.Files.createTempDirectory("graft_q59").toString
+    try {
+      import spark.implicits._
+      Seq(
+        ("K", 1.5, 100.00), ("K", 1.5, 200.00), ("K", 1.5, 50.00),
+        ("V", 1.0, 100.00), ("V", 2.0, 210.00), ("V", 3.0, 290.00))
+        .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val rows = queries.Analytics4.q59(spark, dir).collect()
+      val k = rows.find(_.getString(0) == "K").get
+      assert(k.isNullAt(2) && k.isNullAt(3) && k.isNullAt(4),
+        s"constant-x group must yield NULL slope/intercept/corr, got $k")
+      val v = rows.find(_.getString(0) == "V").get
+      assert(!v.isNullAt(2) && !v.getDouble(4).isNaN,
+        "a real group must still fit")
+      // the V fit is the textbook line through (1,100),(2,210),(3,290)
+      assert(math.abs(v.getDouble(2) - 95.0) < 1.0, s"slope ~95, got ${v.getDouble(2)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("q57 join-cardinality estimator equals a full in-memory replay") {
     import org.apache.spark.sql.functions._
     val ce = Tables.events(spark, sf).select("user_id").collect()
