@@ -511,12 +511,23 @@ object GraphOps {
     val edges = graft.Checkpoints.pin(
       e0.select(col("a").as("src"), col("c").as("dst"))
         .unionByName(e0.select(col("c").as("src"), col("a").as("dst"))))
+    // the labels frame is |V| rows (nodes are PARTS — the catalog,
+    // which does not grow with traffic): under a 10M-node footer
+    // bound it broadcasts EXPLICITLY each round, so every round is
+    // one narrow pass over the pinned edges + one (dst, lab) partial-
+    // aggregated exchange — without the hint the pinned frame's size
+    // stats left the per-round join to planner mood (measured: an SMJ
+    // round family at ×5 ran 15.2 s where the broadcast rounds at ×10
+    // ran 9.6 s). Past the bound the labels legitimately shuffle.
+    val labelsHint: DataFrame => DataFrame =
+      if (graft.Tables.footerRowCount(s, d, "part") <= 10000000L)
+        broadcast else identity
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to LpRounds) {
       // predecessor pins are freed by the harness sweep post-action
       labels = graft.Checkpoints.pin(
-        edges.join(labels.withColumnRenamed("node", "src"), "src")
+        edges.join(labelsHint(labels.withColumnRenamed("node", "src")), "src")
           .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("cnt"))
           .groupBy(col("dst"))
           .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
