@@ -147,6 +147,8 @@ object ScaleUp {
     // corpus scan, the served leg is index-cost — the sweep measures
     // the scan-bound claim)
     "etl_clone", "ann_recall_audit",
+    // clone-aware vacuum: decision ∝ manifests, sweep ∝ garbage
+    "etl_vacuum_refs",
     // late-r10: LP communities — the gate flips at ×10, so the sweep
     // runs the distributed (dst, lab)-count argmax rounds
     "graph_labelprop")

@@ -617,6 +617,138 @@ object EtlQueries {
     * physical sweep without filesystem archaeology. */
   def vacuumBase(d: String): String = scratchDir("vac", d, "orders")
 
+  /** `etl_vacuum_refs` — CLONE-AWARE retention sweep, the production
+    * refinement of [[vacuum]] and the reason shallow clones and
+    * VACUUM are dangerous together (the documented Delta hazard:
+    * vacuuming a source breaks every shallow clone that still
+    * references its files): a file is garbage iff it is referenced by
+    * a dropped version's manifest, by NO retained one, **and by no
+    * registered clone manifest** — the clone refs are one more set in
+    * the same manifest algebra, still zero data scans to decide.
+    *
+    * The audit runs the hazard end to end on an isolated store: a
+    * shallow clone is committed AS OF v1 (so it references exactly
+    * the files keep-latest vacuum wants to sweep), phase 1 vacuums
+    * WITH the ref-check — zero partitions sweep, and the clone still
+    * reads its complete v1 snapshot THROUGH the sweep; the clone is
+    * then dropped (its manifests deleted — CLONE DROP), and phase 2
+    * re-vacuums — now v1's rewritten partitions go, with the live v2
+    * read sized after the delete, exactly [[vacuum]]'s discipline
+    * (tombstone ordering included). One row per phase.
+    *
+    * At 100 TB: clone refs make VACUUM's decision set-union over a
+    * few more manifest files — cost still ∝ manifests, never data;
+    * without this, the zero-copy clone primitive ([[cloneAudit]]) is
+    * a data-loss trap. Idempotent via the persisted audit. */
+  def vacuumRefs(s: SparkSession, d: String): DataFrame = {
+    var base = ensureTimeTravelVersions(s, d, "vacref")
+    val auditPath = s"$base/vacref_audit"
+    if (!new java.io.File(s"$auditPath/_SUCCESS").exists()) {
+      // crash-retry: v1 manifest is the phase-2 tombstone (the vacuum
+      // discipline) — if it fell but the audit never landed, some
+      // swept dirs may be gone; rebuild the isolated store from source
+      if (!new java.io.File(s"$base/manifests/v1.txt").exists()) {
+        deleteRecursively(new java.io.File(base))
+        base = ensureTimeTravelVersions(s, d, "vacref")
+      }
+      val m1 = readManifest(base, 1)
+      val m2 = readManifest(base, 2)
+      def pathOf(e: (Int, String)) = s"$base/files/${e._2}/pt=${e._1}"
+      // CLONE AS OF v1: absolute-path manifest, the cloneAudit layout
+      val cloneDir = s"$base/clones/c1"
+      new java.io.File(s"$cloneDir/manifests").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$cloneDir/manifests/v1.txt"),
+        m1.map(e => s"${e._1}\t${pathOf(e)}").mkString("\n")): Unit
+      def manifestPaths(mf: java.io.File): Set[String] = {
+        val src = scala.io.Source.fromFile(mf, "UTF-8")
+        try src.getLines().map(_.split("\t")(1)).toSet
+        finally src.close()
+      }
+      // live clone refs: every path any clone manifest mentions
+      def cloneRefs(): Set[String] = {
+        val root = new java.io.File(s"$base/clones")
+        Option(root.listFiles).getOrElse(Array.empty).toSet.flatMap {
+          (c: java.io.File) =>
+            Option(new java.io.File(c, "manifests").listFiles)
+              .getOrElse(Array.empty).toSet.flatMap(manifestPaths)
+        }
+      }
+      val retained = m2.map(pathOf).toSet
+      def garbage(): Seq[(Int, String)] = {
+        val refs = cloneRefs()
+        m1.filter(e => !retained.contains(pathOf(e)) && !refs.contains(pathOf(e)))
+      }
+      def phaseRow(phase: Long, sweptParts: Long, reclaimed: Long,
+          clone: Option[(Long, Long)]): DataFrame = {
+        val live = s.read.parquet(m2.map(pathOf): _*)
+          .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+        import s.implicits._
+        Seq((phase, sweptParts, reclaimed, clone.map(_._1), clone.map(_._2),
+          live.getLong(0), live.getLong(1)))
+          .toDF("phase", "swept_parts", "rows_reclaimed",
+            "clone_rows", "clone_key_sum", "live_rows", "live_key_sum")
+      }
+      // phase 1: the clone's refs PROTECT v1's rewritten partitions —
+      // and the clone still reads its complete v1 snapshot
+      val g1 = garbage()
+      require(g1.isEmpty,
+        s"clone-referenced files reported as garbage: $g1")
+      val cloneRead = s.read.parquet(
+          manifestPaths(new java.io.File(s"$cloneDir/manifests/v1.txt")).toSeq: _*)
+        .agg(count(lit(1)), sum(col("o_orderkey"))).head()
+      val row1 = phaseRow(1L, 0L, 0L,
+        Some((cloneRead.getLong(0), cloneRead.getLong(1))))
+      // CLONE DROP, then phase 2 sweeps for real — reclaim counts are
+      // sized BEFORE the delete (≤ 8 dirs), the v1 manifest falls
+      // first (the vacuum tombstone ordering)
+      deleteRecursively(new java.io.File(cloneDir))
+      val g2 = garbage()
+      val counted = if (g2.isEmpty) 0L
+        else s.read.parquet(g2.map(pathOf): _*).count()
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$base/manifests/v1.txt"))
+      g2.foreach(e => deleteRecursively(new java.io.File(pathOf(e))))
+      val row2 = phaseRow(2L, g2.size.toLong, counted, None)
+      row1.unionByName(row2).orderBy(col("phase"))
+        .write.mode("overwrite").parquet(auditPath)
+    }
+    s.read.parquet(auditPath).orderBy(col("phase"))
+  }
+
+  /** vacuumRefs' isolated store base, for EtlSpec's physical audit. */
+  def vacuumRefsBase(d: String): String = scratchDir("vacref", d, "orders")
+
+  /** Oracle: v1/v2 derived from the timeTravelSql CTE family; phase 1
+    * is the all-protected constants + the clone's full-v1 read, phase
+    * 2 reclaims exactly v1's rewritten partitions (pt ∈ {2,5} — the
+    * dropped-version dirs the retained manifest no longer references). */
+  val vacuumRefsSql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 7 <> 6),
+      |c AS (
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+      |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
+      |v2 AS (
+      |  SELECT o_orderkey FROM v1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+      |  UNION ALL
+      |  SELECT o_orderkey FROM c WHERE op = 'U')
+      |SELECT CAST(1 AS BIGINT) AS phase,
+      |  CAST(0 AS BIGINT) AS swept_parts,
+      |  CAST(0 AS BIGINT) AS rows_reclaimed,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v1) AS clone_rows,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM v1) AS clone_key_sum,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v2) AS live_rows,
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM v2) AS live_key_sum
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v1 WHERE o_orderkey % 8 IN (2, 5)),
+      |  NULL, NULL,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM v2),
+      |  (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM v2)
+      |ORDER BY phase""".stripMargin
+
   /** `etl_clone` — ZERO-COPY shallow clone + copy-on-write
     * independence (Delta `CREATE TABLE ... SHALLOW CLONE`, Iceberg
     * snapshot references): a new table is committed whose v1 manifest
@@ -2177,6 +2309,7 @@ object EtlQueries {
     "etl_partition_evolution" -> (partitionEvolution _),
     "etl_vacuum" -> (vacuum _),
     "etl_clone" -> (cloneAudit _),
+    "etl_vacuum_refs" -> (vacuumRefs _),
     "etl_format_roundtrip" -> (formatRoundtrip _),
     "etl_projection" -> (projection _),
     "etl_rename" -> (rename _),
@@ -2208,6 +2341,7 @@ object EtlQueries {
     "etl_partition_evolution" -> partitionEvolutionSql,
     "etl_vacuum" -> vacuumSql,
     "etl_clone" -> cloneSql,
+    "etl_vacuum_refs" -> vacuumRefsSql,
     "etl_format_roundtrip" -> formatRoundtripSql,
     "etl_projection" -> projectionSql,
     "etl_rename" -> renameSql,

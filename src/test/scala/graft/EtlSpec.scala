@@ -264,6 +264,39 @@ class EtlSpec extends AnyFunSuite {
     assert(srcState() == before, "a clone replay must not touch the source store")
   }
 
+  /** The clone-aware vacuum's physical contract: the ref-protected
+    * phase sweeps NOTHING (the shallow-clone hazard is actually
+    * guarded, not just reported), the post-drop phase removes exactly
+    * the dropped version's rewritten partitions, the retained version
+    * reads back complete, and the audit replays idempotently. */
+  test("etl_vacuum_refs: clone refs protect the sweep; drop releases exactly the garbage") {
+    val E = graft.queries.EtlQueries
+    val audit = E.vacuumRefs(spark, sf).collect()
+    val base = E.vacuumRefsBase(sf)
+    assert(audit.length == 2)
+    val p1 = audit(0); val p2 = audit(1)
+    assert(p1.getLong(1) == 0 && p1.getLong(2) == 0,
+      "phase 1 must sweep nothing while the clone ref is live")
+    assert(p1.getLong(3) == p1.getLong(5) + p1.getLong(2) ||
+      p1.getLong(3) > p2.getLong(5),
+      "clone must read the FULL v1 snapshot (more rows than the retained v2)")
+    assert(p2.getLong(1) == 2 && p2.getLong(2) > 0,
+      "phase 2 must reclaim v1's two rewritten partitions")
+    assert(p2.isNullAt(3), "the dropped clone reports NULL")
+    // physically: v1's rewritten dirs gone, shared dirs intact,
+    // retained version resolves completely, clone manifests gone
+    assert(!new java.io.File(s"$base/files/v1/pt=2").exists &&
+      !new java.io.File(s"$base/files/v1/pt=5").exists)
+    assert(new java.io.File(s"$base/files/v1/pt=0").exists,
+      "a shared partition dir was swept")
+    assert(!new java.io.File(s"$base/clones/c1").exists)
+    val m2 = E.readManifest(base, 2)
+    assert(m2.size == 8 && m2.forall { case (p, ver) =>
+      new java.io.File(s"$base/files/$ver/pt=$p").exists })
+    // idempotent replay from the persisted audit
+    assert(E.vacuumRefs(spark, sf).collect().toSeq == audit.toSeq)
+  }
+
   /** Clone crash-retry, SIMULATED: a kill between the CoW data write
     * and the v2 manifest commit leaves v2 absent (the manifest IS the
     * commit marker) — the retry must re-stage the partition and land
