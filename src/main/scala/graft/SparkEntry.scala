@@ -73,6 +73,7 @@ object SparkEntry {
     "ann_index_filtered" -> ((s, d) => graft.operators.AnnIndex.filteredIndexQuery(s, d)),
     "ann_index_compact" -> ((s, d) => graft.operators.AnnIndex.compactAudit(s, d)),
     "ann_recall_audit" -> ((s, d) => graft.operators.AnnIndex.recallAudit(s, d)),
+    "embed_truncation" -> ((s, d) => Similarity.truncationAudit(s, d)),
     "ann_hybrid" -> ((s, d) => Similarity.hybridRrf(s, d)),
     "dedup_forget" -> ((s, d) => Dedup.dedupForget(s, d)),
     "dedup_minhash_index" -> ((s, d) => graft.operators.MinhashIndex.incrementalNearDups(s, d)),
@@ -195,6 +196,7 @@ object SparkEntry {
     "ann_index_filtered" -> graft.operators.AnnIndex.filteredIndexSql,
     "ann_index_compact" -> graft.operators.AnnIndex.compactSql,
     "ann_recall_audit" -> graft.operators.AnnIndex.recallAuditSql,
+    "embed_truncation" -> Similarity.truncationAuditSql,
     "ann_hybrid" -> Similarity.hybridRrfSql,
     "dedup_forget" -> Dedup.dedupForgetSql,
     "dedup_minhash_index" -> graft.operators.MinhashIndex.incrementalSql,

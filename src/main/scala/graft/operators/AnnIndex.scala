@@ -734,50 +734,24 @@ object AnnIndex {
     * production, which composes here as a union over queryIds; the
     * served leg stays index-cost. */
   def recallAudit(s: SparkSession, d: String, queryId: Long = 0L,
-      k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      k: Int = 10): DataFrame =
     // BOTH legs honor k (review finding): the exact truth, the served
     // set, and the recall_at denominator must describe the same depth
-    val exact = Similarity.bruteForce(s, d, queryId, k)
-    val served = ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k)
-      .select(col("vec_id"), lit(true).as("hit"))
-    val w = Window.orderBy(col("cos").desc, col("vec_id"))
-    exact
-      .withColumn("rnk", row_number().over(w))
-      .join(served, Seq("vec_id"), "left")
-      .withColumn("hit", coalesce(col("hit"), lit(false)))
-      .withColumn("hits_at", sum(when(col("hit"), 1L).otherwise(0L))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("rnk"), col("vec_id"), col("cos"), col("hit"),
-        (col("hits_at").cast("double") / col("rnk")).as("recall_at"))
-      .orderBy(col("rnk"))
-  }
+    Similarity.gradeAgainstExact(
+      Similarity.bruteForce(s, d, queryId, k),
+      ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k))
 
   /** Oracle: the SHARED ivfpq serve chain (cand-RerankC → exact-cos
     * top-k) as the served set, the brute-force chain as truth, graded
-    * with the same rank window. */
+    * with the shared rank window (Similarity.GradeVsExactSql — one
+    * grading definition across every recall-style audit). */
   val recallAuditSql: String = {
-    import Similarity.{cosOf, ivfpqCtes, Cand50Cte, servedTopKSql}
+    import Similarity.{ivfpqCtes, Cand50Cte, servedTopKSql}
     s"""$ivfpqCtes,
        |$Cand50Cte,
        |served AS (
        |${servedTopKSql(10)}),
-       |exact AS (
-       |  SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
-       |  FROM embeddings
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-       |  WHERE vec_id <> 0
-       |  ORDER BY cos DESC, vec_id LIMIT 10),
-       |ranked AS (
-       |  SELECT vec_id, cos,
-       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
-       |  FROM exact)
-       |SELECT CAST(r.rnk AS INT) AS rnk, r.vec_id, r.cos,
-       |  (s.vec_id IS NOT NULL) AS hit,
-       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-       |    OVER (ORDER BY r.rnk) AS DOUBLE) / r.rnk AS recall_at
-       |FROM ranked r LEFT JOIN served s USING (vec_id)
-       |ORDER BY rnk""".stripMargin
+       |${Similarity.GradeVsExactSql}""".stripMargin
   }
 
   private def coarseDf(s: SparkSession, d: String): DataFrame =

@@ -91,6 +91,88 @@ object Similarity {
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
+  /** Grade an exact top-k frame ((vec_id, cos), already limited)
+    * against a served/candidate id set: one row per exact rank with a
+    * hit flag and cumulative recall@r. ONE grading definition shared
+    * by AnnIndex.recallAudit and [[truncationAudit]] (the serve-chain
+    * CTE discipline) — integer rank arithmetic plus one double
+    * division, bit-exact by construction. */
+  private[operators] def gradeAgainstExact(exact: DataFrame,
+      served: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    exact
+      .withColumn("rnk", row_number().over(w))
+      .join(served.select(col("vec_id"), lit(true).as("hit")),
+        Seq("vec_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(false)))
+      .withColumn("hits_at", sum(when(col("hit"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rnk"), col("vec_id"), col("cos"), col("hit"),
+        (col("hits_at").cast("double") / col("rnk")).as("recall_at"))
+      .orderBy(col("rnk"))
+  }
+
+  /** [[gradeAgainstExact]] as SQL: expects a `served(vec_id, …)` CTE
+    * in scope; appends the exact/ranked CTEs and the grading SELECT. */
+  private[operators] val GradeVsExactSql: String =
+    s"""exact AS (
+       |  SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+       |  WHERE vec_id <> 0
+       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |ranked AS (
+       |  SELECT vec_id, cos,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM exact)
+       |SELECT CAST(r.rnk AS INT) AS rnk, r.vec_id, r.cos,
+       |  (s.vec_id IS NOT NULL) AS hit,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    OVER (ORDER BY r.rnk) AS DOUBLE) / r.rnk AS recall_at
+       |FROM ranked r LEFT JOIN served s USING (vec_id)
+       |ORDER BY rnk""".stripMargin
+
+  /** `embed_truncation` — truncated-dimension retrieval quality (the
+    * Matryoshka-representation eval, Kusupati et al. NeurIPS'22): the
+    * top-k by cosine over only the FIRST `dims` embedding components,
+    * graded against the full-dimension exact top-k with the shared
+    * recall@r report. This is the number that decides whether a
+    * cheap low-dim prefilter (or a truncated index) can stand in for
+    * the full vectors — the dimension-reduction twin of
+    * ann_recall_audit's index-quality report.
+    *
+    * At 100 TB the truncated scan reads dims/D of the vector bytes
+    * (with columnar layouts, a prefix slice prunes at the page
+    * level); the full-dim exact leg runs on a query-id sample exactly
+    * as in the recall audit. */
+  def truncationAudit(s: SparkSession, d: String, queryId: Long = 0L,
+      dims: Int = 16, k: Int = 10): DataFrame = {
+    val et = embeddings(s, d).select(col("vec_id"),
+      slice(col("embedding"), 1, dims).as("emb"))
+    val en = et.select(col("vec_id"), col("emb"), norm2(col("emb")).as("n2"))
+    val q = en.filter(col("vec_id") === queryId)
+      .select(col("emb").as("q_emb"), col("n2").as("q_n2"))
+    val trunc = en.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), (dotD(col("emb"), col("q_emb")) /
+        sqrt(col("n2") * col("q_n2"))).as("tcos"))
+      .orderBy(col("tcos").desc, col("vec_id"))
+      .limit(k)
+    gradeAgainstExact(bruteForce(s, d, queryId, k), trunc)
+  }
+
+  val truncationAuditSql: String = {
+    val t = "embedding[1:16]"
+    s"""WITH served AS (
+       |  SELECT vec_id, ${cosOf(t, "q_emb")} AS tcos
+       |  FROM embeddings
+       |  CROSS JOIN (SELECT embedding[1:16] AS q_emb FROM embeddings WHERE vec_id = 0)
+       |  WHERE vec_id <> 0
+       |  ORDER BY tcos DESC, vec_id LIMIT 10),
+       |$GradeVsExactSql""".stripMargin
+  }
+
   /** `ann_filtered` — metadata-filtered vector search: exact top-10
     * cosine neighbours of the query vector RESTRICTED to rows passing
     * a metadata predicate (label % 2 = 0 — half the corpus), the

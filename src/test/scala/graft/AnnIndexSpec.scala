@@ -327,6 +327,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(hits > 0, "a non-degenerate index must recall at least one exact neighbor")
   }
 
+  test("embed_truncation: hit flags replay an in-memory truncated-cosine top-k") {
+    val dims = 16
+    val vecs = SparkTestSession.spark.read
+      .parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val q = vecs.find(_._1 == 0L).get._2
+    def topk(slice: Int) = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v.take(slice), q.take(slice))) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val exactIds = topk(q.length).map(_._1).toSeq
+    val truncIds = topk(dims).map(_._1).toSet
+    val audit = Similarity.truncationAudit(spark, sf).collect()
+    assert(audit.map(_.getLong(1)).toSeq == exactIds,
+      "rows must be the full-dim exact top-k in rank order")
+    audit.foreach { r =>
+      assert(r.getBoolean(3) == truncIds.contains(r.getLong(1)),
+        s"hit flag must mark truncated-top-k membership for ${r.getLong(1)}")
+    }
+    // non-vacuous on this corpus: truncation must actually lose SOME
+    // of the full-dim top-k (random embeddings aren't MRL-trained)
+    assert(audit.exists(!_.getBoolean(3)),
+      "truncation audit is vacuous — every exact neighbor survived")
+  }
+
   test("ann_index_filtered: every slot matches the predicate; rerank parity with in-memory") {
     import org.apache.spark.sql.functions._
     val got = AnnIndex.filteredIndexQuery(spark, sf).collect()
