@@ -123,6 +123,37 @@ class PropertySpec extends AnyFunSuite {
     assert(dist == expected, "distributed backend diverged from the replay")
   }
 
+  test("lpRoundsLocal equals the naive synchronous-LP replay on random graphs (property)") {
+    // random multigraphs (duplicates + occasional wide ids) — the
+    // kernel's packed-sort dedupe, CSR, epoch counting and online
+    // argmax must agree with the obvious replay on every shape
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 25L)
+      c <- Gen.chooseNum(0L, 25L).suchThat(_ != a)
+      widen <- Gen.oneOf(false, false, false, true)
+    } yield {
+      val (lo, hi) = if (a < c) (a, c) else (c, a)
+      if (widen) (lo + (1L << 40), hi + (1L << 40)) else (lo, hi)
+    }
+    val graphGen = Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, edgeGen))
+    check(Prop.forAll(graphGen) { pairs =>
+      val got = graft.operators.GraphOps.lpRoundsLocal(pairs.iterator)
+        .toSeq.sortBy(_._1)
+      val und = pairs.toSet
+      val edges = und.flatMap((p: (Long, Long)) => Set(p, p.swap))
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to 4) {
+        lab = adj.map { case (v, ns) =>
+          val counts = ns.groupBy(lab).view.mapValues(_.size).toMap
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      val expected = lab.toSeq.sortBy(_._1)
+      (got == expected) :| s"pairs=$pairs got=$got expected=$expected"
+    })
+  }
+
   test("lpRoundsLocal: wide-id fallback and duplicate edges match a naive replay") {
     // ids beyond 2^32 take the boxed dedupe path no gated corpus
     // reaches; duplicates must die whichever path they ride
