@@ -31,6 +31,35 @@ import java.nio.file.{Files, Paths}
   * got slower while the bench ran.
   */
 object Bench {
+  /** Dense-compute canary (late r10): the q1_agg canary is scan +
+    * light aggregation and is largely BLIND to CPU-frequency/steal
+    * throttle — the late-r10 windows ran the kmeans family at ~2×
+    * CPU-seconds while q1 read clean, and a worktree bisect proved
+    * the code unchanged (BASELINE.md). This fixed pure-FLOP kernel
+    * (transcendental math over a deterministic range, the Lloyd
+    * inner loop's shape) exposes it: for FIXED work, higher `cpu`
+    * across snapshots means the cores got slower (frequency), and
+    * `wall ≫ cpu/32` means they are stolen. First committed
+    * reference: 1.3-1.5 CPU-s on the 2026-08-16 host (the one the
+    * bisect showed running kmeans at ~2× the r10b window's CPU — so a
+    * future ~0.7 s reading would CONFIRM that machine class was
+    * faster). Recorded cold and at session end beside the q1 canary,
+    * min-of-3 each. */
+  private def denseCanary(spark: SparkSession,
+      cpuSec: () => Double): (Double, Double) = {
+    def once(): (Double, Double) = {
+      val t0 = System.nanoTime(); val c0 = cpuSec()
+      spark.range(0, 20000000L, 1, 32).selectExpr(
+        "sum(sqrt(cast(id % 9973 as double) * 1.0001 + " +
+          "sin(cast(id as double) / 1e6)))")
+        .collect(): Unit
+      ((System.nanoTime() - t0) / 1e9, cpuSec() - c0)
+    }
+    // min-of-3 on CPU: the kernel's own C2 compilation would otherwise
+    // read as throttle on the first measured run
+    (1 to 3).map(_ => once()).minBy(_._2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -60,6 +89,8 @@ object Bench {
     // isn't charged for session setup.
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    denseCanary(spark, cpuSec _) // unmeasured warmup of the dense kernel
+    val denseCold = denseCanary(spark, cpuSec _)
     // Dev knobs: SPARK_GRAFT_ONLY=q1_agg,q3_join_agg to time a subset,
     // SPARK_GRAFT_REPEAT=3 to repeat each (min time reported).
     val only = SparkEntry.parseOnly()
@@ -158,6 +189,7 @@ object Bench {
         run(canaryName, SparkEntry.queries(canaryName))._1
       else -1.0
     val canaryCold = coldByName.get(canaryName).map(_._1).getOrElse(-1.0)
+    val denseEnd = denseCanary(spark, cpuSec _)
     val gcTotal = gcSec
 
     def num(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
@@ -197,6 +229,8 @@ object Bench {
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""cpu_total":${num(cpuTotal)},"warm_total":${num(warmTotal)},""" +
       s""""canary_cold":${num(canaryCold)},"canary_end":${num(canaryEnd)},""" +
+      s""""dense_cold_wall":${num(denseCold._1)},"dense_cold_cpu":${num(denseCold._2)},""" +
+      s""""dense_end_wall":${num(denseEnd._1)},"dense_end_cpu":${num(denseEnd._2)},""" +
       s""""gc_total":${num(gcTotal)},""" +
       s""""n_queries":${results.size},"failed":${failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${objOf(results.map { case (n, (w, _, _)) => n -> w })},""" +
