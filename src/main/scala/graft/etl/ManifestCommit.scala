@@ -1,0 +1,152 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+
+/** Optimistic-concurrency commit protocol for the manifest MVCC store
+  * (the store shape used by etl_time_travel / etl_vacuum / etl_wap:
+  * `files/<dir>/pt=<p>` data + `manifests/v<N>.txt` version manifests,
+  * each manifest a full partition→dir mapping).
+  *
+  * The round-10 store wrote manifests with tmp+ATOMIC_MOVE, which makes
+  * each manifest's CONTENT all-or-nothing but lets two simultaneous
+  * committers last-write-win the same version number (rename(2)
+  * silently replaces an existing target). This object upgrades the
+  * publish step to compare-and-swap, the same discipline Delta Lake's
+  * LogStore `putIfAbsent` and Iceberg's atomic metadata swap implement:
+  *
+  *   1. a committer prepares its data files against the version it
+  *      READ (copy-on-write of only its touched partitions);
+  *   2. publish = atomically create `v<N+1>.txt` where N is the
+  *      version it believes is current. The create-if-absent is a
+  *      hard link from a private tmp file ([[Files.createLink]] —
+  *      POSIX link(2) fails with EEXIST if the target exists), so
+  *      visibility is all-or-nothing AND first-writer-wins;
+  *   3. the loser sees [[FileAlreadyExistsException]], reads the
+  *      winner's manifest, and REBASES: if the winner touched none of
+  *      the loser's partitions, the loser's data files are still
+  *      byte-valid (CoW rewrote partitions the winner left alone) and
+  *      the retry is a pure manifest merge; if the touched sets
+  *      overlap, the loser's rewrite was computed against stale bytes
+  *      and must be RECOMPUTED against the new current version.
+  *
+  * Crash safety: data files land under a per-(writer, attempt) dir
+  * BEFORE the CAS, so a crash between data write and publish leaves
+  * only invisible orphans — a retry overwrites its own dir (never a
+  * committed one) and the orphan is reclaimable by vacuum. The store
+  * never has a manifest that names missing data.
+  *
+  * This matches the restart discipline of the reference's work lists
+  * (work_lists.rs:48-200: detect concurrent mutation, hard-error or
+  * recover explicitly — never silently lose a committer's work).
+  */
+object ManifestCommit {
+
+  /** One writer's prepared-but-unpublished commit: data written, CAS
+    * pending. `entries` is the FULL manifest this writer wants to
+    * publish (its CoW dirs for `touched`, the base manifest's dirs for
+    * everything else). */
+  final case class Prepared(
+      writer: String,
+      baseVersion: Int,
+      touched: Seq[Int],
+      dataDir: String,
+      entries: Seq[(Int, String)])
+
+  /** Outcome of [[publish]], for audit rows: which version the writer
+    * landed at, how many CAS attempts it took, and whether any retry
+    * had to recompute data (vs a pure manifest rebase). */
+  final case class Committed(
+      writer: String,
+      firstReadVersion: Int,
+      committedVersion: Int,
+      attempts: Int,
+      recomputed: Boolean,
+      entries: Seq[(Int, String)])
+
+  def manifestPath(base: String, v: Int): String = s"$base/manifests/v$v.txt"
+
+  /** Highest committed version (0 = empty store). Scans the manifest
+    * dir — O(versions), driver-side, bounded by retention. */
+  def currentVersion(base: String): Int = {
+    val dir = new java.io.File(s"$base/manifests")
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.startsWith("v") && n.endsWith(".txt"))
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toInt).toOption
+        else None
+      }
+      .foldLeft(0)(math.max)
+  }
+
+  def readManifest(base: String, v: Int): Seq[(Int, String)] = {
+    val src = scala.io.Source.fromFile(manifestPath(base, v), "UTF-8")
+    try src.getLines().map { line =>
+      val Array(p, ver) = line.split("\t"); (p.toInt, ver)
+    }.toList
+    finally src.close()
+  }
+
+  /** Compare-and-swap publish of version `v`: true iff THIS caller
+    * created `v<N>.txt`. Content is staged to a caller-private tmp and
+    * hard-linked into place — link(2) is atomic and fails if the name
+    * exists, so concurrent committers can never both "win" a version
+    * and a reader can never observe a partial manifest. */
+  def cas(base: String, v: Int, entries: Seq[(Int, String)]): Boolean = {
+    new java.io.File(s"$base/manifests").mkdirs()
+    val body = entries.sortBy(_._1).map { case (p, d) => s"$p\t$d" }.mkString("\n")
+    val tmp = Paths.get(s"${manifestPath(base, v)}.tmp.${ProcessHandle.current().pid()}.${Thread.currentThread().getId}")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try {
+      Files.createLink(Paths.get(manifestPath(base, v)), tmp)
+      true
+    } catch {
+      case _: FileAlreadyExistsException => false
+    } finally Files.delete(tmp)
+  }
+
+  /** Publish with optimistic retry. `prepareAgainst(v)` recomputes the
+    * writer's CoW data against version `v` — invoked only when a
+    * conflicting winner touched one of this writer's partitions.
+    * Returns the commit receipt; throws after `maxAttempts` CAS losses
+    * (pathological contention — callers surface it, never spin). */
+  def publish(base: String, first: Prepared,
+      prepareAgainst: Int => Prepared, maxAttempts: Int = 20): Committed = {
+    var pc = first
+    var recomputed = false
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      if (cas(base, pc.baseVersion + 1, pc.entries))
+        return Committed(pc.writer, first.baseVersion, pc.baseVersion + 1,
+          attempts, recomputed, pc.entries)
+      // Lost the race: find what actually committed, diff it against
+      // the manifest this writer's data was computed from.
+      val cur = currentVersion(base)
+      require(cur > pc.baseVersion,
+        s"CAS of v${pc.baseVersion + 1} failed but current=$cur — corrupt store")
+      val curMan = readManifest(base, cur)
+      val baseMan = readManifest(base, pc.baseVersion)
+      val changed = curMan.toMap.collect {
+        case (p, d) if baseMan.toMap.get(p) != Some(d) => p
+      }.toSet
+      if (changed.intersect(pc.touched.toSet).nonEmpty) {
+        // True write-write conflict: the winner rewrote bytes this
+        // writer's CoW read. Data is stale — recompute from `cur`.
+        pc = prepareAgainst(cur)
+        recomputed = true
+      } else {
+        // Disjoint partitions: data still valid; rebase = the winner's
+        // manifest with this writer's touched entries swapped in.
+        val mine = pc.touched.toSet
+        pc = pc.copy(
+          baseVersion = cur,
+          entries = curMan.map { case (p, d) =>
+            (p, if (mine.contains(p)) pc.dataDir else d)
+          })
+      }
+    }
+    throw new IllegalStateException(
+      s"writer ${pc.writer}: gave up after $maxAttempts CAS attempts")
+  }
+}

@@ -929,6 +929,169 @@ object EtlQueries {
     * discipline — no tmpdir archaeology in specs). */
   def wapBase(d: String): String = scratchDir("wap", d, "orders")
 
+  /** `etl_concurrent_commit` — optimistic-concurrency commits against
+    * the manifest MVCC store ([[graft.etl.ManifestCommit]]): two
+    * committers (A on pt {2,5}, B on pt {1,6}) both read version 1,
+    * both CoW-rewrite only their touched partitions, then race the
+    * publish. The CAS (atomic create-if-absent of `v<N+1>.txt` via
+    * link(2)) lets exactly one win v2; the loser detects the conflict,
+    * sees the winner's touched set is disjoint from its own, REBASES
+    * (pure manifest merge — its data files are still byte-valid), and
+    * lands v3 on its second attempt. The audit emits each writer's
+    * receipt (first-read version, attempts, committed version, whether
+    * a data recompute was forced) plus the final visible state, so the
+    * gate proves no committer's work was lost AND the retry algebra is
+    * exactly Delta/Iceberg's loser-rebases discipline. The overlapping
+    * (recompute) and crash-between-data-and-CAS cases are spec-driven
+    * (CommitProtocolSpec). Row shapes replayed by the oracle from the
+    * raw table.
+    *
+    * 100 TB: multi-pipeline deployments commit concurrently as a fact
+    * of life; last-write-wins silently DROPS a committer's partitions
+    * from the manifest (the r10 store's one production gap). The CAS
+    * costs one link(2) regardless of table size, conflicts resolve in
+    * O(manifest) for disjoint writers, and only true write-write
+    * overlap pays a recompute — the same contention model Delta's
+    * commit service runs at lake scale. Reference anchor: the
+    * concurrent-mutation hard error of work_lists.rs:48-200, upgraded
+    * from detect-and-die to detect-and-rebase. */
+  def concurrentCommit(s: SparkSession, d: String): DataFrame = {
+    import graft.etl.ManifestCommit
+    val base = scratchDir("ccommit", d, "orders")
+    val auditPath = s"$base/audit"
+    if (!new java.io.File(s"$auditPath/_SUCCESS").exists()) {
+      val pt = pmod(col("o_orderkey"), lit(8)).cast("int")
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 =!= 6)
+        .withColumn("pt", pt)
+        .write.mode("overwrite").partitionBy("pt").parquet(s"$base/files/base")
+      // a crashed prior run in this pid-scoped dir may have left later
+      // manifests; the bootstrap owns the store, so reset to a clean v1
+      deleteRecursively(new java.io.File(s"$base/manifests"))
+      require(ManifestCommit.cas(base, 1, (0 to 7).map(p => p -> "base")),
+        "v1 bootstrap CAS failed")
+
+      // CoW-prepare one writer's commit against version `readV`: read
+      // ONLY its touched partitions through the manifest, apply its
+      // delete/update batch, write to a per-(writer, attempt) dir.
+      def prep(writer: String, touched: Seq[Int], attempt: Int, readV: Int,
+          changesOf: DataFrame => DataFrame): ManifestCommit.Prepared = {
+        val man = ManifestCommit.readManifest(base, readV)
+        val snap = s.read.parquet(man.collect {
+          case (p, dd) if touched.contains(p) => s"$base/files/$dd/pt=$p"
+        }: _*)
+        val changes = changesOf(snap)
+        val dataDir = s"$writer$attempt"
+        snap.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+          .unionByName(changes.filter(col("op") === "U").drop("op"))
+          .withColumn("pt", pt)
+          .write.mode("overwrite").partitionBy("pt").parquet(s"$base/files/$dataDir")
+        ManifestCommit.Prepared(writer, readV, touched, dataDir,
+          man.map { case (p, dd) => (p, if (touched.contains(p)) dataDir else dd) })
+      }
+      def aChanges(snap: DataFrame): DataFrame = snap
+        .filter(col("o_orderkey") % 3 === 0)
+        .withColumn("op",
+          when(col("o_orderkey") % 2 === 1, lit("D")).otherwise(lit("U")))
+        .withColumn("o_orderstatus",
+          when(col("op") === "U", lit("A")).otherwise(col("o_orderstatus")))
+      def bChanges(snap: DataFrame): DataFrame = snap
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("op",
+          when(col("o_orderkey") % 2 === 0, lit("D")).otherwise(lit("U")))
+        .withColumn("o_orderstatus",
+          when(col("op") === "U", lit("B")).otherwise(col("o_orderstatus")))
+
+      // The race, interleaved deterministically: BOTH prepare against
+      // v1 before EITHER publishes — the exact overlap last-write-wins
+      // would corrupt.
+      var aAttempt = 1
+      var bAttempt = 1
+      val aPrep = prep("A", Seq(2, 5), aAttempt, 1, aChanges)
+      val bPrep = prep("B", Seq(1, 6), bAttempt, 1, bChanges)
+      val aRes = ManifestCommit.publish(base, aPrep,
+        v => { aAttempt += 1; prep("A", Seq(2, 5), aAttempt, v, aChanges) })
+      val bRes = ManifestCommit.publish(base, bPrep,
+        v => { bAttempt += 1; prep("B", Seq(1, 6), bAttempt, v, bChanges) })
+
+      def measure(df: DataFrame, marked: Column): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("o_orderkey")),
+          sum(when(marked, 1L).otherwise(0L))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      def writerRow(res: ManifestCommit.Committed, marker: String) = {
+        val dataDir = res.entries
+          .collectFirst { case (_, dd) if dd.startsWith(marker) => dd }.get
+        val (n, k, m) =
+          measure(s.read.parquet(s"$base/files/$dataDir"),
+            col("o_orderstatus") === marker)
+        (res.writer, res.firstReadVersion.toLong, res.attempts.toLong,
+          res.committedVersion.toLong, res.recomputed, n, k, m)
+      }
+      val finalV = ManifestCommit.currentVersion(base)
+      val (fn, fk, fm) = measure(
+        s.read.parquet(ManifestCommit.readManifest(base, finalV).map {
+          case (p, dd) => s"$base/files/$dd/pt=$p"
+        }: _*),
+        col("o_orderstatus").isin("A", "B"))
+      import s.implicits._
+      Seq(writerRow(aRes, "A"), writerRow(bRes, "B"),
+        ("Z_FINAL", finalV.toLong, 0L, finalV.toLong, false, fn, fk, fm))
+        .toDF("writer", "base_version", "attempts", "committed_version",
+          "recomputed", "n_rows", "key_sum", "n_marked")
+        .orderBy(col("writer"))
+        .write.mode("overwrite").parquet(auditPath)
+    }
+    s.read.parquet(auditPath).orderBy(col("writer"))
+  }
+
+  /** Concurrent-commit store base, exposed for CommitProtocolSpec. */
+  def concurrentCommitBase(d: String): String = scratchDir("ccommit", d, "orders")
+
+  val concurrentCommitSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, CAST(o_orderkey % 8 AS INT) AS pt
+      |  FROM orders WHERE o_orderkey % 7 <> 6),
+      |a_c AS (
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+      |  FROM base WHERE pt IN (2, 5) AND o_orderkey % 3 = 0),
+      |b_c AS (
+      |  SELECT o_orderkey, CASE WHEN o_orderkey % 2 = 0 THEN 'D' ELSE 'U' END AS op
+      |  FROM base WHERE pt IN (1, 6) AND o_orderkey % 5 = 0),
+      |a_rw AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM a_c WHERE op = 'U')
+      |      THEN 'A' ELSE o_orderstatus END AS st
+      |  FROM base WHERE pt IN (2, 5)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM a_c WHERE op = 'D')),
+      |b_rw AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey IN (SELECT o_orderkey FROM b_c WHERE op = 'U')
+      |      THEN 'B' ELSE o_orderstatus END AS st
+      |  FROM base WHERE pt IN (1, 6)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM b_c WHERE op = 'D')),
+      |fin AS (
+      |  SELECT o_orderkey, st FROM a_rw
+      |  UNION ALL SELECT o_orderkey, st FROM b_rw
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus FROM base WHERE pt NOT IN (1, 2, 5, 6))
+      |SELECT 'A' AS writer, CAST(1 AS BIGINT) AS base_version,
+      |  CAST(1 AS BIGINT) AS attempts, CAST(2 AS BIGINT) AS committed_version,
+      |  FALSE AS recomputed, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(SUM(CASE WHEN st = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_marked
+      |FROM a_rw
+      |UNION ALL
+      |SELECT 'B', CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+      |  FALSE, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+      |  CAST(SUM(CASE WHEN st = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM b_rw
+      |UNION ALL
+      |SELECT 'Z_FINAL', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(3 AS BIGINT),
+      |  FALSE, CAST(COUNT(*) AS BIGINT), CAST(SUM(o_orderkey) AS BIGINT),
+      |  CAST(SUM(CASE WHEN st IN ('A', 'B') THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM fin
+      |ORDER BY writer""".stripMargin
+
   /** `etl_partition_evolution` — Iceberg's partition-spec evolution:
     * the table's OLD data stays under its original scheme (pt =
     * key % 8 — a key-hash layout) while NEW commits land under an
@@ -2306,6 +2469,7 @@ object EtlQueries {
     "etl_changefeed" -> (changeFeed _),
     "etl_matview" -> (matview _),
     "etl_wap" -> (wap _),
+    "etl_concurrent_commit" -> (concurrentCommit _),
     "etl_partition_evolution" -> (partitionEvolution _),
     "etl_vacuum" -> (vacuum _),
     "etl_clone" -> (cloneAudit _),
@@ -2338,6 +2502,7 @@ object EtlQueries {
     "etl_changefeed" -> changeFeedSql,
     "etl_matview" -> matviewSql,
     "etl_wap" -> wapSql,
+    "etl_concurrent_commit" -> concurrentCommitSql,
     "etl_partition_evolution" -> partitionEvolutionSql,
     "etl_vacuum" -> vacuumSql,
     "etl_clone" -> cloneSql,
