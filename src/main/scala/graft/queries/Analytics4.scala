@@ -712,35 +712,93 @@ object Analytics4 {
     * etl_histogram rule — floor(·100) is off-by-one on IEEE prices).
     *
     * Scale: the windows run over the CUSTOMER DIMENSION (post-
-    * aggregation — one row per customer), not facts; the three global
-    * ntile sorts are single-partition by nature. At a 1e9-customer
-    * scale the remedy is q35's two-phase quantile bucketing (exact
-    * boundary ranks computed distributively, then a broadcast range
-    * join); ntile is kept here because the oracle demands identical
-    * tie SPLITTING, which boundary bucketing intentionally relaxes. */
-  def q56(s: SparkSession, d: String): DataFrame = {
+    * aggregation — one row per customer), not facts. At gated SFs the
+    * three quartile cuts use ntile(4) global windows (single-partition
+    * by nature, fine for a dimension that fits one task); past a
+    * footer-count gate the SAME cuts run through [[ntileTwoPhase]] —
+    * exact global rank via range-partition + per-partition row_number
+    * + broadcast partition offsets, then NTILE's closed-form bucket —
+    * which is BIT-IDENTICAL to ntile (same tie splitting, the total
+    * order is unique) with no SinglePartition window, so it survives a
+    * 1e9-customer dimension. Q56ScaleSpec forces the past-gate path
+    * and pins census equality against the ntile twin. */
+  def q56(s: SparkSession, d: String): DataFrame =
+    q56Census(q56Quartiles(s, rfmFrame(s, d),
+      distributed = graft.Tables.footerRowCount(s, d, "orders") > 4000000L))
+
+  /** The per-customer (recency, frequency, monetary) dimension frame
+    * shared by both q56 paths. */
+  private[graft] def rfmFrame(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
     val cust = o.groupBy(col("o_custkey")).agg(
       max(col("o_orderdate")).as("last_dt"),
       count(lit(1)).as("f"),
       expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").as("m_cents"))
     val anchor = o.agg(max(col("o_orderdate")).as("anchor_dt"))
-    val rfm = cust.crossJoin(broadcast(anchor)).select(
+    cust.crossJoin(broadcast(anchor)).select(
       col("o_custkey"),
       datediff(col("anchor_dt").cast("date"), col("last_dt").cast("date"))
         .as("r_days"),
       col("f"), col("m_cents"))
-    val wr = Window.orderBy(col("r_days"), col("o_custkey"))
-    val wf = Window.orderBy(col("f").desc, col("o_custkey"))
-    val wm = Window.orderBy(col("m_cents").desc, col("o_custkey"))
-    rfm.select(col("o_custkey"),
-        ntile(4).over(wr).as("r_q"),
-        ntile(4).over(wf).as("f_q"),
-        ntile(4).over(wm).as("m_q"))
-      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** Quartile-cut the RFM frame on all three metrics; `distributed`
+    * selects ntile windows (gated SFs) vs the two-phase exact-rank
+    * path (scale). Both produce identical (o_custkey, r_q, f_q, m_q). */
+  private[graft] def q56Quartiles(s: SparkSession, rfm: DataFrame,
+      distributed: Boolean): DataFrame = {
+    val specs = Seq[(String, Seq[Column])](
+      ("r_q", Seq(col("r_days"), col("o_custkey"))),
+      ("f_q", Seq(col("f").desc, col("o_custkey"))),
+      ("m_q", Seq(col("m_cents").desc, col("o_custkey"))))
+    if (!distributed)
+      specs.foldLeft(rfm) { case (df, (out, sc)) =>
+        df.withColumn(out, ntile(4).over(Window.orderBy(sc: _*)))
+      }.select("o_custkey", "r_q", "f_q", "m_q")
+    else
+      specs.map { case (out, sc) =>
+        ntileTwoPhase(s, rfm, 4, sc, out).select(col("o_custkey"), col(out))
+      }.reduce(_.join(_, Seq("o_custkey")))
+  }
+
+  private[graft] def q56Census(q: DataFrame): DataFrame =
+    q.groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         min(col("o_custkey")).as("sample_cust"))
       .orderBy(col("r_q"), col("f_q"), col("m_q"))
+
+  /** Exact distributed NTILE(q) under a TOTAL order (sortCols must
+    * include a unique tiebreaker) — bit-identical to
+    * `ntile(q).over(Window.orderBy(sortCols))` with no SinglePartition
+    * window: range-partition on the sort key, per-partition
+    * row_number, add broadcast partition offsets (≤ nPart driver
+    * rows — the Corpus.withGlobalCumsum discipline, input pinned so
+    * the offset table and the rank pass see identical range
+    * boundaries), then NTILE's closed form over the 1-based global
+    * rank: with n rows the first n%q buckets take ceil(n/q) rows, the
+    * rest floor(n/q). */
+  private[graft] def ntileTwoPhase(s: SparkSession, df: DataFrame, q: Int,
+      sortCols: Seq[Column], out: String): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val part = graft.Checkpoints.pin(df.repartitionByRange(nPart, sortCols: _*))
+    val withPid = part.withColumn("pid", spark_partition_id())
+    val counts = withPid.groupBy("pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    var acc = 0L
+    val offRows = counts.keys.toSeq.sorted.map { p =>
+      val o = acc; acc += counts(p); (p, o)
+    }
+    import s.implicits._
+    val offDf = offRows.toDF("pid", "off")
+    val w = Window.partitionBy("pid").orderBy(sortCols: _*)
+    val k = n / q; val r = n % q; val big = k + 1
+    val kSafe = math.max(k, 1) // otherwise-branch unreachable when k=0
+    val rank = row_number().over(w).cast("long") + col("off")
+    val bucket = when(rank <= lit(r * big), ((rank - 1) / big).cast("int") + 1)
+      .otherwise((lit(r) + (rank - lit(r * big) - 1) / kSafe).cast("int") + 1)
+    withPid.join(broadcast(offDf), "pid")
+      .withColumn(out, bucket).drop("pid", "off")
   }
 
   val q56Sql: String =

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.queries.Analytics4
+
+/** Forces q56's past-footer-gate path (two-phase exact-rank NTILE) and
+  * pins bit-parity against the ntile twin — per-customer assignments,
+  * not just the census — plus closed-form correctness of
+  * [[Analytics4.ntileTwoPhase]] on synthetic corpora that exercise
+  * ties, n % q != 0, and n < q. */
+class Q56ScaleSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("q56 census: two-phase path is row-identical to the ntile path at sf0.001") {
+    val rfm = Analytics4.rfmFrame(spark, sf)
+    val viaNtile = Analytics4.q56Census(
+      Analytics4.q56Quartiles(spark, rfm, distributed = false)).collect()
+    val viaTwoPhase = Analytics4.q56Census(
+      Analytics4.q56Quartiles(spark, rfm, distributed = true)).collect()
+    assert(viaNtile.toSeq == viaTwoPhase.toSeq)
+    assert(viaNtile.length > 1, "census must be non-degenerate")
+  }
+
+  test("q56 per-customer quartile assignments agree exactly between paths") {
+    val rfm = Analytics4.rfmFrame(spark, sf)
+    def keyed(distributed: Boolean) =
+      Analytics4.q56Quartiles(spark, rfm, distributed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .sortBy(_._1).toSeq
+    assert(keyed(false) == keyed(true))
+  }
+
+  test("ntileTwoPhase matches ntile on tie-heavy synthetic corpora for several q") {
+    import spark.implicits._
+    // 1003 rows (odd remainder), metric with heavy ties (mod 17), key unique
+    val df = (1L to 1003L).map(i => (i, i % 17)).toDF("key", "metric")
+    val sortCols = Seq(col("metric"), col("key"))
+    for (q <- Seq(2, 3, 4, 7)) {
+      val expect = df.withColumn("b", ntile(q).over(Window.orderBy(sortCols: _*)))
+        .select("key", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = Analytics4.ntileTwoPhase(spark, df, q, sortCols, "b")
+        .select("key", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == expect, s"q=$q mismatch")
+    }
+  }
+
+  test("ntileTwoPhase handles n < q (each row its own bucket)") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 1L)).toDF("key", "metric")
+    val got = Analytics4
+      .ntileTwoPhase(spark, df, 4, Seq(col("metric"), col("key")), "b")
+      .select("key", "b").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(3L -> 1, 1L -> 2, 2L -> 3))
+  }
+
+  test("two-phase plan has no SinglePartition window") {
+    val rfm = Analytics4.rfmFrame(spark, sf)
+    val plan = Analytics4.q56Quartiles(spark, rfm, distributed = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "scale path must not contain a SinglePartition exchange:\n" + plan)
+  }
+}
