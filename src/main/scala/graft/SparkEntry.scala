@@ -38,6 +38,7 @@ object SparkEntry {
     "dedup_fuzzy" -> ((s, d) => Dedup.fuzzy(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringCoverage(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(s, d)),
+    "text_fingerprint_utf8" -> ((s, d) => TextAnalysis.utf8Gate(s, d)),
     "text_hashfeatures" -> ((s, d) => TextAnalysis.hashFeatures(s, d)),
     "text_langid" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality" -> ((s, d) => TextAnalysis.quality(s, d)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_clusters" -> Dedup.clustersSql,
     "text_fingerprint" -> TextAnalysis.fingerprintsSql,
+    "text_fingerprint_utf8" -> TextAnalysis.utf8GateSql,
     "text_hashfeatures" -> TextAnalysis.hashFeaturesSql,
     "text_langid" -> TextAnalysis.langIdSql,
     "text_quality" -> TextAnalysis.qualitySql,

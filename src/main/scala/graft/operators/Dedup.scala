@@ -947,6 +947,32 @@ object Dedup {
       |  (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
       |             * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
 
+  /** Byte-exact twin of [[FnvWordSql]] for NON-ASCII text: the Spark
+    * side (HashUtil.fnv1a64) folds UTF-8 BYTES, while [[FnvWordSql]]
+    * folds `ascii(c)` CODEPOINTS — identical only while every
+    * codepoint < 128 (true of the generated corpus, which is why the
+    * ASCII oracles keep the cheaper form). This variant expands each
+    * codepoint to its UTF-8 byte sequence in SQL (the standard
+    * 1/2/3/4-byte encoding rules) and folds the bytes, so it replays
+    * fnv64 exactly on ANY text. Used by the text_fingerprint_utf8
+    * gate; property-pinned against fnv64 in Utf8GateSpec. */
+  private[operators] val FnvWordBytesSql: String =
+    """list_reduce(
+      |  list_concat([CAST('14695981039346656037' AS HUGEINT)],
+      |    list_transform(flatten(list_transform(
+      |      CASE WHEN w = '' THEN CAST([] AS VARCHAR[])
+      |           ELSE string_split(w, '') END,
+      |      c -> CASE
+      |        WHEN ord(c) < 128 THEN [ord(c)]
+      |        WHEN ord(c) < 2048 THEN [192 + ord(c)//64, 128 + ord(c)%64]
+      |        WHEN ord(c) < 65536 THEN
+      |          [224 + ord(c)//4096, 128 + (ord(c)//64)%64, 128 + ord(c)%64]
+      |        ELSE [240 + ord(c)//262144, 128 + (ord(c)//4096)%64,
+      |              128 + (ord(c)//64)%64, 128 + ord(c)%64] END)),
+      |      b -> CAST(b AS HUGEINT))),
+      |  (h, c) -> ((h - h % 256 + CAST(xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+      |             * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+
   /** DuckDB replay of the 64-bit SimHash: FNV-1a per token
     * ([[FnvWordSql]]), then the ±1 bit votes and the band extraction,
     * with the final unsigned→signed int64 conversion matching JVM Long

@@ -387,6 +387,96 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- text_fingerprint_utf8: multibyte text gate ------------------------
+
+  /** The deterministic multibyte transform behind [[utf8Gate]]: keyed
+    * on doc_id % 3, substitute common letters with 2-byte (ä, é),
+    * 3-byte (中, 語) and 4-byte (𝕆 — a supplementary-plane codepoint,
+    * the classic place UTF-16-centric engines break) characters.
+    * Spaces are never substituted, so tokenization boundaries are
+    * unchanged and the word-level machinery runs on genuinely
+    * multibyte tokens. Exposed for Utf8GateSpec. */
+  private[graft] def utf8Transform(cls: Column): Column =
+    when(cls === 0, expr("replace(replace(text, 'a', 'ä'), 'e', 'é')"))
+      .when(cls === 1, expr("replace(replace(text, 't', '中'), 's', '語')"))
+      .otherwise(expr("replace(replace(text, 'o', '𝕆'), 'n', 'ñ')"))
+
+  /** `text_fingerprint_utf8` — proves the text/dedup machinery is not
+    * ASCII-conditional: the corpus is deterministically rewritten into
+    * multibyte UTF-8 (see [[utf8Transform]]), then THREE byte-sensitive
+    * pipelines run over it and must hash-match the DuckDB replay —
+    * (a) content fingerprints (md5 over UTF-8 bytes) plus byte/char
+    * length censuses (which differ exactly when multibyte encoding is
+    * in play), (b) the fnv64 token hash (Spark folds UTF-8 bytes; the
+    * oracle replays with [[Dedup.FnvWordBytesSql]], expanding each
+    * codepoint to its UTF-8 byte sequence in SQL — the character-
+    * folding ASCII replay would NOT match, which is the point), and
+    * (c) content-defined chunking end-to-end (boundary rule, chunk
+    * reassembly, chunk fingerprints) through [[cdcChunkTableFrom]].
+    * One row per substitution class; all counters BIGINT so the gate
+    * hashes cross-engine.
+    *
+    * 100 TB: a multilingual corpus hits non-ASCII on day one; this
+    * gate pins that shingles, fingerprints and chunk boundaries are
+    * byte-deterministic, not ASCII-lucky. Same plan shape as the
+    * ASCII ops (per-document array expressions, constant-width
+    * aggregation) — the transform is a scan-side projection. */
+  def utf8Gate(s: SparkSession, d: String): DataFrame = {
+    val cls = pmod(col("doc_id"), lit(3L)).cast("int")
+    val docs = documents(s, d)
+      .select(col("doc_id"), cls.as("cls"), utf8Transform(cls).as("text"))
+    val docAgg = docs.groupBy(col("cls")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(octet_length(col("text"))).as("bytes"),
+      sum(length(col("text"))).as("chars"),
+      countDistinct(fingerprint(col("text"))).as("n_fp"),
+      min(fingerprint(col("text"))).as("min_fp"))
+    val wordAgg = docs
+      .select(col("cls"), explode(words(col("text"))).as("w"))
+      .groupBy(col("cls"))
+      .agg(sum(graft.functions.HashFunctions.fnv64(col("w"))
+        .bitwiseAND(lit(1048575L))).as("fnv_low_sum"))
+    val chunkAgg = cdcChunkTableFrom(docs.select(col("doc_id"), col("text")))
+      .groupBy(pmod(col("doc_id"), lit(3L)).cast("int").as("cls"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("fp")).as("n_chunk_fps"),
+        sum(col("n_words")).cast("long").as("chunk_words"))
+    docAgg.join(wordAgg, Seq("cls")).join(chunkAgg, Seq("cls"))
+      .orderBy(col("cls"))
+  }
+
+  val utf8GateSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS cls,
+       |    CASE CAST(doc_id % 3 AS INT)
+       |      WHEN 0 THEN replace(replace(text, 'a', 'ä'), 'e', 'é')
+       |      WHEN 1 THEN replace(replace(text, 't', '中'), 's', '語')
+       |      ELSE replace(replace(text, 'o', '𝕆'), 'n', 'ñ') END AS text
+       |  FROM documents),
+       |${cdcChunksCtesFrom("docs", Dedup.FnvWordBytesSql)},
+       |da AS (
+       |  SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(strlen(text)) AS BIGINT) AS bytes,
+       |    CAST(SUM(length(text)) AS BIGINT) AS chars,
+       |    CAST(COUNT(DISTINCT SUBSTR(md5(text), 1, 16)) AS BIGINT) AS n_fp,
+       |    MIN(SUBSTR(md5(text), 1, 16)) AS min_fp
+       |  FROM docs GROUP BY cls),
+       |wa AS (
+       |  SELECT cls, CAST(SUM(f) AS BIGINT) AS fnv_low_sum FROM (
+       |    SELECT cls, ${Dedup.FnvWordBytesSql} % 1048576 AS f
+       |    FROM (SELECT cls, unnest(string_split(text, ' ')) AS w FROM docs))
+       |  GROUP BY cls),
+       |ca AS (
+       |  SELECT CAST(doc_id % 3 AS INT) AS cls,
+       |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(COUNT(DISTINCT SUBSTR(md5(ctext), 1, 16)) AS BIGINT) AS n_chunk_fps,
+       |    CAST(SUM(n_words) AS BIGINT) AS chunk_words
+       |  FROM chunks GROUP BY 1)
+       |SELECT da.cls, n_docs, bytes, chars, n_fp, min_fp, fnv_low_sum,
+       |  n_chunks, n_chunk_fps, chunk_words
+       |FROM da JOIN wa USING (cls) JOIN ca USING (cls)
+       |ORDER BY cls""".stripMargin
+
   // ---- text_cdc_chunks / dedup_cdc: content-defined chunking ------------
 
   /** Containment threshold for [[cdcPairs]] — interpolated into
@@ -400,6 +490,13 @@ object TextAnalysis {
     * of the boundary rule and reassembly, so the report and the
     * pair-join consumer cannot drift (the kmeansAssign discipline). */
   private[operators] def cdcChunkTable(s: SparkSession, d: String,
+      mask: Int = 15): DataFrame =
+    cdcChunkTableFrom(documents(s, d), mask)
+
+  /** [[cdcChunkTable]] over an arbitrary (doc_id, text) frame — lets
+    * the UTF-8 gate chunk TRANSFORMED text through the same boundary
+    * rule and reassembly. */
+  private[operators] def cdcChunkTableFrom(docs: DataFrame,
       mask: Int = 15): DataFrame = {
     val ws = col("ws")
     // 0-based boundary positions: word i (i >= 3) ends its chunk when
@@ -420,7 +517,7 @@ object TextAnalysis {
         struct(array_join(slice(ws, st + 1, en - st + 1), " ").as("ctext"),
           (en - st + 1).as("n_words")))),
       c => c.isNotNull)
-    documents(s, d)
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .withColumn("bpos", bpos)
       .select(col("doc_id"), explode(chunkArr).as("ck"))
@@ -494,9 +591,13 @@ object TextAnalysis {
     * prefix-sum chunk ids, ordered string_agg reassembly. CTE chain
     * ending in `chunks` (doc_id, chunk, ctext, n_words) — shared
     * verbatim by [[cdcChunksSql]] and [[cdcPairsSql]]. */
-  private val CdcChunksCtes: String =
-    s"""WITH wst AS (
-       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** The CDC chunking CTE chain, parameterized by the doc source (a
+    * table or prior CTE exposing doc_id, text) and the FNV replay
+    * (character-folding [[Dedup.FnvWordSql]] for the ASCII corpus,
+    * byte-exact [[Dedup.FnvWordBytesSql]] for multibyte text). */
+  private def cdcChunksCtesFrom(docsSrc: String, fnvSql: String): String =
+    s"""wst AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM $docsSrc),
        |toks AS (
        |  SELECT doc_id, unnest(ws) AS tok, generate_subscripts(ws, 1) AS i
        |  FROM wst),
@@ -509,7 +610,7 @@ object TextAnalysis {
        |gb AS (
        |  SELECT doc_id, i, tok,
        |    CASE WHEN w IS NULL THEN 0
-       |         WHEN ${Dedup.FnvWordSql} % 16 = 0 THEN 1 ELSE 0 END AS b
+       |         WHEN $fnvSql % 16 = 0 THEN 1 ELSE 0 END AS b
        |  FROM g),
        |ck AS (
        |  SELECT doc_id, i, tok,
@@ -520,6 +621,9 @@ object TextAnalysis {
        |  SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY i) AS ctext,
        |    COUNT(*) AS n_words
        |  FROM ck GROUP BY doc_id, chunk)""".stripMargin
+
+  private val CdcChunksCtes: String =
+    s"WITH ${cdcChunksCtesFrom("documents", Dedup.FnvWordSql)}"
 
   val cdcChunksSql: String =
     s"""$CdcChunksCtes
