@@ -733,8 +733,9 @@ object AnnIndex {
     * per audited query) — it runs on a SAMPLE of query ids in
     * production, which composes here as a union over queryIds; the
     * served leg stays index-cost. */
-  def recallAudit(s: SparkSession, d: String, queryId: Long = 0L,
-      k: Int = 10): DataFrame =
+  def recallAudit(s: SparkSession, d: String,
+      queryId: Long = Similarity.AuditQueryId,
+      k: Int = Similarity.AuditK): DataFrame =
     // BOTH legs honor k (review finding): the exact truth, the served
     // set, and the recall_at denominator must describe the same depth
     Similarity.gradeAgainstExact(
@@ -750,7 +751,7 @@ object AnnIndex {
     s"""$ivfpqCtes,
        |$Cand50Cte,
        |served AS (
-       |${servedTopKSql(10)}),
+       |${servedTopKSql(Similarity.AuditK)}),
        |${Similarity.GradeVsExactSql}""".stripMargin
   }
 

@@ -416,12 +416,17 @@ object GraphOps {
         // owns past-gate corpora anyway
         var packed = new Array[Long](1 << 20); var pLen = 0
         val wide = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
-        it.foreach { case p @ (a, c) =>
-          if (a >= 0 && c >= 0 && a < (1L << 32) && c < (1L << 32)) {
+        // normalize each undirected pair to (min,max) BEFORE dedupe:
+        // a caller streaming both orientations of one edge must not
+        // double-count that neighbor (basketPairStream happens to
+        // guarantee a<c, but that is its invariant, not this kernel's)
+        it.foreach { case (a0, c0) =>
+          val a = math.min(a0, c0); val c = math.max(a0, c0)
+          if (a >= 0 && c < (1L << 32)) {
             if (pLen == packed.length)
               packed = java.util.Arrays.copyOf(packed, packed.length << 1)
             packed(pLen) = (a << 32) | c; pLen += 1
-          } else { wide += p; () }
+          } else { wide += ((a, c)); () }
         }
         java.util.Arrays.sort(packed, 0, pLen)
         val interner = new NodeInterner

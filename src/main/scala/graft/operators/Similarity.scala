@@ -103,7 +103,11 @@ object Similarity {
     val w = Window.orderBy(col("cos").desc, col("vec_id"))
     exact
       .withColumn("rnk", row_number().over(w))
-      .join(served.select(col("vec_id"), lit(true).as("hit")),
+      // distinct: a duplicate-carrying served set must not fan exact
+      // rows out through the join (would break the dense 1..k rank
+      // sequence the recall arithmetic relies on)
+      .join(served.select(col("vec_id")).distinct()
+          .withColumn("hit", lit(true)),
         Seq("vec_id"), "left")
       .withColumn("hit", coalesce(col("hit"), lit(false)))
       .withColumn("hits_at", sum(when(col("hit"), 1L).otherwise(0L))
@@ -113,15 +117,27 @@ object Similarity {
       .orderBy(col("rnk"))
   }
 
+  /** The audited (query id, depth, prefix dims) tuple shared by every
+    * recall-style gate AND its oracle SQL: the Scala defaults and the
+    * SQL literals are both derived from these constants (r10 advice),
+    * so a non-default invocation wired into the gated harness cannot
+    * silently grade against a mismatched oracle — change the constant
+    * and both sides move together. */
+  val AuditQueryId = 0L
+  val AuditK = 10
+  val AuditDims = 16
+
   /** [[gradeAgainstExact]] as SQL: expects a `served(vec_id, …)` CTE
-    * in scope; appends the exact/ranked CTEs and the grading SELECT. */
-  private[operators] val GradeVsExactSql: String =
+    * in scope; appends the exact/ranked CTEs and the grading SELECT.
+    * Parameterized on the same knobs as the Scala side. */
+  private[operators] def gradeVsExactSql(queryId: Long = AuditQueryId,
+      k: Int = AuditK): String =
     s"""exact AS (
        |  SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
        |  FROM embeddings
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-       |  WHERE vec_id <> 0
-       |  ORDER BY cos DESC, vec_id LIMIT 10),
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $queryId)
+       |  WHERE vec_id <> $queryId
+       |  ORDER BY cos DESC, vec_id LIMIT $k),
        |ranked AS (
        |  SELECT vec_id, cos,
        |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
@@ -132,6 +148,10 @@ object Similarity {
        |    OVER (ORDER BY r.rnk) AS DOUBLE) / r.rnk AS recall_at
        |FROM ranked r LEFT JOIN served s USING (vec_id)
        |ORDER BY rnk""".stripMargin
+
+  /** Default-knob application of [[gradeVsExactSql]] for the gated
+    * oracles. */
+  private[operators] val GradeVsExactSql: String = gradeVsExactSql()
 
   /** `embed_truncation` — truncated-dimension retrieval quality (the
     * Matryoshka-representation eval, Kusupati et al. NeurIPS'22): the
@@ -146,8 +166,9 @@ object Similarity {
     * (with columnar layouts, a prefix slice prunes at the page
     * level); the full-dim exact leg runs on a query-id sample exactly
     * as in the recall audit. */
-  def truncationAudit(s: SparkSession, d: String, queryId: Long = 0L,
-      dims: Int = 16, k: Int = 10): DataFrame = {
+  def truncationAudit(s: SparkSession, d: String,
+      queryId: Long = AuditQueryId, dims: Int = AuditDims,
+      k: Int = AuditK): DataFrame = {
     val et = embeddings(s, d).select(col("vec_id"),
       slice(col("embedding"), 1, dims).as("emb"))
     val en = et.select(col("vec_id"), col("emb"), norm2(col("emb")).as("n2"))
@@ -163,14 +184,14 @@ object Similarity {
   }
 
   val truncationAuditSql: String = {
-    val t = "embedding[1:16]"
+    val t = s"embedding[1:$AuditDims]"
     s"""WITH served AS (
        |  SELECT vec_id, ${cosOf(t, "q_emb")} AS tcos
        |  FROM embeddings
-       |  CROSS JOIN (SELECT embedding[1:16] AS q_emb FROM embeddings WHERE vec_id = 0)
-       |  WHERE vec_id <> 0
-       |  ORDER BY tcos DESC, vec_id LIMIT 10),
-       |$GradeVsExactSql""".stripMargin
+       |  CROSS JOIN (SELECT $t AS q_emb FROM embeddings WHERE vec_id = $AuditQueryId)
+       |  WHERE vec_id <> $AuditQueryId
+       |  ORDER BY tcos DESC, vec_id LIMIT $AuditK),
+       |${gradeVsExactSql()}""".stripMargin
   }
 
   /** `ann_filtered` — metadata-filtered vector search: exact top-10

@@ -779,15 +779,36 @@ object EtlQueries {
     * CoW files land before the v2 manifest (atomic move) commits them;
     * a kill mid-write leaves v2 absent and the retry re-stages. */
   def cloneAudit(s: SparkSession, d: String): DataFrame = {
-    val srcBase = ensureTimeTravelVersions(s, d) // read-only from here on
+    val srcBase = ensureTimeTravelVersions(s, d) // read-only data from here on
     val cloneBase = scratchDir("clone", d, "orders")
     val srcV2 = readManifest(srcBase, 2)
+    // Register each clone manifest under the SOURCE store's clones/
+    // dir too (r10 advice): a sweep of the source store consults its
+    // own clones/ registrations (the vacuumRefs cloneRefs discipline),
+    // so a clone whose manifest lives only under its own root protects
+    // nothing — the exact dangling-ref hazard shallow clones create.
+    // The registration is the borrowing store's manifest verbatim;
+    // paths the source doesn't own are simply never garbage candidates.
+    def registerAtSource(v: Int, entries: Seq[(Int, String)]): Unit = {
+      val reg = new java.io.File(
+        s"$srcBase/clones/${new java.io.File(cloneBase).getName}/manifests")
+      val dest = java.nio.file.Paths.get(reg.toString, s"v$v.txt")
+      if (!java.nio.file.Files.exists(dest)) { // registration is commit-time, replays byte-untouched
+        reg.mkdirs()
+        val tmp = java.nio.file.Paths.get(s"$dest.tmp")
+        java.nio.file.Files.writeString(tmp,
+          entries.map { case (p, path) => s"$p\t$path" }.mkString("\n"))
+        java.nio.file.Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      }
+    }
     // clone commit: v1 entries are ABSOLUTE paths into the source
     // store (readManifest's `ver` field carries them verbatim)
     if (!new java.io.File(s"$cloneBase/manifests/v1.txt").exists())
       writeManifest(cloneBase, 1,
         srcV2.map { case (p, ver) => p -> s"$srcBase/files/$ver/pt=$p" })
     val cloneV1 = readManifest(cloneBase, 1)
+    registerAtSource(1, cloneV1)
     if (!new java.io.File(s"$cloneBase/manifests/v2.txt").exists()) {
       // CoW mutation of pt=3 only: data first, manifest (= the commit
       // marker, atomic move inside writeManifest) last
@@ -798,6 +819,7 @@ object EtlQueries {
       writeManifest(cloneBase, 2,
         cloneV1.map { case (p, path) => p -> (if (p == 3) owned else path) })
     }
+    registerAtSource(2, readManifest(cloneBase, 2))
     val cloneV2 = readManifest(cloneBase, 2)
     val shared = cloneV2.count { case (_, path) => path.startsWith(srcBase) }
     def readVia(entries: Seq[(Int, String)]) =

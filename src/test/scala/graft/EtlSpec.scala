@@ -250,6 +250,18 @@ class EtlSpec extends AnyFunSuite {
     assert(a1.getLong(2) == a1.getLong(0), "clone_rows must equal src_rows")
     assert(a1.getLong(3) == 7 && a1.getLong(4) == 1)
     assert(a1.getLong(5) < a1.getLong(0) && a1.getLong(6) < a1.getLong(1))
+    // the clone is REGISTERED under the source store's clones/ dir, so
+    // a clone-aware sweep of the source consults it (r10 advice): the
+    // v1 registration carries exactly the clone's borrowed paths
+    val reg = new java.io.File(
+      s"$src/clones/${new java.io.File(base).getName}/manifests/v1.txt")
+    assert(reg.exists, "clone must register at the source store")
+    val regPaths = {
+      val sc = scala.io.Source.fromFile(reg, "UTF-8")
+      try sc.getLines().map(_.split("\t")(1)).toSet finally sc.close()
+    }
+    assert(regPaths == v1.map(_._2).toSet,
+      "source-side registration must list the clone's borrowed paths")
     // source store byte-untouched by a replay; audit idempotent
     def srcState(): Seq[(String, Long, Long)] = {
       def walk(f: java.io.File): Seq[java.io.File] =
@@ -277,9 +289,15 @@ class EtlSpec extends AnyFunSuite {
     val p1 = audit(0); val p2 = audit(1)
     assert(p1.getLong(1) == 0 && p1.getLong(2) == 0,
       "phase 1 must sweep nothing while the clone ref is live")
-    assert(p1.getLong(3) == p1.getLong(5) + p1.getLong(2) ||
-      p1.getLong(3) > p2.getLong(5),
-      "clone must read the FULL v1 snapshot (more rows than the retained v2)")
+    // the clone reads the FULL v1 snapshot: compare against the v1
+    // derivation from the raw table (v1 = base slice, o_orderkey%7<>6)
+    val v1Rows = graft.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 7 =!= 6)
+      .count()
+    assert(p1.getLong(3) == v1Rows,
+      "clone must read exactly the v1 snapshot row count")
+    assert(p1.getLong(3) > p2.getLong(5),
+      "v1 snapshot must exceed the retained v2 (deletes happened)")
     assert(p2.getLong(1) == 2 && p2.getLong(2) > 0,
       "phase 2 must reclaim v1's two rewritten partitions")
     assert(p2.isNullAt(3), "the dropped clone reports NULL")

@@ -131,9 +131,11 @@ class PropertySpec extends AnyFunSuite {
       a <- Gen.chooseNum(0L, 25L)
       c <- Gen.chooseNum(0L, 25L).suchThat(_ != a)
       widen <- Gen.oneOf(false, false, false, true)
+      flip <- Gen.oneOf(false, true) // both orientations of one edge
     } yield {
       val (lo, hi) = if (a < c) (a, c) else (c, a)
-      if (widen) (lo + (1L << 40), hi + (1L << 40)) else (lo, hi)
+      val (x, y) = if (widen) (lo + (1L << 40), hi + (1L << 40)) else (lo, hi)
+      if (flip) (y, x) else (x, y)
     }
     val graphGen = Gen.chooseNum(1, 120).flatMap(n => Gen.listOfN(n, edgeGen))
     check(Prop.forAll(graphGen) { pairs =>
@@ -160,7 +162,9 @@ class PropertySpec extends AnyFunSuite {
     val W = 1L << 40
     val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (W + 1, W + 2), (2L, W + 1),
       (4L, 5L))
-    val pairs = und ++ und ++ Seq((1L, 2L)) // duplicates
+    // duplicates, including BOTH orientations of existing edges — the
+    // kernel must normalize before dedupe, not rely on a<c input
+    val pairs = und ++ und ++ Seq((1L, 2L), (2L, 1L), (W + 2, W + 1))
     val got = graft.operators.GraphOps.lpRoundsLocal(pairs.iterator)
       .toSeq.sortBy(_._1)
     val edges = und.toSet.flatMap((p: (Long, Long)) => Set(p, p.swap))
