@@ -151,7 +151,16 @@ object ScaleUp {
     "etl_vacuum_refs",
     // late-r10: LP communities — the gate flips at ×10, so the sweep
     // runs the distributed (dst, lab)-count argmax rounds
-    "graph_labelprop")
+    "graph_labelprop",
+    // r11: the two r10 ops that missed their sweep rows (verdict item
+    // 4) — the grouped OLS pass (two scans + one constant-width agg,
+    // expected ~linear) and the MRL truncation eval (prefix-slice
+    // scan + the shared grading join, expected scan-bound)
+    "q59_regression", "embed_truncation",
+    // r11 new ops: the CAS commit race (store build ∝ table, commits
+    // ∝ touched partitions) and the multibyte gate (scan-side
+    // transform + the same constant-width text aggregations)
+    "etl_concurrent_commit", "text_fingerprint_utf8")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

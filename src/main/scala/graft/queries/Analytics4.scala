@@ -723,8 +723,11 @@ object Analytics4 {
     * 1e9-customer dimension. Q56ScaleSpec forces the past-gate path
     * and pins census equality against the ntile twin. */
   def q56(s: SparkSession, d: String): DataFrame =
+    // gate at 1M orders: gated SFs (≤150k) keep the ntile windows the
+    // oracle replays; the ×10 sweep corpus (1.5M) runs the two-phase
+    // path, so its scale row measures the shape that survives growth
     q56Census(q56Quartiles(s, rfmFrame(s, d),
-      distributed = graft.Tables.footerRowCount(s, d, "orders") > 4000000L))
+      distributed = graft.Tables.footerRowCount(s, d, "orders") > 1000000L))
 
   /** The per-customer (recency, frequency, monetary) dimension frame
     * shared by both q56 paths. */
