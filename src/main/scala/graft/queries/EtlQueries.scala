@@ -452,7 +452,7 @@ object EtlQueries {
     * manifests; returns the store base. Shared by the AS OF audit and
     * the change feed; `prefix` isolates consumers that MUTATE the
     * store (etl_vacuum) from the readers. */
-  private def ensureTimeTravelVersions(s: SparkSession, d: String,
+  private[graft] def ensureTimeTravelVersions(s: SparkSession, d: String,
       prefix: String = "ttravel"): String = {
     val base = scratchDir(prefix, d, "orders")
     val pt = pmod(col("o_orderkey"), lit(8)).cast("int")
