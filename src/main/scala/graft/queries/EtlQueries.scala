@@ -1382,20 +1382,22 @@ object EtlQueries {
   }
 
   private def writeManifest(base: String, v: Int, entries: Seq[(Int, String)]): Unit = {
-    new java.io.File(s"$base/manifests").mkdirs()
-    val body = entries.sortBy(_._1).map { case (p, ver) => s"$p\t$ver" }.mkString("\n")
-    // temp-file + ATOMIC_MOVE: the manifest's EXISTENCE is both the
-    // commit marker and the rebuild gate, so its visibility must be
-    // all-or-nothing — an in-place write crashed mid-stream would leave
-    // a truncated v<N>.txt that readers parse as a corrupt commit
-    // instead of falling back to the previous version.
-    val tmp = java.nio.file.Paths.get(s"$base/manifests/v$v.txt.tmp")
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp,
-      java.nio.file.Paths.get(s"$base/manifests/v$v.txt"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+    // CAS-create via ManifestCommit (r11 — one commit discipline for
+    // the whole lakehouse family): the manifest's EXISTENCE is the
+    // commit marker, visibility is all-or-nothing (staged tmp + hard
+    // link), and the FIRST writer owns the version. These stores'
+    // versions are deterministic functions of the source state, so a
+    // crash-retry legitimately re-produces the same version with the
+    // same CONTENT — accepted as the idempotent replay. A DIFFERENT
+    // manifest at the same version is exactly the concurrent-writer
+    // corruption rename-replace used to silently last-write-win; it
+    // is now a hard error (the WorkLists.scala:63 discipline).
+    if (!graft.etl.ManifestCommit.cas(base, v, entries)) {
+      val existing = readManifest(base, v)
+      require(existing == entries.sortBy(_._1).toList,
+        s"manifest v$v already committed with DIFFERENT content " +
+          s"(concurrent writer or corrupt store) at $base")
+    }
   }
 
   val timeTravelSql: String =

@@ -169,6 +169,46 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("gave up"))
   }
 
+  test("REAL concurrency: 8 threads race disjoint commits; every one lands, none lost") {
+    val base = tmpStore()
+    bootstrap(base, 0 to 7)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (0 to 7).map { i =>
+      new Thread(() => {
+        try {
+          val dir = s"W$i"
+          writeData(base, dir, Seq(i))
+          barrier.await() // maximize CAS contention: all publish at once
+          val readV = ManifestCommit.currentVersion(base)
+          val entries = ManifestCommit.readManifest(base, readV)
+            .map { case (p, d) => (p, if (p == i) dir else d) }
+          val res = ManifestCommit.publish(base,
+            Prepared(s"w$i", readV, Seq(i), dir, entries),
+            // disjoint writers: a forced recompute would be a protocol
+            // bug, but under real interleaving a writer CAN observe a
+            // conflict window where rebase alone suffices — publish
+            // decides; this callback re-prepares correctly anyway
+            v => Prepared(s"w$i", v, Seq(i), dir,
+              ManifestCommit.readManifest(base, v)
+                .map { case (p, d) => (p, if (p == i) dir else d) }))
+          results.put(s"w$i", res.committedVersion): Unit
+        } catch { case t: Throwable => errors.add(t): Unit }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    assert(errors.isEmpty, s"committer failed: ${Option(errors.peek())}")
+    assert(results.size == 8, "every writer must land")
+    // versions 2..9 each won by exactly one writer
+    assert(results.values.asInstanceOf[java.util.Collection[Int]]
+      .toArray.map(_.asInstanceOf[Int]).sorted.toSeq == (2 to 9),
+      s"versions must be 2..9, one per writer: $results")
+    assert(ManifestCommit.currentVersion(base) == 9)
+    // the final state carries ALL 8 writers' data — nothing lost
+    assert(readVisible(base) == (0 to 7).map(p => p -> s"W$p:$p").toMap)
+  }
+
   test("gated etl_concurrent_commit audit matches the protocol receipts end-to-end") {
     val s = SparkTestSession.spark
     val rows = graft.queries.EtlQueries
