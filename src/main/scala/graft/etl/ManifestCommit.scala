@@ -94,11 +94,21 @@ object ManifestCommit {
     * and a reader can never observe a partial manifest. */
   def cas(base: String, v: Int, entries: Seq[(Int, String)]): Boolean = {
     new java.io.File(s"$base/manifests").mkdirs()
-    val body = entries.sortBy(_._1).map { case (p, d) => s"$p\t$d" }.mkString("\n")
-    val tmp = Paths.get(s"${manifestPath(base, v)}.tmp.${ProcessHandle.current().pid()}.${Thread.currentThread().getId}")
+    casFile(manifestPath(base, v),
+      entries.sortBy(_._1).map { case (p, d) => s"$p\t$d" }.mkString("\n"))
+  }
+
+  /** The raw primitive behind [[cas]]: create-if-absent publish of
+    * `body` at `path` via staged tmp + link(2). All-or-nothing
+    * visibility AND first-writer-wins, for stores whose manifest is
+    * not a partition map (e.g. the streaming versioned sink's
+    * file-list manifests). Parent dir must exist. */
+  def casFile(path: String, body: String): Boolean = {
+    val tmp = Paths.get(
+      s"$path.tmp.${ProcessHandle.current().pid()}.${Thread.currentThread().getId}")
     Files.write(tmp, body.getBytes("UTF-8"))
     try {
-      Files.createLink(Paths.get(manifestPath(base, v)), tmp)
+      Files.createLink(Paths.get(path), tmp)
       true
     } catch {
       case _: FileAlreadyExistsException => false

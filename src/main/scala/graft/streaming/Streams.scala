@@ -703,9 +703,13 @@ object Streams extends Serializable {
           val rel = s"files/b$batchId"
           batch.write.mode("overwrite").parquet(s"$base/$rel")
           val entries = (if (v == 1) Nil else readManifest(v - 1)) :+ rel
-          java.nio.file.Files.write(manifestPath(v),
-            entries.mkString("\n").getBytes("UTF-8"))
-          ()
+          // CAS-create (ManifestCommit discipline, r11): a plain write
+          // crashed mid-stream would leave a truncated manifest whose
+          // PRESENCE reads as a commit; staged-tmp + link(2) makes the
+          // marker all-or-nothing, and a lost race (replayed batch,
+          // deterministic content) is simply the idempotent no-op
+          graft.etl.ManifestCommit.casFile(manifestPath(v).toString,
+            entries.mkString("\n")): Unit
         }
       }
       .start()
