@@ -433,6 +433,10 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val Array(u, v) = pairs.columns
+    // NOT pre-partitioned on src (the labelPropDistributed trick was
+    // MEASURED here and lost, 3.2 → 5.0 s at sf0.1): the near-dup edge
+    // list is small and AQE broadcasts the labels side, so rounds never
+    // reshuffle edges anyway — an upfront hash exchange only adds cost.
     val edges = pairs.select(col(u).as("src"), col(v).as("dst"))
       .union(pairs.select(col(v).as("src"), col(u).as("dst")))
       .persist()
