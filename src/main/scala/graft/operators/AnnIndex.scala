@@ -536,7 +536,7 @@ object AnnIndex {
     * serve limit). A real pipeline calls [[delete]] on the main index
     * instead — the variant isolation exists because THIS run's sibling
     * queries must keep serving the unerased corpus. */
-  def forgetAudit(s: SparkSession, d: String, queryId: Long = 0L,
+  def forgetAudit(s: SparkSession, d: String, queryId: Long = Similarity.AuditQueryId,
       k: Int = 10): DataFrame = {
     val pre = ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k)
       .collect().map(_.getLong(0)).toSeq
@@ -576,7 +576,7 @@ object AnnIndex {
        |pre AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50_pre USING (vec_id)
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = ${Similarity.AuditQueryId}) q
        |  ORDER BY cos DESC, vec_id LIMIT 10),
        |res AS (SELECT vec_id % 10 AS r FROM pre ORDER BY cos DESC, vec_id LIMIT 1),
        |cand50_post AS (
@@ -585,7 +585,7 @@ object AnnIndex {
        |post AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50_post USING (vec_id)
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = ${Similarity.AuditQueryId}) q
        |  ORDER BY cos DESC, vec_id LIMIT 10),
        |ranked AS (
        |  SELECT vec_id, cos,
@@ -666,7 +666,7 @@ object AnnIndex {
     * (stale_after = false), and the top-1 served neighbor — proof the
     * production path returns the same answer from the rewritten
     * artifacts that the tombstone anti-join gave before them. */
-  def compactAudit(s: SparkSession, d: String, queryId: Long = 0L): DataFrame = {
+  def compactAudit(s: SparkSession, d: String, queryId: Long = Similarity.AuditQueryId): DataFrame = {
     // memoized: the tombstone + rewrite sequence is deterministic per
     // fingerprint; the audit counters computed during prep replay from
     // the READY marker on later invocations (verdict r9 item 3)
@@ -702,7 +702,7 @@ object AnnIndex {
        |t1 AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50c USING (vec_id)
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = ${Similarity.AuditQueryId}) q
        |  ORDER BY cos DESC, vec_id LIMIT 1)
        |SELECT
        |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 10 = 3) AS erased,
@@ -811,7 +811,7 @@ object AnnIndex {
 
   /** `ann_pq` served from the stored index: whole-corpus ADC ranking
     * from stored codes — bit-identical to [[Similarity.pq]]. */
-  def pqQuery(s: SparkSession, d: String, queryId: Long = 0L,
+  def pqQuery(s: SparkSession, d: String, queryId: Long = Similarity.AuditQueryId,
       k: Int = 10): DataFrame =
     codesDf(s, d).filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
@@ -824,7 +824,7 @@ object AnnIndex {
   /** `ann_ivfpq` served from the stored index: probe-cell filter on the
     * stored (vec_id, cell) assignment, then ADC over stored codes —
     * bit-identical to [[Similarity.ivfpq]]. */
-  def ivfpqQuery(s: SparkSession, d: String, queryId: Long = 0L,
+  def ivfpqQuery(s: SparkSession, d: String, queryId: Long = Similarity.AuditQueryId,
       k: Int = 10): DataFrame =
     ivfpqQueryAt(s, d, ensure(s, d), queryId, k)
 
@@ -861,7 +861,7 @@ object AnnIndex {
   /** `ann_pq_rerank` served: stored-index ADC candidates + exact
     * re-rank ([[Similarity.exactRerank]] — same expression as the
     * exact baseline, candidates fetched by id, never a scan). */
-  def pqRerankQuery(s: SparkSession, d: String, queryId: Long = 0L,
+  def pqRerankQuery(s: SparkSession, d: String, queryId: Long = Similarity.AuditQueryId,
       k: Int = 10, c: Int = Similarity.RerankC): DataFrame =
     Similarity.exactRerank(s, d, queryId, k,
       pqQuery(s, d, queryId, k = c).select(col("vec_id")))
@@ -870,7 +870,7 @@ object AnnIndex {
     * production serving path — stored coarse cells prune, stored codes
     * ADC-rank, exact re-rank of the top-c. Same top-k as the inline
     * [[Similarity.ivfpqRerank]]; oracle reuses ivfpqRerankSql. */
-  def ivfpqRerankQuery(s: SparkSession, d: String, queryId: Long = 0L,
+  def ivfpqRerankQuery(s: SparkSession, d: String, queryId: Long = Similarity.AuditQueryId,
       k: Int = 10, c: Int = Similarity.RerankC): DataFrame =
     ivfpqRerankQueryAt(s, d, ensure(s, d), queryId, k, c)
 
@@ -896,7 +896,7 @@ object AnnIndex {
     * stay 8 bytes/vector); output (vec_id, label, cos) matches
     * ann_filtered's shape so exact-scan and index-served answers are
     * directly comparable. */
-  def filteredIndexQuery(s: SparkSession, d: String, queryId: Long = 0L,
+  def filteredIndexQuery(s: SparkSession, d: String, queryId: Long = Similarity.AuditQueryId,
       k: Int = 10, c: Int = Similarity.RerankC): DataFrame = {
     val dir = ensure(s, d)
     val ids = graft.Tables.embeddings(s, d)
@@ -925,7 +925,7 @@ object AnnIndex {
        |rr AS (
        |  SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |  FROM embeddings e JOIN cand50f USING (vec_id)
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = ${Similarity.AuditQueryId}) q
        |  ORDER BY cos DESC, vec_id LIMIT 10)
        |SELECT r.vec_id, em.label, r.cos
        |FROM rr r JOIN embeddings em ON r.vec_id = em.vec_id

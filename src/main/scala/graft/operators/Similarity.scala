@@ -62,7 +62,7 @@ object Similarity {
   }
 
   /** Exact top-k cosine neighbours of vector `queryId` (brute force). */
-  def bruteForce(s: SparkSession, d: String, queryId: Long = 0L,
+  def bruteForce(s: SparkSession, d: String, queryId: Long = AuditQueryId,
       k: Int = 10): DataFrame =
     cosineToQuery(s, d, queryId)
       .orderBy(col("cos").desc, col("vec_id"))
@@ -86,8 +86,8 @@ object Similarity {
   val bruteForceSql: String =
     s"""SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
        |FROM embeddings
-       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-       |WHERE vec_id <> 0
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $AuditQueryId)
+       |WHERE vec_id <> $AuditQueryId
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
@@ -205,7 +205,7 @@ object Similarity {
     * probing (score only qualifying codes in probed cells), with
     * selectivity-aware nprobe widening as the standard refinement;
     * the exact form here is the recall-1 baseline of that path. */
-  def filteredSearch(s: SparkSession, d: String, queryId: Long = 0L): DataFrame =
+  def filteredSearch(s: SparkSession, d: String, queryId: Long = AuditQueryId): DataFrame =
     cosineToQuery(s, d, queryId,
       extraCols = Seq("label"), pred = col("label") % 2 === 0)
       .orderBy(col("cos").desc, col("vec_id"))
@@ -214,8 +214,8 @@ object Similarity {
   val filteredSearchSql: String =
     s"""SELECT vec_id, label, ${cosOf("embedding", "q_emb")} AS cos
        |FROM embeddings
-       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-       |WHERE vec_id <> 0 AND label % 2 = 0
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $AuditQueryId)
+       |WHERE vec_id <> $AuditQueryId AND label % 2 = 0
        |ORDER BY cos DESC, vec_id
        |LIMIT 10""".stripMargin
 
@@ -434,7 +434,7 @@ object Similarity {
     * cosine pass (at scale: the IVF-PQ serve path — same ranks in).
     * Both legs cut to kLeg rows BEFORE fusion, so the full-outer
     * fusion join touches ≤ 2·kLeg rows regardless of corpus size. */
-  def hybridRrf(s: SparkSession, d: String, queryId: Long = 0L,
+  def hybridRrf(s: SparkSession, d: String, queryId: Long = AuditQueryId,
       kLeg: Int = 50, n: Int = 10): DataFrame = {
     import graft.Tables.documents
     import graft.functions.TextFunctions.words
@@ -499,8 +499,8 @@ object Similarity {
        |vec AS (
        |  SELECT vec_id AS doc_id, ${cosOf("embedding", "q_emb")} AS cos
        |  FROM embeddings
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-       |  WHERE vec_id <> 0),
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $AuditQueryId)
+       |  WHERE vec_id <> $AuditQueryId),
        |vecr AS (
        |  SELECT doc_id,
        |    CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
@@ -688,7 +688,7 @@ object Similarity {
     * Oracle-exact: the planes are a pure function of (p, j), so
     * [[lshSql]] embeds their exact double literals. */
   def lsh(s: SparkSession, d: String, nPlanes: Int = 6, dim: Int = 64,
-      queryId: Long = 0L, k: Int = 10): DataFrame = {
+      queryId: Long = AuditQueryId, k: Int = 10): DataFrame = {
     val e = embeddings(s, d).select("vec_id", "embedding")
     val bucket = (0 until nPlanes).map { p =>
       when(dotD(col("embedding"), planeLit(p, dim)) >= 0, 1 << p).otherwise(0)
@@ -730,12 +730,12 @@ object Similarity {
     }.mkString("\n  + ")
     val masks = probeMasks(nPlanes).mkString("[", ", ", "]")
     s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
-       |q AS (SELECT bucket AS qb, embedding AS q_emb FROM b WHERE vec_id = 0),
+       |q AS (SELECT bucket AS qb, embedding AS q_emb FROM b WHERE vec_id = $AuditQueryId),
        |probes AS (SELECT xor(qb, m) AS pb, q_emb FROM q, unnest($masks) AS t(m))
        |SELECT vec_id, CAST(bucket AS INT) AS bucket, cos FROM (
        |  SELECT b.vec_id, b.bucket, ${cosOf("b.embedding", "p.q_emb")} AS cos
        |  FROM b JOIN probes p ON b.bucket = p.pb
-       |  WHERE b.vec_id <> 0)
+       |  WHERE b.vec_id <> $AuditQueryId)
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
   }
 
@@ -744,7 +744,7 @@ object Similarity {
     * nprobe=2 nearest cells. Oracle-exact: the centroid sample and
     * both argmax tie-breaks are deterministic, so [[ivfSql]] replays
     * the whole plan. */
-  def ivf(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+  def ivf(s: SparkSession, d: String, queryId: Long = AuditQueryId, k: Int = 10,
       nprobe: Int = Nprobe): DataFrame = {
     // norms precomputed ONCE per vector/centroid: inlining cosine()
     // into the n×(n/50) assignment stage would re-fold each vector's
@@ -794,11 +794,11 @@ object Similarity {
        |qcells AS (
        |  SELECT c_id AS probe_cell, q_emb FROM (
        |    SELECT c.c_id, q.q_emb, ${cosOf("q.q_emb", "c.c_emb")} AS c_cos
-       |    FROM (SELECT embedding AS q_emb FROM assigned WHERE vec_id = 0) q
+       |    FROM (SELECT embedding AS q_emb FROM assigned WHERE vec_id = $AuditQueryId) q
        |    CROSS JOIN cents c)
        |  ORDER BY c_cos DESC, c_id LIMIT $Nprobe)
        |SELECT a.vec_id, a.cell, ${cosOf("a.embedding", "q.q_emb")} AS cos
-       |FROM assigned a JOIN qcells q ON a.cell = q.probe_cell AND a.vec_id <> 0
+       |FROM assigned a JOIN qcells q ON a.cell = q.probe_cell AND a.vec_id <> $AuditQueryId
        |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin
 
   /** Range search: every vector within cosine ≥ `t` of the query — the
@@ -806,7 +806,7 @@ object Similarity {
     * use this shape: "give me EVERYTHING closer than t", unbounded k).
     * One narrow pass; the filter is applied before any ordering, so
     * only in-radius rows reach the (small) final sort. */
-  def rangeSearch(s: SparkSession, d: String, queryId: Long = 0L,
+  def rangeSearch(s: SparkSession, d: String, queryId: Long = AuditQueryId,
       t: Double = 0.25): DataFrame =
     cosineToQuery(s, d, queryId)
       .filter(col("cos") >= t)
@@ -816,8 +816,8 @@ object Similarity {
     s"""SELECT vec_id, cos FROM (
        |  SELECT vec_id, ${cosOf("embedding", "q_emb")} AS cos
        |  FROM embeddings
-       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
-       |  WHERE vec_id <> 0)
+       |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $AuditQueryId)
+       |  WHERE vec_id <> $AuditQueryId)
        |WHERE cos >= 0.25
        |ORDER BY vec_id""".stripMargin
 
@@ -923,7 +923,7 @@ object Similarity {
     cents
   }
 
-  def pq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+  def pq(s: SparkSession, d: String, queryId: Long = AuditQueryId, k: Int = 10,
       m: Int = 16, ksub: Int = 16, lloydIters: Int = 1): DataFrame = {
     // Defaults from a measured sweep on this corpus (recall@10 vs
     // exact, emitted per verify run in ann_recall.json): m=16/ksub=16
@@ -980,7 +980,7 @@ object Similarity {
     * cell order. Oracle-exact like [[pq]]: deterministic coarse sample
     * (vec_id % 50), seeded codebook, floor-quantised Lloyd means and
     * ADC totals, float ops mirrored exactly in [[ivfpqSql]]. */
-  def ivfpq(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+  def ivfpq(s: SparkSession, d: String, queryId: Long = AuditQueryId, k: Int = 10,
       nprobe: Int = Nprobe, m: Int = 16, ksub: Int = 16): DataFrame = {
     val e = normalizedEmb(s, d)
     val dim = e.select(size(col("embedding"))).head().getInt(0)
@@ -1047,7 +1047,7 @@ object Similarity {
     * broadcast-join point lookup, not a scan; everything before it
     * ships codes only. Oracle replays the ADC CTE chain (shared
     * verbatim with [[pqSql]] via pqCtes) + the bruteForce cosine fold. */
-  def pqRerank(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+  def pqRerank(s: SparkSession, d: String, queryId: Long = AuditQueryId, k: Int = 10,
       c: Int = RerankC): DataFrame =
     exactRerank(s, d, queryId, k, pq(s, d, queryId, k = c).select(col("vec_id")))
 
@@ -1058,7 +1058,7 @@ object Similarity {
     * only come from the nprobe probed cells), which is exactly the
     * production trade-off the nprobe knob tunes. Oracle shares the
     * full IVF+PQ CTE chain with [[ivfpqSql]] (ivfpqCtes). */
-  def ivfpqRerank(s: SparkSession, d: String, queryId: Long = 0L, k: Int = 10,
+  def ivfpqRerank(s: SparkSession, d: String, queryId: Long = AuditQueryId, k: Int = 10,
       c: Int = RerankC): DataFrame =
     exactRerank(s, d, queryId, k, ivfpq(s, d, queryId, k = c).select(col("vec_id")))
 
@@ -1144,12 +1144,12 @@ object Similarity {
        |  WHERE rn = 1),
        |dt AS (
        |  SELECT q.sub, c.code, ${d2Of("q.sv", "c.c_sv")} AS qd2
-       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub)),
+       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = $AuditQueryId) q JOIN cents c USING (sub)),
        |adc AS (
        |  SELECT vec_id,
        |    CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
        |  FROM codes JOIN dt USING (sub, code)
-       |  WHERE vec_id <> 0
+       |  WHERE vec_id <> $AuditQueryId
        |  GROUP BY vec_id)""".stripMargin
 
   val pqSql: String =
@@ -1163,7 +1163,7 @@ object Similarity {
        |SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |FROM embeddings e
        |JOIN cand USING (vec_id)
-       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $AuditQueryId) q
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   /** The composed IVF-PQ plan as DuckDB CTEs: the coarse-cell CTEs
@@ -1184,14 +1184,14 @@ object Similarity {
        |qcells AS (
        |  SELECT c_id AS probe_cell FROM (
        |    SELECT c.c_id, ${d2Of("q.q_emb", "c.c_emb")} AS qcd2
-       |    FROM (SELECT embedding AS q_emb FROM en WHERE vec_id = 0) q
+       |    FROM (SELECT embedding AS q_emb FROM en WHERE vec_id = $AuditQueryId) q
        |    CROSS JOIN cents0 c)
        |  ORDER BY qcd2, c_id LIMIT $nprobe),""".stripMargin +
     s"\n$PqTrainCtes,\n" +
     s"""cand AS (
        |  SELECT a.vec_id, a.cell FROM assigned a
        |  JOIN qcells q ON a.cell = q.probe_cell
-       |  WHERE a.vec_id <> 0),
+       |  WHERE a.vec_id <> $AuditQueryId),
        |codes AS (
        |  SELECT vec_id, cell, sub, code FROM (
        |    SELECT v.vec_id, cd.cell, v.sub, c.code,
@@ -1201,7 +1201,7 @@ object Similarity {
        |  WHERE rn = 1),
        |dt AS (
        |  SELECT q.sub, c.code, ${d2Of("q.sv", "c.c_sv")} AS qd2
-       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = 0) q JOIN cents c USING (sub)),
+       |  FROM (SELECT sub, sv FROM sv WHERE vec_id = $AuditQueryId) q JOIN cents c USING (sub)),
        |adcq AS (
        |  SELECT vec_id, cell,
        |    CAST(SUM(CAST(FLOOR(qd2 * 1e12) AS DECIMAL(28,0))) AS DOUBLE) / 1e12 AS adc_dist2
@@ -1225,7 +1225,7 @@ object Similarity {
     s"""SELECT e.vec_id, ${cosOf("e.embedding", "q.q_emb")} AS cos
        |FROM embeddings e
        |JOIN cand50 USING (vec_id)
-       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+       |CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = $AuditQueryId) q
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
 
   val ivfpqRerankSql: String =

@@ -773,35 +773,44 @@ object Analytics4 {
   /** Exact distributed NTILE(q) under a TOTAL order (sortCols must
     * include a unique tiebreaker) — bit-identical to
     * `ntile(q).over(Window.orderBy(sortCols))` with no SinglePartition
-    * window: range-partition on the sort key, per-partition
-    * row_number, add broadcast partition offsets (≤ nPart driver
-    * rows — the Corpus.withGlobalCumsum discipline, input pinned so
-    * the offset table and the rank pass see identical range
-    * boundaries), then NTILE's closed form over the 1-based global
-    * rank: with n rows the first n%q buckets take ceil(n/q) rows, the
-    * rest floor(n/q). */
+    * window over the DATA: range-partition on the sort key,
+    * per-partition row_number, add partition offsets computed IN-PLAN
+    * (a prefix-sum window over the ≤ nPart per-partition counts —
+    * tiny, never data), then NTILE's closed form over the 1-based
+    * global rank: with n rows the first n%q buckets take ceil(n/q)
+    * rows, the rest floor(n/q). One plan, one action: both references
+    * to the range exchange dedupe through ReuseExchange, so the
+    * offsets and the rank pass see the SAME boundaries by
+    * construction — no driver collect, no checkpoint dependence (the
+    * collect+pin variant was wrong under the noCheckpoint audit
+    * passthrough, review r11). */
   private[graft] def ntileTwoPhase(s: SparkSession, df: DataFrame, q: Int,
       sortCols: Seq[Column], out: String): DataFrame = {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val part = graft.Checkpoints.pin(df.repartitionByRange(nPart, sortCols: _*))
-    val withPid = part.withColumn("pid", spark_partition_id())
-    val counts = withPid.groupBy("pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val n = counts.values.sum
-    var acc = 0L
-    val offRows = counts.keys.toSeq.sorted.map { p =>
-      val o = acc; acc += counts(p); (p, o)
-    }
-    import s.implicits._
-    val offDf = offRows.toDF("pid", "off")
+    val withPid = df.repartitionByRange(nPart, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    val wAll = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withPid.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .select(col("pid"),
+        coalesce(sum(col("c")).over(wPrev), lit(0L)).as("off"),
+        sum(col("c")).over(wAll).as("n"))
     val w = Window.partitionBy("pid").orderBy(sortCols: _*)
-    val k = n / q; val r = n % q; val big = k + 1
-    val kSafe = math.max(k, 1) // otherwise-branch unreachable when k=0
-    val rank = row_number().over(w).cast("long") + col("off")
-    val bucket = when(rank <= lit(r * big), ((rank - 1) / big).cast("int") + 1)
-      .otherwise((lit(r) + (rank - lit(r * big) - 1) / kSafe).cast("int") + 1)
-    withPid.join(broadcast(offDf), "pid")
-      .withColumn(out, bucket).drop("pid", "off")
+    withPid.join(broadcast(offs), "pid")
+      .withColumn("rnk_g", row_number().over(w).cast("long") + col("off"))
+      // integer arithmetic throughout (DIV, not /): with k = n DIV q
+      // and r = n % q, rank <= r*(k+1) lands in the first (bigger)
+      // buckets, the rest in size-k buckets; GREATEST guards the
+      // (unreachable when k=0) else-branch divisor
+      .withColumn(out, expr(
+        s"""CAST(CASE WHEN rnk_g <= (n % $q) * (n DIV $q + 1)
+           |  THEN (rnk_g - 1) DIV (n DIV $q + 1) + 1
+           |  ELSE (n % $q) + (rnk_g - (n % $q) * (n DIV $q + 1) - 1)
+           |       DIV GREATEST(n DIV $q, 1) + 1
+           |  END AS INT)""".stripMargin))
+      .drop("pid", "off", "n", "rnk_g")
   }
 
   val q56Sql: String =

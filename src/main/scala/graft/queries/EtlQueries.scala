@@ -795,11 +795,10 @@ object EtlQueries {
       val dest = java.nio.file.Paths.get(reg.toString, s"v$v.txt")
       if (!java.nio.file.Files.exists(dest)) { // registration is commit-time, replays byte-untouched
         reg.mkdirs()
-        val tmp = java.nio.file.Paths.get(s"$dest.tmp")
-        java.nio.file.Files.writeString(tmp,
-          entries.map { case (p, path) => s"$p\t$path" }.mkString("\n"))
-        java.nio.file.Files.move(tmp, dest,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+        // casFile (the ONE publish primitive): create-if-absent, so a
+        // concurrent registrar losing the race is the idempotent no-op
+        graft.etl.ManifestCommit.casFile(dest.toString,
+          entries.map { case (p, path) => s"$p\t$path" }.mkString("\n")): Unit
       }
     }
     // clone commit: v1 entries are ABSOLUTE paths into the source

@@ -718,12 +718,15 @@ object Streams extends Serializable {
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("key_sum"))
   }
 
-  /** Highest committed version in a versioned-sink store. */
+  /** Highest committed version in a versioned-sink store. Tolerates
+    * leaked CAS staging files (`v<N>.txt.tmp.<pid>.<tid>` from a kill
+    * between stage and link): only a well-formed `v<N>.txt` is a
+    * commit — anything else must not make the store unreadable. */
   def latestVersion(base: String): Long =
     Option(new java.io.File(s"$base/manifests").listFiles).getOrElse(Array.empty)
-      .map(_.getName).collect { case n if n.startsWith("v") =>
-        n.stripPrefix("v").stripSuffix(".txt").toLong }
-      .maxOption.getOrElse(0L)
+      .map(_.getName).collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption }
+      .flatten.maxOption.getOrElse(0L)
 
   /** AS-OF read of a committed sink version through its manifest. */
   def versionedSnapshot(s: SparkSession, base: String, v: Long): DataFrame = {

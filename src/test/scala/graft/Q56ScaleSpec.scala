@@ -55,11 +55,26 @@ class Q56ScaleSpec extends AnyFunSuite {
     assert(got == Map(3L -> 1, 1L -> 2, 2L -> 3))
   }
 
-  test("two-phase plan has no SinglePartition window") {
+  test("two-phase plan: data-scale windows partitioned; SinglePartition only over aggregates") {
     val rfm = Analytics4.rfmFrame(spark, sf)
     val plan = Analytics4.q56Quartiles(spark, rfm, distributed = true)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"),
-      "scale path must not contain a SinglePartition exchange:\n" + plan)
+    assert(!plan.contains("ntile("),
+      "scale path must not fall back to ntile:\n" + plan)
+    // the rank window must be pid-partitioned (pid as PARTITION key,
+    // i.e. followed by the sort spec, not an ASC ordering itself)
+    assert("""row_number\(\) windowspecdefinition\(pid#\d+,""".r
+      .findFirstIn(plan).isDefined,
+      "global-rank window must be partitioned by pid:\n" + plan)
+    // every SinglePartition exchange must sit DIRECTLY over an
+    // aggregate (the <=nPart offsets counts / scalar partials —
+    // metadata-sized), never over the data frame (the ntile shape)
+    val lines = plan.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.drop(i + 1).take(1).mkString
+        assert(child.contains("HashAggregate"),
+          s"SinglePartition over non-aggregate data at line $i:\n$plan")
+      }
   }
 }
