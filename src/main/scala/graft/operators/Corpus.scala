@@ -111,22 +111,25 @@ object Corpus {
   private def withGlobalCumsum(s: SparkSession, df: DataFrame,
       sortCols: Seq[Column], valueCol: String): DataFrame = {
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val part = graft.Checkpoints.pin(df.repartitionByRange(nPart, sortCols: _*))
-    val withPid = part.withColumn("pid", spark_partition_id())
-    // per-partition totals: <= nPart rows, safe to collect
-    val totals = withPid.groupBy("pid").agg(sum(valueCol).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    var acc = 0L
-    val offRows = totals.keys.toSeq.sorted.map { p =>
-      val o = acc; acc += totals(p); (p, o)
-    }
-    import s.implicits._
-    val offDf = offRows.toDF("pid", "off")
+    val withPid = df.repartitionByRange(nPart, sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+    // per-partition offsets computed IN-PLAN (r11, the ntileTwoPhase
+    // review fix): a prefix-sum window over the <= nPart per-pid
+    // totals — metadata-sized, never data. One plan, one action: both
+    // references to the range exchange dedupe via ReuseExchange, so
+    // the offsets and the cumsum pass see identical range boundaries
+    // by construction. The previous collect+pin variant depended on
+    // Checkpoints.pin for that consistency, which the noCheckpoint
+    // audit passthrough silently removed.
+    val wPrev = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withPid.groupBy(col("pid")).agg(sum(valueCol).as("t"))
+      .select(col("pid"), coalesce(sum(col("t")).over(wPrev), lit(0L)).as("off"))
     val w = Window.partitionBy("pid").orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid
       .withColumn("lcum", sum(valueCol).over(w))
-      .join(broadcast(offDf), "pid")
+      .join(broadcast(offs), "pid")
       .withColumn("cum", col("lcum") + col("off"))
       .drop("pid", "lcum", "off")
   }

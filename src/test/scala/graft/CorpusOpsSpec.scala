@@ -113,11 +113,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "budget selection must be non-empty at sf0.001")
   }
 
+
+  /** SinglePartition is legitimate ONLY directly over an aggregate
+    * (the <=nPart in-plan offsets counts / scalar partials —
+    * metadata-sized); over anything else it is a data-scale global
+    * window (the shape these specs exist to forbid). */
+  private def assertSinglePartitionOnlyOverAggregates(p: String): Unit = {
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        val child = lines.drop(i + 1).take(1).mkString
+        assert(child.contains("HashAggregate"),
+          s"SinglePartition over non-aggregate data at line $i:\n$p")
+      }
+  }
+
   test("corpus_token_budget does not run a global single-partition window") {
     val df = Corpus.tokenBudget(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("SinglePartition"), s"global window detected:\n$p")
+    assertSinglePartitionOnlyOverAggregates(p)
     assert(p.contains("Window"), "expected the per-partition cumsum window")
   }
 
@@ -125,10 +140,11 @@ class CorpusOpsSpec extends AnyFunSuite {
     val df = Corpus.packSequences(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    // the cumsum window must be pid-partitioned; a global window would
-    // force an Exchange SinglePartition somewhere in this plan (the
-    // only other exchanges here are hash/range/broadcast)
-    assert(!p.contains("SinglePartition"), s"global window detected:\n$p")
+    // the cumsum window must be pid-partitioned; a data-scale global
+    // window would force an Exchange SinglePartition over non-aggregate
+    // input (the in-plan offsets window over <=nPart counts is the one
+    // legitimate SinglePartition, r11)
+    assertSinglePartitionOnlyOverAggregates(p)
     assert(p.contains("Window"), "expected the per-partition cumsum window")
   }
 
