@@ -63,21 +63,26 @@ object ManifestCommit {
       recomputed: Boolean,
       entries: Seq[(Int, String)])
 
-  def manifestPath(base: String, v: Int): String = s"$base/manifests/v$v.txt"
+  def manifestPath(base: String, v: Long): String = s"$base/manifests/v$v.txt"
 
   /** Highest committed version (0 = empty store). Scans the manifest
-    * dir — O(versions), driver-side, bounded by retention. */
-  def currentVersion(base: String): Int = {
+    * dir — O(versions), driver-side, bounded by retention. Tolerates
+    * leaked CAS staging files (`v<N>.txt.tmp.<pid>.<tid>`): only a
+    * well-formed `v<N>.txt` is a commit. Long-domain variant shared
+    * with the streaming versioned sink (batchId-derived versions). */
+  def currentVersionLong(base: String): Long = {
     val dir = new java.io.File(s"$base/manifests")
     Option(dir.listFiles).getOrElse(Array.empty)
       .flatMap { f =>
         val n = f.getName
         if (n.startsWith("v") && n.endsWith(".txt"))
-          scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toInt).toOption
+          scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption
         else None
       }
-      .foldLeft(0)(math.max)
+      .foldLeft(0L)(math.max)
   }
+
+  def currentVersion(base: String): Int = currentVersionLong(base).toInt
 
   def readManifest(base: String, v: Int): Seq[(Int, String)] = {
     val src = scala.io.Source.fromFile(manifestPath(base, v), "UTF-8")
@@ -107,6 +112,14 @@ object ManifestCommit {
     val tmp = Paths.get(
       s"$path.tmp.${ProcessHandle.current().pid()}.${Thread.currentThread().getId}")
     Files.write(tmp, body.getBytes("UTF-8"))
+    // fsync the staged bytes BEFORE publishing the link: without it a
+    // power/kernel crash can persist the link (metadata) ahead of the
+    // data blocks, leaving a committed-looking torn manifest — the
+    // Delta LogStore discipline (review r11). Process kills never
+    // needed this; machine crashes do.
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.WRITE)
+    try ch.force(true) finally ch.close()
     try {
       Files.createLink(Paths.get(path), tmp)
       true
@@ -137,23 +150,34 @@ object ManifestCommit {
         s"CAS of v${pc.baseVersion + 1} failed but current=$cur — corrupt store")
       val curMan = readManifest(base, cur)
       val baseMan = readManifest(base, pc.baseVersion)
-      val changed = curMan.toMap.collect {
-        case (p, d) if baseMan.toMap.get(p) != Some(d) => p
-      }.toSet
+      val curMap = curMan.toMap
+      val baseMap = baseMan.toMap
+      // diff over the UNION of partition keys: a partition the winner
+      // REMOVED (in base, not in cur) is as much a conflict as one it
+      // rewrote — detecting only cur-side differences would let a
+      // loser resurrect deleted bytes (review r11)
+      val changed = (curMap.keySet ++ baseMap.keySet)
+        .filter(p => curMap.get(p) != baseMap.get(p))
       if (changed.intersect(pc.touched.toSet).nonEmpty) {
-        // True write-write conflict: the winner rewrote bytes this
-        // writer's CoW read. Data is stale — recompute from `cur`.
+        // True write-write conflict: the winner rewrote (or removed)
+        // bytes this writer's CoW read. Data is stale — recompute
+        // from `cur`.
         pc = prepareAgainst(cur)
         recomputed = true
       } else {
         // Disjoint partitions: data still valid; rebase = the winner's
-        // manifest with this writer's touched entries swapped in.
+        // manifest with this writer's touched entries UPSERTED — a
+        // partition this writer ADDS (absent from the winner's
+        // manifest) must survive the rebase, not silently vanish
+        // (review r11)
         val mine = pc.touched.toSet
+        val curKeys = curMan.map(_._1).toSet
         pc = pc.copy(
           baseVersion = cur,
           entries = curMan.map { case (p, d) =>
             (p, if (mine.contains(p)) pc.dataDir else d)
-          })
+          } ++ pc.touched.filterNot(curKeys.contains)
+            .map(p => (p, pc.dataDir)))
       }
     }
     throw new IllegalStateException(

@@ -56,8 +56,12 @@ object TypeMapping {
 
   private[etl] def convert(c: Column, from: DataType, to: String): Column = (from, to) match {
     case (BooleanType, "boolean")                     => c
-    case (BooleanType, "smallint")                    => when(c, 1).otherwise(0).cast("smallint")
-    case (BooleanType, "varchar" | "text")            => when(c, "true").otherwise("false")
+    // when-without-otherwise leaves unmatched (NULL) input NULL — the
+    // reference preserves NULL for every type (converters.rs:248
+    // Field::Null → NullVal); .otherwise(0) silently coerced NULL
+    // booleans to 0/"false" (review r11)
+    case (BooleanType, "smallint")                    => when(c, 1).when(!c, 0).cast("smallint")
+    case (BooleanType, "varchar" | "text")            => when(c, "true").when(!c, "false")
     case (ByteType | ShortType, "smallint")           => c.cast("smallint")
     case (ByteType | ShortType | IntegerType, "int")  => c.cast("int")
     case (ByteType | ShortType | IntegerType | LongType, "bigint") => c.cast("bigint")

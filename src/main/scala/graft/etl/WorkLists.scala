@@ -11,8 +11,13 @@ import scala.jdk.CollectionConverters._
   *  - `wip`: the batch currently in flight. On construction an existing
   *    `wip` is loaded in full (regardless of batch size) and must be
   *    drained before `todo` is touched again.
-  *  - `completed`: append-only log, written BEFORE the wip rewrite so a
-  *    crash between the two can only cause a skip, never a re-run.
+  *  - `completed`: append-only log, written BEFORE the wip rewrite
+  *    (the reference's explicit ordering, work_lists.rs:88 — "we want
+  *    to know it was done even if remaining steps fail"). A crash
+  *    between the two leaves the item in BOTH files: restart re-runs
+  *    it (at-least-once — the duplicate is visible in the completed
+  *    log), which is the safe failure mode; the reverse order would
+  *    let a processed item vanish from the audit trail entirely.
   *  - `nextBatch()` with a non-empty in-memory wip verifies the file
   *    still matches (detecting concurrent mutation) and errors if not.
   *

@@ -35,7 +35,11 @@ object StreamingPipeline {
     cast.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        JdbcSink.write(batch, url, table, aliases)
+        // sourceFields: alias resolution must see the USER's field
+        // names, not selectFields' deduped '_N' labels (the
+        // Pipeline.run discipline — review r11)
+        JdbcSink.write(batch, url, table, aliases,
+          sourceFields = Some(desiredFields))
         ()
       }
       .start()

@@ -415,9 +415,16 @@ object Streams extends Serializable {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
     import java.nio.file.Files
-    val HbUser = -999999L // absent from the events table by construction
-    val maxTs = graft.Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val HbUser = -999999L
+    // CHECKED, not assumed (review r11): a real event on the sentinel
+    // key would merge into its session state and be silently dropped
+    // with it — same scan as the heartbeat anchor, so the guard is free
+    val anchor = graft.Tables.events(s, d)
+      .agg(max(col("ts")), min(col("user_id"))).head()
+    val maxTs = anchor.getTimestamp(0)
     require(maxTs != null, "events table is empty: no heartbeat anchor")
+    require(anchor.getLong(1) > HbUser,
+      s"user_id $HbUser exists in events — sentinel key not free")
     val hbDir = Files.createTempDirectory("graft_hb_sess").toString
     def landHeartbeat(idx: Int, plusDays: Int): Unit = {
       val hbTs = new Timestamp(maxTs.getTime + plusDays * 86400000L)
@@ -465,7 +472,11 @@ object Streams extends Serializable {
         }
       }
       cur.foreach { c =>
-        val closeAtMs = c.lastUs / 1000L + gapSec * 1000L
+        // CEILING ms: floor truncation of sub-ms lastUs could fire the
+        // timeout up to 1 ms before last+gap elapses, closing a session
+        // a boundary event at exactly lastUs+gap must extend (review
+        // r11; both the state-machine arm and the oracle use > gap)
+        val closeAtMs = (c.lastUs + 999L) / 1000L + gapSec * 1000L
         if (closeAtMs <= state.getCurrentWatermarkMs()) {
           closed ::= c // watermark already beyond last+gap: close now
         } else {
@@ -555,9 +566,16 @@ object Streams extends Serializable {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import s.implicits._
     import java.nio.file.Files
-    val HbType = "heartbeat" // absent from events.event_type by construction
-    val maxTs = graft.Tables.events(s, d).agg(max(col("ts"))).head().getTimestamp(0)
+    val HbType = "heartbeat"
+    // CHECKED, not assumed (review r11): real rows of the sentinel
+    // type would merge into its windows and be dropped by the
+    // post-materialization filter — same scan as the anchor lookup
+    val anchor = graft.Tables.events(s, d).agg(max(col("ts")),
+      sum(when(col("event_type") === HbType, 1L).otherwise(0L))).head()
+    val maxTs = anchor.getTimestamp(0)
     require(maxTs != null, "events table is empty: no heartbeat anchor")
+    require(anchor.getLong(1) == 0L,
+      s"event_type '$HbType' exists in events — sentinel type not free")
     val hbDir = Files.createTempDirectory("graft_hb_anom").toString
     def landHeartbeat(idx: Int, plusDays: Int): Unit = {
       val hbTs = new Timestamp(maxTs.getTime + plusDays * 86400000L)
@@ -687,8 +705,9 @@ object Streams extends Serializable {
       s"${sys.props("java.io.tmpdir")}/graft_vsink_${key}_${fp}_p${ProcessHandle.current().pid()}"
     }
     new java.io.File(s"$base/manifests").mkdirs()
+    // ONE manifest-naming definition (ManifestCommit) — review r11
     def manifestPath(v: Long) =
-      java.nio.file.Paths.get(s"$base/manifests/v$v.txt")
+      java.nio.file.Paths.get(graft.etl.ManifestCommit.manifestPath(base, v))
     def readManifest(v: Long): Seq[String] = {
       val src = scala.io.Source.fromFile(manifestPath(v).toFile, "UTF-8")
       try src.getLines().toList finally src.close()
@@ -696,6 +715,15 @@ object Streams extends Serializable {
     val q = eventStream(s, d, maxFilesPerTrigger)
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       .writeStream.outputMode("append")
+      // checkpoint INSIDE the store: batchId-keyed idempotence is only
+      // sound while batchId→input is stable, and without a checkpoint
+      // batch ids restart at 0 with whatever batching the NEXT run
+      // uses (a different maxFilesPerTrigger would then double-count
+      // under the presence-check skip — review r11). With the offsets
+      // log pinned to the store, a re-run resumes instead of replaying,
+      // which is the Delta (queryId, batchId) discipline this sink
+      // cites.
+      .option("checkpointLocation", s"$base/_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val v = batchId + 1
         // idempotent commit: the manifest's presence IS the marker
@@ -718,15 +746,10 @@ object Streams extends Serializable {
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("key_sum"))
   }
 
-  /** Highest committed version in a versioned-sink store. Tolerates
-    * leaked CAS staging files (`v<N>.txt.tmp.<pid>.<tid>` from a kill
-    * between stage and link): only a well-formed `v<N>.txt` is a
-    * commit — anything else must not make the store unreadable. */
+  /** Highest committed version in a versioned-sink store — the shared
+    * tmp-tolerant scan (ManifestCommit.currentVersionLong). */
   def latestVersion(base: String): Long =
-    Option(new java.io.File(s"$base/manifests").listFiles).getOrElse(Array.empty)
-      .map(_.getName).collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
-        scala.util.Try(n.stripPrefix("v").stripSuffix(".txt").toLong).toOption }
-      .flatten.maxOption.getOrElse(0L)
+    graft.etl.ManifestCommit.currentVersionLong(base)
 
   /** AS-OF read of a committed sink version through its manifest. */
   def versionedSnapshot(s: SparkSession, base: String, v: Long): DataFrame = {

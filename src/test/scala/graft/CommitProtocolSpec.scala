@@ -106,6 +106,50 @@ class CommitProtocolSpec extends AnyFunSuite {
       "partition 0 must show the REcomputed bytes, not the stale v1-based ones")
   }
 
+  test("rebase preserves a partition the loser ADDS (absent from the winner's manifest)") {
+    val base = tmpStore()
+    bootstrap(base, 0 to 3)
+    writeData(base, "A1", Seq(0))
+    writeData(base, "B1", Seq(9)) // B introduces partition 9
+    val aPrep = Prepared("A", 1, Seq(0), "A1",
+      (0 to 3).map(p => p -> (if (p == 0) "A1" else "base")))
+    val bPrep = Prepared("B", 1, Seq(9), "B1",
+      (0 to 3).map(p => p -> "base") :+ (9 -> "B1"))
+    assert(ManifestCommit.publish(base, aPrep,
+      _ => fail("A must not recompute")).committedVersion == 2)
+    val bRes = ManifestCommit.publish(base, bPrep,
+      _ => fail("added-partition B must rebase, not recompute"))
+    assert(bRes.committedVersion == 3 && !bRes.recomputed)
+    val visible = readVisible(base)
+    assert(visible(9) == "B1:9",
+      "the ADDED partition must survive the rebase, not silently vanish")
+    assert(visible(0) == "A1:0" && visible(1) == "base:1")
+    assert(visible.size == 5)
+  }
+
+  test("a partition the winner REMOVED counts as a conflict for a loser touching it") {
+    val base = tmpStore()
+    bootstrap(base, 0 to 3)
+    // winner removes partition 2 outright (retention/forget shape)
+    assert(ManifestCommit.cas(base, 2,
+      Seq(0, 1, 3).map(p => p -> "base")))
+    writeData(base, "L1", Seq(2))
+    var recomputed = false
+    val res = ManifestCommit.publish(base,
+      Prepared("L", 1, Seq(2), "L1",
+        (0 to 3).map(p => p -> (if (p == 2) "L1" else "base"))),
+      { v =>
+        recomputed = true
+        writeData(base, "L2", Seq(2))
+        Prepared("L", v, Seq(2), "L2",
+          ManifestCommit.readManifest(base, v) :+ (2 -> "L2"))
+      })
+    assert(recomputed,
+      "rewriting bytes the winner deleted must force a recompute, not a blind rebase")
+    assert(res.committedVersion == 3 && res.recomputed)
+    assert(readVisible(base)(2) == "L2:2")
+  }
+
   test("crash between data write and CAS leaves only invisible orphans; retry converges") {
     val base = tmpStore()
     bootstrap(base, 0 to 3)

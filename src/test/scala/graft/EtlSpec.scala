@@ -665,6 +665,24 @@ class EtlSpec extends AnyFunSuite {
       TypeMapping.castTo(df, Map("amt" -> "bigint")))
   }
 
+  test("BOOLEAN casts preserve NULL (never coerce to 0/'false')") {
+    import org.apache.spark.sql.functions._
+    // reference contract: Field::Null stays NULL for every type
+    // (converters.rs:248); .otherwise(0) silently corrupted NULLs (r11)
+    val df = spark.range(3).select(
+      when(col("id") === 0, lit(true)).when(col("id") === 1, lit(false))
+        .as("b1"),
+      when(col("id") === 0, lit(true)).when(col("id") === 1, lit(false))
+        .as("b2"))
+    val out = TypeMapping.castTo(df,
+      Map("b1" -> "smallint", "b2" -> "text")).orderBy(col("b1"))
+    val rows = out.collect()
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getShort(0)).toSet ==
+      Set(1.toShort, 0.toShort, null))
+    assert(rows.map(r => if (r.isNullAt(1)) null else r.getString(1)).toSet ==
+      Set("true", "false", null))
+  }
+
   // ---- JdbcSink vs embedded Derby --------------------------------------
 
   private def derby(db: String) = s"jdbc:derby:memory:$db;create=true"
