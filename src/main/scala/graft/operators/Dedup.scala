@@ -120,7 +120,15 @@ object Dedup {
     * collisions (none among the ~10^3-10^6 distinct shingles here, and
     * a 128-bit upgrade is a one-line change at larger corpora). */
   private[operators] def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    shinglesOf(documents(s, d))
+
+  /** ONE shingle definition over any (doc_id, text) frame — shared by
+    * the corpus path above and MinhashIndex.append's batch encoding,
+    * so an index extension can never carry bands computed from
+    * different shingles than the stored table it extends (review
+    * r11). */
+  private[operators] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
@@ -345,17 +353,14 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val docsets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n_sh"))
-    val confirmed = cand
-      .join(docsets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
-        col("n_sh").as("n_a")), "doc_a")
-      .join(docsets.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
-        col("n_sh").as("n_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
-        col("n_a"), col("n_b"))
-    withJaccard(confirmed)
+    // confirm through the SHARED candidate-scoped path (review r11):
+    // the hand-rolled variant built collect_list docsets for the WHOLE
+    // corpus before the join pruned them — O(corpus) array shuffle
+    // where exactConfirm's semi-join pays O(candidates), which is the
+    // entire point of the df-cap (9.7M → 1,071 candidate pairs at
+    // sf0.1). Jaccard value is bit-identical (same int operands, one
+    // double division).
+    exactConfirm(cand, sh)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }

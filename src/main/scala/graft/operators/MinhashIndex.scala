@@ -120,22 +120,37 @@ object MinhashIndex {
   def append(s: SparkSession, d: String, batchDocs: DataFrame): Long = {
     val (nh, r) = geometry(s, d)
     val dir = ensure(s, d)
-    val stored = s.read.parquet(s"$dir/bands").select(col("doc_id")).distinct()
+    // idempotence keys on the SEEN doc-id set, not the band table: a
+    // shingle-less doc (<2 words) never lands a band row, and keying
+    // on bands would re-classify it as fresh on every retry (review
+    // r11). `seen` commits BEFORE the bands: a crash between the two
+    // loses that batch's band rows but never duplicates them, and a
+    // doc with missing bands gets the same probe verdict ("no
+    // near-dup evidence") a shingle-less doc legitimately gets —
+    // whereas bands-first + crash would re-append duplicate band rows
+    // on retry, double-emitting candidates.
+    val seenPath = s"$dir/seen"
+    val storedIds = {
+      val bandIds = s.read.parquet(s"$dir/bands").select(col("doc_id"))
+      val seenIds =
+        if (new java.io.File(seenPath).exists)
+          s.read.parquet(seenPath).select(col("doc_id"))
+        else bandIds.limit(0)
+      bandIds.unionByName(seenIds).distinct()
+    }
     val freshIds = graft.Checkpoints.pin(
       batchDocs.select(col("doc_id")).distinct()
-        .join(stored, Seq("doc_id"), "left_anti"))
+        .join(storedIds, Seq("doc_id"), "left_anti"))
     val n = freshIds.count()
     if (n == 0) return 0L
-    val sh = batchDocs.select(col("doc_id"),
-        graft.functions.TextFunctions.words(col("text")).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          graft.functions.TextFunctions.bigrams(col("ws")),
-          g => xxhash64(g)))).as("sh"))
-      .join(freshIds, "doc_id")
+    freshIds.write.mode("append").parquet(seenPath)
+    // ONE shingle definition with the stored table (Dedup.shinglesOf)
+    val sh = Dedup.shinglesOf(batchDocs).join(freshIds, "doc_id")
     Dedup.bandedSigs(sh, nh, r)
-      .coalesce(1).write.mode("append").parquet(s"$dir/bands")
+      // artifact-sizing rule (the ensure()/AnnIndex.append discipline):
+      // ~2M band rows per file, never an unconditional single file
+      .repartition(math.max(1L, (n * (nh / r) + 1999999L) / 2000000L).toInt)
+      .write.mode("append").parquet(s"$dir/bands")
     n
   }
 
@@ -149,7 +164,12 @@ object MinhashIndex {
     val shAll = Dedup.shingles(s, d)
     val batchBands = Dedup.bandedSigs(
       shAll.filter(col("doc_id") % 4 === 0), nh, r)
+    // structural guard, not an assumption (review r11): a dir mutated
+    // by append() may carry batch-split rows; restricting the stored
+    // side to the stored slice keeps the probe's exactly-one-side-in-
+    // batch contract (the oracle's CASE split) whatever the dir holds
     val storedBands = s.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") % 4 =!= 0)
     val cands = graft.Checkpoints.pin(
       batchBands.as("x").join(storedBands.as("y"),
           col("x.band") === col("y.band") &&

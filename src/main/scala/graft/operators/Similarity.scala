@@ -482,7 +482,7 @@ object Similarity {
        |  SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
        |  FROM documents),
        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-       |qw AS (SELECT w FROM tok WHERE doc_id = 0),
+       |qw AS (SELECT w FROM tok WHERE doc_id = $AuditQueryId),
        |dfw AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
        |wts AS (
        |  SELECT d2.w, (1000000 * nd.n_docs) // d2.df AS idf
@@ -490,7 +490,7 @@ object Similarity {
        |lex AS (
        |  SELECT t.doc_id, CAST(SUM(w2.idf) AS BIGINT) AS lex_score
        |  FROM tok t JOIN wts w2 USING (w)
-       |  WHERE t.doc_id <> 0 GROUP BY t.doc_id),
+       |  WHERE t.doc_id <> $AuditQueryId GROUP BY t.doc_id),
        |lexr AS (
        |  SELECT doc_id,
        |    CAST(ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS INT)
@@ -713,9 +713,9 @@ object Similarity {
       (for (p <- 0 until nPlanes; r <- p + 1 until nPlanes)
         yield (1 << p) | (1 << r))
 
-  private[operators] def dotOf(a: String, b: String): String =
-    s"""list_reduce(list_transform(list_zip($a, $b),
-       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p, q) -> p + q)""".stripMargin
+  /** Alias of [[dotSqlOf]] kept for the LSH oracle's callers — ONE
+    * definition of the fold (review r11: this was a verbatim copy). */
+  private[operators] def dotOf(a: String, b: String): String = dotSqlOf(a, b)
 
   /** The LSH plan as DuckDB SQL: the deterministic hyperplanes are
     * embedded as exact double literals (Double.toString round-trips),
@@ -1282,10 +1282,9 @@ object Similarity {
     val raw = embeddings(s, d).select(col("vec_id"), col("embedding"))
     val sp = s.sparkContext.defaultParallelism
     val e = if (raw.rdd.getNumPartitions < sp) raw.repartition(sp) else raw
-    def d2(a: Column, b: Column): Column = {
-      val diff = zip_with(a, b, (x, y) => x - y)
-      dotD(diff, diff)
-    }
+    // ONE L2 definition ([[sqDiff]]) — a local copy here could drift
+    // from the d2Of oracle fragment's op sequence (review r11)
+    def d2(a: Column, b: Column): Column = sqDiff(a, b)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cd2"), col("c"))
     var cents = e.filter(col("vec_id") < k)

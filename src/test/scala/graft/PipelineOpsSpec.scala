@@ -387,6 +387,10 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("dedup_minhash_index: parity with exact batch-vs-stored Jaccard; index reused, append idempotent") {
     import graft.operators.MinhashIndex
+    // start from a CLEAN index: the append phase below mutates the
+    // fingerprint-keyed dir, and a mid-test failure in a prior run
+    // would otherwise leak its seen/bands into this one
+    MinhashIndex.invalidate(MinhashIndex.ensure(spark, sf))
     // in-memory exact ground truth: distinct word bigrams per doc,
     // batch (doc_id%4==0) against stored, J >= 0.5
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
@@ -428,8 +432,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(MinhashIndex.append(spark, sf, batchDocs) == 0L,
       "a retried append must add zero rows")
     assert(spark.read.parquet(s"$dir/bands").count() == bandsAfter)
-    // the mutated dir must not poison LATER gated probes: drop dir AND
-    // memo so the next ensure() rebuilds the stored-only artifact
+    // shingle-less docs (<2 words, no band rows) must still be
+    // idempotent: the seen set, not the band table, keys the anti-join
+    // (review r11)
+    import spark.implicits._
+    val tiny = Seq((900000000L, "solo")).toDF("doc_id", "text")
+    assert(MinhashIndex.append(spark, sf, tiny) == 1L)
+    assert(MinhashIndex.append(spark, sf, tiny) == 0L,
+      "a retried shingle-less append must be a no-op, not forever-fresh")
+    // the probe is STRUCTURALLY robust to the mutated dir: stored side
+    // excludes batch-split rows, so no self-pairs or batch x batch
+    // pairs appear even without invalidate() (review r11)
+    val afterAppend = MinhashIndex.incrementalNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(afterAppend == got.toSet,
+      "a mutated dir must not change the gated probe's result")
+    // drop dir AND memo so later suites rebuild the stored-only artifact
     MinhashIndex.invalidate(dir)
   }
 
