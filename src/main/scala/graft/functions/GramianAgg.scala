@@ -39,6 +39,19 @@ case class GramianSums(
 
   require(d > 0, s"gramian_sums d must be positive, got $d")
 
+  // analysis-time type gate (review r11): update() reads doubles from
+  // the raw ArrayData, so an array<float> child would decode garbage
+  // 8-byte reads instead of failing loudly
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gramian_sums expects array<double>, got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): Array[Long] = new Array[Long](d * d)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.graft.shim
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded k-minimum-values sketch as a true mergeable aggregate.
@@ -57,6 +57,27 @@ case class KmvSketch(
   extends TypedImperativeAggregate[KmvSketch.Buffer] with UnaryLike[Expression] {
 
   require(k > 0, s"kmv_sketch k must be positive, got $k")
+
+  // the md5(CAST(v AS STRING)) oracle contract requires the hashed
+  // string to BE the SQL string form. That holds structurally for
+  // STRING and for integral/boolean children (JVM toString == SQL
+  // cast); a DATE/TIMESTAMP child would hash its internal
+  // Int-days/Long-micros toString, and float/decimal formatting can
+  // diverge from Spark's cast — those must be stringified by the
+  // CALLER, enforced at analysis instead of silently sketching the
+  // wrong digests (review r11)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | ByteType | ShortType | IntegerType | LongType |
+          BooleanType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_sketch child must be STRING or integral/boolean (cast " +
+            s"date/timestamp/float/decimal first — the md5 contract is " +
+            s"over the SQL string form), got ${other.simpleString}")
+    }
 
   override def createAggregationBuffer(): KmvSketch.Buffer =
     new KmvSketch.Buffer(withSeen = true)

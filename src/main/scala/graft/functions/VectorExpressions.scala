@@ -68,10 +68,18 @@ case class DotProduct(left: Expression, right: Expression)
       s"dot_product unsupported element types ($l, $r)")
   }
 
+  // ragged inputs yield NULL, matching the declarative
+  // aggregate(zip_with(...)) form this expression replaces (zip_with
+  // null-pads the shorter side, so its products go NULL) — a silently
+  // truncated dot product would rank a corrupt row with a plausible
+  // wrong score (review r11)
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    method match {
+    if (x.numElements() != y.numElements()) null
+    else method match {
       case "dotFF" => VectorUtil.dotFF(x, y)
       case "dotFD" => VectorUtil.dotFD(x, y)
       case "dotDD" => VectorUtil.dotDD(x, y)
@@ -79,8 +87,12 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorUtil.$method($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VectorUtil.$method($a, $b);
+         |}""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

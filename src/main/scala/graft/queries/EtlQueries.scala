@@ -216,11 +216,18 @@ object EtlQueries {
     val key = s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, table)}"
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_${prefix}_${key}_p${ProcessHandle.current().pid()}")
+    // STALENESS is the only sweep criterion (review r11): a sibling
+    // dir with a different source key may belong to a LIVE process
+    // working a different sf dir — key mismatch alone must never
+    // delete it. The liveness contract is made real below: every
+    // invocation touches its own dir's mtime, so any dir older than
+    // the cutoff has had no owner for 3 h.
     val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
     Option(tmp.listFiles).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(s"graft_${prefix}_") && f.getName != dir.getName)
-      .filter(f => !f.getName.startsWith(s"graft_${prefix}_$key") || f.lastModified < cutoff)
+      .filter(f => f.lastModified < cutoff)
       .foreach(deleteRecursively)
+    if (dir.exists) dir.setLastModified(System.currentTimeMillis()): Unit
     dir.toString
   }
 

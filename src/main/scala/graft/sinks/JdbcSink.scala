@@ -20,19 +20,27 @@ import org.apache.spark.sql.functions.col
   */
 object JdbcSink {
 
-  /** Columns of `table` as reported by JDBC metadata (lower-cased). */
+  /** Columns of `table` as reported by JDBC metadata (lower-cased).
+    * The table name is a SEARCH PATTERN to getColumns — `_` matches
+    * any character, so an unescaped "stage_t" would merge STAGEXT's
+    * columns into the validation set and defeat the fail-fast mapping
+    * check (review r11); escape with the driver's escape string. */
   def tableColumns(url: String, table: String): Seq[String] = {
     val conn = DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getColumns(null, null, table.toUpperCase, null)
-      val cols = mutable.ArrayBuffer.empty[String]
-      while (rs.next()) cols += rs.getString("COLUMN_NAME").toLowerCase
-      if (cols.isEmpty) {
-        // lowercase / exact-case table identifiers
-        val rs2 = conn.getMetaData.getColumns(null, null, table, null)
-        while (rs2.next()) cols += rs2.getString("COLUMN_NAME").toLowerCase
+      val md = conn.getMetaData
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def pat(t: String): String =
+        t.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+      def fetch(t: String): Seq[String] = {
+        val rs = md.getColumns(null, null, pat(t), null)
+        val cols = mutable.ArrayBuffer.empty[String]
+        while (rs.next()) cols += rs.getString("COLUMN_NAME").toLowerCase
+        cols.toSeq
       }
-      cols.toSeq
+      val up = fetch(table.toUpperCase)
+      // lowercase / exact-case table identifiers
+      if (up.nonEmpty) up else fetch(table)
     } finally conn.close()
   }
 

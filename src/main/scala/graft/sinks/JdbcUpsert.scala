@@ -28,34 +28,47 @@ object JdbcUpsert {
       orderCols: Seq[String] = Seq.empty): Unit = {
     require(cols.headOption.contains(key),
       s"cols must lead with the merge key '$key', got $cols")
-    // a NULL in any order column makes the MATCHED guard UNKNOWN and
-    // the incoming change would be silently DROPPED, not applied —
-    // reject such batches up front rather than lose rows
-    if (orderCols.nonEmpty) {
-      import org.apache.spark.sql.functions.col
-      val nullCnt = batch
-        .filter(orderCols.map(c => col(c).isNull).reduce(_ || _)).count()
-      require(nullCnt == 0,
-        s"$nullCnt staged row(s) carry NULL in order columns $orderCols — " +
-          "the MERGE order guard cannot compare NULLs")
-    }
-    val conn = DriverManager.getConnection(url)
+    // ONE materialization for both the null audit and the staged write
+    // (review r11): unpersisted, a multi-join CDC batch would execute
+    // its whole upstream twice per trigger
+    batch.persist()
     try {
-      conn.createStatement().execute(s"DELETE FROM $staging")
-    } finally conn.close()
-    JdbcSink.write(batch, url, staging, Map.empty[String, Option[String]])
+      // a NULL in any order column makes the MATCHED guard UNKNOWN and
+      // the incoming change would be silently DROPPED, not applied —
+      // reject such batches up front rather than lose rows
+      if (orderCols.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        val nullCnt = batch
+          .filter(orderCols.map(c => col(c).isNull).reduce(_ || _)).count()
+        require(nullCnt == 0,
+          s"$nullCnt staged row(s) carry NULL in order columns $orderCols — " +
+            "the MERGE order guard cannot compare NULLs")
+      }
+      val conn = DriverManager.getConnection(url)
+      try {
+        conn.createStatement().execute(s"DELETE FROM $staging")
+      } finally conn.close()
+      JdbcSink.write(batch, url, staging, Map.empty[String, Option[String]])
+    } finally { batch.unpersist(); () }
     val sets = cols.filterNot(_ == key)
       .map(c => s"t.$c = s.$c").mkString(", ")
-    // lexicographic (c1, c2, ...) >= comparison expanded to SQL
+    // lexicographic (c1, c2, ...) >= comparison expanded to SQL. A
+    // TARGET row carrying NULL in any order column (inserted by an
+    // unguarded path — the batch side is validated above, the table
+    // side cannot be) has no valid version info: it must lose to the
+    // incoming change, not make the guard UNKNOWN and silently drop
+    // the update (review r11).
     val guard =
       if (orderCols.isEmpty) ""
-      else " AND (" + orderCols.indices.map { i =>
-        val eqs = orderCols.take(i).map(c => s"s.$c = t.$c")
-        val last =
-          if (i == orderCols.length - 1) s"s.${orderCols(i)} >= t.${orderCols(i)}"
-          else s"s.${orderCols(i)} > t.${orderCols(i)}"
-        (eqs :+ last).mkString("(", " AND ", ")")
-      }.mkString(" OR ") + ")"
+      else " AND (" +
+        orderCols.map(c => s"t.$c IS NULL").mkString(" OR ") + " OR " +
+        orderCols.indices.map { i =>
+          val eqs = orderCols.take(i).map(c => s"s.$c = t.$c")
+          val last =
+            if (i == orderCols.length - 1) s"s.${orderCols(i)} >= t.${orderCols(i)}"
+            else s"s.${orderCols(i)} > t.${orderCols(i)}"
+          (eqs :+ last).mkString("(", " AND ", ")")
+        }.mkString(" OR ") + ")"
     val insertCols = cols.mkString(", ")
     val insertVals = cols.map(c => s"s.$c").mkString(", ")
     val conn2 = DriverManager.getConnection(url)

@@ -33,10 +33,21 @@ object ParquetSource {
       throw new IllegalArgumentException(
         s"Field(s) not found in parquet schema: ${missing.mkString(", ")}")
     val seen = scala.collection.mutable.Map.empty[String, Int]
+    // output names already claimed: every requested field plus each
+    // dedup alias as it is assigned — the suffix probe must skip BOTH,
+    // or a schema containing a literal "a_1" collides with the alias
+    // generated for a duplicated "a" (review r11)
+    val taken = scala.collection.mutable.Set[String](desiredFields: _*)
     val cols: Seq[Column] = desiredFields.map { f =>
       val n = seen.getOrElse(f, 0)
       seen(f) = n + 1
-      if (n == 0) col(f) else col(f).as(s"${f}_$n")
+      if (n == 0) col(f)
+      else {
+        var i = n
+        while (taken.contains(s"${f}_$i")) i += 1
+        taken += s"${f}_$i"
+        col(f).as(s"${f}_$i")
+      }
     }
     df.select(cols: _*)
   }
