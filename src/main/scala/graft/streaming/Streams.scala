@@ -742,6 +742,22 @@ object Streams extends Serializable {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    // store/checkpoint consistency gate: a batch the checkpoint marks
+    // committed is never replayed, so a manifest that vanished
+    // out-of-band (bad vacuum, manual delete) would otherwise read as
+    // a silently older snapshot forever. Detect loudly; the recovery
+    // is wiping $base/_checkpoint, which replays from source and
+    // re-commits idempotently (presence-check skips survivors).
+    val commits = Option(new java.io.File(s"$base/_checkpoint/commits")
+      .listFiles).getOrElse(Array.empty)
+      .flatMap(f => scala.util.Try(f.getName.toLong).toOption)
+    commits.maxOption.foreach { lastBatch =>
+      val latest = latestVersion(base)
+      require(latest >= lastBatch + 1,
+        s"versioned store lost manifests: checkpoint committed batch " +
+          s"$lastBatch but latest manifest is v$latest — restore the " +
+          s"manifests or wipe $base/_checkpoint to replay from source")
+    }
     versionedSnapshot(s, base, latestVersion(base))
       .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("key_sum"))
   }

@@ -259,12 +259,23 @@ class Analytics3Spec extends AnyFunSuite {
     // exactly-once: a full re-run commits nothing new and changes nothing
     assert(audit() == first && S.latestVersion(store) == 2,
       "re-run duplicated commits")
-    // crash between files and manifest: drop v2's manifest (the commit
-    // marker), leave the orphan files — the retry must re-commit and
-    // reproduce the audit bit-for-bit
+    // out-of-band manifest loss (bad vacuum / manual delete): the
+    // checkpoint says batch 1 committed, so a resumed run would NEVER
+    // replay it — the sink must detect the divergence loudly instead
+    // of serving a silently older snapshot (r11; the pre-checkpoint
+    // sink silently re-committed, which also meant a re-run with
+    // different batching could double-count)
     assert(new java.io.File(s"$store/manifests/v2.txt").delete())
+    val ex = intercept[IllegalArgumentException](audit())
+    assert(ex.getMessage.contains("lost manifests"))
+    // documented recovery: wipe the checkpoint, replay from source —
+    // v1 presence-skips, v2 re-commits, audit reproduces bit-for-bit
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$store/_checkpoint"))
     assert(audit() == first && S.latestVersion(store) == 2,
-      "crash-retry diverged")
+      "checkpoint-wipe replay diverged")
   }
 
   test("stream_dedup output equals batch-distinct events") {
