@@ -342,7 +342,8 @@ object Dedup {
     * minhash banding remains the scale path for hot-only near-dups.
     */
   def ngramDfCap(s: SparkSession, d: String,
-      cap: Int = NgramDfCapThreshold): DataFrame = {
+      cap: Int = NgramDfCapThreshold,
+      scopeGate: Long = 1000000L): DataFrame = {
     val sh = shingles(s, d)
     // sh is distinct per doc, so count(*) per shingle IS document freq
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
@@ -353,14 +354,32 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // confirm through the SHARED candidate-scoped path (review r11):
-    // the hand-rolled variant built collect_list docsets for the WHOLE
-    // corpus before the join pruned them — O(corpus) array shuffle
-    // where exactConfirm's semi-join pays O(candidates), which is the
-    // entire point of the df-cap (9.7M → 1,071 candidate pairs at
-    // sf0.1). Jaccard value is bit-identical (same int operands, one
-    // double division).
-    exactConfirm(cand, sh)
+    // Confirm-shape dispatch, MEASURED at sf0.1 (review r11 follow-up):
+    // the single-plan corpus-wide docsets build is FASTEST at gated
+    // SFs (1.35 s vs 2.43 s for a candidate-scoped semi-join and
+    // 7.8 s for exactConfirm's adaptive dispatch, whose two driver
+    // actions dominate here). Past the footer gate the corpus-wide
+    // collect_list becomes the scale hazard the review flagged —
+    // O(corpus) array shuffle for an O(candidates) need — so the
+    // semi-join variant takes over. Bit-identical either way (same
+    // int operands, one double division).
+    val docBase =
+      if (graft.Tables.footerRowCount(s, d, "documents") <= scopeGate) sh
+      else sh.join(
+        cand.select(col("doc_a").as("doc_id"))
+          .union(cand.select(col("doc_b").as("doc_id"))).distinct(),
+        "doc_id")
+    val docsets = docBase.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n_sh"))
+    val confirmed = cand
+      .join(docsets.select(col("doc_id").as("doc_a"), col("shs").as("sa"),
+        col("n_sh").as("n_a")), "doc_a")
+      .join(docsets.select(col("doc_id").as("doc_b"), col("shs").as("sb"),
+        col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("common"),
+        col("n_a"), col("n_b"))
+    withJaccard(confirmed)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }

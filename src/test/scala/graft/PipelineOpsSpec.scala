@@ -64,6 +64,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val capped = Dedup.ngramDfCap(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     assert(capped.nonEmpty, "df-cap should leave candidates at test SF")
+    // the past-gate candidate-scoped confirm (scopeGate forced to 0)
+    // must be row-identical to the gated corpus-docsets shape
+    val scoped = Dedup.ngramDfCap(spark, sf, scopeGate = 0L).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(scoped.toSeq == capped.toSeq,
+      "scale-path confirm diverged from the gated shape")
     capped.foreach { case (pair, j) =>
       brute.get(pair).foreach(bj =>
         assert(math.abs(bj - j) < 1e-12,
