@@ -122,6 +122,20 @@ object ManifestCommit {
     try ch.force(true) finally ch.close()
     try {
       Files.createLink(Paths.get(path), tmp)
+      // fsync the PARENT DIRECTORY too: link(2) creates a directory
+      // entry, and entries are metadata of the dir, not the file — on
+      // a power/kernel crash the entry itself can vanish after other
+      // processes already observed the commit, exactly the divergence
+      // the versionedSink store/checkpoint gate reports as "lost
+      // manifests" (review r12). Linux lets a directory be opened
+      // READ and force()d; elsewhere this degrades to the pre-r12
+      // behavior (best-effort, never fails the won CAS).
+      try {
+        val dir = java.nio.channels.FileChannel.open(
+          Paths.get(path).toAbsolutePath.getParent,
+          java.nio.file.StandardOpenOption.READ)
+        try dir.force(true) finally dir.close()
+      } catch { case _: java.io.IOException => () }
       true
     } catch {
       case _: FileAlreadyExistsException => false

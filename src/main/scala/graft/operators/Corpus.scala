@@ -110,6 +110,12 @@ object Corpus {
     * order) and [[tokenBudget]] (quality-descending order). */
   private def withGlobalCumsum(s: SparkSession, df: DataFrame,
       sortCols: Seq[Column], valueCol: String): DataFrame = {
+    // same correctness precondition as Analytics4.ntileTwoPhase
+    // (review r12): the offsets and cumsum passes must dedupe onto ONE
+    // physical range exchange or they can sample different boundaries
+    require(s.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "withGlobalCumsum requires spark.sql.exchange.reuse=true: both " +
+        "passes must observe one physical range exchange")
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val withPid = df.repartitionByRange(nPart, sortCols: _*)
       .withColumn("pid", spark_partition_id())

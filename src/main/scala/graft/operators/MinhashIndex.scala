@@ -120,18 +120,33 @@ object MinhashIndex {
   def append(s: SparkSession, d: String, batchDocs: DataFrame): Long = {
     val (nh, r) = geometry(s, d)
     val dir = ensure(s, d)
-    // idempotence keys on the SEEN doc-id set, not the band table: a
-    // shingle-less doc (<2 words) never lands a band row, and keying
-    // on bands would re-classify it as fresh on every retry (review
-    // r11). `seen` commits BEFORE the bands: a crash between the two
-    // loses that batch's band rows but never duplicates them, and a
-    // doc with missing bands gets the same probe verdict ("no
-    // near-dup evidence") a shingle-less doc legitimately gets —
-    // whereas bands-first + crash would re-append duplicate band rows
-    // on retry, double-emitting candidates.
+    // Idempotence keys on bands ∪ seen; DURABILITY orders bands FIRST,
+    // published atomically (review r12 — the r11 seen-first ordering
+    // could crash between the two writes and permanently leave docs
+    // "seen" but unindexed, silently losing near-dup recall with no
+    // repair path). The protocol: stage the batch's band rows under
+    // staging/, publish them with ONE atomic directory rename into
+    // bands/batch-<uuid>/, THEN append `seen`. Every crash window now
+    // heals on retry: (a) crash before the rename → the docs are in
+    // neither table, the retry reprocesses them fully and the orphan
+    // staging dir is swept below; (b) crash after the rename, before
+    // `seen` → shingled docs are in bands, so the anti-join excludes
+    // them (no duplicate band rows), and the shingle-less remainder —
+    // which never lands a band row and is exactly why `seen` exists
+    // (review r11) — is retried into `seen` with an empty band batch.
+    // Single writer assumed (an ingest), as the seen append already
+    // requires.
     val seenPath = s"$dir/seen"
+    val stagingRoot = new java.io.File(s"$dir/staging")
+    // sweep orphans from crashed attempts (window (a) above): nothing
+    // under staging/ has ever been readable, so deletion is safe
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmr)
+      f.delete(): Unit
+    }
+    if (stagingRoot.exists()) rmr(stagingRoot)
     val storedIds = {
-      val bandIds = s.read.parquet(s"$dir/bands").select(col("doc_id"))
+      val bandIds = bandsTable(s, dir).select(col("doc_id"))
       val seenIds =
         if (new java.io.File(seenPath).exists)
           s.read.parquet(seenPath).select(col("doc_id"))
@@ -143,16 +158,30 @@ object MinhashIndex {
         .join(storedIds, Seq("doc_id"), "left_anti"))
     val n = freshIds.count()
     if (n == 0) return 0L
-    freshIds.write.mode("append").parquet(seenPath)
+    val batchKey = s"batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    val staged = s"$dir/staging/$batchKey"
     // ONE shingle definition with the stored table (Dedup.shinglesOf)
     val sh = Dedup.shinglesOf(batchDocs).join(freshIds, "doc_id")
     Dedup.bandedSigs(sh, nh, r)
       // artifact-sizing rule (the ensure()/AnnIndex.append discipline):
       // ~2M band rows per file, never an unconditional single file
       .repartition(math.max(1L, (n * (nh / r) + 1999999L) / 2000000L).toInt)
-      .write.mode("append").parquet(s"$dir/bands")
+      .write.mode("overwrite").parquet(staged)
+    // atomic publish: one rename(2) of the whole batch dir — readers
+    // see all of the batch's band files or none of them
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(staged),
+      java.nio.file.Paths.get(s"$dir/bands/$batchKey"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    freshIds.write.mode("append").parquet(seenPath)
     n
   }
+
+  /** The stored band table — base build files plus any published
+    * append batches (subdirs named `batch-<uuid>`), via recursive
+    * lookup (which also disables partition inference on them). */
+  private def bandsTable(s: SparkSession, dir: String): DataFrame =
+    s.read.option("recursiveFileLookup", "true").parquet(s"$dir/bands")
 
   /** `dedup_minhash_index` — incremental near-dup of the arriving
     * batch (doc_id ≡ 0 mod 4) against the stored corpus, served from
@@ -168,7 +197,7 @@ object MinhashIndex {
     // by append() may carry batch-split rows; restricting the stored
     // side to the stored slice keeps the probe's exactly-one-side-in-
     // batch contract (the oracle's CASE split) whatever the dir holds
-    val storedBands = s.read.parquet(s"$dir/bands")
+    val storedBands = bandsTable(s, dir)
       .filter(col("doc_id") % 4 =!= 0)
     val cands = graft.Checkpoints.pin(
       batchBands.as("x").join(storedBands.as("y"),

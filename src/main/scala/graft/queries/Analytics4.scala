@@ -786,6 +786,19 @@ object Analytics4 {
     * passthrough, review r11). */
   private[graft] def ntileTwoPhase(s: SparkSession, df: DataFrame, q: Int,
       sortCols: Seq[Column], out: String): DataFrame = {
+    // CORRECTNESS precondition, not an optimization (review r12): the
+    // offsets pass and the rank pass are two references to the SAME
+    // range exchange, and RangePartitioner samples with an rdd-id-
+    // dependent seed — if the exchange were physically executed twice
+    // the two passes could see DIFFERENT boundaries and silently
+    // mis-bucket. Exchange reuse (plan-canonicalization dedup; under
+    // AQE, stage-cache reuse keyed the same way) is what guarantees
+    // one physical shuffle. Fail fast if it is disabled; the spec
+    // side (Q56ScaleSpec) asserts the executed plan really carries
+    // exactly one range exchange with a reused second reference.
+    require(s.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "ntileTwoPhase requires spark.sql.exchange.reuse=true: both passes " +
+        "must observe one physical range exchange or buckets can diverge")
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val withPid = df.repartitionByRange(nPart, sortCols: _*)
       .withColumn("pid", spark_partition_id())

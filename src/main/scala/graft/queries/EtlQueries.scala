@@ -216,16 +216,28 @@ object EtlQueries {
     val key = s"${d.replaceAll("[^a-zA-Z0-9]", "_")}_${mtimeKey(d, table)}"
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
     val dir = new java.io.File(tmp, s"graft_${prefix}_${key}_p${ProcessHandle.current().pid()}")
-    // STALENESS is the only sweep criterion (review r11): a sibling
-    // dir with a different source key may belong to a LIVE process
-    // working a different sf dir — key mismatch alone must never
-    // delete it. The liveness contract is made real below: every
-    // invocation touches its own dir's mtime, so any dir older than
-    // the cutoff has had no owner for 3 h.
+    // Sweep criterion: STALE mtime AND DEAD owner (review r12). mtime
+    // alone was unsound — a dir's mtime only changes when its direct
+    // children change, so a live process that built its store >3 h ago
+    // and is still lazily READING it (without re-invoking scratchDir)
+    // would lose the store mid-query. The owning pid is embedded in
+    // the dir name precisely so liveness is checkable: a dir whose
+    // owner is still alive is NEVER swept, however old; the 3 h mtime
+    // cutoff then only guards against pid reuse after a reboot. Key
+    // mismatch alone must never delete either (review r11) — a
+    // different key may be a live process on a different sf dir.
     val cutoff = System.currentTimeMillis() - 3L * 3600 * 1000
+    def ownerAlive(name: String): Boolean =
+      "_p(\\d+)$".r.findFirstMatchIn(name) match {
+        case Some(m) => scala.util.Try {
+          val oh = ProcessHandle.of(m.group(1).toLong)
+          oh.isPresent && oh.get.isAlive
+        }.getOrElse(false)
+        case None => false // unparseable owner: age alone decides
+      }
     Option(tmp.listFiles).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(s"graft_${prefix}_") && f.getName != dir.getName)
-      .filter(f => f.lastModified < cutoff)
+      .filter(f => f.lastModified < cutoff && !ownerAlive(f.getName))
       .foreach(deleteRecursively)
     if (dir.exists) dir.setLastModified(System.currentTimeMillis()): Unit
     dir.toString

@@ -53,20 +53,27 @@ object JdbcUpsert {
     val sets = cols.filterNot(_ == key)
       .map(c => s"t.$c = s.$c").mkString(", ")
     // lexicographic (c1, c2, ...) >= comparison expanded to SQL. A
-    // TARGET row carrying NULL in any order column (inserted by an
+    // TARGET row carrying NULL in an order column (inserted by an
     // unguarded path — the batch side is validated above, the table
-    // side cannot be) has no valid version info: it must lose to the
-    // incoming change, not make the guard UNKNOWN and silently drop
-    // the update (review r11).
+    // side cannot be) must not make the guard UNKNOWN and silently
+    // drop the update — but "NULL anywhere ⇒ overwrite" is too eager:
+    // a target with a NEWER leading column and a NULL in a lower-
+    // significance one would be clobbered by an older change (review
+    // r12). NULL loses WITHIN the lexicographic walk instead: branch i
+    // treats t.ci IS NULL as a win only after s.cj = t.cj held for all
+    // j < i (a NULL at a column the comparison never reaches is
+    // irrelevant; a NULL at the decisive column means "no version info
+    // from here on" and the incoming change wins).
     val guard =
       if (orderCols.isEmpty) ""
       else " AND (" +
-        orderCols.map(c => s"t.$c IS NULL").mkString(" OR ") + " OR " +
         orderCols.indices.map { i =>
           val eqs = orderCols.take(i).map(c => s"s.$c = t.$c")
+          val ci = orderCols(i)
           val last =
-            if (i == orderCols.length - 1) s"s.${orderCols(i)} >= t.${orderCols(i)}"
-            else s"s.${orderCols(i)} > t.${orderCols(i)}"
+            if (i == orderCols.length - 1)
+              s"(t.$ci IS NULL OR s.$ci >= t.$ci)"
+            else s"(t.$ci IS NULL OR s.$ci > t.$ci)"
           (eqs :+ last).mkString("(", " AND ", ")")
         }.mkString(" OR ") + ")"
     val insertCols = cols.mkString(", ")

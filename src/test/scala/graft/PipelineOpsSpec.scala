@@ -426,18 +426,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     val t0 = m.lastModified()
     MinhashIndex.incrementalNearDups(spark, sf).collect()
     assert(m.lastModified() == t0, "a probe must never rebuild the index")
-    // append: accepted batch lands once; a retry adds zero rows
-    val bandsBefore = spark.read.parquet(s"$dir/bands").count()
+    // append: accepted batch lands once; a retry adds zero rows.
+    // Appended bands publish as bands/batch-*/ subdirs (atomic-rename
+    // commit, r12), so counts read recursively like the operator does.
+    def bandRows() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/bands").count()
+    val bandsBefore = bandRows()
     val batchDocs = Tables.documents(spark, sf)
       .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
     val added = MinhashIndex.append(spark, sf, batchDocs)
     assert(added == batch.length.toLong,
       s"append must encode every new batch doc once ($added vs ${batch.length})")
-    val bandsAfter = spark.read.parquet(s"$dir/bands").count()
+    val bandsAfter = bandRows()
     assert(bandsAfter > bandsBefore)
     assert(MinhashIndex.append(spark, sf, batchDocs) == 0L,
       "a retried append must add zero rows")
-    assert(spark.read.parquet(s"$dir/bands").count() == bandsAfter)
+    assert(bandRows() == bandsAfter)
     // shingle-less docs (<2 words, no band rows) must still be
     // idempotent: the seen set, not the band table, keys the anti-join
     // (review r11)
@@ -446,6 +450,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(MinhashIndex.append(spark, sf, tiny) == 1L)
     assert(MinhashIndex.append(spark, sf, tiny) == 0L,
       "a retried shingle-less append must be a no-op, not forever-fresh")
+    // crash window (b) of the r12 bands-first protocol: bands were
+    // published but the process died before `seen` committed. A retry
+    // must re-admit ONLY the docs with no band evidence (the
+    // shingle-less ones) and never duplicate a band row.
+    val bandsBeforeCrash = bandRows()
+    def rmrF(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmrF)
+      f.delete(): Unit
+    }
+    rmrF(new java.io.File(s"$dir/seen"))
+    val shingleless = batch.count(b => byDoc(b).isEmpty).toLong
+    val readmitted = MinhashIndex.append(spark, sf, batchDocs)
+    assert(readmitted == shingleless,
+      s"post-crash retry must re-admit exactly the band-less docs " +
+        s"($readmitted vs $shingleless)")
+    assert(bandRows() == bandsBeforeCrash,
+      "post-crash retry must never duplicate band rows")
     // the probe is STRUCTURALLY robust to the mutated dir: stored side
     // excludes batch-split rows, so no self-pairs or batch x batch
     // pairs appear even without invalidate() (review r11)

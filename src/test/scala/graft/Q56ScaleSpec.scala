@@ -55,6 +55,48 @@ class Q56ScaleSpec extends AnyFunSuite {
     assert(got == Map(3L -> 1, 1L -> 2, 2L -> 3))
   }
 
+  test("ntileTwoPhase executes ONE physical range exchange, reused by the second pass") {
+    // The two-phase construction is only correct if the offsets pass
+    // and the rank pass physically share the range exchange —
+    // RangePartitioner's sampling seed is rdd-id-dependent, so two
+    // separate executions could draw different boundaries and silently
+    // mis-bucket (review r12). The code fails fast if exchange reuse
+    // is configured off; this pins that the reuse actually HAPPENS in
+    // the executed plan: exactly one materialized range exchange, and
+    // at least one reused reference to it.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p +: ((p.children ++ p.subqueries).flatMap(all) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          all(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          all(q.plan)
+        case _ => Seq.empty
+      }))
+    val df = (1L to 5000L).map(i => (i, i % 13)).toDF("key", "metric")
+    val res = Analytics4
+      .ntileTwoPhase(spark, df, 4, Seq(col("metric"), col("key")), "b")
+    res.collect()
+    val nodes = all(res.queryExecution.executedPlan)
+    val ranges = nodes.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    val reusedRanges = nodes.collect {
+      case r: ReusedExchangeExec
+          if r.outputPartitioning.isInstanceOf[RangePartitioning] => r
+    }
+    assert(ranges.map(_.id).distinct.size == 1,
+      s"expected exactly one materialized range exchange, got ${ranges.map(_.id).distinct}:\n" +
+        res.queryExecution.executedPlan)
+    assert(reusedRanges.nonEmpty,
+      "expected the second pass to reference the range exchange via " +
+        s"ReusedExchange:\n${res.queryExecution.executedPlan}")
+  }
+
   test("two-phase plan: data-scale windows partitioned; SinglePartition only over aggregates") {
     val rfm = Analytics4.rfmFrame(spark, sf)
     val plan = Analytics4.q56Quartiles(spark, rfm, distributed = true)

@@ -66,4 +66,42 @@ class UpsertSpec extends AnyFunSuite {
       .toMap
     assert(out2 == out, s"full replay must be a no-op: $out2 vs $out")
   }
+
+  test("MERGE order guard: NULL loses within the lexicographic walk, not globally") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_ups_null;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      for (t <- Seq("nt", "ns")) {
+        try st.execute(s"DROP TABLE $t")
+        catch { case _: java.sql.SQLException => () }
+        st.execute(s"CREATE TABLE $t (k BIGINT PRIMARY KEY, " +
+          "ts BIGINT, seq BIGINT, v DOUBLE)")
+      }
+      // target rows with NULLs in different order-column positions:
+      //   k=1: newer leading ts, NULL in the LOWER-significance seq —
+      //        an older incoming change must NOT clobber it (the r12
+      //        fix; the global IS-NULL escape overwrote it)
+      //   k=2: equal leading ts, NULL at the DECISIVE seq — no version
+      //        info where the comparison lands, incoming wins
+      //   k=3: NULL leading ts — no version info at all, incoming wins
+      st.execute("INSERT INTO nt VALUES (1, 10, NULL, 1.0)")
+      st.execute("INSERT INTO nt VALUES (2, 10, NULL, 2.0)")
+      st.execute("INSERT INTO nt VALUES (3, NULL, 5, 3.0)")
+    } finally conn.close()
+    val batch = Seq(
+      (1L, 5L, 3L, -9.0),   // older than target's ts=10
+      (2L, 10L, 1L, 22.0),  // ties the leading column, decisive seq NULL
+      (3L, 1L, 0L, 33.0),   // target leading ts NULL
+      (4L, 1L, 1L, 44.0))   // fresh key inserts
+      .toDF("k", "ts", "seq", "v")
+    graft.sinks.JdbcUpsert.upsertBatch(batch, url, "nt", "ns", "k",
+      Seq("k", "ts", "seq", "v"), orderCols = Seq("ts", "seq"))
+    val got = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "nt").load()
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 22.0, 3L -> 33.0, 4L -> 44.0),
+      s"lexicographic NULL semantics violated: $got")
+  }
 }
