@@ -124,6 +124,69 @@ object EtlQueries {
        |FROM lineitem
        |WHERE l_orderkey % 10 = 0""".stripMargin
 
+  /** Live-PostgreSQL roundtrip (r11 verdict items 1+2): orders →
+    * per-partition binary COPY over graft's OWN protocol-v3 wire
+    * client ([[graft.sinks.PgWire]] — no pgjdbc jar anywhere) into a
+    * throwaway PostgreSQL 15 instance ([[graft.sinks.PgServer]], one
+    * per JVM), then the aggregate computed BY THE SERVER and read back
+    * over the same wire. This gates the reference's actual production
+    * seam — db.rs:167-177 BinaryCopyInWriter streaming into live
+    * Postgres — as a CORRECTNESS row: if any COPY byte (epoch-shifted
+    * date, text, int8) landed wrong, the server-side aggregate
+    * diverges from the oracle's direct-from-parquet computation.
+    *
+    * Scale: the write is the production path (every executor partition
+    * COPYs concurrently over its own connection — the single-node
+    * server here is the test stand-in for a warehouse endpoint); the
+    * readback is a ≤3-row aggregate (order statuses), a bounded driver
+    * table by construction. */
+  def pgRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import graft.sinks.{PgCopySink, PgServer, PgWire}
+    val live = PgServer.instance.fold(
+      reason => throw new IllegalStateException(
+        s"live PostgreSQL unavailable: $reason"), identity)
+    val conn = PgWire.connect(live.target)
+    try {
+      conn.exec("DROP TABLE IF EXISTS graft_rt_orders")
+      conn.exec("CREATE TABLE graft_rt_orders (" +
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus text, " +
+        "cents bigint, o_orderdate date, o_orderpriority text)")
+    } finally conn.close()
+    val src = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("cents"),
+      col("o_orderdate").cast("date").as("o_orderdate"),
+      col("o_orderpriority"))
+    PgCopySink.write(src, live.url, "graft_rt_orders")
+    val conn2 = PgWire.connect(live.target)
+    val rows = try conn2.query(
+      """SELECT o_orderstatus, COUNT(*)::bigint AS n_orders,
+        |  SUM(cents)::bigint AS sum_cents,
+        |  MIN(o_orderdate) AS min_dt, MAX(o_orderdate) AS max_dt,
+        |  COUNT(DISTINCT o_custkey)::bigint AS n_cust,
+        |  MIN(o_orderpriority) AS min_prio
+        |FROM graft_rt_orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)._2
+    finally conn2.close()
+    import s.implicits._
+    rows.toSeq.map { r =>
+      (r(0), r(1).toLong, r(2).toLong,
+        java.sql.Date.valueOf(r(3)), java.sql.Date.valueOf(r(4)),
+        r(5).toLong, r(6))
+    }.toDF("o_orderstatus", "n_orders", "sum_cents", "min_dt", "max_dt",
+      "n_cust", "min_prio")
+  }
+
+  val pgRoundtripSql: String =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(o_orderdate) AS DATE) AS min_dt,
+      |  CAST(MAX(o_orderdate) AS DATE) AS max_dt,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  MIN(o_orderpriority) AS min_prio
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** High-watermark incremental loading — the keyed alternative to the
     * reference's file work lists: each round reads the TARGET's
     * max(key) and loads only strictly-newer source rows, so a crashed
@@ -2521,6 +2584,7 @@ object EtlQueries {
     "etl_rename" -> (rename _),
     "etl_cast" -> (cast _),
     "etl_jdbc_roundtrip" -> (jdbcRoundtrip _),
+    "etl_pg_roundtrip" -> (pgRoundtrip _),
     "etl_partition_prune" -> (partitionPrune _),
     "etl_schema_evolution" -> (schemaEvolution _),
     "etl_incremental" -> (incremental _))
@@ -2554,6 +2618,7 @@ object EtlQueries {
     "etl_rename" -> renameSql,
     "etl_cast" -> castSql,
     "etl_jdbc_roundtrip" -> jdbcRoundtripSql,
+    "etl_pg_roundtrip" -> pgRoundtripSql,
     "etl_partition_prune" -> partitionPruneSql,
     "etl_schema_evolution" -> schemaEvolutionSql,
     "etl_incremental" -> incrementalSql)

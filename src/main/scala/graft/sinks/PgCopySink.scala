@@ -172,27 +172,26 @@ object PgBinaryCopy {
 }
 
 /** Postgres fast-path sink: per-partition binary `COPY FROM STDIN`
-  * through pgjdbc's CopyManager — the reference's entire loading
-  * strategy (db.rs:167-177 BinaryCopyInWriter), distributed across N
-  * executor partitions instead of one socket. Typically 2-5× a batched
-  * INSERT per connection on a real Postgres target.
+  * over graft's own protocol-v3 client ([[PgWire]]) — the reference's
+  * entire loading strategy (db.rs:167-177 BinaryCopyInWriter),
+  * distributed across N executor partitions instead of one socket,
+  * and carrying NO driver-jar dependency (the r11 reflective
+  * CopyManager leg is gone; the wire client is live-accepted against
+  * PostgreSQL 15 in PgLiveSpec). Typically 2-5× a batched INSERT per
+  * connection on a real Postgres target.
   *
-  * The driver is resolved REFLECTIVELY so graft carries no pgjdbc
-  * dependency: on a cluster with postgresql.jar present and a
-  * jdbc:postgresql URL the COPY path activates; everywhere else (or
-  * for a schema with no binary mapping) `write` transparently falls
-  * back to [[JdbcSink]]'s batched INSERTs — same validation, same
-  * row-count contract (fallback exercised against Derby in PgCopySpec;
-  * the encoder itself is golden-byte and roundtrip spec-proven).
+  * Non-postgres URLs transparently fall back to [[JdbcSink]]'s batched
+  * INSERTs — same validation, same row-count contract (fallback
+  * exercised against Derby in PgCopySpec; the encoder itself is
+  * golden-byte, roundtrip, and live-server proven). A postgres target
+  * whose schema has a column with no PG binary mapping fails loudly:
+  * with no driver jar there is no INSERT path to fall back to, and
+  * silently skipping columns would be worse.
   */
 object PgCopySink {
 
   private[graft] def isPostgres(url: String): Boolean =
     url.startsWith("jdbc:postgresql:")
-
-  private def copyManagerAvailable: Boolean =
-    try { Class.forName("org.postgresql.PGConnection"); true }
-    catch { case _: ClassNotFoundException => false }
 
   /** Same contract as JdbcSink.write (validation, aliasing, returned
     * row count); routes to binary COPY when the target is Postgres and
@@ -223,7 +222,7 @@ object PgCopySink {
       sourceFields: Option[Seq[String]] = None,
       verifyCount: Boolean = true): Long = {
     val encoders = df.schema.fields.map(f => PgBinaryCopy.fieldEncoder(f.dataType))
-    if (!isPostgres(url) || !copyManagerAvailable || encoders.exists(_.isEmpty)) {
+    if (!isPostgres(url)) {
       // The INSERT fallback has the same at-least-once hazard (per-
       // partition autocommitted batches), so verifyCount applies to it
       // too — the delta check must not silently vanish on fallback.
@@ -244,9 +243,15 @@ object PgCopySink {
       return n
     }
 
+    encoders.zip(df.schema.fields).foreach { case (e, f) =>
+      if (e.isEmpty) throw new IllegalArgumentException(
+        s"column '${f.name}': ${f.dataType.simpleString} has no PG binary " +
+          "mapping — project it away or load through a jdbc driver")
+    }
+    val target = PgWire.parse(url)
     // connect-time validation + aliasing — identical to the INSERT path
     // (mirrors db.rs Db::connect: fail before any data moves)
-    val dbCols = JdbcSink.tableColumns(url, table)
+    val dbCols = pgTableColumns(target, table)
     if (dbCols.isEmpty)
       throw new IllegalArgumentException(s"table '$table' does not exist in connected db")
     val originals = sourceFields.getOrElse(df.columns.toSeq)
@@ -267,17 +272,17 @@ object PgCopySink {
     // the same rows)
     renamed.persist()
     try {
-      val before = if (verifyCount) tableCount(url, table) else 0L
+      val before = if (verifyCount) pgTableCount(target, table) else 0L
       renamed.foreachPartition { (rows: Iterator[Row]) =>
         if (rows.nonEmpty) {
-          val conn = DriverManager.getConnection(url)
-          try { copyPartition(conn, copySql, rows, encs); () }
+          val conn = PgWire.connect(target)
+          try { conn.copyIn(copySql, new PgBinaryCopy.RowStream(rows, encs)); () }
           finally conn.close()
         }
       }
       val exact = renamed.count()
       if (verifyCount) {
-        val landed = tableCount(url, table) - before
+        val landed = pgTableCount(target, table) - before
         if (landed != exact)
           throw new IllegalStateException(
             s"COPY landed $landed rows for $exact inputs — a task retry " +
@@ -300,24 +305,24 @@ object PgCopySink {
     } finally conn.close()
   }
 
-  private[graft] val PgConnectionIface = "org.postgresql.PGConnection"
+  /** Columns of `table` in ordinal order, lower-cased, via the wire
+    * client (PG folds unquoted identifiers to lower case, so the
+    * lookup key is the lower-cased name — the JDBC-metadata analogue
+    * of [[JdbcSink.tableColumns]]). information_schema is a plain
+    * query: no metadata API, no search-pattern escaping hazard. */
+  private[graft] def pgTableColumns(t: PgWire.Target, table: String): Seq[String] = {
+    val esc = table.toLowerCase.replace("'", "''")
+    val conn = PgWire.connect(t)
+    try conn.query(
+      "SELECT column_name FROM information_schema.columns " +
+        s"WHERE table_schema = current_schema() AND table_name = '$esc' " +
+        "ORDER BY ordinal_position")._2.map(_(0).toLowerCase)
+    finally conn.close()
+  }
 
-  /** One partition's COPY round trip (reflective CopyManager —
-    * `PGConnection.getCopyAPI().copyIn(sql, stream)`, the shape pgjdbc
-    * has published since 8.x; reference db.rs:167-177 drives the same
-    * server protocol through BinaryCopyInWriter). `ifaceName` is
-    * injectable so the reflection lookup + stream plumbing has executed
-    * test coverage via a stub interface (no pgjdbc jar in the sandbox —
-    * PgCopySpec). */
-  private[graft] def copyPartition(conn: Connection, copySql: String,
-      rows: Iterator[Row], encs: Array[Any => Array[Byte]],
-      ifaceName: String = PgConnectionIface): Long = {
-    val pgIface = Class.forName(ifaceName)
-    val pg = conn.unwrap(pgIface.asInstanceOf[Class[AnyRef]])
-    val cm = pgIface.getMethod("getCopyAPI").invoke(pg)
-    val copyIn = cm.getClass.getMethod("copyIn",
-      classOf[String], classOf[InputStream])
-    copyIn.invoke(cm, copySql, new PgBinaryCopy.RowStream(rows, encs))
-      .asInstanceOf[java.lang.Long].longValue
+  private def pgTableCount(t: PgWire.Target, table: String): Long = {
+    val conn = PgWire.connect(t)
+    try conn.query(s"SELECT COUNT(*) FROM $table")._2.head(0).toLong
+    finally conn.close()
   }
 }

@@ -135,46 +135,82 @@ class PgCopySpec extends AnyFunSuite {
     assert(days(dEnc(java.time.LocalDate.of(2000, 1, 1))) == 0)
   }
 
-  /** Stub of pgjdbc's PGConnection shape: `copyPartition` resolves this
-    * interface by name, unwraps the Connection to it, and calls
-    * getCopyAPI().copyIn(sql, stream) reflectively — the exact call
-    * sequence it would make against org.postgresql.PGConnection (no
-    * pgjdbc jar in the sandbox). */
-  test("reflective COPY path executes end-to-end against a stub PGConnection") {
+  test("SCRAM-SHA-256 computation matches the RFC 7677 §3 example exchange") {
+    // the published test vector: user 'user', password 'pencil'
+    val clientFirstBare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    val serverFirst = "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    val (clientFinal, serverSig) = graft.sinks.PgWire.Scram.clientFinal(
+      "pencil", clientFirstBare, serverFirst, "n,,")
+    assert(clientFinal ==
+      "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+        "p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+    assert(serverSig == "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    // a server nonce that does not extend the client's is an attack
+    assertThrows[IllegalArgumentException](graft.sinks.PgWire.Scram.clientFinal(
+      "pencil", clientFirstBare, serverFirst.replace("rOpr", "evil"), "n,,"))
+  }
+
+  test("postgres url parsing: host/port/db/user/password/socketDir") {
+    val t = graft.sinks.PgWire.parse(
+      "jdbc:postgresql://localhost:5433/mydb?user=u1&password=p%1&socketDir=/tmp/s")
+    assert(t == graft.sinks.PgWire.Target(
+      "localhost", 5433, Some("/tmp/s"), "mydb", "u1", Some("p%1")))
+    val t2 = graft.sinks.PgWire.parse("jdbc:postgresql://db.internal/warehouse")
+    assert(t2.host == "db.internal" && t2.port == 5432 &&
+      t2.db == "warehouse" && t2.socketDir.isEmpty)
+    assertThrows[IllegalArgumentException](
+      graft.sinks.PgWire.parse("jdbc:postgresql://hostonly"))
+    assertThrows[IllegalArgumentException](
+      graft.sinks.PgWire.parse("jdbc:derby:memory:x"))
+  }
+
+  /** The wire client against a SCRIPTED in-process v3 server — framing
+    * coverage that cannot cancel (PgLiveSpec covers the real server):
+    * startup/trust auth, CopyInResponse → CopyData → CopyDone with the
+    * server-counted tuple total, a text query result set, and an
+    * ErrorResponse surfacing as PgServerException after the sync
+    * point. */
+  test("wire client speaks protocol v3 against a scripted server") {
     val df = spark.range(50).select(col("id").as("k"), (col("id") * 2.5).as("v"))
     val encs = df.schema.fields.map(f => PgBinaryCopy.fieldEncoder(f.dataType).get)
     val rows = df.collect()
-    FakeCopyManager.reset()
-    val conn = java.lang.reflect.Proxy.newProxyInstance(
-      getClass.getClassLoader, Array(classOf[java.sql.Connection]),
-      (_, method, args) => method.getName match {
-        case "unwrap" =>
-          val iface = args(0).asInstanceOf[Class[_]]
-          assert(iface == classOf[FakePgConnection],
-            s"unwrap asked for ${iface.getName}")
-          new FakePgConnection {
-            override def getCopyAPI: AnyRef = FakeCopyManager
-          }
-        case "close" => null
-        case m => fail(s"unexpected Connection call: $m")
-      }).asInstanceOf[java.sql.Connection]
-    val sql = """COPY t ("k", "v") FROM STDIN WITH (FORMAT binary)"""
-    val n = PgCopySink.copyPartition(conn, sql, rows.iterator, encs,
-      ifaceName = classOf[FakePgConnection].getName)
-    assert(n == 50)
-    assert(FakeCopyManager.lastSql == sql)
-    // the streamed bytes are a complete PGCOPY payload: header, 50
-    // tuples matching the input rows, trailer, EOF
-    val decoded = decode(new java.io.ByteArrayInputStream(FakeCopyManager.lastBytes))
-    assert(decoded.length == 50)
-    decoded.zip(rows).foreach { case (fields, row) =>
-      assert(fields.length == 2)
-      assert(new DataInputStream(new java.io.ByteArrayInputStream(
-        fields(0).get)).readLong() == row.getLong(0))
-      assert(java.lang.Double.longBitsToDouble(new DataInputStream(
-        new java.io.ByteArrayInputStream(fields(1).get)).readLong())
-        == row.getDouble(1))
-    }
+    val server = new ScriptedPgServer()
+    val port = server.start()
+    try {
+      val conn = graft.sinks.PgWire.connect(graft.sinks.PgWire.Target(
+        "127.0.0.1", port, None, "postgres", "tester", None))
+      try {
+        // query leg: T/D framing incl. NULL
+        val (cols, got) = conn.query("SELECT k, s FROM t")
+        assert(cols == Seq("k", "s"))
+        assert(got.map(_.toSeq) == Seq(Seq("1", "one"), Seq("2", null)))
+        // copy leg: server counts the tuples our stream framed
+        val n = conn.copyIn("COPY t FROM STDIN (FORMAT binary)",
+          new PgBinaryCopy.RowStream(rows.iterator, encs))
+        assert(n == 50)
+        // the server-captured stream is a complete PGCOPY payload
+        val decoded = decode(new java.io.ByteArrayInputStream(server.copiedBytes))
+        assert(decoded.length == 50)
+        decoded.zip(rows).foreach { case (fields, row) =>
+          assert(fields.length == 2)
+          assert(new DataInputStream(new java.io.ByteArrayInputStream(
+            fields(0).get)).readLong() == row.getLong(0))
+          assert(java.lang.Double.longBitsToDouble(new DataInputStream(
+            new java.io.ByteArrayInputStream(fields(1).get)).readLong())
+            == row.getDouble(1))
+        }
+        // error leg: SQLSTATE surfaces, connection reaches ready
+        val e = intercept[graft.sinks.PgWire.PgServerException](
+          conn.exec("BOOM"))
+        assert(e.sqlState == "42601" && e.getMessage.contains("scripted failure"))
+        assert(conn.query("SELECT k, s FROM t")._2.length == 2)
+      } finally conn.close()
+      // startup message carried user/database/client_encoding
+      assert(server.startupParams.get("user").contains("tester"))
+      assert(server.startupParams.get("database").contains("postgres"))
+      assert(server.startupParams.get("client_encoding").contains("UTF8"))
+    } finally server.stop()
   }
 
   test("unsupported column types and non-postgres URLs fall back to the INSERT sink") {
@@ -204,31 +240,115 @@ class PgCopySpec extends AnyFunSuite {
   }
 }
 
-/** pgjdbc PGConnection method shape (getCopyAPI), resolvable by name
-  * through the same Class.forName path production uses. */
-trait FakePgConnection {
-  def getCopyAPI: AnyRef
-}
+/** Minimal scripted protocol-v3 backend for client framing tests:
+  * trust auth, one connection, canned responses — RowDescription/
+  * DataRow for SELECTs, CopyInResponse + server-side tuple counting
+  * for COPY, ErrorResponse for anything else. */
+class ScriptedPgServer {
+  @volatile var copiedBytes: Array[Byte] = _
+  @volatile var startupParams: Map[String, String] = Map.empty
+  private val srv = new java.net.ServerSocket(
+    0, 1, java.net.InetAddress.getByName("127.0.0.1"))
+  private var thread: Thread = _
 
-/** pgjdbc CopyManager method shape (copyIn(String, InputStream): long):
-  * drains the stream like the server would, counts the tuples, and
-  * captures sql + bytes for assertion. */
-object FakeCopyManager {
-  @volatile var lastSql: String = _
-  @volatile var lastBytes: Array[Byte] = _
-  def reset(): Unit = { lastSql = null; lastBytes = null }
+  def start(): Int = {
+    thread = new Thread(() => try serve() catch { case _: Throwable => () })
+    thread.setDaemon(true)
+    thread.start()
+    srv.getLocalPort
+  }
 
-  def copyIn(sql: String, in: java.io.InputStream): Long = {
-    lastSql = sql
-    val bos = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](4096)
-    var n = in.read(buf)
-    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    lastBytes = bos.toByteArray
-    // count tuples the way the server does: int16 field-count markers
-    // until the -1 trailer
-    val din = new java.io.DataInputStream(
-      new java.io.ByteArrayInputStream(lastBytes))
+  def stop(): Unit = { try srv.close() catch { case _: Throwable => () } }
+
+  private def cstr(s: String): Array[Byte] = s.getBytes("UTF-8") :+ 0.toByte
+
+  private def send(out: java.io.DataOutputStream, tag: Char,
+      body: Array[Byte]): Unit = {
+    out.writeByte(tag)
+    out.writeInt(body.length + 4)
+    out.write(body)
+  }
+
+  private def serve(): Unit = {
+    val sock = srv.accept()
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(sock.getInputStream))
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(sock.getOutputStream))
+    // startup message: int32 len, int32 proto(3.0), k\0v\0…\0
+    val len = in.readInt()
+    val body = new Array[Byte](len - 4); in.readFully(body)
+    assert(java.nio.ByteBuffer.wrap(body, 0, 4).getInt == 196608)
+    val parts = new String(body.drop(4), "UTF-8").split('\u0000').filter(_.nonEmpty)
+    startupParams = parts.grouped(2).collect { case Array(k, v) => k -> v }.toMap
+    send(out, 'R', Array[Byte](0, 0, 0, 0)) // AuthenticationOk (trust)
+    send(out, 'S', cstr("server_version") ++ cstr("15.0"))
+    send(out, 'Z', Array('I'.toByte))
+    out.flush()
+    while (true) {
+      val tag = in.readByte().toChar
+      val l = in.readInt(); val b = new Array[Byte](l - 4); in.readFully(b)
+      tag match {
+        case 'Q' =>
+          val sql = new String(b.takeWhile(_ != 0), "UTF-8")
+          if (sql.startsWith("COPY")) {
+            // CopyInResponse: int8 overall=1(binary), int16 ncols, formats
+            send(out, 'G', Array[Byte](1, 0, 2, 0, 1, 0, 1)); out.flush()
+            val bos = new java.io.ByteArrayOutputStream()
+            var done = false
+            while (!done) {
+              val t2 = in.readByte().toChar
+              val l2 = in.readInt(); val b2 = new Array[Byte](l2 - 4)
+              in.readFully(b2)
+              t2 match {
+                case 'd' => bos.write(b2)
+                case 'c' | 'f' => done = true
+                case other => fail(s"unexpected copy-mode tag '$other'")
+              }
+            }
+            copiedBytes = bos.toByteArray
+            send(out, 'C', cstr(s"COPY ${countTuples(copiedBytes)}"))
+            send(out, 'Z', Array('I'.toByte))
+          } else if (sql.startsWith("SELECT")) {
+            // RowDescription: int16 n, per col name\0 + 18 bytes of
+            // oids/sizes/format
+            val pad = Array.fill[Byte](18)(0)
+            send(out, 'T', Array[Byte](0, 2) ++
+              cstr("k") ++ pad ++ cstr("s") ++ pad)
+            def dataRow(vals: Seq[Option[String]]): Unit = {
+              val bos = new java.io.ByteArrayOutputStream()
+              val d = new java.io.DataOutputStream(bos)
+              d.writeShort(vals.length)
+              vals.foreach {
+                case Some(v) =>
+                  val vb = v.getBytes("UTF-8"); d.writeInt(vb.length); d.write(vb)
+                case None => d.writeInt(-1)
+              }
+              send(out, 'D', bos.toByteArray)
+            }
+            dataRow(Seq(Some("1"), Some("one")))
+            dataRow(Seq(Some("2"), None))
+            send(out, 'C', cstr("SELECT 2"))
+            send(out, 'Z', Array('I'.toByte))
+          } else {
+            send(out, 'E', ("S".getBytes("UTF-8") ++ cstr("ERROR") ++
+              "C".getBytes("UTF-8") ++ cstr("42601") ++
+              "M".getBytes("UTF-8") ++ cstr("scripted failure")) :+ 0.toByte)
+            send(out, 'Z', Array('I'.toByte))
+          }
+          out.flush()
+        case 'X' => sock.close(); return
+        case _ => ()
+      }
+    }
+  }
+
+  private def fail(msg: String): Nothing = throw new AssertionError(msg)
+
+  /** Count tuples the way the server does: int16 field-count markers
+    * until the -1 trailer. */
+  private def countTuples(bytes: Array[Byte]): Long = {
+    val din = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     din.skipBytes(19)
     var rows = 0L
     var fields = din.readShort()

