@@ -256,7 +256,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++ graft.queries.Analytics2.queries ++
       graft.queries.Analytics3.queries ++ graft.queries.Analytics4.queries ++
-      pipelineQueries ++ graft.queries.EtlQueries.queries
+      pipelineQueries ++ graft.queries.EtlQueries.queries ++
+      graft.queries.SqlSurface.queries
 
   /** Parse the SPARK_GRAFT_ONLY dev knob (comma-separated query names)
     * shared by the Verify and Bench mains; unknown names fail loudly —
@@ -278,5 +279,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++ graft.queries.Analytics2.oracles ++
       graft.queries.Analytics3.oracles ++ graft.queries.Analytics4.oracles ++
-      pipelineOracles ++ graft.queries.EtlQueries.oracles
+      pipelineOracles ++ graft.queries.EtlQueries.oracles ++
+      graft.queries.SqlSurface.oracles
 }

@@ -984,7 +984,7 @@ object Dedup {
     * 1/2/3/4-byte encoding rules) and folds the bytes, so it replays
     * fnv64 exactly on ANY text. Used by the text_fingerprint_utf8
     * gate; property-pinned against fnv64 in Utf8GateSpec. */
-  private[operators] val FnvWordBytesSql: String =
+  private[graft] val FnvWordBytesSql: String =
     """list_reduce(
       |  list_concat([CAST('14695981039346656037' AS HUGEINT)],
       |    list_transform(flatten(list_transform(
