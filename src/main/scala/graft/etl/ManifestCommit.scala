@@ -63,16 +63,40 @@ object ManifestCommit {
       recomputed: Boolean,
       entries: Seq[(Int, String)])
 
-  def manifestPath(base: String, v: Long): String = s"$base/manifests/v$v.txt"
+  /** Two-level layout gate (r11 verdict item 4): versions below the
+    * gate live flat (`manifests/v<N>.txt` — every store that never
+    * crosses it keeps the r11 layout byte-for-byte, and the flat
+    * portion of the dir is bounded by GroupSize entries forever); from
+    * v >= GroupSize the path is `manifests/g<v/GroupSize>/v<N>.txt` —
+    * Iceberg's manifest-of-manifests shape, chosen deterministically
+    * from the version number so no marker file, no migration, and
+    * mixed-era readers agree. Resolution then lists O(#groups +
+    * GroupSize) names instead of O(versions): at 10⁵ commits, ~98
+    * group entries + one group's contents, not 10⁵ files (on an
+    * object store: prefix-delimited LISTs of the same shape). */
+  val GroupSize = 1024L
 
-  /** Highest committed version (0 = empty store). Scans the manifest
-    * dir — O(versions), driver-side, bounded by retention. Tolerates
-    * leaked CAS staging files (`v<N>.txt.tmp.<pid>.<tid>`): only a
-    * well-formed `v<N>.txt` is a commit. Long-domain variant shared
-    * with the streaming versioned sink (batchId-derived versions). */
+  def manifestPath(base: String, v: Long): String =
+    if (v < GroupSize) s"$base/manifests/v$v.txt"
+    else s"$base/manifests/g${v / GroupSize}/v$v.txt"
+
+  /** Directory listings performed by the last [[currentVersionLong]]
+    * on this thread — the spec hook that pins resolution cost
+    * (manifests dir + normally ONE group dir, not every group). */
+  private[graft] val lastResolveListings = new ThreadLocal[Int]
+
+  /** Highest committed version (0 = empty store). Lists the manifests
+    * dir (bounded: <= GroupSize flat entries + one name per group)
+    * and then group dirs NEWEST-FIRST, stopping at the first that
+    * holds a committed manifest — a crash can leave the newest group
+    * dir empty (mkdirs before a lost CAS), which steps back one group;
+    * versions inside a group need not be dense. Tolerates leaked CAS
+    * staging files (`v<N>.txt.tmp.<pid>.<tid>`): only a well-formed
+    * `v<N>.txt` is a commit. Long-domain variant shared with the
+    * streaming versioned sink (batchId-derived versions). */
   def currentVersionLong(base: String): Long = {
-    val dir = new java.io.File(s"$base/manifests")
-    Option(dir.listFiles).getOrElse(Array.empty)
+    var listings = 1
+    def maxV(files: Array[java.io.File]): Long = files
       .flatMap { f =>
         val n = f.getName
         if (n.startsWith("v") && n.endsWith(".txt"))
@@ -80,6 +104,23 @@ object ManifestCommit {
         else None
       }
       .foldLeft(0L)(math.max)
+    val entries = Option(new java.io.File(s"$base/manifests").listFiles)
+      .getOrElse(Array.empty)
+    val flatMax = maxV(entries)
+    val grouped = entries
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("g").toLong)
+        .toOption.map(_ -> f))
+      .sortBy(-_._1)
+      .iterator
+      .map { case (_, f) =>
+        listings += 1
+        maxV(Option(f.listFiles).getOrElse(Array.empty))
+      }
+      .find(_ > 0L)
+    lastResolveListings.set(listings)
+    // any committed grouped version is >= GroupSize > any flat version
+    grouped.getOrElse(flatMax)
   }
 
   def currentVersion(base: String): Int = currentVersionLong(base).toInt
@@ -98,8 +139,11 @@ object ManifestCommit {
     * exists, so concurrent committers can never both "win" a version
     * and a reader can never observe a partial manifest. */
   def cas(base: String, v: Int, entries: Seq[(Int, String)]): Boolean = {
-    new java.io.File(s"$base/manifests").mkdirs()
-    casFile(manifestPath(base, v),
+    val path = manifestPath(base, v)
+    // parent covers both layouts: manifests/ flat, manifests/g<k>/ past
+    // the GroupSize gate
+    new java.io.File(path).getParentFile.mkdirs()
+    casFile(path,
       entries.sortBy(_._1).map { case (p, d) => s"$p\t$d" }.mkString("\n"))
   }
 

@@ -730,6 +730,8 @@ object Streams extends Serializable {
         if (!java.nio.file.Files.exists(manifestPath(v))) {
           val rel = s"files/b$batchId"
           batch.write.mode("overwrite").parquet(s"$base/$rel")
+          // grouped layout past the GroupSize gate needs its group dir
+          manifestPath(v).toFile.getParentFile.mkdirs()
           val entries = (if (v == 1) Nil else readManifest(v - 1)) :+ rel
           // CAS-create (ManifestCommit discipline, r11): a plain write
           // crashed mid-stream would leave a truncated manifest whose
@@ -770,7 +772,8 @@ object Streams extends Serializable {
   /** AS-OF read of a committed sink version through its manifest. */
   def versionedSnapshot(s: SparkSession, base: String, v: Long): DataFrame = {
     require(v >= 1, s"no committed version in $base")
-    val src = scala.io.Source.fromFile(s"$base/manifests/v$v.txt", "UTF-8")
+    val src = scala.io.Source.fromFile(
+      graft.etl.ManifestCommit.manifestPath(base, v), "UTF-8")
     val rels = try src.getLines().toList finally src.close()
     s.read.parquet(rels.map(r => s"$base/$r"): _*)
   }

@@ -269,4 +269,65 @@ class CommitProtocolSpec extends AnyFunSuite {
     assert(f.getLong(7) == a.getLong(7) + b.getLong(7))
     assert(f.getLong(7) > 0, "update batches must be non-empty at sf0.001")
   }
+
+  test("two-level layout: paths roll at the GroupSize gate; CAS works across it") {
+    val base = Files.createTempDirectory("graft_mscale_layout").toString
+    val g = ManifestCommit.GroupSize
+    assert(ManifestCommit.manifestPath(base, g - 1) ==
+      s"$base/manifests/v${g - 1}.txt")
+    assert(ManifestCommit.manifestPath(base, g) ==
+      s"$base/manifests/g1/v$g.txt")
+    assert(ManifestCommit.manifestPath(base, 5 * g + 3) ==
+      s"$base/manifests/g5/v${5 * g + 3}.txt")
+    // CAS + readManifest across the boundary, first-writer-wins intact
+    assert(ManifestCommit.cas(base, (g - 1).toInt, Seq(1 -> "a")))
+    assert(ManifestCommit.cas(base, g.toInt, Seq(1 -> "b")))
+    assert(!ManifestCommit.cas(base, g.toInt, Seq(1 -> "LOSER")))
+    assert(ManifestCommit.readManifest(base, g.toInt) == Seq(1 -> "b"))
+    assert(ManifestCommit.currentVersionLong(base) == g)
+  }
+
+  test("resolution at 10^3+ commits: newest-first group scan, bounded listings, crash fallback") {
+    val base = Files.createTempDirectory("graft_mscale_res").toString
+    val g = ManifestCommit.GroupSize
+    // 10^3+ commits through the REAL protocol (each one a CAS)
+    val n = (g + 80).toInt
+    (1 to n).foreach { v =>
+      assert(ManifestCommit.cas(base, v, Seq(0 -> s"d$v")), s"cas v$v")
+    }
+    // exhaustive ground truth: recursive walk over every manifest file
+    def fullScanMax(b: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$b/manifests")).flatMap { f =>
+        val nm = f.getName
+        if (nm.startsWith("v") && nm.endsWith(".txt"))
+          scala.util.Try(nm.stripPrefix("v").stripSuffix(".txt").toLong).toOption
+        else None
+      }.foldLeft(0L)(math.max)
+    }
+    assert(fullScanMax(base) == n.toLong)
+    assert(ManifestCommit.currentVersionLong(base) == n.toLong)
+    // resolution cost: the manifests dir + ONE group dir, never a walk
+    // over every group — synthesize 20 more full groups and re-check
+    (2L to 21L).foreach { k =>
+      val dir = new java.io.File(s"$base/manifests/g$k")
+      dir.mkdirs()
+      Files.write(java.nio.file.Paths.get(s"$dir/v${k * g}.txt"),
+        "0\tsynth".getBytes("UTF-8"))
+    }
+    assert(ManifestCommit.currentVersionLong(base) == 21L * g)
+    assert(ManifestCommit.lastResolveListings.get() == 2,
+      "resolution must list the manifests dir + exactly one group")
+    // a crash can mkdirs the next group without committing into it:
+    // resolution steps back to the newest NON-EMPTY group
+    new java.io.File(s"$base/manifests/g22").mkdirs()
+    assert(ManifestCommit.currentVersionLong(base) == 21L * g)
+    assert(ManifestCommit.lastResolveListings.get() == 3)
+    // AS-OF reads stay exact at arbitrary historical versions
+    assert(ManifestCommit.readManifest(base, 17) == Seq(0 -> "d17"))
+    assert(ManifestCommit.readManifest(base, n) == Seq(0 -> s"d$n"))
+  }
 }
