@@ -95,6 +95,51 @@ object Bench {
     // SPARK_GRAFT_REPEAT=3 to repeat each (min time reported).
     val only = SparkEntry.parseOnly()
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    // PAIRED mode (r11 verdict item 6): run each query's DuckDB oracle
+    // immediately after its graft cold run, through ONE persistent
+    // runner process, so every engine-vs-engine ratio is same-window
+    // by construction — the r10/r11 0.75-1.11x headline spread was
+    // host-throttle drift between two SEPARATE measurement passes.
+    // Opt-in (SPARK_GRAFT_PAIRED=1): it adds the full DuckDB total to
+    // the session; degrades to unpaired with a warning when python3/
+    // duckdb/tools are absent (the shipped library never depends on
+    // them).
+    val pairedRunner: Option[(java.lang.Process, java.io.BufferedWriter, java.io.BufferedReader)] =
+      if (!sys.env.get("SPARK_GRAFT_PAIRED").contains("1")) None
+      else try {
+        val p = new java.lang.ProcessBuilder(
+          "python3", "tools/duckdb_server.py", sfDir).start()
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(p.getOutputStream, "UTF-8"))
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+        val ready = r.readLine()
+        if (ready == null || !ready.contains("ready")) {
+          p.destroy()
+          System.err.println("[bench] paired runner failed to start; running unpaired")
+          None
+        } else Some((p, w, r))
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] paired runner unavailable (${e.getMessage}); running unpaired")
+          None
+      }
+    val duckTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def duckRun(name: String): Unit = pairedRunner.foreach { case (_, w, r) =>
+      SparkEntry.oracleSql.get(name).foreach { sql =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(sql.getBytes("UTF-8"))
+        w.write(s"""{"name":"$name","sql_b64":"$b64"}""" + "\n")
+        w.flush()
+        val resp = r.readLine()
+        duckTimes(name) =
+          if (resp == null) -1.0
+          else "\"sec\":\\s*([0-9.eE+-]+)".r.findFirstMatchIn(resp)
+            .map(_.group(1).toDouble)
+            .getOrElse {
+              System.err.println(s"[bench] duck $name: $resp"); -1.0
+            }
+      }
+    }
     // Warm re-runs for the expensive tail: every query whose cold run
     // took >= this many seconds gets a second, warm-plan run, so
     // cold-codegen variance can't mask (or fake) a regression there.
@@ -133,6 +178,7 @@ object Bench {
       .filter(q => only.forall(_.contains(q._1)))
       .map { case (name, fn) =>
         val times = (1 to repeat).map(_ => run(name, fn))
+        duckRun(name) // paired mode: same-window DuckDB run, else no-op
         name -> (if (times.exists(_._1 < 0)) (-1.0, -1.0, -1.0) else times.minBy(_._1))
       }
     val coldStarts = startedAt.toMap // snapshot before warm runs overwrite
@@ -210,6 +256,26 @@ object Bench {
     }.sum
     val failedNames = results.filter(_._2._1 < 0).map(_._1)
     val worst5 = ok.sortBy(-_._2._1).take(5).map { case (n, (w, _, _)) => n -> w }
+    // Paired aggregates: graft sums restricted to queries with a valid
+    // same-window DuckDB time, so the ratio is over identical sets.
+    // cold_ratio pairs the two runs that shared a window; best_ratio
+    // is the steady-state headline (graft min-of-cold/warm/retry).
+    val duckOk = duckTimes.filter(_._2 >= 0).toMap
+    val duckTotal = duckOk.values.sum
+    def bestOfName(name: String, cold: Double): Double =
+      (Seq(cold) ++ warmByName.get(name).map(_._1) ++
+        retryByName.get(name).map(_._1)).filter(_ >= 0).min
+    val pairedSet = ok.filter(q => duckOk.contains(q._1))
+    val pairedColdRatio =
+      if (duckTotal > 0) pairedSet.map(_._2._1).sum / duckTotal else -1.0
+    val pairedBestRatio =
+      if (duckTotal > 0)
+        pairedSet.map { case (n, (c, _, _)) => bestOfName(n, c) }.sum / duckTotal
+      else -1.0
+    pairedRunner.foreach { case (p, w, _) =>
+      try { w.close() } catch { case _: Exception => () }
+      p.destroy()
+    }
     // Canary-normalized headline (r9, verdict item 5): absolute driver
     // seconds across rounds are NOT comparable — host speed drifts by
     // session (BENCH_r08: canary 1.85 s vs the same code's 0.92 s in a
@@ -246,6 +312,10 @@ object Bench {
       s""""queries_t0":${objOf(results.map { case (n, _) => n -> coldStarts.getOrElse(n, -1.0) })},""" +
       s""""warm_queries_t0":${objOf(warm.map { case (n, _) => n -> warmStarts.getOrElse(n, -1.0) })},""" +
       s""""retry_queries_t0":${objOf(retry.map { case (n, _) => n -> retryStarts.getOrElse(n, -1.0) })},""" +
+      s""""duck_queries":${objOf(duckTimes.toSeq)},""" +
+      s""""duck_total":${num(duckTotal)},""" +
+      s""""paired_cold_ratio":${num(pairedColdRatio)},""" +
+      s""""paired_best_ratio":${num(pairedBestRatio)},""" +
       s""""sf":"$sfDir"}"""
     val outFile = Paths.get("bench_out.json").toAbsolutePath
     Files.writeString(outFile, fullJson + "\n")
@@ -260,6 +330,11 @@ object Bench {
       s""""cpu_total":${num(cpuTotal)},"canary_cold":${num(canaryCold)},""" +
       s""""canary_end":${num(canaryEnd)},"n_queries":${results.size},""" +
       s""""n_failed":${failedNames.size},"n_retried":${retry.size},""" +
+      (if (pairedRunner.isDefined)
+        s""""duck_total":${num(duckTotal)},""" +
+          s""""paired_cold_ratio":${num(pairedColdRatio)},""" +
+          s""""paired_best_ratio":${num(pairedBestRatio)},"""
+      else "") +
       s""""full":"$outFile","sf":"$sfDir"}""")
     spark.stop()
   }
