@@ -160,7 +160,12 @@ object ScaleUp {
     // r11 new ops: the CAS commit race (store build ∝ table, commits
     // ∝ touched partitions) and the multibyte gate (scan-side
     // transform + the same constant-width text aggregations)
-    "etl_concurrent_commit", "text_fingerprint_utf8")
+    "etl_concurrent_commit", "text_fingerprint_utf8",
+    // r12 new ops: the live-PG wire COPY roundtrip (load ∝ rows — the
+    // per-partition binary COPY is the production path; the server is
+    // the per-JVM throwaway) and the 1100-commit manifest store
+    // (physical store build ∝ table, commit count fixed by design)
+    "etl_pg_roundtrip", "etl_manifest_scale")
 
   /** Content key of the base corpus (the AnnIndex.fingerprint idiom):
     * a regenerated base must invalidate the amplified copy, or every

@@ -48,6 +48,27 @@ object StreamFloor {
     val floor = (1 to 3).map(_ => time(tmp)).min
     val full = (1 to 3).map(_ => time(sfDir)).min
     val share = floor / full
+    // Amortization decomposition (r11 verdict item 5): the SAME
+    // topology over the ×R-amplified events (args(1), built by
+    // ScaleUp) — the FileStreamSource drains all available files per
+    // trigger, so the batch count (and with it the per-batch
+    // machinery the floor measures) is UNCHANGED while the data term
+    // grows ×R. Floor flat + data term ~linear is the measured proof
+    // that the 8.8× bounded-replay ratio is per-deployment machinery,
+    // not a scaling defect: at ×10 the floor share collapses.
+    val ampDir = args.lift(1).getOrElse("target/scale_sweep/x10")
+    val amp =
+      if (new java.io.File(s"$ampDir/events.parquet").exists) {
+        time(ampDir)
+        Some((1 to 3).map(_ => time(ampDir)).min)
+      } else None
+    val ampFields = amp.map { a =>
+      val d1 = full - floor
+      val dR = a - floor
+      f""""full_xR_s":$a%.3f,"data_term_x1_s":$d1%.3f,"data_term_xR_s":$dR%.3f,""" +
+        f""""data_term_ratio":${dR / math.max(d1, 1e-9)}%.3f,""" +
+        f""""floor_share_xR":${floor / a}%.3f,"xr_dir":"$ampDir","""
+    }.getOrElse("")
     // same measurement for the flatMapGroupsWithState session-timeout
     // topology (stream_session_timeout) — the other stateful shape on
     // the weak list, adjudicated by the same floor evidence
@@ -56,6 +77,7 @@ object StreamFloor {
     val stFloor = (1 to 3).map(_ => timeSt(tmp)).min
     val stFull = (1 to 3).map(_ => timeSt(sfDir)).min
     val line = f"""{"metric":"stream_floor","empty_replay_s":$floor%.3f,"full_sf01_s":$full%.3f,"floor_share":$share%.3f,""" +
+      ampFields +
       f""""session_timeout_empty_s":$stFloor%.3f,"session_timeout_full_s":$stFull%.3f,"session_timeout_floor_share":${stFloor / stFull}%.3f,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
