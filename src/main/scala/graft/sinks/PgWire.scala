@@ -28,7 +28,9 @@ object PgWire {
   /** Connection coordinates. `socketDir` selects a unix-domain socket
     * (`<dir>/.s.PGSQL.<port>`) over TCP — the graft-specific URL
     * parameter; everything else mirrors the standard
-    * `jdbc:postgresql://host:port/db?user=…&password=…` shape. */
+    * `jdbc:postgresql://host:port/db?user=…&password=…` shape.
+    * Parameter values are taken verbatim (no %-decoding): a password
+    * containing `&` needs a driver-jar URL parser, not this one. */
   final case class Target(host: String, port: Int, socketDir: Option[String],
       db: String, user: String, password: Option[String]) extends Serializable
 
@@ -318,11 +320,13 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
           val d = new DataInputStream(new java.io.ByteArrayInputStream(m._2))
           val n = d.readShort()
           cols = (0 until n).map { _ =>
-            val name = new StringBuilder
+            // name is a UTF-8 cstring — collect bytes, decode once
+            // (per-byte toChar would mangle multibyte identifiers)
+            val bos = new ByteArrayOutputStream()
             var b = d.readByte()
-            while (b != 0) { name.append(b.toChar); b = d.readByte() }
+            while (b != 0) { bos.write(b.toInt); b = d.readByte() }
             d.skipBytes(18) // table oid, attnum, type oid, typlen, typmod, format
-            name.toString
+            new String(bos.toByteArray, UTF_8)
           }
         case 'D' =>
           val d = new DataInputStream(new java.io.ByteArrayInputStream(m._2))
