@@ -18,11 +18,20 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every testdata table as a temp view so the whole surface
-    * is reachable from `spark.sql(...)` as well as the DataFrame API. */
+    * is reachable from `spark.sql(...)` as well as the DataFrame API.
+    * Memoized per (session, dir): re-registering costs ~10 footer
+    * reads (~0.5 s) and the views are session-global state anyway —
+    * only a DIFFERENT dir (the ScaleUp x1/xR alternation) re-binds. */
+  private val viewsRegistered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerViews(s: SparkSession, d: String): Unit =
-    All.foreach { n =>
-      val df = if (n == "events") events(s, d) else t(s, d, n)
-      df.createOrReplaceTempView(n)
+    if (viewsRegistered.get(s) != d) {
+      All.foreach { n =>
+        val df = if (n == "events") events(s, d) else t(s, d, n)
+        df.createOrReplaceTempView(n)
+      }
+      viewsRegistered.put(s, d): Unit
     }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

@@ -196,7 +196,13 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
           val z = m._2.indexOf(0.toByte)
           tag = new String(m._2, 0, if (z < 0) m._2.length else z, UTF_8)
         case 'E' => if (err == null) err = parseError(m._2)
-        case _ => () // T/D/I/N/S/A/K/G-less traffic the caller didn't want
+        case 'G' | 'W' =>
+          // a caller ran a COPY FROM/both statement through exec/query:
+          // the server now waits for CopyData and reading on would
+          // deadlock — refuse the transfer and keep draining to the
+          // sync point (the server answers CopyFail with ErrorResponse)
+          send('f', cstr("not a copy entry point")); out.flush()
+        case _ => () // T/D/I/N/S/A/K traffic the caller didn't want
       }
       m = readMsg()
     }
@@ -367,14 +373,29 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
       m = readMsg()
     }
     val buf = new Array[Byte](1 << 16)
-    var n = data.read(buf)
-    while (n >= 0) {
-      if (n > 0) {
-        out.writeByte('d')
-        out.writeInt(n + 4)
-        out.write(buf, 0, n)
+    try {
+      var n = data.read(buf)
+      while (n >= 0) {
+        if (n > 0) {
+          out.writeByte('d')
+          out.writeInt(n + 4)
+          out.write(buf, 0, n)
+        }
+        n = data.read(buf)
       }
-      n = data.read(buf)
+    } catch {
+      case producerFailure: Throwable =>
+        // the ROW SOURCE failed mid-stream (encoder error, upstream
+        // task failure): tell the server to abort the COPY and drain
+        // to the sync point so the connection isn't wedged in
+        // copy-in, then surface the producer's error — without the
+        // CopyFail the server would wait for CopyData forever
+        try {
+          send('f', cstr(s"producer failed: ${producerFailure.getMessage}"))
+          out.flush()
+          drainToReady()
+        } catch { case _: Throwable => () } // the original error wins
+        throw producerFailure
     }
     send('c', Array.emptyByteArray) // CopyDone
     out.flush()

@@ -226,6 +226,26 @@ class PgLiveSpec extends AnyFunSuite {
       }
       assert(e2.sqlState.startsWith("22"), e2.getMessage)
       assert(conn.query("SELECT 1")._2.head(0) == "1")
+      // producer failure mid-COPY: the row source's own exception
+      // surfaces (not a protocol hang) and the connection recovers —
+      // the client sends CopyFail and drains to the sync point
+      val boom = new java.io.InputStream {
+        private var sent = 0
+        override def read(): Int =
+          if (sent < PgBinaryCopy.header.length) {
+            sent += 1; PgBinaryCopy.header(sent - 1) & 0xff
+          } else throw new RuntimeException("row source exploded")
+      }
+      val e3 = intercept[RuntimeException](
+        conn.copyIn("COPY graft_badcopy FROM STDIN (FORMAT binary)", boom))
+      assert(e3.getMessage == "row source exploded")
+      assert(conn.query("SELECT 2")._2.head(0) == "2")
+      // exec() on a COPY FROM statement must refuse the transfer and
+      // surface the server's CopyFail error, never deadlock
+      val e4 = intercept[PgWire.PgServerException](
+        conn.exec("COPY graft_badcopy FROM STDIN (FORMAT binary)"))
+      assert(e4.sqlState == "57014", e4.getMessage) // query_canceled
+      assert(conn.query("SELECT 3")._2.head(0) == "3")
     } finally conn.close()
   }
 }

@@ -71,6 +71,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject:\n$p")
   }
 
+  test("sql_window_topk: rank<=5 pushes a PARTIAL WindowGroupLimit below the group exchange") {
+    // the window partitions on l_returnflag (3 distinct values) — only
+    // safe at scale because Spark's rank-limit pushdown keeps at most
+    // 5 rows per group PER MAP PARTITION before the exchange; without
+    // the Partial node the 3-value key would funnel the whole fact
+    // table into 3 tasks
+    val p = plan(queries.SqlSurface.windowTopk(spark, sf)).toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected a Partial WindowGroupLimit below the exchange:\n$p")
+  }
+
   test("q25_range_join: bin strategy keeps the join equi- (no nested-loop explosion)") {
     val p = plan(queries.Analytics2.q25(spark, sf)).toString
     assert(!p.contains("CartesianProduct"),
@@ -133,7 +144,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val bad = rows.filter { l =>
       val cell = l.split("\\|")(6).trim
-      !(cell == "yes" || cell == "stream-replay" || cell.startsWith("wide:"))
+      !(cell == "yes" || cell == "stream-replay" ||
+        cell == "warehouse-readback" || cell.startsWith("wide:"))
     }
     assert(bad.isEmpty,
       s"unresolved pruned-scan rows:\n${bad.mkString("\n")}")
