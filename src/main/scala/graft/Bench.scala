@@ -125,19 +125,29 @@ object Bench {
           None
       }
     val duckTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var runnerDead = false
     def duckRun(name: String): Unit = pairedRunner.foreach { case (_, w, r) =>
       SparkEntry.oracleSql.get(name).foreach { sql =>
-        val b64 = java.util.Base64.getEncoder.encodeToString(sql.getBytes("UTF-8"))
-        w.write(s"""{"name":"$name","sql_b64":"$b64"}""" + "\n")
-        w.flush()
-        val resp = r.readLine()
-        duckTimes(name) =
-          if (resp == null) -1.0
-          else "\"sec\":\\s*([0-9.eE+-]+)".r.findFirstMatchIn(resp)
-            .map(_.group(1).toDouble)
-            .getOrElse {
-              System.err.println(s"[bench] duck $name: $resp"); -1.0
-            }
+        // a dead runner (duckdb OOM, python crash) must degrade THIS
+        // run to unpaired, never abort the whole measurement session
+        if (!runnerDead) duckTimes(name) =
+          try {
+            val b64 = java.util.Base64.getEncoder.encodeToString(sql.getBytes("UTF-8"))
+            w.write(s"""{"name":"$name","sql_b64":"$b64"}""" + "\n")
+            w.flush()
+            val resp = r.readLine()
+            if (resp == null) { runnerDead = true; -1.0 }
+            else "\"sec\":\\s*([0-9.eE+-]+)".r.findFirstMatchIn(resp)
+              .map(_.group(1).toDouble)
+              .getOrElse {
+                System.err.println(s"[bench] duck $name: $resp"); -1.0
+              }
+          } catch {
+            case e: java.io.IOException =>
+              System.err.println(s"[bench] paired runner died at $name: ${e.getMessage}")
+              runnerDead = true
+              -1.0
+          }
       }
     }
     // Warm re-runs for the expensive tail: every query whose cold run
@@ -256,16 +266,17 @@ object Bench {
     }.sum
     val failedNames = results.filter(_._2._1 < 0).map(_._1)
     val worst5 = ok.sortBy(-_._2._1).take(5).map { case (n, (w, _, _)) => n -> w }
-    // Paired aggregates: graft sums restricted to queries with a valid
-    // same-window DuckDB time, so the ratio is over identical sets.
-    // cold_ratio pairs the two runs that shared a window; best_ratio
-    // is the steady-state headline (graft min-of-cold/warm/retry).
+    // Paired aggregates over the INTERSECTION of valid runs: a query
+    // appears in both sums or neither (a failed graft run with a
+    // successful oracle would otherwise bias the ratio low, and vice
+    // versa). cold_ratio pairs the two runs that shared a window;
+    // best_ratio is the steady-state headline (min of cold/warm/retry).
     val duckOk = duckTimes.filter(_._2 >= 0).toMap
-    val duckTotal = duckOk.values.sum
     def bestOfName(name: String, cold: Double): Double =
       (Seq(cold) ++ warmByName.get(name).map(_._1) ++
         retryByName.get(name).map(_._1)).filter(_ >= 0).min
     val pairedSet = ok.filter(q => duckOk.contains(q._1))
+    val duckTotal = pairedSet.map(q => duckOk(q._1)).sum
     val pairedColdRatio =
       if (duckTotal > 0) pairedSet.map(_._2._1).sum / duckTotal else -1.0
     val pairedBestRatio =

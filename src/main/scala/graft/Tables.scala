@@ -22,16 +22,20 @@ object Tables {
     * Memoized per (session, dir): re-registering costs ~10 footer
     * reads (~0.5 s) and the views are session-global state anyway —
     * only a DIFFERENT dir (the ScaleUp x1/xR alternation) re-binds. */
-  private val viewsRegistered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val viewsRegistered = java.util.Collections.synchronizedMap(
+    // weak keys: the memo must never pin a stopped session (and its
+    // SessionState) for the JVM lifetime — review r12
+    new java.util.WeakHashMap[SparkSession, String]())
 
   def registerViews(s: SparkSession, d: String): Unit =
-    if (viewsRegistered.get(s) != d) {
-      All.foreach { n =>
-        val df = if (n == "events") events(s, d) else t(s, d, n)
-        df.createOrReplaceTempView(n)
+    viewsRegistered.synchronized {
+      if (viewsRegistered.get(s) != d) {
+        All.foreach { n =>
+          val df = if (n == "events") events(s, d) else t(s, d, n)
+          df.createOrReplaceTempView(n)
+        }
+        viewsRegistered.put(s, d): Unit
       }
-      viewsRegistered.put(s, d): Unit
     }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

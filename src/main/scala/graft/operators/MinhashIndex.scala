@@ -61,6 +61,13 @@ object MinhashIndex {
   private def marker(dir: String) = java.nio.file.Paths.get(dir, "_GRAFT_MH_OK")
   private val builtMemo = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** ONE recursive delete for the whole object (review r12 — three
+    * local copies were three chances to get null listFiles wrong). */
+  private def rmr(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmr)
+    f.delete(): Unit
+  }
+
   /** Self-tuned banding geometry for `d`'s corpus — the exact rule
     * dedup_minhash runs (footer count → rows per band, 16 bands). */
   private def geometry(s: SparkSession, d: String): (Int, Int) = {
@@ -79,10 +86,6 @@ object MinhashIndex {
     if (builtMemo.contains(dir)) return dir
     if (!java.nio.file.Files.exists(marker(dir))) {
       val dirF = new java.io.File(dir)
-      def rmr(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rmr)
-        f.delete(): Unit
-      }
       if (dirF.exists()) rmr(dirF)
       val storedSh = Dedup.shingles(s, d).filter(col("doc_id") % 4 =!= 0)
       Dedup.bandedSigs(storedSh, nh, r)
@@ -104,10 +107,6 @@ object MinhashIndex {
     * probes in the same JVM. */
   private[graft] def invalidate(dir: String): Unit = {
     builtMemo.remove(dir)
-    def rmr(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rmr)
-      f.delete(): Unit
-    }
     rmr(new java.io.File(dir))
   }
 
@@ -140,10 +139,6 @@ object MinhashIndex {
     val stagingRoot = new java.io.File(s"$dir/staging")
     // sweep orphans from crashed attempts (window (a) above): nothing
     // under staging/ has ever been readable, so deletion is safe
-    def rmr(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmr)
-      f.delete(): Unit
-    }
     if (stagingRoot.exists()) rmr(stagingRoot)
     val storedIds = {
       val bandIds = bandsTable(s, dir).select(col("doc_id"))

@@ -1530,16 +1530,11 @@ object EtlQueries {
 
   /** Resolve a version's file list from its manifest (the only way a
     * reader maps version → files). Exposed for EtlSpec. */
-  def readManifest(base: String, v: Int): Seq[(Int, String)] = {
-    // ONE path definition with the commit protocol (grouped past the
-    // GroupSize gate, r12)
-    val src = scala.io.Source.fromFile(
-      graft.etl.ManifestCommit.manifestPath(base, v.toLong), "UTF-8")
-    try src.getLines().map { line =>
-      val Array(p, ver) = line.split("\t"); (p.toInt, ver)
-    }.toList
-    finally src.close()
-  }
+  def readManifest(base: String, v: Int): Seq[(Int, String)] =
+    // ONE parser definition with the commit protocol (grouped path +
+    // tab format live in ManifestCommit; a second copy here already
+    // drifted once — review r12)
+    graft.etl.ManifestCommit.readManifest(base, v)
 
   private def writeManifest(base: String, v: Int, entries: Seq[(Int, String)]): Unit = {
     // CAS-create via ManifestCommit (r11 — one commit discipline for

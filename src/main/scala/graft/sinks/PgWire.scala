@@ -170,7 +170,10 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
     var state = "XX000"; var msg = "unknown server error"; var sev = "ERROR"
     while (i < body.length && body(i) != 0) {
       val code = body(i).toChar
-      val end = body.indexOf(0.toByte, i + 1)
+      // a truncated field (no NUL — non-conformant server) must not
+      // crash the error path itself: take the remainder as the value
+      val end0 = body.indexOf(0.toByte, i + 1)
+      val end = if (end0 < 0) body.length else end0
       val v = new String(body, i + 1, end - i - 1, UTF_8)
       code match {
         case 'C' => state = v
@@ -343,6 +346,11 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
             else { val b = new Array[Byte](len); d.readFully(b); new String(b, UTF_8) }
           }
         case 'E' => if (err == null) err = parseError(m._2)
+        case 'G' | 'W' =>
+          // same refusal as drainToReady: a COPY statement routed
+          // through query() must not leave the server waiting for
+          // CopyData we will never send (mutual-wait deadlock)
+          send('f', cstr("not a copy entry point")); out.flush()
         case _ => ()
       }
       m = readMsg()
