@@ -137,11 +137,23 @@ object Bench {
             w.flush()
             val resp = r.readLine()
             if (resp == null) { runnerDead = true; -1.0 }
-            else "\"sec\":\\s*([0-9.eE+-]+)".r.findFirstMatchIn(resp)
-              .map(_.group(1).toDouble)
-              .getOrElse {
-                System.err.println(s"[bench] duck $name: $resp"); -1.0
-              }
+            else {
+              // verify the echoed name matches the request: lockstep
+              // alone is not enough — one stray line on the child's
+              // stdout would silently mis-pair every later query
+              val echoed = "\"name\":\\s*\"([^\"]*)\"".r
+                .findFirstMatchIn(resp).map(_.group(1))
+              if (!echoed.contains(name)) {
+                System.err.println(
+                  s"[bench] paired runner desynced at $name (echoed ${echoed.getOrElse("<none>")}); unpairing")
+                runnerDead = true
+                -1.0
+              } else "\"sec\":\\s*([0-9.eE+-]+)".r.findFirstMatchIn(resp)
+                .map(_.group(1).toDouble)
+                .getOrElse {
+                  System.err.println(s"[bench] duck $name: $resp"); -1.0
+                }
+            }
           } catch {
             case e: java.io.IOException =>
               System.err.println(s"[bench] paired runner died at $name: ${e.getMessage}")

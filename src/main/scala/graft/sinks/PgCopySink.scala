@@ -311,11 +311,21 @@ object PgCopySink {
     * of [[JdbcSink.tableColumns]]). information_schema is a plain
     * query: no metadata API, no search-pattern escaping hazard. */
   private[graft] def pgTableColumns(t: PgWire.Target, table: String): Seq[String] = {
-    val esc = table.toLowerCase.replace("'", "''")
+    // a schema-qualified target ('etl.orders') must be looked up as
+    // (table_schema='etl', table_name='orders') — querying
+    // table_name='etl.orders' in current_schema() finds nothing and
+    // write() would abort on a table COPY itself accepts
+    val (schemaPred, rel) = table.indexOf('.') match {
+      case -1 => ("current_schema()", table)
+      case i =>
+        val s = table.take(i).toLowerCase.replace("'", "''")
+        (s"'$s'", table.drop(i + 1))
+    }
+    val esc = rel.toLowerCase.replace("'", "''")
     val conn = PgWire.connect(t)
     try conn.query(
       "SELECT column_name FROM information_schema.columns " +
-        s"WHERE table_schema = current_schema() AND table_name = '$esc' " +
+        s"WHERE table_schema = $schemaPred AND table_name = '$esc' " +
         "ORDER BY ordinal_position")._2.map(_(0).toLowerCase)
     finally conn.close()
   }

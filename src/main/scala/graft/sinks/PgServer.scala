@@ -73,8 +73,11 @@ object PgServer {
     if (ic != 0) return Left(s"initdb failed: ${io.takeRight(300)}")
     // throwaway instance: durability off (fsync) — the store dies with
     // the JVM by design; socket-only, never a TCP port to collide on
+    // port pinned explicitly: an inherited PGPORT env var would
+    // otherwise make the server create .s.PGSQL.$PGPORT while every
+    // client looks for .s.PGSQL.5432 (boot "succeeds", connects fail)
     val (sc, so) = asServerUser(
-      s"$PgBin/pg_ctl -D $data -o \"-k $sock -c listen_addresses= -c fsync=off\" " +
+      s"$PgBin/pg_ctl -D $data -o \"-k $sock -c port=5432 -c listen_addresses= -c fsync=off\" " +
         s"-l $base/log -w start")
     if (sc != 0) return Left(s"server start failed: ${so.takeRight(300)}")
     dataDir = data

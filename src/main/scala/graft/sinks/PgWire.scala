@@ -29,21 +29,31 @@ object PgWire {
     * (`<dir>/.s.PGSQL.<port>`) over TCP — the graft-specific URL
     * parameter; everything else mirrors the standard
     * `jdbc:postgresql://host:port/db?user=…&password=…` shape.
-    * Parameter values are taken verbatim (no %-decoding): a password
-    * containing `&` needs a driver-jar URL parser, not this one. */
+    * Parameter keys and values are %-decoded (pgjdbc's URLCoder
+    * convention), so a password containing `&`/`=`/`%` is written
+    * `%26`/`%3D`/`%25`. `connectTimeout`/`socketTimeout` params are in
+    * SECONDS (pgjdbc convention); 0 disables. */
   final case class Target(host: String, port: Int, socketDir: Option[String],
-      db: String, user: String, password: Option[String]) extends Serializable
+      db: String, user: String, password: Option[String],
+      connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 120000)
+    extends Serializable
 
   def parse(url: String): Target = {
     require(url.startsWith("jdbc:postgresql://"),
       s"not a postgres url (expected jdbc:postgresql://…): $url")
     val rest = url.stripPrefix("jdbc:postgresql://")
+    def dec(s: String): String =
+      try java.net.URLDecoder.decode(s, UTF_8)
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"malformed %-escape in url parameter '$s' (write a literal % as %25)", e)
+      }
     val (hostPortDb, params) = rest.indexOf('?') match {
       case -1 => (rest, Map.empty[String, String])
       case i => (rest.take(i),
         rest.drop(i + 1).split('&').filter(_.nonEmpty).map { kv =>
           val j = kv.indexOf('=')
-          if (j < 0) kv -> "" else kv.take(j) -> kv.drop(j + 1)
+          if (j < 0) dec(kv) -> "" else dec(kv.take(j)) -> dec(kv.drop(j + 1))
         }.toMap)
     }
     val slash = hostPortDb.indexOf('/')
@@ -54,21 +64,45 @@ object PgWire {
       case -1 => (hostPort, 5432)
       case i => (hostPort.take(i), hostPort.drop(i + 1).toInt)
     }
+    def timeoutMs(key: String, defaultMs: Int): Int = params.get(key) match {
+      case None => defaultMs
+      case Some(v) =>
+        val s = v.toInt
+        require(s >= 0, s"$key must be >= 0 seconds, got $v")
+        if (s == 0) 0 else s * 1000
+    }
     Target(host, port, params.get("socketDir"), db,
       params.getOrElse("user", sys.props.getOrElse("user.name", "postgres")),
-      params.get("password"))
+      params.get("password"),
+      connectTimeoutMs = timeoutMs("connectTimeout", 10000),
+      readTimeoutMs = timeoutMs("socketTimeout", 120000))
   }
 
   def connect(t: Target): PgWireConn = {
     val ch = t.socketDir match {
       case Some(dir) => SocketChannel.open(
         java.net.UnixDomainSocketAddress.of(s"$dir/.s.PGSQL.${t.port}"))
-      case None => SocketChannel.open(new InetSocketAddress(t.host, t.port))
+      case None =>
+        // bounded connect: a black-holed host must surface as a task
+        // failure, not a parked-forever executor thread (the JDK 17
+        // socket adaptor implements the timeout for blocking channels)
+        val c = SocketChannel.open()
+        try c.socket().connect(new InetSocketAddress(t.host, t.port),
+          math.max(0, t.connectTimeoutMs))
+        catch { case e: Throwable =>
+          try c.close() catch { case _: Throwable => () }; throw e }
+        c
     }
     val c = new PgWireConn(ch, t)
     try { c.startup(); c }
     catch { case e: Throwable => try ch.close() catch { case _: Throwable => () }; throw e }
   }
+
+  /** Shared daemon timer arming per-I/O deadlines on all connections —
+    * a stalled/half-dead server must fail the Spark task, not park a
+    * partition forever inside readFully (blocking NIO channels honor
+    * no soTimeout, so the watchdog closes the channel instead). */
+  private[sinks] val watchdog = new java.util.Timer("pgwire-watchdog", true)
 
   /** Server-reported error, with the SQLSTATE so callers can branch. */
   final class PgServerException(val sqlState: String, message: String)
@@ -156,7 +190,32 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
 
   private type Msg = (Char, Array[Byte])
 
-  private def readMsg(): Msg = {
+  /** Arm the shared watchdog for the duration of one blocking I/O op:
+    * if the deadline fires the channel is closed, converting the park
+    * into an IOException this wrapper re-labels as a timeout. 0
+    * disables (socketTimeout=0). */
+  @volatile private var deadlineHit = false
+  private def withDeadline[A](f: => A): A = {
+    if (t.readTimeoutMs <= 0) f
+    else {
+      val task = new java.util.TimerTask {
+        def run(): Unit = {
+          deadlineHit = true
+          try ch.close() catch { case _: Throwable => () }
+        }
+      }
+      PgWire.watchdog.schedule(task, t.readTimeoutMs.toLong)
+      try f
+      catch {
+        case e: java.io.IOException if deadlineHit =>
+          throw new java.io.IOException(
+            s"server i/o timed out after ${t.readTimeoutMs} ms " +
+              "(stalled or half-dead server); connection closed", e)
+      } finally task.cancel()
+    }
+  }
+
+  private def readMsg(): Msg = withDeadline {
     val tag = in.readByte().toChar
     val len = in.readInt()
     require(len >= 4 && len < (1 << 30), s"implausible message length $len")
@@ -266,7 +325,7 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
   }
 
   private def scramHandshake(mechList: Array[Byte]): Unit = {
-    val mechs = new String(mechList, UTF_8).split(' ').filter(_.nonEmpty)
+    val mechs = new String(mechList, UTF_8).split('\u0000').filter(_.nonEmpty)
     require(mechs.contains("SCRAM-SHA-256"),
       s"server offers none of this client's SASL mechanisms: ${mechs.mkString(",")}")
     val nonceBytes = new Array[Byte](18)
@@ -384,7 +443,10 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
     try {
       var n = data.read(buf)
       while (n >= 0) {
-        if (n > 0) {
+        if (n > 0) withDeadline {
+          // a write blocks when the server stops draining (full TCP
+          // window on a wedged backend) — same watchdog as reads, so
+          // each 64 KiB chunk must make progress within the timeout
           out.writeByte('d')
           out.writeInt(n + 4)
           out.write(buf, 0, n)

@@ -149,16 +149,52 @@ class PgCopySpec extends AnyFunSuite {
     // a server nonce that does not extend the client's is an attack
     assertThrows[IllegalArgumentException](graft.sinks.PgWire.Scram.clientFinal(
       "pencil", clientFirstBare, serverFirst.replace("rOpr", "evil"), "n,,"))
+    // non-ASCII passwords need SASLprep, which this client does not
+    // implement: explicit loud reject, never silent mis-normalization
+    val e = intercept[IllegalArgumentException](graft.sinks.PgWire.Scram
+      .saltedPassword("pässwörd", Array[Byte](1, 2, 3, 4), 4096))
+    assert(e.getMessage.contains("SASLprep"))
+  }
+
+  test("read timeout: a silent server fails the task instead of parking it") {
+    // a server that accepts and never answers the startup packet — the
+    // watchdog must close the channel and surface an IOException
+    val srv = new java.net.ServerSocket(0, 1, java.net.InetAddress.getLoopbackAddress)
+    val accepter = new Thread(() => {
+      try { val s = srv.accept(); Thread.sleep(30000); s.close() }
+      catch { case _: Throwable => () }
+    })
+    accepter.setDaemon(true)
+    accepter.start()
+    try {
+      val t0 = System.nanoTime()
+      val e = intercept[java.io.IOException](graft.sinks.PgWire.connect(
+        graft.sinks.PgWire.parse(
+          s"jdbc:postgresql://127.0.0.1:${srv.getLocalPort}/db?user=u&socketTimeout=1")))
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(e.getMessage.contains("timed out"), e.getMessage)
+      assert(wall < 15.0, s"timeout took ${wall}s for a 1s socketTimeout")
+    } finally srv.close()
   }
 
   test("postgres url parsing: host/port/db/user/password/socketDir") {
+    // %-decoded parameter values: a password containing &/=/% is
+    // written %26/%3D/%25 (pgjdbc URLCoder convention)
     val t = graft.sinks.PgWire.parse(
-      "jdbc:postgresql://localhost:5433/mydb?user=u1&password=p%1&socketDir=/tmp/s")
+      "jdbc:postgresql://localhost:5433/mydb?user=u1&password=p%26x%3D1%25&socketDir=/tmp/s")
     assert(t == graft.sinks.PgWire.Target(
-      "localhost", 5433, Some("/tmp/s"), "mydb", "u1", Some("p%1")))
+      "localhost", 5433, Some("/tmp/s"), "mydb", "u1", Some("p&x=1%")))
     val t2 = graft.sinks.PgWire.parse("jdbc:postgresql://db.internal/warehouse")
     assert(t2.host == "db.internal" && t2.port == 5432 &&
       t2.db == "warehouse" && t2.socketDir.isEmpty)
+    // default timeouts, and the pgjdbc-convention seconds params
+    assert(t2.connectTimeoutMs == 10000 && t2.readTimeoutMs == 120000)
+    val t3 = graft.sinks.PgWire.parse(
+      "jdbc:postgresql://h/db?connectTimeout=3&socketTimeout=0")
+    assert(t3.connectTimeoutMs == 3000 && t3.readTimeoutMs == 0)
+    // malformed escape is a loud parse error, not a silent verbatim pass
+    assertThrows[IllegalArgumentException](graft.sinks.PgWire.parse(
+      "jdbc:postgresql://h/db?password=p%1"))
     assertThrows[IllegalArgumentException](
       graft.sinks.PgWire.parse("jdbc:postgresql://hostonly"))
     assertThrows[IllegalArgumentException](

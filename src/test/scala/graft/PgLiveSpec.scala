@@ -159,6 +159,20 @@ class PgLiveSpec extends AnyFunSuite {
     assert(psql(l, "SELECT COUNT(*) FROM graft_sink").trim == "2000")
   }
 
+  test("schema-qualified target: PgCopySink resolves 'etl.t' as (schema, relation)") {
+    val l = live
+    psql(l, "CREATE SCHEMA IF NOT EXISTS graft_etl")
+    psql(l, "DROP TABLE IF EXISTS graft_etl.orders_q")
+    psql(l, "CREATE TABLE graft_etl.orders_q (k bigint, s text)")
+    val df = spark.range(0, 100).selectExpr("id AS k", "concat('r-', id) AS s")
+    // before the fix this aborted in pgTableColumns ('table does not
+    // exist': table_name='graft_etl.orders_q' in current_schema())
+    assert(PgCopySink.write(df, l.url, "graft_etl.orders_q") == 100)
+    assert(psql(l, "SELECT COUNT(*), SUM(k)::bigint FROM graft_etl.orders_q").trim
+      == "100|4950")
+    assert(psql(l, "SELECT s FROM graft_etl.orders_q WHERE k = 42").trim == "r-42")
+  }
+
   test("wire auth matrix: scram-sha-256, md5, cleartext password, wrong-password reject") {
     val l = live
     // roles with stored credentials in both formats
