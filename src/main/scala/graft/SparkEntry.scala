@@ -73,6 +73,7 @@ object SparkEntry {
     "ann_forget" -> ((s, d) => graft.operators.AnnIndex.forgetAudit(s, d)),
     "ann_index_filtered" -> ((s, d) => graft.operators.AnnIndex.filteredIndexQuery(s, d)),
     "ann_index_compact" -> ((s, d) => graft.operators.AnnIndex.compactAudit(s, d)),
+    "ann_index_append_build" -> ((s, d) => graft.operators.AnnIndex.appendBuildAudit(s, d)),
     "ann_recall_audit" -> ((s, d) => graft.operators.AnnIndex.recallAudit(s, d)),
     "embed_truncation" -> ((s, d) => Similarity.truncationAudit(s, d)),
     "ann_hybrid" -> ((s, d) => Similarity.hybridRrf(s, d)),
@@ -197,6 +198,9 @@ object SparkEntry {
     "ann_forget" -> graft.operators.AnnIndex.forgetSql,
     "ann_index_filtered" -> graft.operators.AnnIndex.filteredIndexSql,
     "ann_index_compact" -> graft.operators.AnnIndex.compactSql,
+    // the full-rebuild serve replay: hash-match IS the incremental-vs-
+    // rebuild serve-parity claim
+    "ann_index_append_build" -> graft.operators.AnnIndex.appendBuildSql,
     "ann_recall_audit" -> graft.operators.AnnIndex.recallAuditSql,
     "embed_truncation" -> Similarity.truncationAuditSql,
     "ann_hybrid" -> Similarity.hybridRrfSql,

@@ -383,6 +383,15 @@ object AnnIndex {
       }
     }
     builtMemo.add(dir)
+    appendAt(s, dir, batch)
+    dir
+  }
+
+  /** The dir-addressed append core ([[append]] minus the fingerprint-
+    * adoption dance) — shared with the incremental-build audit, which
+    * appends into its own subset-trained dir. Returns the count of
+    * NEWLY landed vectors. */
+  private[graft] def appendAt(s: SparkSession, dir: String, batch: DataFrame): Long = {
     val cents = s.read.parquet(s"$dir/coarse")
     val cb = s.read.parquet(s"$dir/codebook")
     val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
@@ -401,7 +410,7 @@ object AnnIndex {
         .join(s.read.parquet(s"$dir/codes").select(col("vec_id")),
           Seq("vec_id"), "left_anti"))
     val n = fresh.count()
-    if (n == 0) return dir
+    if (n == 0) return 0L
     val e = Similarity.normalizeVecs(fresh)
     // batch-sized file count — an append must not litter codes/ with
     // shuffle.partitions near-empty files per call (review finding r8)
@@ -410,10 +419,10 @@ object AnnIndex {
       .write.mode("append").parquet(s"$dir/codes")
     java.nio.file.Files.writeString(appendedMeta(dir),
       (appendedCount(dir) + n).toString): Unit
-    if (isStale(s, d))
+    if (isStaleAt(dir))
       System.err.println(s"[graft] ann index $dir exceeded append " +
         s"fraction $StaleFraction: schedule a retraining build")
-    dir
+    n
   }
 
   /** Right-to-erasure eviction — the derived-artifact leg of the
@@ -1140,5 +1149,136 @@ object AnnIndex {
        |FROM assigned a JOIN per_vec p USING (vec_id)
        |GROUP BY a.cell
        |ORDER BY cell""".stripMargin
+  }
+
+  // ---- incremental (append-only) index build ------------------------------
+
+  /** The appended-batch membership for the incremental-build audit:
+    * ~10% of the corpus, chosen DISJOINT from every training input —
+    * no coarse-sample id (vec_id % 50 == 0) and no codebook seed/train
+    * id (vec_id < 256) — so freezing the base artifacts loses nothing
+    * a full retrain would have learned from these rows, and the
+    * incremental index is bit-identical to a full rebuild (the spec
+    * pins it; the oracle replays the full build). */
+  private[graft] def appendSplitPred: org.apache.spark.sql.Column =
+    col("vec_id") % 10 === 7 && col("vec_id") % 50 =!= 0 && col("vec_id") >= 256
+
+  /** Subset-trained artifacts: [[build]]'s training+encode core over a
+    * filtered corpus, landed into an explicit dir (no fingerprint
+    * bookkeeping — the audit dir lives beside the main index). */
+  private[graft] def buildSubset(s: SparkSession, d: String, dir: String,
+      basePred: org.apache.spark.sql.Column): Unit = {
+    val e = Similarity.normalizedEmb(s, d).filter(basePred)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % M == 0, s"dim $dim not divisible into $M subspaces")
+    val subLen = dim / M
+    val cents0 = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cb = Similarity.pqCodebook(e, M, subLen, Ksub, lloydIters = 1)
+    val codes = encodeVectors(e, cents0, cb, subLen)
+    val nVecs = graft.Tables.footerRowCount(s, d, "embeddings") // sizing only
+    def filesFor(rows: Long): Int =
+      math.max(1L, (rows + 1999999L) / 2000000L).toInt
+    cents0.repartition(filesFor(nVecs / 50)).write
+      .mode("overwrite").parquet(s"$dir/coarse")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.repartition(filesFor(nVecs)).write
+      .mode("overwrite").parquet(s"$dir/codes")
+    java.nio.file.Files.writeString(baseMeta(dir),
+      e.count().toString): Unit
+  }
+
+  /** Build-base + append-batch, memoized per process: the incremental
+    * index the audit serves from. Marker written LAST, so a crash mid-
+    * prepare re-prepares. */
+  private[graft] def incrementalDir(s: SparkSession, d: String): String = {
+    val dir = dirFor(d) + "_incr"
+    if (!java.nio.file.Files.exists(marker(dir))) {
+      val f = new java.io.File(dir)
+      if (f.exists()) deleteRecursively(f)
+      f.mkdirs()
+      buildSubset(s, d, dir, !appendSplitPred)
+      appendAt(s, dir, graft.Tables.embeddings(s, d)
+        .filter(appendSplitPred).select(col("vec_id"), col("embedding")))
+      java.nio.file.Files.createFile(marker(dir))
+    }
+    dir
+  }
+
+  /** `ann_index_append_build` — incremental index maintenance GATED
+    * end-to-end (r12 verdict item 3): `ann_index_build` retrains and
+    * re-encodes the whole corpus (the ×100 sweep's linear-by-contract
+    * entry); here the corpus arrives in two installments — a base
+    * build trains coarse centroids + PQ codebook and encodes ~90%,
+    * then the remaining ~10% lands through [[appendAt]] against the
+    * FROZEN artifacts, cost ∝ batch (encode only, zero retraining).
+    * The audit serves the production top-10 (probe → ADC → exact
+    * rerank) from the INCREMENTAL index and reports beside it the
+    * drift gate that schedules retraining: base/appended counts, the
+    * max per-dimension mean shift between the slices (embed_drift's
+    * statistic, ppm-quantised), and the retrain decision
+    * (appended fraction > [[StaleFraction]] OR drift beyond 0.1).
+    *
+    * The oracle replays the FULL-REBUILD serve chain (ivfpqCtes — the
+    * whole-corpus training replay) plus the drift CTEs: the hash match
+    * IS the serve-parity claim — an incremental index that answered
+    * differently from a from-scratch rebuild would fail the gate.
+    *
+    * 100 TB: this is how a billion-vector index absorbs a daily batch
+    * — one narrow encode pass over the batch (broadcast centroids +
+    * codebook), one appended-files write, counters advancing toward
+    * the retrain threshold. Nothing corpus-sized recomputes. */
+  def appendBuildAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.queries.Frags.davg9
+    val dir = incrementalDir(s, d)
+    val topk = ivfpqRerankQueryAt(s, d, dir, Similarity.AuditQueryId, 10)
+    def slice(pred: org.apache.spark.sql.Column, suffix: String) =
+      graft.Tables.embeddings(s, d).filter(pred)
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim"), col("x").cast("double").as("xd"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as(s"n$suffix"), expr(davg9("xd")).as(s"mean$suffix"))
+    val stats = slice(!appendSplitPred, "_b").join(slice(appendSplitPred, "_a"), "dim")
+      .agg(max(col("n_b")).as("n_base"), max(col("n_a")).as("n_appended"),
+        max(floor(abs(col("mean_a") - col("mean_b")) * 1e6).cast("long"))
+          .as("drift_ppm"))
+      .select(col("n_base"), col("n_appended"), col("drift_ppm"),
+        when(col("n_appended") * 5 > col("n_base") || col("drift_ppm") > 100000, 1)
+          .otherwise(0).cast("int").as("retrain"))
+    topk.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("cos"), col("n_base"), col("n_appended"),
+        col("drift_ppm"), col("retrain"))
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Oracle: the full-rebuild serve replay (shared ivfpqCtes/Cand50Cte
+    * chain — identical to ann_index_query's) CROSS JOIN the drift CTEs
+    * over the same slice split. */
+  val appendBuildSql: String = {
+    import Similarity.{ivfpqCtes, Cand50Cte, servedTopKSql}
+    import graft.queries.Frags.davg9
+    val x = "CAST(embedding[i] AS DOUBLE)"
+    val appPred = "vec_id % 10 = 7 AND vec_id % 50 <> 0 AND vec_id >= 256"
+    def statCte(name: String, cond: String) =
+      s"""$name AS (
+         |  SELECT i - 1 AS dim, COUNT(*) AS n, ${davg9(x)} AS mean
+         |  FROM (SELECT embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+         |        FROM embeddings WHERE $cond)
+         |  GROUP BY 1)""".stripMargin
+    s"""$ivfpqCtes,
+       |$Cand50Cte,
+       |${statCte("bs", s"NOT ($appPred)")},
+       |${statCte("ap", appPred)},
+       |stats AS (
+       |  SELECT CAST(MAX(bs.n) AS BIGINT) AS n_base,
+       |    CAST(MAX(ap.n) AS BIGINT) AS n_appended,
+       |    CAST(MAX(FLOOR(ABS(ap.mean - bs.mean) * 1e6)) AS BIGINT) AS drift_ppm
+       |  FROM bs JOIN ap ON bs.dim = ap.dim),
+       |topk AS (${servedTopKSql(10)})
+       |SELECT t.vec_id, t.cos, s.n_base, s.n_appended, s.drift_ppm,
+       |  CAST(CASE WHEN s.n_appended * 5 > s.n_base OR s.drift_ppm > 100000
+       |       THEN 1 ELSE 0 END AS INT) AS retrain
+       |FROM topk t CROSS JOIN stats s
+       |ORDER BY t.cos DESC, t.vec_id""".stripMargin
   }
 }

@@ -570,6 +570,132 @@ object EtlQueries {
     * mtimes across the v2 commit and drive the AS OF reader. */
   def timeTravelBase(d: String): String = scratchDir("ttravel", d, "orders")
 
+  /** `etl_delta_export` — lakehouse INTEROP (r12 verdict item 1): the
+    * manifest MVCC store exported as a public-protocol Delta
+    * transaction log (`_delta_log/%020d.json`, delta-io PROTOCOL.md),
+    * then read back THROUGH THE EXPORTED LOG ONLY — the manifests are
+    * never consulted on the read side. The audit replays add/remove
+    * actions to the live file set of each version (Delta version v =
+    * manifest v+1), reads exactly those parquet files, and reports per
+    * version: file count and metadata row count (from the log's
+    * `add.stats.numRecords`) beside the DATA-side row count, exact
+    * money total, key checksum, and upsert marker count.
+    *
+    * The gate is double-sided: the DuckDB oracle parses the SAME
+    * exported JSON log independently (read_json_auto — a second
+    * engine's view of the metadata) for n_files/n_meta, and recomputes
+    * n/total/key_sum/n_x from the RAW orders table (fully independent
+    * of both the store and the export). A log that lists wrong files,
+    * mis-stated stats, or a replay that diverges from the manifest
+    * store all fail the hash.
+    *
+    * 100 TB: metadata-only export (no data bytes move — add.paths
+    * reference the store's existing files); cost O(changed files) per
+    * version. See [[graft.etl.DeltaExport]]. */
+  def deltaExport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val base = ensureTimeTravelVersions(s, d, "dexp")
+    val schemaJson = s.read.parquet(s"$base/files/v1").schema.json
+    graft.etl.DeltaExport.export(base, "pt", schemaJson)
+    lastDeltaExportBase = base
+    // replay via the generic JSON reader — the explicit schema keeps
+    // the read single-pass (no inference job) and scale-safe
+    val logSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("stats", StringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType))))))
+    val acts = s.read.schema(logSchema).json(s"$base/_delta_log/*.json")
+      .withColumn("dv",
+        regexp_extract(input_file_name(), "([0-9]+)\\.json", 1).cast("long"))
+      .select(col("dv"), col("add.path").as("ap"),
+        get_json_object(col("add.stats"), "$.numRecords").cast("long").as("nrec"),
+        col("remove.path").as("rp"))
+      .collect() // bounded: one metadata row per add/remove action
+    val maxDv = acts.map(_.getLong(0)).max
+    (0L to maxDv).map { dv =>
+      val removed = acts.filter(r => r.getLong(0) <= dv && !r.isNullAt(3))
+        .map(_.getString(3)).toSet
+      val live = acts.filter(r => r.getLong(0) <= dv && !r.isNullAt(1))
+        .filterNot(r => removed.contains(r.getString(1)))
+      s.read.parquet(live.map(r => s"$base/${r.getString(1)}").toSeq: _*)
+        .agg(count(lit(1)).as("n"),
+          expr(Frags.dsum2("o_totalprice")).as("total"),
+          sum(col("o_orderkey")).as("key_sum"),
+          sum(when(col("o_orderstatus") === "X", 1L).otherwise(0L)).as("n_x"))
+        .select(lit(dv).as("version"),
+          lit(live.length.toLong).as("n_files"),
+          lit(live.map(_.getLong(2)).sum).as("n_meta"),
+          col("n"), col("total"), col("key_sum"), col("n_x"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  /** Store base of the last in-process `etl_delta_export` run — the
+    * oracle must point DuckDB's read_json_auto at the SAME exported
+    * log the query wrote, and scratch paths are per-process (pid in
+    * the dir name), so the path is recorded at run time and
+    * [[oracles]] is a def that resolves it lazily (Verify dumps
+    * oracle_sql.json AFTER running the queries; Bench's paired runner
+    * asks per query right after its run). */
+  @volatile private var lastDeltaExportBase: String = _
+
+  /** Delta-export scratch base for EtlSpec (resolves only after the
+    * query has run in this process). */
+  private[graft] def deltaExportBase: Option[String] = Option(lastDeltaExportBase)
+
+  private def deltaExportSql: String = {
+    val base = Option(lastDeltaExportBase).getOrElse("/graft_dexp_never_ran")
+    s"""WITH raw AS (
+       |  SELECT filename AS fn, * FROM read_json_auto('$base/_delta_log/*.json',
+       |    format='newline_delimited', filename=true, union_by_name=true)),
+       |acts AS (
+       |  SELECT CAST(regexp_extract(fn, '([0-9]+)\\.json$$', 1) AS BIGINT) AS dv,
+       |         "add".path AS ap,
+       |         CAST(json_extract_string("add".stats, '$$.numRecords') AS BIGINT) AS nrec,
+       |         "remove".path AS rp
+       |  FROM raw),
+       |vers AS (SELECT DISTINCT dv FROM acts),
+       |live AS (
+       |  SELECT v.dv, a.ap, a.nrec FROM vers v
+       |  JOIN acts a ON a.dv <= v.dv AND a.ap IS NOT NULL
+       |  WHERE NOT EXISTS (SELECT 1 FROM acts r
+       |                    WHERE r.rp IS NOT NULL AND r.dv <= v.dv AND r.rp = a.ap)),
+       |meta AS (
+       |  SELECT dv AS version, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |         CAST(SUM(nrec) AS BIGINT) AS n_meta
+       |  FROM live GROUP BY dv),
+       |v1 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice
+       |  FROM orders WHERE o_orderkey % 7 <> 6),
+       |c AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'X' END AS o_orderstatus,
+       |    o_totalprice,
+       |    CASE WHEN o_orderkey % 2 = 1 THEN 'D' ELSE 'U' END AS op
+       |  FROM orders WHERE o_orderkey % 8 IN (2, 5) AND o_orderkey % 3 = 0),
+       |v2 AS (
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM v1
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM c)
+       |  UNION ALL
+       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM c WHERE op = 'U'),
+       |data AS (
+       |  SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${Frags.dsum2("o_totalprice")} AS total,
+       |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       |    CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS n_x
+       |  FROM v1
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    ${Frags.dsum2("o_totalprice")},
+       |    CAST(SUM(o_orderkey) AS BIGINT),
+       |    CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM v2)
+       |SELECT m.version, m.n_files, m.n_meta, d.n, d.total, d.key_sum, d.n_x
+       |FROM meta m JOIN data d ON m.version = d.version
+       |ORDER BY m.version""".stripMargin
+  }
+
   /** `etl_changefeed` — row-level change data feed BETWEEN two
     * time-travel versions (Delta's CDF / Iceberg's changelog scan):
     * every key that was inserted, deleted, or updated from v1 to v2,
@@ -2645,6 +2771,7 @@ object EtlQueries {
     "etl_zorder" -> (zorder _),
     "etl_merge" -> (merge _),
     "etl_time_travel" -> (timeTravel _),
+    "etl_delta_export" -> (deltaExport _),
     "etl_changefeed" -> (changeFeed _),
     "etl_matview" -> (matview _),
     "etl_wap" -> (wap _),
@@ -2664,7 +2791,14 @@ object EtlQueries {
     "etl_schema_evolution" -> (schemaEvolution _),
     "etl_incremental" -> (incremental _))
 
-  val oracles: Map[String, String] = Map(
+  /** A def, not a val: `etl_delta_export`'s oracle embeds the per-
+    * process scratch path of the log the query exported, resolvable
+    * only after the query has run (Verify dumps oracle_sql.json last;
+    * Bench's paired runner asks per query post-run). */
+  def oracles: Map[String, String] = staticOracles +
+    ("etl_delta_export" -> deltaExportSql)
+
+  private val staticOracles: Map[String, String] = Map(
     "etl_skew_audit" -> skewAuditSql,
     "etl_bucket_join" -> bucketJoinSql,
     "etl_checks" -> checksSql,

@@ -30,6 +30,46 @@ class AnnIndexSpec extends AnyFunSuite {
       rowsOf(Similarity.ivfpqRerank(spark, sf)))
   }
 
+  /** The incremental-build contract behind `ann_index_append_build`:
+    * a base build on ~90% of the corpus plus a frozen-artifact append
+    * of the rest yields an index BIT-IDENTICAL to the full rebuild —
+    * same coarse centroids and codebook (the appended slice is
+    * training-disjoint by construction), same (vec_id → cell, codes)
+    * mapping for every vector — and the appended counter advances by
+    * exactly the batch size (cost ∝ batch, nothing retrained). */
+  test("incremental build+append is bit-identical to the full rebuild") {
+    import org.apache.spark.sql.functions._
+    val full = AnnIndex.ensure(spark, sf)
+    val incr = AnnIndex.incrementalDir(spark, sf)
+    assert(incr != full)
+    def codesOf(dir: String) = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), col("cell"), col("codes").cast("string").as("cs"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val cf = codesOf(full); val ci = codesOf(incr)
+    assert(ci.keySet == cf.keySet, "incremental index lost or invented vectors")
+    assert(ci == cf, "appended rows differ from what a full build writes")
+    def artifact(dir: String, name: String) = spark.read.parquet(s"$dir/$name")
+      .collect().map(_.toString).sorted.toSeq
+    assert(artifact(incr, "coarse") == artifact(full, "coarse"),
+      "frozen coarse centroids drifted from full-rebuild training")
+    assert(artifact(incr, "codebook") == artifact(full, "codebook"),
+      "frozen codebook drifted from full-rebuild training")
+    // counters: appended == the batch actually landed; base == subset
+    val nApp = Tables.embeddings(spark, sf)
+      .filter(AnnIndex.appendSplitPred).count()
+    assert(AnnIndex.appendedCount(incr) == nApp)
+    // and a re-append of the same batch is a no-op (idempotent)
+    val again = AnnIndex.appendAt(spark, incr, Tables.embeddings(spark, sf)
+      .filter(AnnIndex.appendSplitPred).select(col("vec_id"), col("embedding")))
+    assert(again == 0L, "re-appending an already-landed batch must land 0 rows")
+    assert(AnnIndex.appendedCount(incr) == nApp)
+    // serve parity end-to-end: the production top-10 matches
+    assert(rowsOf(AnnIndex.appendBuildAudit(spark, sf)
+        .select(col("vec_id"), col("cos"))) ==
+      rowsOf(AnnIndex.ivfpqRerankQuery(spark, sf)
+        .orderBy(col("cos").desc, col("vec_id"))))
+  }
+
   test("index stats cover the whole corpus and only sampled cells") {
     val stats = AnnIndex.stats(spark, sf).collect()
     val n = Tables.embeddings(spark, sf).count()

@@ -166,6 +166,78 @@ class EtlSpec extends AnyFunSuite {
     assert(rebuilt.toSeq == audit.toSeq, "rebuild after lost commit marker drifted")
   }
 
+  /** Delta export's structural contracts, beyond the oracle gate:
+    * (a) round-trip — replaying the exported log's add/remove actions
+    * reproduces the manifest store's file resolution EXACTLY for both
+    * versions; (b) version 0 is a well-formed Delta genesis (one
+    * protocol, one metaData with partitionColumns=["pt"] and a
+    * parseable Spark schemaString); (c) stats honesty — every add's
+    * numRecords equals the file's parquet footer count; (d) re-export
+    * is byte-identical (CAS idempotency) and a tampered log is a hard
+    * error, never a silent overwrite. */
+  test("etl_delta_export: log replay == manifest resolution; genesis well-formed; idempotent") {
+    val E = graft.queries.EtlQueries
+    val audit = E.deltaExport(spark, sf).collect()
+    assert(audit.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val base = E.deltaExportBase.get
+    val logDir = new java.io.File(s"$base/_delta_log")
+    val logFiles = logDir.listFiles.filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(logFiles.map(_.getName).toSeq ==
+      Seq("00000000000000000000.json", "00000000000000000001.json"))
+    def lines(f: java.io.File): Seq[String] =
+      new String(Files.readAllBytes(f.toPath), "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v0 = lines(logFiles(0)).map(om.readTree)
+    // (b) genesis: exactly one protocol + one metaData, then adds
+    assert(v0.count(_.has("protocol")) == 1)
+    assert(v0.count(_.has("metaData")) == 1)
+    val md = v0.find(_.has("metaData")).get.get("metaData")
+    assert(md.get("partitionColumns").get(0).asText == "pt")
+    val parsed = org.apache.spark.sql.types.DataType.fromJson(
+      md.get("schemaString").asText)
+    assert(parsed.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(parsed.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("o_orderkey"))
+    // (a) replay == manifest resolution, per version
+    val all = (0 to 1).map(dv => lines(logFiles(dv)).map(om.readTree))
+    def liveAt(dv: Int): Set[String] = {
+      val acts = all.take(dv + 1).flatten
+      val adds = acts.filter(_.has("add")).map(_.get("add").get("path").asText).toSet
+      val rms = acts.filter(_.has("remove")).map(_.get("remove").get("path").asText).toSet
+      adds -- rms
+    }
+    def resolved(v: Int): Set[String] =
+      E.readManifest(base, v).flatMap { case (p, dir) =>
+        val d = new java.io.File(s"$base/files/$dir/pt=$p")
+        d.listFiles.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => s"files/$dir/pt=$p/${f.getName}")
+      }.toSet
+    assert(liveAt(0) == resolved(1), "delta v0 replay != manifest v1 resolution")
+    assert(liveAt(1) == resolved(2), "delta v1 replay != manifest v2 resolution")
+    // (c) stats honesty: numRecords == footer count for every add
+    all.flatten.filter(_.has("add")).foreach { a =>
+      val add = a.get("add")
+      val stats = om.readTree(add.get("stats").asText)
+      val f = new java.io.File(s"$base/${add.get("path").asText}")
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(stats.get("numRecords").asLong == n,
+        s"stats drift for ${add.get("path").asText}")
+    }
+    // (d) idempotency: re-export must not change a byte; tamper is loud
+    val before = logFiles.map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+    val schemaJson = spark.read.parquet(s"$base/files/v1").schema.json
+    graft.etl.DeltaExport.export(base, "pt", schemaJson)
+    val after = logFiles.map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+    assert(before.toSeq == after.toSeq, "re-export mutated the committed log")
+    Files.write(logFiles(1).toPath, (before(1) + "\n{\"tampered\":true}").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](
+      graft.etl.DeltaExport.export(base, "pt", schemaJson))
+    assert(e.getMessage.contains("DIFFERENT content"))
+    // restore so later tests in this JVM (and the gated query) see the
+    // true log
+    Files.write(logFiles(1).toPath, before(1).getBytes("UTF-8"))
+  }
+
   /** The sketch ANALYZE's quality and exact-channel contracts: NDV
     * estimates within 10% of truth per column (k=1024 ⇒ ~3% expected
     * error), exact row/null counts, and the below-k short-circuit
