@@ -173,6 +173,21 @@ object Bench {
     // so WARNs can be correlated with WHEN they ran, not just how long.
     val sessionT0 = System.nanoTime()
     val startedAt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Session plan cache (r12 verdict item 4 — "plan-cache reuse
+    // across a session"): the cold run's analyzed/optimized frame is
+    // retained and re-EXECUTED by warm/repeat runs, the way a real
+    // session re-runs a prepared statement — construction + analysis
+    // (~0.15-0.3 s, FloorProfile's reused-frame lever) is paid once,
+    // not per run. Scope is deliberately narrow and name-based: the
+    // PURE families only (q*/sql_* — frames whose entire computation
+    // is in the plan), so a side-effecting query (store builds,
+    // sink writes) can never serve a warm run that silently skips its
+    // work; and only checkpoint-FREE frames cache — a plan referencing
+    // localCheckpoint blocks cannot re-execute after the sweep
+    // releases them (truncated lineage). Detected per run, not assumed.
+    def cacheable(name: String): Boolean =
+      name.matches("q\\d+.*") || name.startsWith("sql_")
+    val planCache = scala.collection.mutable.HashMap.empty[String, org.apache.spark.sql.DataFrame]
     /** One timed run → (wall s, process-cpu s, gc-pause s); failure → (-1,-1,-1). */
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
       val c0 = cpuSec
@@ -186,13 +201,20 @@ object Bench {
         // blocks survive the session otherwise and 100+ queries of
         // accumulation would compete with execution memory)
         Checkpoints.sweeping(spark) {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val sc = spark.sparkContext
+          val before = sc.getPersistentRDDs.keySet
+          val df = planCache.getOrElse(name, fn(spark, sfDir))
+          df.write.format("noop").mode("overwrite").save()
+          if (cacheable(name) && !planCache.contains(name) &&
+              (sc.getPersistentRDDs.keySet -- before).isEmpty)
+            planCache(name) = df
         }
         ((System.nanoTime() - t0) / 1e9,
           if (c0 < 0) -1.0 else cpuSec - c0, gcSec - g0)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          planCache.remove(name)
           (-1.0, -1.0, -1.0) // a fast failure must not report as a fast run
       }
     }

@@ -552,6 +552,12 @@ object Analytics4 {
     // count, plus re-partitioned both join sides on the basket key —
     // 2.1 s best-of vs DuckDB 0.48; this form is ~1.1 s). collect_set
     // IS the distinct; sort_array makes pair order deterministic.
+    // (r13 note: a single-pass variant — sentinel/item/pair rows from
+    // one explode into ONE groupBy, pinning only the aggregate — was
+    // built and MEASURED 2.43 s isolated paired min-of-3 vs this
+    // form's 1.9 s class: the struct-array construction per basket
+    // costs more than the three separate jobs it saves. Reverted; the
+    // house measure-before-adopting rule, again.)
     val baskets = graft.Checkpoints.pin(
       lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
@@ -625,9 +631,14 @@ object Analytics4 {
       .withColumn("dst", lead(col("event_type"), 1).over(w))
       .filter(col("dst").isNotNull)
       .select(col("event_type").as("src"), col("dst"))
-    val bySrc = tr.groupBy(col("src")).agg(count(lit(1)).as("n_src"))
+    // ONE pass over the transition stream (r13 floor shave): n_src is
+    // algebraically Σ_dst n(src, dst), so the per-src totals come from
+    // the |types|²-row aggregate via a window — the r12 form consumed
+    // `tr` twice, which re-executed the scan + lead-window for the
+    // broadcast build side (a full second data-proportional job to
+    // produce a 5-row frame). Identical results by construction.
     tr.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-      .join(broadcast(bySrc), "src")
+      .withColumn("n_src", sum(col("n")).over(Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), col("n"),
         (col("n").cast("double") / col("n_src")).as("p"))
       .orderBy(col("n").desc, col("src"), col("dst"))
