@@ -22,13 +22,20 @@ package graft
 object FloorProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional second arg (r13, verdict item 4): decompose any
+    // registered query instead of the q1_agg canary — the action-floor
+    // weak-list entries (q50_cube, q54_transitions, sql_window_topk)
+    // each get their own plan/execute split this way
+    val qName = args.lift(1).getOrElse("q1_agg")
+    val qFn = SparkEntry.queries.getOrElse(qName,
+      sys.error(s"unknown query '$qName'"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect(): Unit
     // one full warmup (codegen cache, file-status cache)
-    queries.Analytics.q1(spark, sfDir)
+    qFn(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
     def ms(body: => Unit): Double = {
@@ -38,13 +45,13 @@ object FloorProfile {
 
     // phase decomposition, fresh frame per run (the Verify/Bench shape)
     val buildMs = minOf(5)(ms {
-      queries.Analytics.q1(spark, sfDir).queryExecution.analyzed: Unit
+      qFn(spark, sfDir).queryExecution.analyzed: Unit
     })
     val planMs = minOf(5)(ms {
-      queries.Analytics.q1(spark, sfDir).queryExecution.executedPlan: Unit
+      qFn(spark, sfDir).queryExecution.executedPlan: Unit
     })
     val fullMs = minOf(5)(ms {
-      queries.Analytics.q1(spark, sfDir)
+      qFn(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     })
 
@@ -60,19 +67,19 @@ object FloorProfile {
     }
     val noAqeMs = withConf("spark.sql.adaptive.enabled", "false") {
       minOf(5)(ms {
-        queries.Analytics.q1(spark, sfDir)
+        qFn(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       })
     }
     val bigSplitMs = withConf("spark.sql.files.maxPartitionBytes", "512m") {
       minOf(5)(ms {
-        queries.Analytics.q1(spark, sfDir)
+        qFn(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       })
     }
     // reused pre-built frame: action-only cost when construction and
     // analysis are amortized across invocations
-    val reused = queries.Analytics.q1(spark, sfDir)
+    val reused = qFn(spark, sfDir)
     reused.write.format("noop").mode("overwrite").save()
     val reusedMs = minOf(5)(ms {
       reused.write.format("noop").mode("overwrite").save()
@@ -81,7 +88,7 @@ object FloorProfile {
     // for a 6-row aggregate)
     val fewPartsMs = withConf("spark.sql.shuffle.partitions", "4") {
       minOf(5)(ms {
-        queries.Analytics.q1(spark, sfDir)
+        qFn(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
       })
     }
@@ -91,14 +98,14 @@ object FloorProfile {
     // fewer scan/reduce tasks = less parallelism)
     val stackedMs = withConf("spark.sql.files.maxPartitionBytes", "512m") {
       withConf("spark.sql.shuffle.partitions", "4") {
-        val f = queries.Analytics.q1(spark, sfDir)
+        val f = qFn(spark, sfDir)
         f.write.format("noop").mode("overwrite").save()
         minOf(5)(ms { f.write.format("noop").mode("overwrite").save() })
       }
     }
 
     val line =
-      f"""{"metric":"floor_profile","build_analyze_ms":$buildMs%.1f,"plan_ms":$planMs%.1f,"full_action_ms":$fullMs%.1f,"no_aqe_ms":$noAqeMs%.1f,"big_split_ms":$bigSplitMs%.1f,"reused_frame_ms":$reusedMs%.1f,"shuffle4_ms":$fewPartsMs%.1f,"stacked_ms":$stackedMs%.1f,"sf":"$sfDir"}"""
+      f"""{"metric":"floor_profile","query":"$qName","build_analyze_ms":$buildMs%.1f,"plan_ms":$planMs%.1f,"full_action_ms":$fullMs%.1f,"no_aqe_ms":$noAqeMs%.1f,"big_split_ms":$bigSplitMs%.1f,"reused_frame_ms":$reusedMs%.1f,"shuffle4_ms":$fewPartsMs%.1f,"stacked_ms":$stackedMs%.1f,"sf":"$sfDir"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/floor_profile.json"), line): Unit
