@@ -41,7 +41,7 @@ object DeltaExport {
 
   /** Parquet footer row count without a Spark job (tiny local read —
     * same pattern as graft.Tables.footerRowCount). */
-  private def footerCount(f: java.io.File): Long = {
+  private[graft] def footerCount(f: java.io.File): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(

@@ -696,6 +696,187 @@ object EtlQueries {
        |ORDER BY m.version""".stripMargin
   }
 
+  /** Build (once per process) a FOREIGN-shaped Delta table under
+    * scratch — the fixture another engine might have written, which
+    * graft must MOUNT through the log alone ([[graft.etl.DeltaImport]]):
+    *
+    *   - data files carry ONLY the data columns (o_orderkey,
+    *     o_totalprice) — the partition column `pt` exists solely as
+    *     `add.partitionValues` strings, per the Delta protocol;
+    *   - the directory layout is deliberately NON-hive (`data/v0/p2`,
+    *     not `pt=2`), so partition inference from paths is impossible
+    *     and the log is the only source of truth;
+    *   - each commit carries a `commitInfo` action (as Spark/Trino
+    *     writers emit) that a conforming reader must skip;
+    *   - version 1 overwrites partition pt=2 (removes + adds), so the
+    *     AS-OF replay must drop superseded files that still sit in the
+    *     directory tree.
+    *
+    * pt = o_orderkey % 4; v1 keeps only o_orderkey % 8 == 2 in pt=2. */
+  private[graft] def ensureForeignDeltaTable(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.types._
+    val base = scratchDir("dimp", d, "orders")
+    val logDir = new java.io.File(s"$base/_delta_log")
+    if (!new java.io.File(logDir, f"${1}%020d.json").exists()) {
+      val data = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      (0 to 3).foreach { p =>
+        data.filter(pmod(col("o_orderkey"), lit(4)) === p)
+          .repartition(2)
+          .write.mode("overwrite").parquet(s"$base/data/v0/p$p")
+      }
+      data.filter(pmod(col("o_orderkey"), lit(8)) === 2)
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$base/data/v1/p2")
+      val schemaJson = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_totalprice", DoubleType),
+        StructField("pt", IntegerType))).json
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      def parts(rel: String): Seq[java.io.File] =
+        new java.io.File(s"$base/$rel").listFiles
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).toSeq
+      def addLine(rel: String, p: Int, f: java.io.File): String = {
+        val root = mapper.createObjectNode()
+        val a = root.putObject("add")
+        a.put("path", s"$rel/${f.getName}")
+        a.putObject("partitionValues").put("pt", p.toString)
+        a.put("size", f.length)
+        a.put("modificationTime", 1700000000000L)
+        a.put("dataChange", true)
+        a.put("stats",
+          s"""{"numRecords":${graft.etl.DeltaExport.footerCount(f)}}""")
+        mapper.writeValueAsString(root)
+      }
+      def removeLine(rel: String, f: java.io.File): String = {
+        val root = mapper.createObjectNode()
+        val r = root.putObject("remove")
+        r.put("path", s"$rel/${f.getName}")
+        r.put("deletionTimestamp", 1700000001000L)
+        r.put("dataChange", true)
+        mapper.writeValueAsString(root)
+      }
+      def commitInfo(op: String): String = {
+        val root = mapper.createObjectNode()
+        val ci = root.putObject("commitInfo")
+        ci.put("timestamp", 1700000000000L)
+        ci.put("operation", op)
+        ci.putObject("operationParameters").put("mode", "Overwrite")
+        ci.put("engineInfo", "foreign-engine/1.0")
+        mapper.writeValueAsString(root)
+      }
+      val proto = mapper.createObjectNode()
+      proto.putObject("protocol").put("minReaderVersion", 1)
+        .put("minWriterVersion", 2)
+      val metaRoot = mapper.createObjectNode()
+      val meta = metaRoot.putObject("metaData")
+      meta.put("id", java.util.UUID.nameUUIDFromBytes(
+        "graft-foreign-delta".getBytes("UTF-8")).toString)
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+      meta.put("schemaString", schemaJson)
+      meta.putArray("partitionColumns").add("pt")
+      meta.putObject("configuration")
+      meta.put("createdTime", 1700000000000L)
+      val v0 = Seq(commitInfo("WRITE"), mapper.writeValueAsString(proto),
+        mapper.writeValueAsString(metaRoot)) ++
+        (0 to 3).flatMap(p => parts(s"data/v0/p$p").map(addLine(s"data/v0/p$p", p, _)))
+      val v1 = Seq(commitInfo("OVERWRITE")) ++
+        parts("data/v0/p2").map(removeLine("data/v0/p2", _)) ++
+        parts("data/v1/p2").map(addLine("data/v1/p2", 2, _))
+      logDir.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(logDir.getPath, f"${0}%020d.json"),
+        v0.mkString("", "\n", "\n"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(logDir.getPath, f"${1}%020d.json"),
+        v1.mkString("", "\n", "\n")): Unit
+    }
+    base
+  }
+
+  /** `etl_delta_import` — the READ side of lakehouse interop (r13):
+    * a foreign Delta table (non-hive layout, partition values only in
+    * the log, commitInfo noise, an overwritten partition whose stale
+    * files still sit on disk) is mounted AS OF each version through
+    * [[graft.etl.DeltaImport]] and aggregated per partition. The gate
+    * is double-sided, the etl_delta_export discipline in reverse: the
+    * DuckDB oracle parses the SAME log JSON independently for
+    * n_files/n_meta per (version, pt) and recomputes n/total/key_sum
+    * from the raw orders table — so a reader that misses a remove,
+    * reads a stale file, mis-injects a partition value, or drops a
+    * commitInfo-adjacent add fails the hash.
+    *
+    * 100 TB: the log parse is driver-side metadata (one JSON line per
+    * file action); the data read is one pruned parquet scan per live
+    * partition, unioned — the same per-partition dispatch the manifest
+    * store uses. */
+  def deltaImport(s: SparkSession, d: String): DataFrame = {
+    val base = ensureForeignDeltaTable(s, d)
+    lastDeltaImportBase = base
+    Seq(0L, 1L).map { dv =>
+      val snap = graft.etl.DeltaImport.readLog(base, dv)
+      val metaByPt = snap.files.groupBy(_.partitionValues("pt").toInt)
+        .map { case (p, fs) => p -> (fs.size.toLong, fs.map(_.numRecords).sum) }
+      val nf = typedlit(metaByPt.map { case (p, (f, _)) => p -> f })
+      val nm = typedlit(metaByPt.map { case (p, (_, m)) => p -> m })
+      graft.etl.DeltaImport.snapshot(s, base, dv)
+        .groupBy(col("pt"))
+        .agg(count(lit(1)).as("n"),
+          expr(Frags.dsum2("o_totalprice")).as("total"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .select(lit(dv).as("version"), col("pt"),
+          element_at(nf, col("pt")).as("n_files"),
+          element_at(nm, col("pt")).as("n_meta"),
+          col("n"), col("total"), col("key_sum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"), col("pt"))
+  }
+
+  @volatile private var lastDeltaImportBase: String = _
+
+  private def deltaImportSql: String = {
+    val base = Option(lastDeltaImportBase).getOrElse("/graft_dimp_never_ran")
+    s"""WITH raw AS (
+       |  SELECT filename AS fn, * FROM read_json_auto('$base/_delta_log/*.json',
+       |    format='newline_delimited', filename=true, union_by_name=true)),
+       |acts AS (
+       |  SELECT CAST(regexp_extract(fn, '([0-9]+)\\.json$$', 1) AS BIGINT) AS dv,
+       |         "add".path AS ap,
+       |         CAST("add".partitionValues.pt AS INT) AS pt,
+       |         CAST(json_extract_string("add".stats, '$$.numRecords') AS BIGINT) AS nrec,
+       |         "remove".path AS rp
+       |  FROM raw),
+       |vers AS (SELECT DISTINCT dv FROM acts),
+       |live AS (
+       |  SELECT v.dv, a.ap, a.pt, a.nrec FROM vers v
+       |  JOIN acts a ON a.dv <= v.dv AND a.ap IS NOT NULL
+       |  WHERE NOT EXISTS (SELECT 1 FROM acts r
+       |                    WHERE r.rp IS NOT NULL AND r.dv <= v.dv AND r.rp = a.ap)),
+       |meta AS (
+       |  SELECT dv AS version, pt, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |         CAST(SUM(nrec) AS BIGINT) AS n_meta
+       |  FROM live GROUP BY dv, pt),
+       |d0 AS (
+       |  SELECT CAST(0 AS BIGINT) AS version, CAST(o_orderkey % 4 AS INT) AS pt,
+       |    CAST(COUNT(*) AS BIGINT) AS n, ${Frags.dsum2("o_totalprice")} AS total,
+       |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |  FROM orders GROUP BY 2),
+       |d1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS version, CAST(o_orderkey % 4 AS INT) AS pt,
+       |    CAST(COUNT(*) AS BIGINT) AS n, ${Frags.dsum2("o_totalprice")} AS total,
+       |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |  FROM orders WHERE o_orderkey % 4 <> 2 GROUP BY 2
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), CAST(2 AS INT),
+       |    CAST(COUNT(*) AS BIGINT), ${Frags.dsum2("o_totalprice")},
+       |    CAST(SUM(o_orderkey) AS BIGINT)
+       |  FROM orders WHERE o_orderkey % 8 = 2),
+       |data AS (SELECT * FROM d0 UNION ALL SELECT * FROM d1)
+       |SELECT m.version, m.pt, m.n_files, m.n_meta, d.n, d.total, d.key_sum
+       |FROM meta m JOIN data d ON m.version = d.version AND m.pt = d.pt
+       |ORDER BY m.version, m.pt""".stripMargin
+  }
+
   /** `etl_changefeed` — row-level change data feed BETWEEN two
     * time-travel versions (Delta's CDF / Iceberg's changelog scan):
     * every key that was inserted, deleted, or updated from v1 to v2,
@@ -2772,6 +2953,7 @@ object EtlQueries {
     "etl_merge" -> (merge _),
     "etl_time_travel" -> (timeTravel _),
     "etl_delta_export" -> (deltaExport _),
+    "etl_delta_import" -> (deltaImport _),
     "etl_changefeed" -> (changeFeed _),
     "etl_matview" -> (matview _),
     "etl_wap" -> (wap _),
@@ -2796,7 +2978,8 @@ object EtlQueries {
     * only after the query has run (Verify dumps oracle_sql.json last;
     * Bench's paired runner asks per query post-run). */
   def oracles: Map[String, String] = staticOracles +
-    ("etl_delta_export" -> deltaExportSql)
+    ("etl_delta_export" -> deltaExportSql) +
+    ("etl_delta_import" -> deltaImportSql)
 
   private val staticOracles: Map[String, String] = Map(
     "etl_skew_audit" -> skewAuditSql,

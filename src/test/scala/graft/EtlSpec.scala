@@ -238,6 +238,50 @@ class EtlSpec extends AnyFunSuite {
     Files.write(logFiles(1).toPath, before(1).getBytes("UTF-8"))
   }
 
+  /** Delta IMPORT's structural contracts, beyond the oracle gate:
+    * (a) the foreign fixture mounts correctly — stale files of the
+    * overwritten partition are dropped at v1 while untouched
+    * partitions are identical across versions, and the reader's data
+    * counts equal the log's stats (honesty THROUGH the reader);
+    * (b) round-trip — graft's own exported store (etl_delta_export)
+    * mounts through the same generic reader and matches the direct
+    * manifest-resolution read row-for-row in aggregate; (c) an
+    * unknown AS-OF version is a loud error. */
+  test("etl_delta_import: foreign mount, stale-file drop, export round-trip") {
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum}
+    val E = graft.queries.EtlQueries
+    val rows = E.deltaImport(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      (for (v <- 0 to 1; p <- 0 to 3) yield (v.toLong, p)),
+      "expected (version, pt) grid 2x4")
+    val byKey = rows.map(r =>
+      (r.getLong(0), r.getInt(1)) -> (r.getLong(4), r.getLong(6))).toMap
+    Seq(0, 1, 3).foreach { p =>
+      assert(byKey((0L, p)) == byKey((1L, p)),
+        s"untouched partition pt=$p drifted across versions")
+    }
+    assert(byKey((1L, 2))._1 < byKey((0L, 2))._1,
+      "v1 must see the overwritten (smaller) pt=2 — stale files leaked in")
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(3),
+      s"data count != log numRecords at version=${r.getLong(0)} pt=${r.getInt(1)}"))
+    // (b) round-trip through graft's own export
+    E.deltaExport(spark, sf).collect()
+    val base = E.deltaExportBase.get
+    val mounted = graft.etl.DeltaImport.snapshot(spark, base, 1L)
+      .agg(fcount(lit(1)), fsum("o_orderkey")).head
+    val direct = spark.read.parquet(E.readManifest(base, 2).map {
+        case (p, dir) => s"$base/files/$dir/pt=$p"
+      }: _*)
+      .agg(fcount(lit(1)), fsum("o_orderkey")).head
+    assert(mounted.getLong(0) == direct.getLong(0) &&
+      mounted.getLong(1) == direct.getLong(1),
+      "generic Delta mount of the exported store != manifest resolution")
+    // (c) loud on unknown version
+    val e = intercept[IllegalArgumentException](
+      graft.etl.DeltaImport.readLog(base, 7L))
+    assert(e.getMessage.contains("not in log"))
+  }
+
   /** The sketch ANALYZE's quality and exact-channel contracts: NDV
     * estimates within 10% of truth per column (k=1024 ⇒ ~3% expected
     * error), exact row/null counts, and the below-k short-circuit
