@@ -129,7 +129,8 @@ object SparkEntry {
     "stream_interval_join" -> ((s, d) => graft.streaming.Streams.intervalJoin(s, d)),
     "stream_interval_left" -> ((s, d) => graft.streaming.Streams.intervalJoinLeft(s, d)),
     "stream_anomaly" -> ((s, d) => graft.streaming.Streams.streamAnomaly(s, d)),
-    "stream_versioned_sink" -> ((s, d) => graft.streaming.Streams.versionedSink(s, d)))
+    "stream_versioned_sink" -> ((s, d) => graft.streaming.Streams.versionedSink(s, d)),
+    "stream_delta_sink" -> ((s, d) => graft.streaming.Streams.deltaSink(s, d)))
 
   private val pipelineOracles: Map[String, String] = Map(
     "dedup_exact" -> Dedup.exactSql,
@@ -247,7 +248,8 @@ object SparkEntry {
     "stream_interval_join" -> graft.streaming.Streams.intervalJoinSql,
     "stream_interval_left" -> graft.streaming.Streams.intervalJoinLeftSql,
     "stream_anomaly" -> graft.streaming.Streams.streamAnomalySql,
-    "stream_versioned_sink" -> graft.streaming.Streams.versionedSinkSql)
+    "stream_versioned_sink" -> graft.streaming.Streams.versionedSinkSql,
+    "stream_delta_sink" -> graft.streaming.Streams.deltaSinkSql)
     // Every pipeline query is oracle-gated: the formerly rows-only
     // four are replayed exactly — deterministic hyperplane / centroid /
     // codebook literals for ann_lsh/ann_ivf/ann_pq, and HUGEINT

@@ -69,11 +69,12 @@ object DeltaExport {
         }
     }
 
-  private def addAction(fi: FileInfo, partitionCol: String): String = {
+  private def addAction(fi: FileInfo, partitionCol: Option[String]): String = {
     val root = mapper.createObjectNode()
     val add = root.putObject("add")
     add.put("path", fi.path)
-    add.putObject("partitionValues").put(partitionCol, fi.pv)
+    val pvs = add.putObject("partitionValues")
+    partitionCol.foreach(pc => pvs.put(pc, fi.pv): Unit)
     add.put("size", fi.size)
     add.put("modificationTime", fi.mtime)
     add.put("dataChange", true)
@@ -97,14 +98,46 @@ object DeltaExport {
     * export. `schemaJson` is the table schema as Spark StructType JSON
     * — exactly Delta's `schemaString` dialect. */
   def export(base: String, partitionCol: String, schemaJson: String): Int = {
+    val seen = scala.collection.mutable.Map.empty[String, FileInfo]
+    exportVersions(base, Some(partitionCol), schemaJson,
+      v => resolution(base, partitionCol, v, seen))
+  }
+
+  /** Export a versioned-sink store (graft.streaming.Streams
+    * versionedSink — append-only `files/b<batch>` dirs, manifests of
+    * plain dir rels, no partition column) as a Delta log: one Delta
+    * version per stream commit, adds only (the sink never rewrites).
+    * External engines can tail the stream's output table this way. */
+  def exportUnpartitioned(base: String, schemaJson: String): Int = {
+    val seen = scala.collection.mutable.Map.empty[String, FileInfo]
+    def files(v: Int): Seq[FileInfo] = {
+      val src = scala.io.Source.fromFile(
+        ManifestCommit.manifestPath(base, v.toLong), "UTF-8")
+      val rels = try src.getLines().toList finally src.close()
+      rels.flatMap { rel =>
+        val dir = new java.io.File(s"$base/$rel")
+        Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName)
+          .map { f =>
+            val p = s"$rel/${f.getName}"
+            seen.getOrElseUpdate(p,
+              FileInfo(p, "", f.length, f.lastModified, footerCount(f)))
+          }
+      }
+    }
+    exportVersions(base, None, schemaJson, files)
+  }
+
+  private def exportVersions(base: String, partitionCol: Option[String],
+      schemaJson: String, filesOf: Int => Seq[FileInfo]): Int = {
     val cur = ManifestCommit.currentVersion(base)
     require(cur >= 1, s"nothing to export: empty store at $base")
     val logDir = new java.io.File(s"$base/_delta_log")
     logDir.mkdirs()
     var prev = Seq.empty[FileInfo]
-    val seen = scala.collection.mutable.Map.empty[String, FileInfo]
     (1 to cur).foreach { v =>
-      val files = resolution(base, partitionCol, v, seen)
+      val files = filesOf(v)
       val dv = v - 1
       val manifestMtime =
         new java.io.File(ManifestCommit.manifestPath(base, v.toLong)).lastModified
@@ -118,12 +151,14 @@ object DeltaExport {
           // deterministic table id: re-exports must be byte-identical
           // for the CAS idempotency check below
           meta.put("id", java.util.UUID.nameUUIDFromBytes(
-            s"graft-delta:$partitionCol:$schemaJson".getBytes("UTF-8")).toString)
+            s"graft-delta:${partitionCol.getOrElse("")}:$schemaJson"
+              .getBytes("UTF-8")).toString)
           meta.put("name", "graft_export")
           val fmt = meta.putObject("format")
           fmt.put("provider", "parquet"); fmt.putObject("options")
           meta.put("schemaString", schemaJson)
-          meta.putArray("partitionColumns").add(partitionCol)
+          val pcArr = meta.putArray("partitionColumns")
+          partitionCol.foreach(pc => pcArr.add(pc): Unit)
           meta.putObject("configuration")
           meta.put("createdTime", manifestMtime)
           Seq(mapper.writeValueAsString(proto), mapper.writeValueAsString(metaRoot))

@@ -785,6 +785,44 @@ object Streams extends Serializable {
       |  CAST(SUM(event_id) AS BIGINT) AS key_sum
       |FROM events""".stripMargin
 
+  /** `stream_delta_sink` — the versioned streaming sink published as a
+    * Delta table (r13): the stream lands through the SAME exactly-once
+    * commit discipline as stream_versioned_sink (idempotent
+    * batchId-keyed manifests, CAS markers), then every commit is
+    * exported as one Delta-log version
+    * ([[graft.etl.DeltaExport.exportUnpartitioned]] — append-only adds,
+    * footer-true stats) and the audit reads the result back through the
+    * GENERIC protocol reader ([[graft.etl.DeltaImport.snapshot]]), not
+    * the manifests — so any Delta-speaking engine can tail the
+    * stream's output table. The oracle is the same lossless-ingestion
+    * claim (exact events count + key checksum): a log that lists
+    * wrong/stale files, or a mount that drops or duplicates a commit,
+    * fails the hash.
+    *
+    * 100 TB: export cost ∝ new files per commit (append-only diff —
+    * nothing re-read), mount cost ∝ live files; both metadata-side.
+    * maxFilesPerTrigger=2 forces a multi-commit history so the replay
+    * crosses version boundaries at every SF. */
+  def deltaSink(s: SparkSession, d: String): DataFrame = {
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val fp = graft.SourceKey.of(d, "events")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_vdsink_${key}_${fp}" +
+      s"_p${ProcessHandle.current().pid()}"
+    versionedSink(s, d, maxFilesPerTrigger = Some(2),
+      storeDir = Some(base)).collect(): Unit // bounded: the 1-row audit
+    lastDeltaSinkBase = base
+    val schemaJson = versionedSnapshot(s, base, 1L).schema.json
+    graft.etl.DeltaExport.exportUnpartitioned(base, schemaJson)
+    graft.etl.DeltaImport.snapshot(s, base)
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("key_sum"))
+  }
+
+  /** Store base of the last in-process `stream_delta_sink` run (spec
+    * access — the StreamingPipelineSpec log/replay checks). */
+  @volatile private[graft] var lastDeltaSinkBase: String = _
+
+  val deltaSinkSql: String = versionedSinkSql
+
   /** Streaming corpus curation, end to end: the documents table
     * replayed as a landing stream → quality gate (Curation.withReasons,
     * reasons == 0) → cross-batch exact dedup on (lang, content

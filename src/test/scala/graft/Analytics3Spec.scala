@@ -278,6 +278,61 @@ class Analytics3Spec extends AnyFunSuite {
       "checkpoint-wipe replay diverged")
   }
 
+  /** stream_delta_sink's structural contracts beyond the oracle gate:
+    * one Delta version per stream commit, a well-formed genesis with
+    * EMPTY partitionColumns (the sink table is unpartitioned),
+    * append-only actions (the sink never rewrites), AS-OF dv=0 mount
+    * == the v1 manifest snapshot, and byte-identical re-export. */
+  test("stream_delta_sink: per-commit delta log, AS-OF mount, idempotent export") {
+    import org.apache.spark.sql.functions._
+    val S = graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("graft_vdsink_split").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_vdsink_store").toString
+    val sub = s"$dir/events.parquet"
+    val ev = Tables.events(spark, sf)
+    val mid = ev.agg(expr("percentile(CAST(unix_micros(ts) AS DOUBLE), 0.5)"))
+      .head().getDouble(0).toLong
+    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(sub)
+    Thread.sleep(1100)
+    ev.filter(unix_micros(col("ts")) > mid)
+      .coalesce(1).write.mode("append").parquet(sub)
+    S.versionedSink(spark, dir, maxFilesPerTrigger = Some(1),
+      storeDir = Some(store)).collect(): Unit
+    assert(S.latestVersion(store) == 2)
+    val schemaJson = S.versionedSnapshot(spark, store, 1L).schema.json
+    assert(graft.etl.DeltaExport.exportUnpartitioned(store, schemaJson) == 2)
+    val logDir = new java.io.File(s"$store/_delta_log")
+    val logFiles = logDir.listFiles.filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    assert(logFiles.map(_.getName).toSeq ==
+      Seq("00000000000000000000.json", "00000000000000000001.json"))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def lines(f: java.io.File) = new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').toSeq.filter(_.nonEmpty).map(om.readTree)
+    val v0 = lines(logFiles(0))
+    val md = v0.find(_.has("metaData")).get.get("metaData")
+    assert(md.get("partitionColumns").size == 0,
+      "stream sink table must export as unpartitioned")
+    assert(lines(logFiles(1)).forall(n => !n.has("remove")),
+      "append-only sink must never emit removes")
+    // AS-OF dv=0 through the generic reader == v1 manifest snapshot
+    val m0 = graft.etl.DeltaImport.snapshot(spark, store, 0L)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val v1 = S.versionedSnapshot(spark, store, 1)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(m0 == v1, "dv=0 mount != v1 snapshot")
+    val full = graft.etl.DeltaImport.snapshot(spark, store)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(full == ev.count(), "latest mount lost or duplicated rows")
+    // idempotent re-export
+    val before = logFiles.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).toSeq
+    graft.etl.DeltaExport.exportUnpartitioned(store, schemaJson)
+    val after = logFiles.map(f => new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).toSeq
+    assert(before == after, "re-export mutated the log")
+  }
+
   test("stream_dedup output equals batch-distinct events") {
     val got = graft.streaming.Streams.streamDedup(spark, sf)
     val n = Tables.events(spark, sf).count()
