@@ -36,10 +36,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DeltaImport {
 
   final case class AddFile(path: String, partitionValues: Map[String, String],
-      numRecords: Long)
+      numRecords: Long, size: Long = 0L, mtime: Long = 0L)
 
   final case class Snapshot(version: Long, schema: StructType,
-      partitionCols: Seq[String], files: Seq[AddFile])
+      partitionCols: Seq[String], files: Seq[AddFile], metaDataJson: String)
 
   private val mapper = new ObjectMapper()
 
@@ -47,30 +47,53 @@ object DeltaImport {
     * -1 = latest).
     * Later adds of the same path supersede earlier ones (a protocol
     * writer may re-add with fresh stats); a remove kills the path
-    * until a subsequent re-add. */
+    * until a subsequent re-add. When a usable checkpoint at version
+    * C ≤ asOf exists ([[DeltaCheckpoint.lastCheckpoint]]), the state
+    * seeds from its parquet and ONLY versions C+1..asOf replay as
+    * JSON — O(live files + tail) instead of O(history); JSON versions
+    * at or before C need not even exist on disk. The replayed span
+    * must be contiguous (a gap means a vacuumed or torn log — loud
+    * error, never a silently partial table). */
   def readLog(tableDir: String, asOf: Long = -1L): Snapshot = {
     val logDir = new java.io.File(s"$tableDir/_delta_log")
     val versions = Option(logDir.listFiles).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.matches("\\d{20}\\.json"))
       .map(f => f.getName.stripSuffix(".json").toLong -> f)
       .sortBy(_._1)
-    require(versions.nonEmpty, s"no Delta log at $logDir")
-    val upTo = if (asOf < 0) versions.last._1 else asOf
-    require(versions.exists(_._1 == upTo),
-      s"version $upTo not in log (have ${versions.map(_._1).mkString(",")})")
+    val cp = DeltaCheckpoint.lastCheckpoint(tableDir)
+    val maxV = (versions.map(_._1) ++ cp).maxOption
+    require(maxV.nonEmpty, s"no Delta log at $logDir")
+    val upTo = if (asOf < 0) maxV.get else asOf
     var schema: StructType = null
     var partCols: Seq[String] = Seq.empty
+    var metaJson: String = null
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    versions.takeWhile(_._1 <= upTo).foreach { case (_, f) =>
+    def applyMeta(mj: String): Unit = {
+      metaJson = mj
+      val m = mapper.readTree(mj)
+      schema = DataType.fromJson(m.get("schemaString").asText)
+        .asInstanceOf[StructType]
+      partCols = (0 until m.get("partitionColumns").size)
+        .map(m.get("partitionColumns").get(_).asText)
+    }
+    val seed = cp.filter(_ <= upTo)
+    seed.foreach { cv =>
+      val (mj, adds) = DeltaCheckpoint.read(tableDir, cv)
+      applyMeta(mj)
+      adds.foreach(a => live(a.path) = a)
+    }
+    val startFrom = seed.map(_ + 1).getOrElse(0L)
+    val replay = versions.filter { case (v, _) => v >= startFrom && v <= upTo }
+    require(replay.map(_._1).toSeq == (startFrom to upTo),
+      s"versions $startFrom..$upTo not in log " +
+        s"(have ${replay.map(_._1).mkString(",")}" +
+        cp.map(c => s", checkpoint at $c").getOrElse("") + ")")
+    replay.foreach { case (_, f) =>
       val src = scala.io.Source.fromFile(f, "UTF-8")
       try src.getLines().filter(_.nonEmpty).foreach { line =>
         val n = mapper.readTree(line)
         if (n.has("metaData")) {
-          val m = n.get("metaData")
-          schema = DataType.fromJson(m.get("schemaString").asText)
-            .asInstanceOf[StructType]
-          partCols = (0 until m.get("partitionColumns").size)
-            .map(m.get("partitionColumns").get(_).asText)
+          applyMeta(mapper.writeValueAsString(n.get("metaData")))
         } else if (n.has("add")) {
           val a = n.get("add")
           val pvNode = a.get("partitionValues")
@@ -86,14 +109,16 @@ object DeltaImport {
             .map(s => mapper.readTree(s.asText))
             .flatMap(st => Option(st.get("numRecords")).map(_.asLong))
             .getOrElse(-1L)
-          live(a.get("path").asText) = AddFile(a.get("path").asText, pvs, nrec)
+          live(a.get("path").asText) = AddFile(a.get("path").asText, pvs, nrec,
+            Option(a.get("size")).map(_.asLong).getOrElse(0L),
+            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L))
         } else if (n.has("remove")) {
           live.remove(n.get("remove").get("path").asText): Unit
         } // commitInfo / txn / protocol / cdc — skipped per protocol
       } finally src.close()
     }
     require(schema != null, s"log at $logDir carries no metaData action")
-    Snapshot(upTo, schema, partCols, live.values.toSeq)
+    Snapshot(upTo, schema, partCols, live.values.toSeq, metaJson)
   }
 
   /** The table as of `asOf` (-1 = latest) as a DataFrame: live data

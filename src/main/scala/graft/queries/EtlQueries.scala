@@ -877,6 +877,104 @@ object EtlQueries {
        |ORDER BY m.version, m.pt""".stripMargin
   }
 
+  /** Build (once per process) a 12-commit append-only store (the
+    * versioned-sink layout: `files/b<i>` dirs, manifests of plain dir
+    * rels) — commit i lands the o_orderkey % 12 == i slice of orders.
+    * A history deep enough that replaying every log version is
+    * measurably the wrong plan, which is what the checkpoint gate is
+    * about. */
+  private[graft] def ensureAppendStore(s: SparkSession, d: String): String = {
+    val base = scratchDir("dckp", d, "orders")
+    if (graft.etl.ManifestCommit.currentVersionLong(base) < 12) {
+      val data = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      (0 until 12).foreach { i =>
+        data.filter(pmod(col("o_orderkey"), lit(12)) === i)
+          .repartition(2)
+          .write.mode("overwrite").parquet(s"$base/files/b$i")
+        val mp = graft.etl.ManifestCommit.manifestPath(base, i + 1L)
+        new java.io.File(mp).getParentFile.mkdirs()
+        graft.etl.ManifestCommit.casFile(mp,
+          (0 to i).map(j => s"files/b$j").mkString("\n")): Unit
+      }
+    }
+    base
+  }
+
+  /** `etl_delta_checkpoint` — the long-history scale path of the
+    * exported Delta log (r13): a 12-version append-only history is
+    * exported, checkpointed at version 9
+    * ([[graft.etl.DeltaCheckpoint]] — protocol checkpoint parquet +
+    * `_last_checkpoint`), and then mounted twice through the generic
+    * reader: AS OF 11 (seeds from the checkpoint, replays only the
+    * two JSON tails) and AS OF 5 (before the checkpoint — pure JSON
+    * replay). Both paths must produce byte-identical answers to the
+    * oracle's independent view: DuckDB parses every log JSON for
+    * n_files/n_meta per version and recomputes the data side from raw
+    * orders. The spec additionally DELETES the pre-checkpoint JSONs
+    * and proves the checkpointed mount still serves — the O(live +
+    * tail) claim made falsifiable.
+    *
+    * 100 TB: a stream that commits every minute writes ~526k versions
+    * a year; without checkpoints every mount replays them all. With
+    * them, mount cost is one parquet read ∝ live files + the tail
+    * since the last checkpoint — history-depth-independent. */
+  def deltaCheckpoint(s: SparkSession, d: String): DataFrame = {
+    val base = ensureAppendStore(s, d)
+    lastDeltaCheckpointBase = base
+    val schemaJson = s.read.parquet(s"$base/files/b0").schema.json
+    graft.etl.DeltaExport.exportUnpartitioned(base, schemaJson)
+    graft.etl.DeltaCheckpoint.write(base, 9L)
+    Seq(5L, 11L).map { dv =>
+      val snap = graft.etl.DeltaImport.readLog(base, dv)
+      graft.etl.DeltaImport.snapshot(s, base, dv)
+        .agg(count(lit(1)).as("n"),
+          expr(Frags.dsum2("o_totalprice")).as("total"),
+          sum(col("o_orderkey")).as("key_sum"))
+        .select(lit(dv).as("version"),
+          lit(snap.files.size.toLong).as("n_files"),
+          lit(snap.files.map(_.numRecords).sum).as("n_meta"),
+          col("n"), col("total"), col("key_sum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
+  @volatile private var lastDeltaCheckpointBase: String = _
+
+  /** Checkpoint scratch base for EtlSpec (resolves after the query has
+    * run in this process). */
+  private[graft] def deltaCheckpointBase: Option[String] =
+    Option(lastDeltaCheckpointBase)
+
+  private def deltaCheckpointSql: String = {
+    val base = Option(lastDeltaCheckpointBase).getOrElse("/graft_dckp_never_ran")
+    s"""WITH raw AS (
+       |  SELECT filename AS fn, * FROM read_json_auto('$base/_delta_log/*.json',
+       |    format='newline_delimited', filename=true, union_by_name=true)),
+       |acts AS (
+       |  SELECT CAST(regexp_extract(fn, '([0-9]+)\\.json$$', 1) AS BIGINT) AS dv,
+       |         "add".path AS ap,
+       |         CAST(json_extract_string("add".stats, '$$.numRecords') AS BIGINT) AS nrec
+       |  FROM raw),
+       |vers AS (SELECT * FROM (VALUES (CAST(5 AS BIGINT)), (CAST(11 AS BIGINT))) t(v)),
+       |meta AS (
+       |  SELECT v.v AS version, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |         CAST(SUM(a.nrec) AS BIGINT) AS n_meta
+       |  FROM vers v JOIN acts a ON a.dv <= v.v AND a.ap IS NOT NULL
+       |  GROUP BY v.v),
+       |data AS (
+       |  SELECT CAST(5 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${Frags.dsum2("o_totalprice")} AS total,
+       |    CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+       |  FROM orders WHERE o_orderkey % 12 <= 5
+       |  UNION ALL
+       |  SELECT CAST(11 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |    ${Frags.dsum2("o_totalprice")},
+       |    CAST(SUM(o_orderkey) AS BIGINT)
+       |  FROM orders)
+       |SELECT m.version, m.n_files, m.n_meta, d.n, d.total, d.key_sum
+       |FROM meta m JOIN data d ON m.version = d.version
+       |ORDER BY m.version""".stripMargin
+  }
+
   /** `etl_changefeed` — row-level change data feed BETWEEN two
     * time-travel versions (Delta's CDF / Iceberg's changelog scan):
     * every key that was inserted, deleted, or updated from v1 to v2,
@@ -2954,6 +3052,7 @@ object EtlQueries {
     "etl_time_travel" -> (timeTravel _),
     "etl_delta_export" -> (deltaExport _),
     "etl_delta_import" -> (deltaImport _),
+    "etl_delta_checkpoint" -> (deltaCheckpoint _),
     "etl_changefeed" -> (changeFeed _),
     "etl_matview" -> (matview _),
     "etl_wap" -> (wap _),
@@ -2979,7 +3078,8 @@ object EtlQueries {
     * Bench's paired runner asks per query post-run). */
   def oracles: Map[String, String] = staticOracles +
     ("etl_delta_export" -> deltaExportSql) +
-    ("etl_delta_import" -> deltaImportSql)
+    ("etl_delta_import" -> deltaImportSql) +
+    ("etl_delta_checkpoint" -> deltaCheckpointSql)
 
   private val staticOracles: Map[String, String] = Map(
     "etl_skew_audit" -> skewAuditSql,

@@ -282,6 +282,43 @@ class EtlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not in log"))
   }
 
+  /** The checkpoint's load-bearing claim, made falsifiable: after
+    * `etl_delta_checkpoint` exports 12 versions and checkpoints at 9,
+    * DELETING the pre-checkpoint JSONs must leave the checkpointed
+    * mount fully serviceable (it reads the parquet + the two tails and
+    * never touches them) while a pre-checkpoint AS-OF now fails LOUDLY
+    * (contiguity check) instead of serving a partial table. */
+  test("etl_delta_checkpoint: mount survives deleted history; pre-checkpoint is loud") {
+    import org.apache.spark.sql.functions.{count => fcount, lit, sum => fsum}
+    val E = graft.queries.EtlQueries
+    val rows = E.deltaCheckpoint(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(5L, 11L))
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2),
+      s"n != n_meta at version ${r.getLong(0)}"))
+    val base = E.deltaCheckpointBase.get
+    val logDir = new java.io.File(s"$base/_delta_log")
+    assert(new java.io.File(logDir, "_last_checkpoint").exists)
+    assert(new java.io.File(logDir, f"${9L}%020d.checkpoint.parquet").exists)
+    def agg(asOf: Long) = graft.etl.DeltaImport.snapshot(spark, base, asOf)
+      .agg(fcount(lit(1)), fsum("o_orderkey")).collect()(0)
+    val before11 = agg(11L)
+    // delete versions 0..9 — a vacuumed history
+    val moved = (0L to 9L).map { v =>
+      val f = new java.io.File(logDir, f"$v%020d.json")
+      val bak = new java.io.File(logDir, f.getName + ".bak")
+      assert(f.renameTo(bak)); (f, bak)
+    }
+    try {
+      assert(agg(11L) == before11,
+        "checkpointed mount touched deleted history")
+      val e = intercept[IllegalArgumentException](agg(5L))
+      assert(e.getMessage.contains("not in log"),
+        "pre-checkpoint AS-OF over a vacuumed log must be loud")
+    } finally moved.foreach { case (f, bak) => assert(bak.renameTo(f)) }
+    // restored: the pure-JSON replay path answers again
+    assert(agg(5L).getLong(0) > 0)
+  }
+
   /** The sketch ANALYZE's quality and exact-channel contracts: NDV
     * estimates within 10% of truth per column (k=1024 ⇒ ~3% expected
     * error), exact row/null counts, and the below-k short-circuit
