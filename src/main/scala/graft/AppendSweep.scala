@@ -49,14 +49,16 @@ object AppendSweep {
       AnnIndex.buildSubset(spark, d, baseDir, !tenPct))
     def freshCopy(): String = {
       val c = java.nio.file.Files.createTempDirectory("graft_asweep_c").toString
-      def link(rel: String): Unit = {
-        val from = new java.io.File(s"$baseDir/$rel")
-        val to = new java.io.File(s"$c/$rel")
-        to.mkdirs()
-        from.listFiles.foreach(f => java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(to.getPath, f.getName), f.toPath))
+      // shared tree-linker (review r13) + the counter marker files, so
+      // appendAt sees the true base count instead of warning base=0
+      Seq("coarse", "codebook", "codes").foreach(rel =>
+        AnnIndex.linkTree(new java.io.File(s"$baseDir/$rel"),
+          new java.io.File(s"$c/$rel")))
+      Seq("_GRAFT_INDEX_BASE", "_GRAFT_INDEX_APPENDED").foreach { m =>
+        val f = new java.io.File(baseDir, m)
+        if (f.isFile) java.nio.file.Files.copy(f.toPath,
+          java.nio.file.Paths.get(c, m)): Unit
       }
-      Seq("coarse", "codebook", "codes").foreach(link)
       c
     }
     def batch(pred: org.apache.spark.sql.Column) =
@@ -77,12 +79,8 @@ object AppendSweep {
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/ann_append_sweep.json"), line): Unit
-    Seq(baseDir, c10, c5).foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(p))
-    }
+    Seq(baseDir, c10, c5).foreach(p =>
+      AnnIndex.deleteRecursively(new java.io.File(p)))
     spark.stop()
   }
 }

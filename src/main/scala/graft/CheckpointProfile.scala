@@ -65,10 +65,7 @@ object CheckpointProfile {
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/checkpoint_profile.json"), line): Unit
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(base))
+    graft.operators.AnnIndex.deleteRecursively(new java.io.File(base))
     spark.stop()
   }
 }

@@ -87,16 +87,21 @@ object DeltaCheckpoint {
         val mg = f.newGroup()
         val m = mg.addGroup("metaData")
         m.append("id", md.get("id").asText)
-        m.append("name", md.get("name").asText)
+        // name/createdTime are OPTIONAL per the protocol (Spark omits
+        // name for path-based tables) — write only when present
+        Option(md.get("name")).filterNot(_.isNull)
+          .foreach(n => m.append("name", n.asText): Unit)
         m.addGroup("format").append("provider",
-          md.get("format").get("provider").asText)
+          Option(md.get("format")).flatMap(fo => Option(fo.get("provider")))
+            .map(_.asText).getOrElse("parquet"))
         m.append("schemaString", md.get("schemaString").asText)
         val pcs = m.addGroup("partitionColumns")
         (0 until md.get("partitionColumns").size).foreach { i =>
           pcs.addGroup("list")
             .append("element", md.get("partitionColumns").get(i).asText): Unit
         }
-        m.append("createdTime", md.get("createdTime").asLong)
+        Option(md.get("createdTime")).filterNot(_.isNull)
+          .foreach(c => m.append("createdTime", c.asLong): Unit)
         w.write(mg)
         snap.files.sortBy(_.path).foreach { fi =>
           val ag = f.newGroup()
@@ -104,7 +109,9 @@ object DeltaCheckpoint {
           a.append("path", fi.path)
           val pvs = a.addGroup("partitionValues")
           fi.partitionValues.toSeq.sortBy(_._1).foreach { case (k, vv) =>
-            pvs.addGroup("key_value").append("key", k).append("value", vv): Unit
+            val kv = pvs.addGroup("key_value").append("key", k)
+            // null partition value: the optional `value` field is absent
+            if (vv != null) kv.append("value", vv): Unit
           }
           a.append("size", fi.size)
           a.append("modificationTime", fi.mtime)
@@ -160,34 +167,52 @@ object DeltaCheckpoint {
     try {
       var g: Group = reader.read()
       while (g != null) {
+        // optional-field discipline (review r13): the example-API
+        // getters THROW on an absent value — probe the repetition
+        // count first, because foreign writers legitimately omit
+        // name/createdTime/stats/partition values
+        def opt[A](grp: Group, field: String)(get: => A): Option[A] =
+          if (grp.getType.containsField(field) &&
+            grp.getFieldRepetitionCount(field) > 0) Some(get) else None
         if (g.getFieldRepetitionCount("metaData") > 0) {
           val m = g.getGroup("metaData", 0)
           val root = mapper.createObjectNode()
           root.put("id", m.getString("id", 0))
-          root.put("name", m.getString("name", 0))
-          root.putObject("format")
-            .put("provider", m.getGroup("format", 0).getString("provider", 0))
+          opt(m, "name")(m.getString("name", 0))
+            .foreach(root.put("name", _): Unit)
+          root.putObject("format").put("provider",
+            opt(m, "format")(m.getGroup("format", 0))
+              .flatMap(fg => opt(fg, "provider")(fg.getString("provider", 0)))
+              .getOrElse("parquet"))
           root.put("schemaString", m.getString("schemaString", 0))
           val pcs = root.putArray("partitionColumns")
-          val pcg = m.getGroup("partitionColumns", 0)
-          (0 until pcg.getFieldRepetitionCount("list")).foreach { i =>
-            pcs.add(pcg.getGroup("list", i).getString("element", 0)): Unit
-          }
-          root.put("createdTime", m.getLong("createdTime", 0))
+          opt(m, "partitionColumns")(m.getGroup("partitionColumns", 0))
+            .foreach { pcg =>
+              (0 until pcg.getFieldRepetitionCount("list")).foreach { i =>
+                pcs.add(pcg.getGroup("list", i).getString("element", 0)): Unit
+              }
+            }
+          opt(m, "createdTime")(m.getLong("createdTime", 0))
+            .foreach(root.put("createdTime", _): Unit)
           metaJson = mapper.writeValueAsString(root)
         } else if (g.getFieldRepetitionCount("add") > 0) {
           val a = g.getGroup("add", 0)
-          val pvg = a.getGroup("partitionValues", 0)
-          val pvs = (0 until pvg.getFieldRepetitionCount("key_value")).map { i =>
-            val kv = pvg.getGroup("key_value", i)
-            kv.getString("key", 0) -> kv.getString("value", 0)
-          }.toMap
-          val nrec = Option(a.getString("stats", 0))
+          val pvs = opt(a, "partitionValues")(a.getGroup("partitionValues", 0))
+            .map { pvg =>
+              (0 until pvg.getFieldRepetitionCount("key_value")).map { i =>
+                val kv = pvg.getGroup("key_value", i)
+                kv.getString("key", 0) ->
+                  opt(kv, "value")(kv.getString("value", 0)).orNull
+              }.toMap
+            }.getOrElse(Map.empty[String, String])
+          val nrec = opt(a, "stats")(a.getString("stats", 0))
             .map(mapper.readTree)
             .flatMap(st => Option(st.get("numRecords")).map(_.asLong))
             .getOrElse(-1L)
           adds += DeltaImport.AddFile(a.getString("path", 0), pvs, nrec,
-            a.getLong("size", 0), a.getLong("modificationTime", 0))
+            opt(a, "size")(a.getLong("size", 0)).getOrElse(0L),
+            opt(a, "modificationTime")(a.getLong("modificationTime", 0))
+              .getOrElse(0L))
         } // protocol row: nothing to carry (readLog pins its own floor)
         g = reader.read()
       }

@@ -76,13 +76,35 @@ object DeltaImport {
       partCols = (0 until m.get("partitionColumns").size)
         .map(m.get("partitionColumns").get(_).asText)
     }
+    // Seed from a checkpoint at or below the target version. A FOREIGN
+    // checkpoint our reader cannot parse (delta-spark writes extra
+    // columns, multi-part checkpoints have no single-part file at all
+    // so lastCheckpoint already skips them) degrades to the full JSON
+    // replay when the complete span still exists — per protocol the
+    // checkpoint is an optimization readers NEGOTIATE, not a
+    // correctness requirement (review r13). Only when the history has
+    // also been pruned is an unreadable checkpoint a hard error.
     val seed = cp.filter(_ <= upTo)
-    seed.foreach { cv =>
-      val (mj, adds) = DeltaCheckpoint.read(tableDir, cv)
+    val seeded = seed.flatMap { cv =>
+      try Some(DeltaCheckpoint.read(tableDir, cv))
+      catch {
+        case e: Exception =>
+          val fullSpan =
+            versions.map(_._1).filter(_ <= upTo).toSeq == (0L to upTo)
+          if (fullSpan) {
+            System.err.println(s"[graft] unreadable checkpoint $cv at " +
+              s"$tableDir (${e.getMessage}); replaying the JSON log")
+            None
+          } else throw new IllegalArgumentException(
+            s"checkpoint $cv at $tableDir is unreadable and the JSON " +
+              s"history 0..$upTo is incomplete — cannot mount", e)
+      }
+    }
+    seeded.foreach { case (mj, adds) =>
       applyMeta(mj)
       adds.foreach(a => live(a.path) = a)
     }
-    val startFrom = seed.map(_ + 1).getOrElse(0L)
+    val startFrom = if (seeded.isDefined) seed.get + 1 else 0L
     val replay = versions.filter { case (v, _) => v >= startFrom && v <= upTo }
     require(replay.map(_._1).toSeq == (startFrom to upTo),
       s"versions $startFrom..$upTo not in log " +
@@ -102,7 +124,14 @@ object DeltaImport {
             else {
               val it = pvNode.fields()
               val b = Map.newBuilder[String, String]
-              while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+              while (it.hasNext) {
+                val e = it.next()
+                // JSON null is the protocol's null partition value;
+                // NullNode.asText would yield the STRING "null"
+                // (review r13) — carry an actual null through
+                b += e.getKey -> (if (e.getValue.isNull) null
+                  else e.getValue.asText)
+              }
               b.result()
             }
           val nrec = Option(a.get("stats"))
@@ -137,9 +166,10 @@ object DeltaImport {
         .parquet(fs.map(f => s"$tableDir/${f.path}"): _*)
       snap.partitionCols.foldLeft(base) { (df, pc) =>
         val tpe = snap.schema.fields.find(_.name == pc).get.dataType
-        // a missing key = null partition value (protocol: the
-        // __HIVE_DEFAULT_PARTITION__ convention maps to null too)
-        val raw = pvs.get(pc).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+        // a missing key, a JSON null, or the __HIVE_DEFAULT_PARTITION__
+        // directory convention all mean a null partition value
+        val raw = pvs.get(pc)
+          .filter(v => v != null && v != "__HIVE_DEFAULT_PARTITION__")
         df.withColumn(pc,
           raw.map(v => lit(v).cast(tpe)).getOrElse(lit(null).cast(tpe)))
       }.select(outCols: _*)

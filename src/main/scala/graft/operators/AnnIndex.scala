@@ -107,9 +107,28 @@ object AnnIndex {
     dir
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Shared by the profiling mains too (AppendSweep,
+    * CheckpointProfile) — one recursive delete, not three drifting
+    * copies (review r13). */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
     f.delete(): Unit
+  }
+
+  /** Hardlink a directory tree (copy fallback across filesystems) —
+    * O(files), never O(bytes), on one volume. Shared with the
+    * profiling mains (review r13). */
+  private[graft] def linkTree(from: java.io.File, to: java.io.File): Unit = {
+    to.mkdirs()
+    from.listFiles.foreach { f =>
+      val t = new java.io.File(to, f.getName)
+      if (f.isDirectory) linkTree(f, t)
+      else
+        try java.nio.file.Files.createLink(t.toPath, f.toPath)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(f.toPath, t.toPath): Unit
+        }
+    }
   }
 
   /** Force (re)build the index for `d`'s corpus. Prunes superseded
@@ -315,18 +334,6 @@ object AnnIndex {
   private def adoptArtifacts(prev: java.io.File, dir: String): Unit = {
     val dirF = new java.io.File(dir)
     if (dirF.exists()) deleteRecursively(dirF)
-    def linkTree(from: java.io.File, to: java.io.File): Unit = {
-      to.mkdirs()
-      from.listFiles.foreach { f =>
-        val t = new java.io.File(to, f.getName)
-        if (f.isDirectory) linkTree(f, t)
-        else
-          try java.nio.file.Files.createLink(t.toPath, f.toPath)
-          catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-            java.nio.file.Files.copy(f.toPath, t.toPath): Unit
-          }
-      }
-    }
     // `deleted/` tombstones travel with the artifacts: an erasure must
     // survive a fingerprint move (source growth) — a GDPR drop that
     // silently resurrected on the next append would be a compliance

@@ -615,10 +615,16 @@ object EtlQueries {
       .collect() // bounded: one metadata row per add/remove action
     val maxDv = acts.map(_.getLong(0)).max
     (0L to maxDv).map { dv =>
-      val removed = acts.filter(r => r.getLong(0) <= dv && !r.isNullAt(3))
-        .map(_.getString(3)).toSet
+      // ordered replay (review r13): the LAST action per path decides
+      // — a remove only kills adds AT OR BEFORE it, so a later re-add
+      // (version revert) revives the path, matching DeltaImport's
+      // line-ordered semantics instead of a kill-forever remove set
+      val lastRemove = acts.filter(r => r.getLong(0) <= dv && !r.isNullAt(3))
+        .groupBy(_.getString(3)).view.mapValues(_.map(_.getLong(0)).max).toMap
       val live = acts.filter(r => r.getLong(0) <= dv && !r.isNullAt(1))
-        .filterNot(r => removed.contains(r.getString(1)))
+        .groupBy(_.getString(1)).values.map(_.maxBy(_.getLong(0))).toSeq
+        .filterNot(r => lastRemove.get(r.getString(1)).exists(_ >= r.getLong(0)))
+        .sortBy(_.getString(1))
       s.read.parquet(live.map(r => s"$base/${r.getString(1)}").toSeq: _*)
         .agg(count(lit(1)).as("n"),
           expr(Frags.dsum2("o_totalprice")).as("total"),
@@ -657,10 +663,16 @@ object EtlQueries {
        |  FROM raw),
        |vers AS (SELECT DISTINCT dv FROM acts),
        |live AS (
-       |  SELECT v.dv, a.ap, a.nrec FROM vers v
-       |  JOIN acts a ON a.dv <= v.dv AND a.ap IS NOT NULL
-       |  WHERE NOT EXISTS (SELECT 1 FROM acts r
-       |                    WHERE r.rp IS NOT NULL AND r.dv <= v.dv AND r.rp = a.ap)),
+       |  SELECT dv, ap, nrec FROM (
+       |    SELECT v.dv, a.ap, a.nrec,
+       |           ROW_NUMBER() OVER (PARTITION BY v.dv, a.ap
+       |                              ORDER BY a.dv DESC) AS rn
+       |    FROM vers v
+       |    JOIN acts a ON a.dv <= v.dv AND a.ap IS NOT NULL
+       |    WHERE NOT EXISTS (SELECT 1 FROM acts r
+       |                      WHERE r.rp IS NOT NULL AND r.rp = a.ap
+       |                        AND r.dv <= v.dv AND r.dv >= a.dv)) t
+       |  WHERE rn = 1),
        |meta AS (
        |  SELECT dv AS version, CAST(COUNT(*) AS BIGINT) AS n_files,
        |         CAST(SUM(nrec) AS BIGINT) AS n_meta
@@ -848,10 +860,16 @@ object EtlQueries {
        |  FROM raw),
        |vers AS (SELECT DISTINCT dv FROM acts),
        |live AS (
-       |  SELECT v.dv, a.ap, a.pt, a.nrec FROM vers v
-       |  JOIN acts a ON a.dv <= v.dv AND a.ap IS NOT NULL
-       |  WHERE NOT EXISTS (SELECT 1 FROM acts r
-       |                    WHERE r.rp IS NOT NULL AND r.dv <= v.dv AND r.rp = a.ap)),
+       |  SELECT dv, ap, pt, nrec FROM (
+       |    SELECT v.dv, a.ap, a.pt, a.nrec,
+       |           ROW_NUMBER() OVER (PARTITION BY v.dv, a.ap
+       |                              ORDER BY a.dv DESC) AS rn
+       |    FROM vers v
+       |    JOIN acts a ON a.dv <= v.dv AND a.ap IS NOT NULL
+       |    WHERE NOT EXISTS (SELECT 1 FROM acts r
+       |                      WHERE r.rp IS NOT NULL AND r.rp = a.ap
+       |                        AND r.dv <= v.dv AND r.dv >= a.dv)) t
+       |  WHERE rn = 1),
        |meta AS (
        |  SELECT dv AS version, pt, CAST(COUNT(*) AS BIGINT) AS n_files,
        |         CAST(SUM(nrec) AS BIGINT) AS n_meta

@@ -102,7 +102,19 @@ object PgWire {
     * a stalled/half-dead server must fail the Spark task, not park a
     * partition forever inside readFully (blocking NIO channels honor
     * no soTimeout, so the watchdog closes the channel instead). */
-  private[sinks] val watchdog = new java.util.Timer("pgwire-watchdog", true)
+  private[sinks] val watchdog = {
+    // NOT java.util.Timer: a cancelled TimerTask lingers in the timer
+    // heap until its deadline (Timer only drops it at queue head), so
+    // one-task-per-read on the COPY hot path would retain hundreds of
+    // thousands of dead tasks per GB (review r13). The scheduled pool
+    // unlinks on cancel.
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      (r: Runnable) => {
+        val th = new Thread(r, "pgwire-watchdog"); th.setDaemon(true); th
+      })
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
 
   /** Server-reported error, with the SQLSTATE so callers can branch. */
   final class PgServerException(val sqlState: String, message: String)
@@ -193,25 +205,36 @@ final class PgWireConn private[sinks] (ch: SocketChannel, t: PgWire.Target)
   /** Arm the shared watchdog for the duration of one blocking I/O op:
     * if the deadline fires the channel is closed, converting the park
     * into an IOException this wrapper re-labels as a timeout. 0
-    * disables (socketTimeout=0). */
-  @volatile private var deadlineHit = false
+    * disables (socketTimeout=0). The hit flag is PER CALL (an
+    * AtomicBoolean local to the arm), not connection state — a sticky
+    * field would mislabel every later IOException on this connection
+    * as a timeout (review r13). A deadline that fires as `f` succeeds
+    * still closed the channel, so the success is surfaced as a loud
+    * dead-connection error instead of returning a silently unusable
+    * client. */
   private def withDeadline[A](f: => A): A = {
     if (t.readTimeoutMs <= 0) f
     else {
-      val task = new java.util.TimerTask {
+      val hit = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val task = PgWire.watchdog.schedule(new Runnable {
         def run(): Unit = {
-          deadlineHit = true
+          hit.set(true)
           try ch.close() catch { case _: Throwable => () }
         }
-      }
-      PgWire.watchdog.schedule(task, t.readTimeoutMs.toLong)
-      try f
-      catch {
-        case e: java.io.IOException if deadlineHit =>
+      }, t.readTimeoutMs.toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+      try {
+        val a = f
+        if (!task.cancel(false) && hit.get)
+          throw new java.io.IOException(
+            s"deadline fired (${t.readTimeoutMs} ms) during a read that " +
+              "then completed — connection closed by the watchdog")
+        a
+      } catch {
+        case e: java.io.IOException if hit.get =>
           throw new java.io.IOException(
             s"server i/o timed out after ${t.readTimeoutMs} ms " +
               "(stalled or half-dead server); connection closed", e)
-      } finally task.cancel()
+      } finally { task.cancel(false); () }
     }
   }
 

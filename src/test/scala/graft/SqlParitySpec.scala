@@ -30,7 +30,7 @@ class SqlParitySpec extends AnyFunSuite {
         case f: Float => f"${f.toDouble}%.9e"
         case x: Double => f"$x%.9e"
         case x => x.toString
-      }.mkString(""))
+      }.mkString("\u0001"))
       .sorted
   }
 
