@@ -68,8 +68,8 @@ object GraftSession {
     configure(SparkSession.builder(), shufflePartitions)
 
   private def configure(b: SparkSession.Builder,
-      shufflePartitions: Int): SparkSession.Builder =
-    b.appName("graft")
+      shufflePartitions: Int): SparkSession.Builder = {
+    val base = b.appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -80,4 +80,20 @@ object GraftSession {
       // hidden runtime flip on first events read
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // Deployment/experiment overrides (r13 optimization round): any
+    // `k=v;k=v` list in SPARK_GRAFT_CONF is applied LAST, so
+    // scale-dependent settings (shuffle partitions, join-strategy
+    // preferences, advisory partition sizes) stay parameterised per
+    // environment instead of hard-coded for one machine shape. Also
+    // the lever order-controlled conf A/Bs use (one JVM per arm).
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(base) { (bb, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.nonEmpty => bb.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF entries must be key=value, got '$kv'")
+        }
+      }
+  }
 }

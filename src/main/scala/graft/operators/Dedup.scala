@@ -275,7 +275,19 @@ object Dedup {
   private def ngramPairsBitset(sh: DataFrame, universe: Int): DataFrame = {
     import graft.functions.BitsetFunctions._
     val docs = docBitsets(sh, universe)
-    docs.as("a")
+    // The pair stage is O(nDocs²) full-width popcounts, but its
+    // STREAMED side is a tiny-bytes aggregate AQE coalesces to one
+    // post-shuffle partition — so the quadratic compute ran on ONE
+    // core (measured r13: 4.0 s of dedup_containment's 4.2 s action
+    // was a single task; 32× the bytes-blind under-parallelization
+    // the optimization guide §2.5 calls compute skew). Fan the
+    // streamed side to core count with an explicit round-robin
+    // exchange (AQE never re-coalesces explicit-numPartitions
+    // exchanges). Bounded by construction: this path is gated to
+    // ≤ BitsetDocCap docs × universe/8 B bitsets, a few MB of extra
+    // shuffle; the broadcast build side is unchanged.
+    val sp = sh.sparkSession.sparkContext.defaultParallelism
+    docs.repartition(sp).as("a")
       .join(broadcast(docs.as("b")), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bitsetIntersectCount(col("a.bits"), col("b.bits")).as("common"),

@@ -361,8 +361,16 @@ object Similarity {
     * bit-exactly (the ann_topk_join precedent). */
   def knnGraph(s: SparkSession, d: String, k: Int = 4,
       capOverride: Long = KnnGraphBroadcastCap): DataFrame = {
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"),
+    // the n×n cos pair stage streams the raw embeddings scan — a
+    // single-file corpus arrives as 1-2 splits, serializing the
+    // quadratic dot-product work onto one core (measured r13: 3.5 s of
+    // the 3.7 s action on one task). Fan the scan to core count below
+    // it (the kmeansAssign idiom); identity at real scale where the
+    // scan already exceeds it.
+    val raw = embeddings(s, d).select(col("vec_id"), col("embedding"),
       norm2(col("embedding")).as("n2"))
+    val sp = s.sparkContext.defaultParallelism
+    val e = if (raw.rdd.getNumPartitions < sp) raw.repartition(sp) else raw
     val r = e.select(col("vec_id").as("dst"), col("embedding").as("r_emb"),
       col("n2").as("r_n2"))
     val nVecs = graft.Tables.footerRowCount(s, d, "embeddings")
