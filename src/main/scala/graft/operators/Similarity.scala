@@ -877,11 +877,13 @@ object Similarity {
     .withColumn("sv", slice(col(vecCol), col("sub") * subLen + 1, lit(subLen)))
 
   /** Squared L2 — float subtraction, double square+sum (the IEEE op
-    * sequence the d2Of oracle fragment mirrors exactly). */
-  private[operators] def sqDiff(a: Column, b: Column): Column = {
-    val diff = zip_with(a, b, (x, y) => x - y)
-    dotD(diff, diff)
-  }
+    * sequence the d2Of oracle fragment mirrors exactly). Native
+    * codegen'd loop since r13 ([[graft.functions.SqDiff]]); previously
+    * `dotD(zip_with(a,b,(x,y)=>x-y), same)` — identical per-element
+    * ops, but the interpreted zip_with allocated a diff array per
+    * (row × centroid) evaluation and dominated assignment-stage CPU. */
+  private[operators] def sqDiff(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.sqDiff(a, b)
 
   /** PQ codebook shared by [[pq]] and [[ivfpq]]: seed with the ksub
     * first vectors' subvectors, then `lloydIters` Lloyd refinements
