@@ -898,21 +898,41 @@ object Similarity {
     * sweep frees it post-action (Checkpoints policy). */
   private[operators] def pqCodebook(e: DataFrame, m: Int, subLen: Int, ksub: Int,
       lloydIters: Int): DataFrame = {
-    val seed = subvecsOf(e.filter(col("vec_id") < ksub), "embedding", m, subLen)
-      .select(col("sub"), col("vec_id").cast("int").as("code"),
-        col("sv").as("c_sv"))
-    val (train, releaseTrain) = graft.Checkpoints.tracked(
-      subvecsOf(e.filter(col("vec_id") < 256), "embedding", m, subLen))
-    val wTrain = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("cd2"), col("code"))
-    var cents = seed
-    var releasePrev: () => Unit = () => ()
+    // Codebook training on DRIVER-literal centroids (r13 optimization,
+    // the kmeansAssign pattern): the codebook is bounded by contract
+    // (m × ksub = 256 subvectors of subLen floats), so each Lloyd
+    // round collects the refined means (same floor-quantised DECIMAL
+    // aggregate) and re-enters the next round as a [sub][code] array
+    // literal — assignment becomes a narrow argmin projection (codes
+    // ascending, array_position returns the FIRST index attaining
+    // array_min = the former (cd2, code) window tie-break) instead of
+    // a broadcast join + per-(vec_id, sub) window SHUFFLE, and the two
+    // per-round localCheckpoint actions disappear. Same float op
+    // sequence per element (sqDiff), bit-identical codebooks — the PQ
+    // training-replay oracles and AnnIndexSpec's served==inline pin
+    // hold unchanged.
+    val seedRows = subvecsOf(e.filter(col("vec_id") < ksub), "embedding", m, subLen)
+      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv"))
+      .collect()
+    // seed codes = the vec_ids < ksub actually present (same set for
+    // every sub; possibly < ksub on a sparse-id corpus, as before)
+    val codes: IndexedSeq[Int] =
+      seedRows.map(_.getInt(1)).distinct.sorted.toIndexedSeq
+    var cents: Map[(Int, Int), IndexedSeq[Float]] = seedRows.map(r =>
+      (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toIndexedSeq).toMap
+    val train = subvecsOf(e.filter(col("vec_id") < 256), "embedding", m, subLen)
+    val codesLit = typedLit(codes)
     for (_ <- 1 to lloydIters) {
-      val assign = train.join(broadcast(cents), "sub")
-        .select(col("vec_id"), col("sub"), col("code"), col("sv"),
-          sqDiff(col("sv"), col("c_sv")).as("cd2"))
-        .withColumn("rn", row_number().over(wTrain))
-        .filter(col("rn") === 1)
+      val cube = typedLit((0 until m).map(sub => codes.map(c => cents((sub, c)))))
+      val assign = train
+        .withColumn("d2s", transform(sequence(lit(1), lit(codes.size)),
+          j => sqDiff(col("sv"),
+            element_at(element_at(cube, col("sub") + 1), j))))
+        .select(col("sub"),
+          element_at(codesLit,
+            array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
+            .as("code"),
+          col("sv"))
       val refined = assign
         .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("code"), col("dim"))
@@ -926,21 +946,20 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("sub"), col("code"),
           transform(col("dm"), p => p.getField("m")).as("c_new"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toIndexedSeq)
+        .toMap
       // a code that attracted no training subvector keeps its previous
       // centroid — the m×ksub codebook must never silently shrink
-      val (next, rel) = graft.Checkpoints.tracked(cents
-        .join(refined, Seq("sub", "code"), "left")
-        .select(col("sub"), col("code"),
-          coalesce(col("c_new"), col("c_sv")).as("c_sv")))
-      releasePrev() // superseded codebook snapshot (no-op on round 1)
-      cents = next
-      releasePrev = rel
+      cents = cents.map { case (sc, old) => sc -> refined.getOrElse(sc, old) }
     }
-    // the final cents checkpoint feeds the caller's encode/ADC stages
-    // (harness sweep frees it post-action); the training sample served
-    // only the loop
-    releaseTrain()
-    cents
+    // the trained codebook as a small local frame — callers broadcast-
+    // join it on (sub[, code]) exactly as before
+    val spark = e.sparkSession
+    import spark.implicits._
+    cents.toSeq.sortBy { case ((sub, code), _) => (sub, code) }
+      .map { case ((sub, code), sv) => (sub, code, sv) }
+      .toDF("sub", "code", "c_sv")
   }
 
   def pq(s: SparkSession, d: String, queryId: Long = AuditQueryId, k: Int = 10,
