@@ -168,10 +168,109 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Plane generation + the banded-signature kernel behind
+  * [[HyperplaneSigs]]. The plane matrix is a pure function of
+  * (bits, bands, dim) — deterministic splitmix64-derived components —
+  * and is cached per geometry so each TASK reuses one primitive
+  * double[][] instead of unboxing a literal Seq[Seq[Double]] per row
+  * (the interpreted-HOF shape this expression replaces unboxed
+  * bands×bits×dim java.lang.Doubles per row, twice per self-join). */
+object HyperplaneSigsUtil {
+  /** splitmix64 finalizer — full avalanche, so plane components are
+    * independent across BOTH p and j (moved verbatim from
+    * operators.Dedup — one definition; Dedup.mixedPlane delegates). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def mixedPlane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      ((mix64(p.toLong * dim + j) >>> 11).toDouble / (1L << 53)) * 2.0 - 1.0
+    }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  def planes(bits: Int, bands: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((bits, bands, dim),
+      _ => Array.tabulate(bands * bits)(p => mixedPlane(p, dim)))
+
+  /** All band signatures of one FLOAT embedding in one primitive pass:
+    * band b's bit i set iff dot(embedding, plane(b·bits+i)) ≥ 0. The
+    * dot is the dotFD fold (float→double promote, left-to-right adds)
+    * over min(len, dim) elements — the exact IEEE sequence of the
+    * transform(typedLit(planes), p => dot_product(emb, p)) +
+    * when(proj ≥ 0, 1<<i) chain it replaces, so signatures (hence
+    * candidates, hence results) are bit-identical. */
+  def sigs(emb: ArrayData, bits: Int, bands: Int, dim: Int): ArrayData = {
+    val ps = planes(bits, bands, dim)
+    val n = math.min(emb.numElements(), dim)
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var sig = 0
+      var i = 0
+      while (i < bits) {
+        val p = ps(b * bits + i)
+        var acc = 0.0
+        var j = 0
+        while (j < n) {
+          acc += emb.getFloat(j).toDouble * p(j)
+          j += 1
+        }
+        if (acc >= 0) sig |= (1 << i)
+        i += 1
+      }
+      out(b) = sig
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Banded random-hyperplane signatures of a FLOAT embedding column in
+  * one codegen'd kernel (r13 optimization): array<int> of `bands`
+  * signatures, each the `bits`-bit sign pattern against the
+  * deterministic [[HyperplaneSigsUtil.mixedPlane]] planes. Replaces
+  * the interpreted transform/element_at/when chain that dominated the
+  * banded-dedup task time (56 s of task CPU on dedup_semantic_banded's
+  * 8000-row corpus — evaluated per element of a 576-plane literal,
+  * on BOTH sides of the candidate self-join). */
+case class HyperplaneSigs(child: Expression, bits: Int, bands: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_sigs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sigs expects an array<float> child, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    HyperplaneSigsUtil.sigs(a.asInstanceOf[ArrayData], bits, bands, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSigsUtil.sigs($c, $bits, $bands, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     shim.toColumn(DotProduct(shim.toExpression(a), shim.toExpression(b)))
 
   def sqDiff(a: Column, b: Column): Column =
     shim.toColumn(SqDiff(shim.toExpression(a), shim.toExpression(b)))
+
+  def hyperplaneSigs(a: Column, bits: Int, bands: Int, dim: Int): Column =
+    shim.toColumn(HyperplaneSigs(shim.toExpression(a), bits, bands, dim))
 }

@@ -1067,22 +1067,17 @@ object Dedup {
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
   }
 
-  /** splitmix64 finalizer — full avalanche, so plane components are
-    * independent across BOTH p and j. (Similarity.plane's linear
-    * congruence is fine for ann_lsh's 6 planes but correlates
-    * consecutive planes — p enters linearly — which breaks band
-    * independence at 256 planes: measured one top-20 miss at sf0.001.) */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
+  /** splitmix64-derived deterministic hyperplanes — full avalanche, so
+    * plane components are independent across BOTH p and j.
+    * (Similarity.plane's linear congruence is fine for ann_lsh's 6
+    * planes but correlates consecutive planes — p enters linearly —
+    * which breaks band independence at 256 planes: measured one top-20
+    * miss at sf0.001.) Definition lives in
+    * [[graft.functions.HyperplaneSigsUtil]] beside the codegen'd
+    * signature kernel that consumes it; this delegate keeps the
+    * operators-side name for specs. */
   private[operators] def mixedPlane(p: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { j =>
-      ((mix64(p.toLong * dim + j) >>> 11).toDouble / (1L << 53)) * 2.0 - 1.0
-    }
+    graft.functions.HyperplaneSigsUtil.mixedPlane(p, dim)
 
   /** Embedding near-dup: top-20 highest-cosine vector pairs, via
     * banded random-hyperplane candidates + exact-cosine confirm —
@@ -1135,17 +1130,19 @@ object Dedup {
   private[graft] def hyperplaneBanded(df: DataFrame, bits: Int,
       bands: Int, dim: Int): DataFrame = {
     val keep = df.columns.filter(_ != "embedding").map(col).toSeq
-    val planes: Seq[Seq[Double]] =
-      (0 until bands * bits).map(p => mixedPlane(p, dim).toSeq)
-    // typedLit → ONE literal node for the whole plane matrix (a
-    // lit-per-element array would be a 16k-node expression tree)
-    val projs = transform(typedLit(planes), p => dotD(col("embedding"), p))
-    val sig = transform(sequence(lit(0), lit(bands - 1)), bb =>
-      (0 until bits).map(i =>
-        when(element_at(col("projs"), bb * bits + i + 1) >= 0, 1 << i)
-          .otherwise(0)).reduce(_ + _))
-    df.select(keep :+ projs.as("projs"): _*)
-      .select(keep :+ posexplode(sig).as(Seq("band", "sig")): _*)
+    // ONE codegen'd kernel per row (r13 optimization): the former
+    // transform(typedLit(planes), p => dot_product(...)) +
+    // per-band when/element_at chain ran INTERPRETED per element of a
+    // 576-plane literal (HOF lambdas don't codegen), unboxing the
+    // plane matrix per row — 56 s of task CPU on the banded audit's
+    // 8000-row corpus, paid on BOTH sides of the candidate self-join.
+    // HyperplaneSigs runs the identical IEEE fold (float→double
+    // promote, left-to-right adds, proj ≥ 0 sign bit) over a cached
+    // primitive plane matrix — signatures bit-identical by
+    // construction (DedupSpec pins new == old HOF form).
+    df.select(keep :+ graft.functions.VectorExpressions
+        .hyperplaneSigs(col("embedding"), bits, bands, dim).as("sigs"): _*)
+      .select(keep :+ posexplode(col("sigs")).as(Seq("band", "sig")): _*)
   }
 
   def embeddingPairs(s: SparkSession, d: String, bits: Int = -1,

@@ -81,6 +81,32 @@ class ScaleJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane_sigs: codegen kernel matches the interpreted HOF form bit-for-bit") {
+    // the r13 optimization replaced the transform(typedLit(planes),
+    // p => dot_product(emb, p)) + per-band when/element_at chain with
+    // one codegen'd kernel (HyperplaneSigs); this pins the replaced
+    // form — reconstructed verbatim — against the new path on the real
+    // corpus at BOTH gated geometries (embedding 4-bit, banded 9-bit)
+    import graft.functions.VectorExpressions.dot
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    for ((bits, bands, dim) <- Seq((4, 64, 64), (9, 64, 64))) {
+      val planes: Seq[Seq[Double]] =
+        (0 until bands * bits).map(p =>
+          graft.functions.HyperplaneSigsUtil.mixedPlane(p, dim).toSeq)
+      val projs = transform(typedLit(planes), p => dot(col("embedding"), p))
+      val sig = transform(sequence(lit(0), lit(bands - 1)), bb =>
+        (0 until bits).map(i =>
+          when(element_at(col("projs"), bb * bits + i + 1) >= 0, 1 << i)
+            .otherwise(0)).reduce(_ + _))
+      val old = e.select(col("vec_id"), projs.as("projs"))
+        .select(col("vec_id"), posexplode(sig).as(Seq("band", "sig")))
+        .orderBy("vec_id", "band").collect().toSeq
+      val neu = operators.Dedup.hyperplaneBanded(e, bits, bands, dim)
+        .orderBy("vec_id", "band").collect().toSeq
+      assert(neu == old, s"signature divergence at bits=$bits")
+    }
+  }
+
   test("dedup_embedding: no nested-loop over the full pair space") {
     val df = operators.Dedup.embeddingPairs(spark, sf)
     df.collect()
