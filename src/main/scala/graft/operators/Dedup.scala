@@ -467,14 +467,75 @@ object Dedup {
     * small-star variant bounds rounds at O(log n) with the same
     * per-round shape.) `localCheckpoint` truncates lineage per round.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** Edge-count gate for the driver union-find path of
+    * [[connectedComponents]]: at or under it the (already materialized)
+    * pair list collects to the driver — ≤ ~16 MB of id pairs — and the
+    * fixpoint is computed in-process; past it the distributed min-label
+    * loop runs unchanged. The near-dup edge sets behind dedup_clusters
+    * / dedup_corpus_near are far under this at every gated SF AND at
+    * the ×100 sweep sizes; the distributed loop remains the 100 TB
+    * shape (a mostly-duplicate corpus makes edges O(corpus)). The
+    * GraphOps footer-gate discipline: measured-fastest shape under the
+    * gate (each propagation round costs a join + agg + checkpoint +
+    * convergence action — ~4-6 driver-coordinated jobs per query,
+    * 7.3 s of dedup_clusters' 5.7 s cold was this loop), scale shape
+    * past it, forced-past-gate parity pinned in Analytics3Spec. */
+  private[graft] val CcDriverEdgeCap = 1000000L
+
+  def connectedComponents(pairs: DataFrame,
+      capOverride: Long = CcDriverEdgeCap): DataFrame = {
     val Array(u, v) = pairs.columns
+    // materialize the pair list ONCE: the gate count and whichever
+    // path wins both read the checkpointed blocks, so the (expensive)
+    // upstream pair join never recomputes per round
+    val pinned = graft.Checkpoints.pin(
+      pairs.select(col(u).as("pu"), col(v).as("pv")))
+    val nEdges = pinned.count()
+    if (nEdges <= capOverride) {
+      // driver union-find with path compression, unions keeping the
+      // smaller id as root — so root = min id of the component, the
+      // exact fixpoint min-label propagation converges to (the same
+      // invariant Analytics3Spec's reference union-find asserts)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) { // path-halving
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      def touch(x: Long): Unit =
+        if (!parent.containsKey(x)) parent.put(x, x)
+      pinned.collect().foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        touch(a); touch(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      import scala.jdk.CollectionConverters._
+      parent.keySet.asScala.toSeq.map(n => (n, find(n)))
+        .toDF("node", "label")
+    } else connectedComponentsDistributed(pinned)
+  }
+
+  /** The distributed min-label propagation loop — the past-the-gate
+    * path of [[connectedComponents]], and the 100 TB shape. `pairs`
+    * arrives already checkpoint-materialized. */
+  private def connectedComponentsDistributed(pairs: DataFrame): DataFrame = {
     // NOT pre-partitioned on src (the labelPropDistributed trick was
     // MEASURED here and lost, 3.2 → 5.0 s at sf0.1): the near-dup edge
     // list is small and AQE broadcasts the labels side, so rounds never
     // reshuffle edges anyway — an upfront hash exchange only adds cost.
-    val edges = pairs.select(col(u).as("src"), col(v).as("dst"))
-      .union(pairs.select(col(v).as("src"), col(u).as("dst")))
+    val edges = pairs.select(col("pu").as("src"), col("pv").as("dst"))
+      .union(pairs.select(col("pv").as("src"), col("pu").as("dst")))
       .persist()
     var (labels, releasePrev) = graft.Checkpoints.tracked(
       edges.select(col("src").as("node")).distinct()

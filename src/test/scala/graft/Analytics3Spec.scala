@@ -130,10 +130,17 @@ class Analytics3Spec extends AnyFunSuite {
       (0L until 12L).map(i => (i, i + 1)),                                  // one long chain
       Seq((5L, 5L), (7L, 8L), (8L, 7L)))                                    // self-loop + dup
     for (edges <- graphs) {
+      // default path (driver union-find under the edge-count gate)
       val got = operators.Dedup.connectedComponents(edges.toDF("u", "v"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(64, edges)
       assert(got == want, s"edges=$edges")
+      // forced past the gate: the distributed min-label loop must
+      // produce the identical fixpoint (the r13 driver-path parity)
+      val dist = operators.Dedup.connectedComponents(
+        edges.toDF("u", "v"), capOverride = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == want, s"distributed path diverged: edges=$edges")
     }
   }
 
