@@ -401,7 +401,7 @@ object AnnIndex {
   private[graft] def appendAt(s: SparkSession, dir: String, batch: DataFrame): Long = {
     val cents = s.read.parquet(s"$dir/coarse")
     val cb = s.read.parquet(s"$dir/codebook")
-    val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
+    val subLen = subLenAt(s, dir)
     // Idempotency (advice r8): a retried append — a crash between the
     // non-atomic codes write and the counter update, or a caller
     // re-submitting a batch that already landed — must not duplicate
@@ -787,6 +787,23 @@ object AnnIndex {
   private def codebookAt(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/codebook")
 
+  /** Per-dir memo of the codebook's subvector length (r13
+    * optimization): every serve paid a one-row head() job — scan +
+    * collect of the 256-row codebook — just to learn a constant.
+    * subLen is fixed per index dir by construction: the fingerprint
+    * pins source content + (M, Ksub), so any rebuild of the same dir
+    * (stats()'s force-rebuild included) retrains the same-dim corpus
+    * into the same-shape codebook, compaction leaves trained
+    * artifacts untouched, and a regenerated source moves the
+    * fingerprint, hence the key. First lookup per process answers all
+    * later serves — ~15 head() jobs per bench session across the
+    * PQ-family queries. */
+  private val subLenMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def subLenAt(s: SparkSession, dir: String): Int =
+    subLenMemo.computeIfAbsent(dir, _ =>
+      Int.box(codebookAt(s, dir).select(size(col("c_sv"))).head().getInt(0)))
+
   /** Stored codes with erasure tombstones applied: every serving entry
     * point (pq / ivfpq / rerank / batch k-NN join) reads codes through
     * here, so a [[delete]] is honored by ALL of them at once — an
@@ -811,7 +828,7 @@ object AnnIndex {
   private def distTableAt(s: SparkSession, d: String, dir: String,
       queryId: Long): DataFrame = {
     val cb = codebookAt(s, dir)
-    val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
+    val subLen = subLenAt(s, dir)
     val q = Similarity.normalizedEmb(s, d).filter(col("vec_id") === queryId)
     Similarity.subvecsOf(q, "embedding", M, subLen)
       .join(broadcast(cb), "sub")
@@ -987,7 +1004,7 @@ object AnnIndex {
     import graft.functions.VectorFunctions.{dotD, norm2}
     val cents = coarseDf(s, d)
     val cb = codebookDf(s, d)
-    val subLen = cb.select(size(col("c_sv"))).head().getInt(0)
+    val subLen = subLenAt(s, dirFor(d))
     val qs = Similarity.normalizedEmb(s, d).filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val wCell = Window.partitionBy(col("q_id"))
