@@ -224,23 +224,28 @@ object AnnIndex {
     * written (AnnIndexSpec pins the equality). */
   private def encodeVectors(e: DataFrame, cents: DataFrame, cb: DataFrame,
       subLen: Int): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd2"), col("c_id"))
+    // argmin via min_by over a (cd2, key) struct instead of a
+    // row_number window (r13 optimization, guide §2.3 "aggregate
+    // before you shuffle"): the window SORT-shuffled the full
+    // n×(cells) assignment table (n²/50 rows at corpus scale — the
+    // dominant exchange of every offline build/append); min_by is a
+    // hash aggregate with MAP-SIDE partials, so the exchange carries
+    // one row per vector. Selection identical by construction: the
+    // struct's lexicographic minimum is exactly the window's
+    // (cd2 ASC, key ASC) first row — keys are distinct per group, so
+    // no tie survives to unspecified behavior. Hash gates + the
+    // AnnIndexSpec served==inline pins cover the equality.
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
         Similarity.sqDiff(col("embedding"), col("c_emb")).as("cd2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
-    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("cd2"), col("code"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c_id"), struct(col("cd2"), col("c_id"))).as("cell"))
     val codesFlat = Similarity.subvecsOf(e, "embedding", M, subLen)
       .join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"), col("code"),
         Similarity.sqDiff(col("sv"), col("c_sv")).as("cd2"))
-      .withColumn("rn", row_number().over(wCode))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("sub"), col("code"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("cd2"), col("code"))).as("code"))
     // one row per vector, codes ordered by sub — the packed-codes shape
     codesFlat
       .groupBy(col("vec_id"))
