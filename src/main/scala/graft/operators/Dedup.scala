@@ -847,6 +847,10 @@ object Dedup {
       rr
     }
     val nh = if (numHashes > 0) numHashes else minhashBandsFor(r) * r
+    // NOT pinned: an r13 ABBA measured eager materialization of the
+    // shingle table a WASH here (2.91/2.78 -> 3.06/2.76 s) — the
+    // downstream recomputes it saves cost about what the checkpoint
+    // write + lost scan pushdown add at gated scale
     val sh = shingles(s, d)
     exactConfirm(minhashCandidates(sh, nh, r), sh)
       .filter(col("jaccard") >= threshold)

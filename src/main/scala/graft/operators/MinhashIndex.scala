@@ -185,6 +185,10 @@ object MinhashIndex {
       threshold: Double = 0.5): DataFrame = {
     val (nh, r) = geometry(s, d)
     val dir = ensure(s, d)
+    // NOT pinned: an r13 ABBA measured eager materialization of the
+    // shingle table a REGRESSION here (2.42/2.64 -> 4.06/2.96 s, CPU
+    // doubled) — the probe's %4 batch filter stops pushing to the
+    // documents scan once the plan reads checkpointed blocks
     val shAll = Dedup.shingles(s, d)
     val batchBands = Dedup.bandedSigs(
       shAll.filter(col("doc_id") % 4 === 0), nh, r)

@@ -1530,9 +1530,17 @@ object Similarity {
     // (k=8 there); forceBanded exists for the A/B spec + sweep.
     val banded = forceBanded ||
       nOpt.exists(n => k >= 4096 && n / k > 250)
-    val a = kmeansAssign(s, d, k, 2)
+    val a0 = kmeansAssign(s, d, k, 2)
       .select(col("vec_id"), col("embedding"), col("c"),
         norm2(col("embedding")).as("n2"))
+    // banded path: the assigned frame feeds the signature projection
+    // on BOTH self-join sides and the confirm's two vector lookups —
+    // 4+ recomputes of the scan + argmin assignment otherwise. One
+    // eager pin ((id, vector, c, n2) — a few MB at the audit's 8000
+    // rows), swept by the harness post-action. The exact path keeps
+    // the raw plan: its two consumers sit inside one join stage and
+    // the pair join dominates regardless (r13 optimization).
+    val a = if (banded) graft.Checkpoints.pin(a0) else a0
     val pairs = if (!banded) {
       a.as("x").join(a.as("y"),
           col("x.c") === col("y.c") && col("x.vec_id") < col("y.vec_id"))
