@@ -808,7 +808,11 @@ object Dedup {
 
   private def minhashCandidates(sh: DataFrame, numHashes: Int,
       bandRows: Int): DataFrame = {
-    val banded = bandedSigs(sh, numHashes, bandRows)
+    // pinned (r13): the candidate self-join reads this from both
+    // sides, each otherwise re-running the shingle scan + the
+    // numHashes min-hash aggregation; the banded frame itself is
+    // nBands rows per doc of (doc_id, band, band_key) longs
+    val banded = graft.Checkpoints.pin(bandedSigs(sh, numHashes, bandRows))
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -1229,8 +1233,11 @@ object Dedup {
         System.err.println(s"[graft] dedup_embedding adaptive bits=$b (n=$n)")
         b
       }
-    val banded = hyperplaneBanded(
-      e.select(col("vec_id"), col("embedding")), useBits, bands, dim)
+    // pinned (r13): both sides of the candidate self-join below —
+    // bands rows per vector of (vec_id, band, sig), the scan +
+    // signature kernel runs once instead of twice
+    val banded = graft.Checkpoints.pin(hyperplaneBanded(
+      e.select(col("vec_id"), col("embedding")), useBits, bands, dim))
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&

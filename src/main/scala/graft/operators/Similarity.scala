@@ -385,12 +385,19 @@ object Similarity {
       .select(col("vec_id").as("src"), col("dst"),
         (dotD(col("embedding"), col("r_emb")) /
           sqrt(col("n2") * col("r_n2"))).as("cos"))
-    val topk = pairs
+    // pinned (r13 optimization): the mutuality self-join consumed this
+    // frame from BOTH sides, and each side re-ran the ENTIRE n² pair
+    // stage (scan → broadcast nested-loop → partial top-k — the two
+    // BroadcastNestedLoopJoin subtrees in the before-plan). The top-k
+    // frame is n·k rows (~8 KB per 1k vectors); one eager
+    // materialization halves the quadratic work, swept by the harness
+    // post-action.
+    val topk = graft.Checkpoints.pin(pairs
       .groupBy(col("src"))
       .agg(org.apache.spark.sql.graft.shim.collectTopK(
         struct(col("cos"), (-col("dst")).as("nd")), k).as("tk"))
       .select(col("src"), explode(col("tk")).as("t"))
-      .select(col("src"), (-col("t.nd")).as("dst"), col("t.cos").as("cos"))
+      .select(col("src"), (-col("t.nd")).as("dst"), col("t.cos").as("cos")))
     topk.as("x")
       .join(topk.select(col("src").as("dst"), col("dst").as("src")).as("y"),
         Seq("src", "dst"))
