@@ -146,7 +146,19 @@ object AnnIndex {
     val rootF = new java.io.File(root)
     if (rootF.isDirectory)
       rootF.listFiles
-        .filter(x => x.isDirectory && x.getName != fingerprint(d))
+        .filter(x => x.isDirectory && x.getName != fingerprint(d) &&
+          // CURRENT-fingerprint variants (<fp>_forget / <fp>_compact)
+          // survive a same-fingerprint force-rebuild (r13): the
+          // fingerprint pins source content + params, and training is
+          // deterministic, so the rebuild writes bit-identical
+          // artifacts — the variants' adopted hardlinks and derived
+          // tombstones stay exactly valid. Pruning them (the pre-r13
+          // behavior) made every bench session's ann_forget /
+          // ann_index_compact re-prepare from scratch after the
+          // previous session's ann_index_build. Variants of SUPERSEDED
+          // fingerprints still match the source record below and are
+          // pruned as before.
+          !x.getName.startsWith(fingerprint(d) + "_"))
         .filter { x =>
           // a concurrently-removed or unreadable meta file must skip
           // this dir, not fail the whole build (advice r7); records
