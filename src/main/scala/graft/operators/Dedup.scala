@@ -856,7 +856,7 @@ object Dedup {
     // downstream recomputes it saves cost about what the checkpoint
     // write + lost scan pushdown add at gated scale
     val sh = shingles(s, d)
-    exactConfirm(minhashCandidates(sh, nh, r), sh)
+    exactConfirm(minhashCandidates(sh, nh, r), sh, Some(documents(s, d)))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -881,7 +881,8 @@ object Dedup {
     * hundred bytes; otherwise falls back to set arrays. Identical
     * Jaccard values either way. `cands` must be cheap to re-evaluate
     * (checkpointed/materialized by the caller). */
-  private[operators] def exactConfirm(cands: DataFrame, sh: DataFrame): DataFrame = {
+  private[operators] def exactConfirm(cands: DataFrame, sh: DataFrame,
+      docs: Option[DataFrame] = None): DataFrame = {
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     // Broadcast hints are gated on the candidate-doc count: an LSH
@@ -891,7 +892,24 @@ object Dedup {
     val nCand = candDocs.count()
     val hint: DataFrame => DataFrame =
       if (nCand <= BitsetDocCap) broadcast else identity
-    val candSh = sh.join(hint(candDocs), "doc_id")
+    // r14 optimization (guide §2.3 "filter before the expensive
+    // work", §2.4 recompute-vs-reuse): the candidate shingle table
+    // feeds the universe probe AND both sides of the bitset build —
+    // unpinned, the FULL corpus shingle pipeline (scan + words +
+    // bigrams + hash explode) re-ran 3-5× per confirm (the r13 pin of
+    // the corpus-wide table was rejected exactly because it sat ABOVE
+    // the candidate filter and broke scan pushdown; this pin sits
+    // BELOW it). When the caller hands us the raw doc table, shingle
+    // ONLY the candidate docs — the semi-join moves from post-explode
+    // to pre-explode, so the per-doc text work runs on |candidates|,
+    // not |corpus| (identical rows: shinglesOf is per-doc and the
+    // join key is doc_id either way). The pinned frame is small by
+    // construction: candidate docs' (doc_id, sh) longs.
+    val candSh = graft.Checkpoints.pin(docs match {
+      case Some(dd) => shinglesOf(
+        dd.select(col("doc_id"), col("text")).join(hint(candDocs), "doc_id"))
+      case None => sh.join(hint(candDocs), "doc_id")
+    })
     val universe = candSh.agg(countDistinct(col("sh"))).head().getLong(0)
     if (universe <= BitsetUniverseCap && nCand <= BitsetDocCap) {
       import graft.functions.BitsetFunctions._
@@ -950,7 +968,8 @@ object Dedup {
       System.err.println(
         s"[graft] jaccardPairsAbove banded scale path: bandRows=$r (nDocs=$nDocs)")
       val confirmed = graft.Checkpoints.pin(
-        exactConfirm(minhashCandidates(sh, b * r, r), sh)
+        exactConfirm(minhashCandidates(sh, b * r, r), sh,
+            Some(documents(s, d)))
           .filter(col("jaccard") >= t))
       // Runtime margin probe (advice r8): completeness on this path is
       // LSH-recall-conditional — P(miss | J) = (1-J^r)^b only drops

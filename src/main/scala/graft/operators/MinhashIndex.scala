@@ -204,7 +204,7 @@ object MinhashIndex {
             col("x.band_key") === col("y.band_key"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct())
-    Dedup.exactConfirm(cands, shAll)
+    Dedup.exactConfirm(cands, shAll, Some(graft.Tables.documents(s, d)))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a").as("batch_doc"), col("doc_b").as("corpus_doc"),
         col("jaccard"))
