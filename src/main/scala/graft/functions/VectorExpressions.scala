@@ -264,6 +264,121 @@ case class HyperplaneSigs(child: Expression, bits: Int, bands: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** Nearest-centroid kernel behind [[CentroidArgmin]] (r14
+  * optimization). One primitive pass over a [k][dim] float matrix,
+  * mirroring EXACTLY the expression chain it replaces:
+  *
+  *   d2s  = transform(1..k, i -> sq_diff(emb, element_at(centsLit, i)))
+  *   c    = element_at(idsLit, array_position(d2s, array_min(d2s)))
+  *   cd2  = array_min(d2s)
+  *
+  * Per centroid: [[SqDiff]]'s contract (ragged length -> NULL, else
+  * the float-subtract / double-square / left-to-right-add fold).
+  * array_min skips NULLs and orders by SQLOrderingUtil.compareDoubles
+  * (NaN largest, -0.0 == 0.0); array_position returns the FIRST index
+  * attaining the min under the same ordering — reproduced below by
+  * updating the running (min, idx) only on strictly-less compares.
+  * All-NULL d2s (null or ragged embedding): array_min is NULL and
+  * array_position(d2s, NULL) — measured on Spark 4.1, pinned by the
+  * ScaleJoinsSpec edge rows — matches the FIRST null element, i.e.
+  * returns 1, so the chain emits (ids(0), NULL). Reproduced below. */
+object CentroidArgminUtil {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+
+  def eval(emb: ArrayData, cents: Array[Array[Float]],
+      ids: Array[Int]): InternalRow = {
+    var bestIdx = -1
+    var best = 0.0
+    if (emb != null) {
+      val n = emb.numElements()
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        if (c.length == n) { // ragged -> NULL d2: skipped, as array_min does
+          var acc = 0.0
+          var j = 0
+          while (j < n) {
+            val f = emb.getFloat(j) - c(j) // FLOAT subtract (SqDiff)
+            acc += f.toDouble * f.toDouble
+            j += 1
+          }
+          if (bestIdx < 0 || SQLOrderingUtil.compareDoubles(acc, best) < 0) {
+            best = acc
+            bestIdx = i
+          }
+        }
+        i += 1
+      }
+    }
+    if (bestIdx < 0)
+      new GenericInternalRow(Array[Any](
+        if (ids.length > 0) ids(0) else null, null))
+    else new GenericInternalRow(Array[Any](ids(bestIdx), best))
+  }
+}
+
+/** Codegen'd nearest-centroid assignment over a driver-literal
+  * centroid table: struct(c INT, cd2 DOUBLE) per embedding row —
+  * the k-means assignment projection in one tight loop instead of an
+  * interpreted `transform` lambda that re-evaluated sq_diff through
+  * the HOF eval path and unboxed the k×dim literal per row (the same
+  * disease [[HyperplaneSigs]] cured for the banded signatures; the
+  * assignment pass was the largest residual of dedup_semantic_banded
+  * per SemProf). Result fields are null iff the HOF chain's were
+  * (null/ragged embedding). */
+case class CentroidArgmin(child: Expression,
+    ids: Seq[Int], cents: Seq[Seq[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType => DT, IntegerType, StructField, StructType}
+
+  require(ids.length == cents.length,
+    s"centroid_argmin: ${ids.length} ids vs ${cents.length} centroids")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("c", IntegerType, nullable = true),
+    StructField("cd2", DT, nullable = true)))
+  // the struct itself is always present — its FIELDS go null on a
+  // null/ragged embedding, exactly like the HOF chain's outputs
+  override def nullable: Boolean = false
+  override def prettyName: String = "centroid_argmin"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"centroid_argmin expects an array<float> child, got ${t.simpleString}")
+    }
+
+  @transient private lazy val centsArr: Array[Array[Float]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val idsArr: Array[Int] = ids.toArray
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val e = child.eval(input)
+    CentroidArgminUtil.eval(
+      if (e == null) null else e.asInstanceOf[ArrayData], centsArr, idsArr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val centsRef = ctx.addReferenceObj("cents", centsArr, "float[][]")
+    val idsRef = ctx.addReferenceObj("ids", idsArr, "int[]")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      InternalRow ${ev.value} = graft.functions.CentroidArgminUtil.eval(
+        ${c.isNull} ? null : ${c.value}, $centsRef, $idsRef);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidArgmin =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     shim.toColumn(DotProduct(shim.toExpression(a), shim.toExpression(b)))
@@ -273,4 +388,8 @@ object VectorExpressions {
 
   def hyperplaneSigs(a: Column, bits: Int, bands: Int, dim: Int): Column =
     shim.toColumn(HyperplaneSigs(shim.toExpression(a), bits, bands, dim))
+
+  def centroidArgmin(a: Column, ids: Seq[Int],
+      cents: Seq[Seq[Float]]): Column =
+    shim.toColumn(CentroidArgmin(shim.toExpression(a), ids, cents))
 }

@@ -1359,9 +1359,6 @@ object Similarity {
         s"[graft] kmeans minibatch training: stride 1/$sm of $n vectors")
       e.filter(pmod(col("vec_id"), lit(sm)) === 0)
     }
-    // ONE L2 definition ([[sqDiff]]) — a local copy here could drift
-    // from the d2Of oracle fragment's op sequence (review r11)
-    def d2(a: Column, b: Column): Column = sqDiff(a, b)
     // Centroids live on the DRIVER between rounds (r13 optimization):
     // a bounded table — k ≤ 4096 by [[semanticKFor]]'s cap, ≤ ~1 MB of
     // floats — collected once per round instead of localCheckpointed.
@@ -1381,16 +1378,21 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Float](1).toIndexedSeq)
       .sortBy(_._1).toIndexedSeq
     def assignedOf(src: DataFrame) = {
-      val cLit = typedLit(cents.map(_._2))
-      val idLit = typedLit(cents.map(_._1))
-      src
-        .withColumn("d2s", transform(sequence(lit(1), lit(cents.size)),
-          i => d2(col("embedding"), element_at(cLit, i))))
-        .select(col("vec_id"), col("embedding"),
-          element_at(idLit,
-            array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
-            .as("c"),
-          array_min(col("d2s")).as("cd2"))
+      // one codegen'd kernel per row (r14, the HyperplaneSigs cure):
+      // the former transform(1..k, i -> sq_diff(emb, element_at(cLit,
+      // i))) + array_min/array_position chain evaluated the lambda
+      // INTERPRETED and unboxed the k×dim literal per row — the
+      // largest residual term of dedup_semantic_banded (SemProf:
+      // assignment 1.9 s of 3.6). CentroidArgmin reproduces the exact
+      // fold: SqDiff per centroid in c-order (ragged -> NULL, skipped),
+      // first index attaining the compareDoubles minimum — so
+      // assignments and cd2 are bit-identical (PropertySpec pins the
+      // kernel against the reconstructed HOF chain, edge rows
+      // included).
+      val asg = graft.functions.VectorExpressions.centroidArgmin(
+        col("embedding"), cents.map(_._1), cents.map(_._2))
+      src.select(col("vec_id"), col("embedding"),
+        asg.getField("c").as("c"), asg.getField("cd2").as("cd2"))
     }
     for (_ <- 1 to iters) {
       val refined = assignedOf(trainE)

@@ -107,6 +107,53 @@ class ScaleJoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid_argmin: codegen kernel matches the interpreted HOF chain bit-for-bit") {
+    // r14 optimization: kmeansAssign's assignment projection moved
+    // from transform(1..k, i -> sq_diff(emb, element_at(cLit, i))) +
+    // element_at(idLit, array_position(d2s, array_min(d2s))) to one
+    // codegen'd kernel (CentroidArgmin). This reconstructs the
+    // replaced chain VERBATIM and pins (c, cd2) equality on (a) the
+    // real corpus against the kmeans seed centroids — the exact
+    // first-round assignment — and (b) crafted edge rows: ragged
+    // length (NULL d2, skipped), null embedding (all-NULL -> nulls),
+    // and an exact duplicate of a centroid (distance-0 tie surface).
+    import graft.functions.VectorExpressions.{centroidArgmin, sqDiff}
+    import spark.implicits._
+    val k = 8
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val cents: Seq[(Int, Seq[Float])] = e.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("c"), col("embedding"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toIndexedSeq)
+      .sortBy(_._1).toIndexedSeq
+    val dim = cents.head._2.length
+    val edge = Seq(
+      (100001L, Some(cents(3)._2)), // exact copy of centroid 3 (cd2 = 0 tie)
+      (100002L, Some(cents(0)._2.take(dim - 1))), // ragged: every d2 NULL
+      (100003L, None), // null embedding
+      (100004L, Some(Seq.fill(dim)(0.0f))))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    for (src <- Seq(e, edge, e.unionByName(edge))) {
+      val cLit = typedLit(cents.map(_._2))
+      val idLit = typedLit(cents.map(_._1))
+      val old = src
+        .withColumn("d2s", transform(sequence(lit(1), lit(cents.size)),
+          i => sqDiff(col("embedding"), element_at(cLit, i))))
+        .select(col("vec_id"),
+          element_at(idLit,
+            array_position(col("d2s"), array_min(col("d2s"))).cast("int"))
+            .as("c"),
+          array_min(col("d2s")).as("cd2"))
+        .orderBy("vec_id").collect().toSeq
+      val asg = centroidArgmin(col("embedding"), cents.map(_._1), cents.map(_._2))
+      val neu = src.select(col("vec_id"),
+          asg.getField("c").as("c"), asg.getField("cd2").as("cd2"))
+        .orderBy("vec_id").collect().toSeq
+      assert(neu == old, "assignment divergence vs the HOF chain")
+    }
+  }
+
   test("dedup_embedding: no nested-loop over the full pair space") {
     val df = operators.Dedup.embeddingPairs(spark, sf)
     df.collect()
