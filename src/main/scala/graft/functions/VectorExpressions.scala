@@ -206,8 +206,16 @@ object HyperplaneSigsUtil {
     * when(proj ≥ 0, 1<<i) chain it replaces, so signatures (hence
     * candidates, hence results) are bit-identical. */
   def sigs(emb: ArrayData, bits: Int, bands: Int, dim: Int): ArrayData = {
+    // Malformed-row contract (advice r13): the replaced HOF chain maps
+    // a ragged or null embedding to sig 0 in EVERY band — dot_product's
+    // ragged->NULL makes each projection NULL, and when(NULL >= 0,
+    // bit).otherwise(0) folds to 0 — so the kernel must too, not
+    // silently truncate to min(len, dim) (which would hash a corrupt
+    // row into a data-dependent bucket the old path never produced).
+    if (emb == null || emb.numElements() != dim)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Int](bands))
     val ps = planes(bits, bands, dim)
-    val n = math.min(emb.numElements(), dim)
     val out = new Array[Int](bands)
     var b = 0
     while (b < bands) {
@@ -217,7 +225,7 @@ object HyperplaneSigsUtil {
         val p = ps(b * bits + i)
         var acc = 0.0
         var j = 0
-        while (j < n) {
+        while (j < dim) {
           acc += emb.getFloat(j).toDouble * p(j)
           j += 1
         }
@@ -253,12 +261,30 @@ case class HyperplaneSigs(child: Expression, bits: Int, bands: Int, dim: Int)
         s"hyperplane_sigs expects an array<float> child, got ${t.simpleString}")
     }
 
-  override protected def nullSafeEval(a: Any): Any =
-    HyperplaneSigsUtil.sigs(a.asInstanceOf[ArrayData], bits, bands, dim)
+  // the replaced HOF chain never emitted NULL: a null embedding's
+  // projections all go NULL and the when/otherwise fold gives sig 0
+  // per band (advice r13 — same contract as the ragged case, both
+  // handled inside the kernel)
+  override def nullable: Boolean = false
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneSigsUtil.sigs($c, $bits, $bands, $dim)")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val e = child.eval(input)
+    HyperplaneSigsUtil.sigs(
+      if (e == null) null else e.asInstanceOf[ArrayData], bits, bands, dim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      ${org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+        .javaType(dataType)} ${ev.value} =
+        graft.functions.HyperplaneSigsUtil.sigs(
+          ${c.isNull} ? null : ${c.value}, $bits, $bands, $dim);""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
     copy(child = newChild)

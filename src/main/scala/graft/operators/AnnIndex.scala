@@ -816,10 +816,23 @@ object AnnIndex {
     * later serves — ~15 head() jobs per bench session across the
     * PQ-family queries. */
   private val subLenMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private def subLenAt(s: SparkSession, dir: String): Int =
-    subLenMemo.computeIfAbsent(dir, _ =>
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+  private def subLenAt(s: SparkSession, dir: String): Int = {
+    // keyed by (dir, codebook file lengths+mtimes), not dir alone
+    // (advice r13): fingerprinted dirs pin geometry, but appendAt is
+    // also reachable with explicit non-fingerprinted dirs (buildSubset,
+    // AppendSweep scratch) where a same-path rebuild could change M or
+    // dim — the content component makes that rebuild miss instead of
+    // serving a stale subLen into the subvector slicer.
+    val cb = new java.io.File(dir, "codebook")
+    val sig = Option(cb.listFiles).getOrElse(Array.empty)
+      .sortBy(_.getName)
+      .foldLeft(17L)((h, f) =>
+        (h * 1000003L + f.getName.hashCode) * 1000003L + f.length * 31L +
+          f.lastModified)
+    subLenMemo.computeIfAbsent((dir, sig), _ =>
       Int.box(codebookAt(s, dir).select(size(col("c_sv"))).head().getInt(0)))
+  }
 
   /** Stored codes with erasure tombstones applied: every serving entry
     * point (pq / ivfpq / rerank / batch k-NN join) reads codes through

@@ -88,7 +88,19 @@ class ScaleJoinsSpec extends AnyFunSuite {
     // form — reconstructed verbatim — against the new path on the real
     // corpus at BOTH gated geometries (embedding 4-bit, banded 9-bit)
     import graft.functions.VectorExpressions.dot
+    import spark.implicits._
+    // malformed rows ride along (advice r13): the HOF chain maps a
+    // ragged or null embedding to sig 0 in every band (dot_product's
+    // ragged->NULL, then when(NULL >= 0, bit).otherwise(0)); the
+    // kernel must agree instead of truncating to min(len, dim)
+    val edge = Seq(
+      (200001L, Some(Seq.fill(63)(0.5f))), // ragged short
+      (200002L, Some(Seq.fill(65)(0.5f))), // ragged long
+      (200003L, None)) // null embedding
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .unionByName(edge)
     for ((bits, bands, dim) <- Seq((4, 64, 64), (9, 64, 64))) {
       val planes: Seq[Seq[Double]] =
         (0 until bands * bits).map(p =>
